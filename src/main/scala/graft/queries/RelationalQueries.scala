@@ -1,0 +1,471 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Derive
+
+/** SURVEY §2.1-2.5 + §2.7 relational operator inventory as named queries.
+  *
+  * Conventions shared with every oracle (SURVEY §5.2):
+  *  - every computed double is `floor((x) * 1e6) / 1e6` (or 3 for meters) on BOTH
+  *    sides, so cross-engine last-ulp float noise can't break the hash;
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - output is deterministically ordered with explicit tie-breaks;
+  *  - counts stay BIGINT on both sides (DuckDB sum(int) → HUGEINT, so
+  *    oracles use COUNT(...) FILTER or explicit CASTs).
+  */
+object RelationalQueries extends Q.Registry {
+
+  /** Shared enriched fact view: status ⋈ broadcast(info) + derived cols
+    * (notebook 01 cell 0: 01:64-72). The dim side is ~1.5k rows per SF —
+    * broadcast hash join; at 100 TB the dim is still tiny → same plan. */
+  def enriched(s: SparkSession, d: String): DataFrame =
+    Analog.status(s, d)
+      .join(broadcast(Analog.info(s, d)), Seq("station_no"), "left")
+      .withColumn("filling_rate",
+        Derive.fillingRate(col("bikes_available"), col("total_spaces")))
+      .withColumn("hour", hour(col("record_time")))
+      .withColumn("is_weekday", Derive.isWeekday(col("record_time")))
+      .withColumn("is_peak", Derive.isPeak(col("hour")))
+
+  /** DuckDB mirror of [[enriched]] as a WITH-prefix every oracle reuses. */
+  val enrSql: String =
+    s"""WITH status AS (${Analog.statusSql}),
+       |info AS (${Analog.infoSql}),
+       |mrt AS (${Analog.mrtSql}),
+       |weather AS (${Analog.weatherSql}),
+       |enr AS (
+       |  SELECT status.*, info.district, info.total_spaces, info.lat, info.lng,
+       |         bikes_available / total_spaces AS filling_rate,
+       |         CAST(hour(record_time) AS INT) AS hour,
+       |         isodow(record_time) <= 5 AS is_weekday,
+       |         CAST(hour(record_time) AS INT) IN (7,8,9,17,18,19) AS is_peak
+       |  FROM status LEFT JOIN info USING (station_no)),
+       |clean AS (
+       |  SELECT * FROM enr
+       |  WHERE is_weekday AND filling_rate BETWEEN 0 AND 1
+       |    AND district IS NOT NULL)
+       |""".stripMargin
+
+  /** Spark mirror of the oracle `clean` CTE (01:72 weekday dropna + 01:274
+    * sane-range filter F1/F2/F3). The conjunction is a single pushed
+    * predicate on the joined view. */
+  def clean(s: SparkSession, d: String): DataFrame =
+    enriched(s, d).filter(
+      col("is_weekday") && col("filling_rate").between(0.0, 1.0) &&
+        col("district").isNotNull)
+
+  // =========================================================================
+  val all: Seq[Q] = Seq(
+
+    Q("j1_enrich_group_stats",
+      "Flagship (SURVEY slice 0): fact⋈broadcast-dim enrich (J1,P4,P6-P10), " +
+        "clean filter (F1-F3), per-district stats (A2). 01:64-72 + 01:310-312.",
+      (s, d) =>
+        clean(s, d).groupBy("district").agg(
+          Fmt.trunc(avg("filling_rate"), 6).as("mean_rate"),
+          Fmt.trunc(stddev_samp(col("filling_rate")), 6).as("std_rate"),
+          count(lit(1)).as("n_obs"))
+          .orderBy(desc("mean_rate"), col("district")),
+      Some(enrSql +
+        """SELECT district, floor((avg(filling_rate)) * 1e6) / 1e6 AS mean_rate,
+          |       floor((stddev_samp(filling_rate)) * 1e6) / 1e6 AS std_rate,
+          |       count(*) AS n_obs
+          |FROM clean GROUP BY district
+          |ORDER BY mean_rate DESC, district""".stripMargin)),
+
+    Q("a1_descriptive_stats",
+      "Descriptive block (A1, 01:280-296): mean/median/std/CV/P(x<0.1)/" +
+        "P(x>0.9) for all + peak + off-peak slices via ROLLUP grouping sets.",
+      (s, d) =>
+        clean(s, d)
+          .rollup(col("is_peak"))
+          .agg(
+            Fmt.trunc(avg("filling_rate"), 6).as("mean_rate"),
+            Fmt.trunc(median(col("filling_rate")), 6).as("p50_rate"),
+            Fmt.trunc(stddev_samp(col("filling_rate")), 6).as("std_rate"),
+            Fmt.trunc(stddev_samp(col("filling_rate")) / avg("filling_rate"), 6).as("cv"),
+            Fmt.trunc(avg(when(col("filling_rate") < 0.1, 1.0).otherwise(0.0)), 6).as("p_shortage"),
+            Fmt.trunc(avg(when(col("filling_rate") > 0.9, 1.0).otherwise(0.0)), 6).as("p_full"),
+            count(lit(1)).as("n_obs"))
+          .withColumn("slice",
+            when(col("is_peak").isNull, "all").otherwise(col("is_peak").cast("string")))
+          .drop("is_peak")
+          .orderBy("slice"),
+      Some(enrSql +
+        """SELECT floor((avg(filling_rate)) * 1e6) / 1e6 AS mean_rate,
+          |       floor((median(filling_rate)) * 1e6) / 1e6 AS p50_rate,
+          |       floor((stddev_samp(filling_rate)) * 1e6) / 1e6 AS std_rate,
+          |       floor((stddev_samp(filling_rate) / avg(filling_rate)) * 1e6) / 1e6 AS cv,
+          |       floor((avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END)) * 1e6) / 1e6 AS p_shortage,
+          |       floor((avg(CASE WHEN filling_rate > 0.9 THEN 1.0 ELSE 0.0 END)) * 1e6) / 1e6 AS p_full,
+          |       count(*) AS n_obs,
+          |       CASE WHEN GROUPING(is_peak) = 1 THEN 'all'
+          |            ELSE CAST(is_peak AS VARCHAR) END AS slice
+          |FROM clean GROUP BY ROLLUP(is_peak)
+          |ORDER BY slice""".stripMargin)),
+
+    Q("a2_lineitem_group_stats",
+      "Classic grouped aggregate on the large fact (A2 shape on lineitem): " +
+        "map-side partial agg, single shuffle on the group key.",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") > 5.0)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            Fmt.trunc(sum("l_quantity"), 4).as("sum_qty"),
+            Fmt.trunc(avg("l_extendedprice"), 4).as("avg_price"),
+            Fmt.trunc(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       floor((sum(l_quantity)) * 1e4) / 1e4 AS sum_qty,
+          |       floor((avg(l_extendedprice)) * 1e4) / 1e4 AS avg_price,
+          |       floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e4) / 1e4 AS sum_disc_price,
+          |       count(*) AS n_rows
+          |FROM lineitem WHERE l_quantity > 5.0
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("a3_pivot_station_hour",
+      "Station × hour pivot matrix of mean filling_rate, fillna(0) " +
+        "(A3, 01:659). Explicit 0..23 value list keeps the plan static.",
+      (s, d) => {
+        val p = clean(s, d)
+          .groupBy("station_no")
+          .pivot("hour", 0 to 23)
+          .agg(Fmt.trunc(avg("filling_rate"), 6))
+          .na.fill(0.0)
+        val renamed = (0 to 23).foldLeft(p)((df, h) => df.withColumnRenamed(h.toString, s"h$h"))
+        renamed.orderBy("station_no")
+      },
+      Some(enrSql +
+        "SELECT station_no, " +
+        (0 to 23).map(h =>
+          s"coalesce(floor((avg(CASE WHEN hour = $h THEN filling_rate END)) * 1e6) / 1e6, 0.0) AS h$h")
+          .mkString(", ") +
+        " FROM clean GROUP BY station_no ORDER BY station_no")),
+
+    Q("a4_crosstab_district_risk",
+      "Contingency table district × Risk_Label counts (A4+P13, 01:964-972).",
+      (s, d) =>
+        clean(s, d)
+          .withColumn("risk", Derive.riskLabel(col("filling_rate")))
+          .groupBy("district")
+          .agg(
+            count(when(col("risk") === "Shortage", 1)).as("n_shortage"),
+            count(when(col("risk") === "Normal", 1)).as("n_normal"))
+          .orderBy("district"),
+      Some(enrSql +
+        """SELECT district,
+          |       COUNT(*) FILTER (WHERE filling_rate < 0.1) AS n_shortage,
+          |       COUNT(*) FILTER (WHERE filling_rate >= 0.1) AS n_normal
+          |FROM clean GROUP BY district ORDER BY district""".stripMargin)),
+
+    Q("a5_crosstab_normalized",
+      "Row-normalized crosstab (A5, 01:688): per-district shortage/normal " +
+        "proportions.",
+      (s, d) =>
+        clean(s, d)
+          .groupBy("district")
+          .agg(
+            count(when(col("filling_rate") < 0.1, 1)).as("n_shortage"),
+            count(lit(1)).as("n_total"))
+          .select(
+            col("district"),
+            Fmt.trunc(col("n_shortage") / col("n_total"), 6).as("p_shortage"),
+            Fmt.trunc((col("n_total") - col("n_shortage")) / col("n_total"), 6).as("p_normal"))
+          .orderBy("district"),
+      Some(enrSql +
+        """SELECT district,
+          |       floor((COUNT(*) FILTER (WHERE filling_rate < 0.1) / CAST(count(*) AS DOUBLE)) * 1e6) / 1e6 AS p_shortage,
+          |       floor((COUNT(*) FILTER (WHERE filling_rate >= 0.1) / CAST(count(*) AS DOUBLE)) * 1e6) / 1e6 AS p_normal
+          |FROM clean GROUP BY district ORDER BY district""".stripMargin)),
+
+    Q("a6_top1_global",
+      "Busiest station overall: value_counts().idxmax() (A6, 04:59). " +
+        "Deterministic tie-break on the key.",
+      (s, d) =>
+        Analog.status(s, d)
+          .groupBy("station_no").agg(count(lit(1)).as("n_obs"))
+          .orderBy(desc("n_obs"), col("station_no"))
+          .limit(1),
+      Some(enrSql +
+        """SELECT station_no, count(*) AS n_obs FROM status
+          |GROUP BY station_no ORDER BY n_obs DESC, station_no LIMIT 1""".stripMargin)),
+
+    Q("a7_top1_per_district",
+      "Busiest station per district via ranking window (A7/W6, 05:125-144).",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = enriched(s, d)
+          .filter(col("district").isNotNull)
+          .groupBy("district", "station_no").agg(count(lit(1)).as("n_obs"))
+        val w = Window.partitionBy("district")
+          .orderBy(desc("n_obs"), col("station_no"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("district")
+      },
+      Some(enrSql +
+        """SELECT district, station_no, n_obs FROM (
+          |  SELECT district, station_no, count(*) AS n_obs,
+          |         row_number() OVER (PARTITION BY district
+          |                            ORDER BY count(*) DESC, station_no) AS rn
+          |  FROM enr WHERE district IS NOT NULL
+          |  GROUP BY district, station_no)
+          |WHERE rn = 1 ORDER BY district""".stripMargin)),
+
+    Q("a8_distinct_station_district",
+      "Distinct projection / dedup-by-key (A8, 01:684, etl_job.py:101).",
+      (s, d) =>
+        Analog.info(s, d).select("station_no", "district")
+          .dropDuplicates()
+          .orderBy("station_no"),
+      Some(enrSql +
+        "SELECT DISTINCT station_no, district FROM info ORDER BY station_no")),
+
+    Q("a10_cluster_peak_label",
+      "Argmax-hour labeling rule (A10, 01:664-676): per station, the hour " +
+        "with max mean rate → commercial/residential/mixed label.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = clean(s, d)
+          .groupBy("station_no", "hour")
+          .agg(avg("filling_rate").as("mean_rate"))
+        val w = Window.partitionBy("station_no")
+          .orderBy(desc("mean_rate"), col("hour"))
+        hourly.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("station_no"),
+            col("hour").as("peak_hour"),
+            when(col("hour").between(10, 17), "commercial")
+              .when(col("hour").between(6, 9), "residential")
+              .otherwise("mixed").as("zone_label"))
+          .orderBy("station_no")
+      },
+      Some(enrSql +
+        """SELECT station_no, hour AS peak_hour,
+          |       CASE WHEN hour BETWEEN 10 AND 17 THEN 'commercial'
+          |            WHEN hour BETWEEN 6 AND 9 THEN 'residential'
+          |            ELSE 'mixed' END AS zone_label
+          |FROM (
+          |  SELECT station_no, hour, avg(filling_rate) AS mean_rate,
+          |         row_number() OVER (PARTITION BY station_no
+          |                            ORDER BY avg(filling_rate) DESC, hour) AS rn
+          |  FROM clean GROUP BY station_no, hour)
+          |WHERE rn = 1 ORDER BY station_no""".stripMargin)),
+
+    Q("a11_shortage_ranking",
+      "Per-district shortage probability vs global mean (A11, 01:1014).",
+      (s, d) => {
+        val base = clean(s, d)
+          .withColumn("is_short", when(col("filling_rate") < 0.1, 1.0).otherwise(0.0))
+        val global = base.agg(avg("is_short").as("global_rate"))
+        base.groupBy("district").agg(avg("is_short").as("rate"))
+          .crossJoin(broadcast(global))
+          .select(
+            col("district"),
+            Fmt.trunc(col("rate"), 6).as("shortage_rate"),
+            Fmt.trunc(col("rate") - col("global_rate"), 6).as("delta_vs_global"))
+          .orderBy(desc("shortage_rate"), col("district"))
+      },
+      Some(enrSql +
+        """SELECT district,
+          |       floor((rate) * 1e6) / 1e6 AS shortage_rate,
+          |       floor((rate - g.global_rate) * 1e6) / 1e6 AS delta_vs_global
+          |FROM (
+          |  SELECT district,
+          |         avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END) AS rate
+          |  FROM clean GROUP BY district) t
+          |CROSS JOIN (
+          |  SELECT avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END) AS global_rate
+          |  FROM clean) g
+          |ORDER BY shortage_rate DESC, district""".stripMargin)),
+
+    Q("j2_hourly_weather_join",
+      "Hour-bucket time join (J2+P11+P14, 03:79-87): fact → date_trunc hour " +
+        "→ equi-join hourly weather; derive rain category.",
+      (s, d) =>
+        Analog.status(s, d)
+          .withColumn("hour_key", Derive.hourKey(col("record_time")))
+          .join(Analog.weather(s, d), Seq("hour_key"), "left")
+          .select(
+            col("event_id"),
+            Fmt.trunc(col("temperature"), 6).as("temperature"),
+            col("rain"),
+            Derive.rainCategory(col("rain")).as("rain_cat"))
+          .orderBy("event_id"),
+      Some(enrSql +
+        """SELECT event_id, floor((temperature) * 1e6) / 1e6 AS temperature, rain,
+          |       CAST(CASE WHEN rain = 0.0 THEN 0 WHEN rain <= 2.0 THEN 1
+          |            WHEN rain <= 10.0 THEN 2 ELSE 3 END AS INT) AS rain_cat
+          |FROM status LEFT JOIN weather
+          |  ON date_trunc('hour', record_time) = weather.hour_key
+          |ORDER BY event_id""".stripMargin)),
+
+    Q("j3_wide_master",
+      "Tableau-style wide master table (J3, 06:70-79): fact ⋈ deduped dim ⋈ " +
+        "hourly weather, wide projection.",
+      (s, d) => {
+        val dim = Analog.info(s, d)
+          .dropDuplicates("station_no")
+          .select("station_no", "district", "total_spaces")
+        Analog.status(s, d)
+          .withColumn("hour_key", Derive.hourKey(col("record_time")))
+          .join(broadcast(dim), Seq("station_no"), "left")
+          .join(Analog.weather(s, d), Seq("hour_key"), "left")
+          .select(
+            col("event_id"), col("station_no"), col("district"),
+            col("total_spaces"), col("bikes_available"),
+            Fmt.trunc(col("bikes_available") / col("total_spaces"), 6).as("filling_rate"),
+            Fmt.trunc(col("temperature"), 6).as("temperature"),
+            Derive.rainCategory(col("rain")).as("rain_cat"))
+          .orderBy("event_id")
+      },
+      Some(enrSql +
+        """SELECT event_id, station_no, district, total_spaces, bikes_available,
+          |       floor((bikes_available / total_spaces) * 1e6) / 1e6 AS filling_rate,
+          |       floor((temperature) * 1e6) / 1e6 AS temperature,
+          |       CAST(CASE WHEN rain = 0.0 THEN 0 WHEN rain <= 2.0 THEN 1
+          |            WHEN rain <= 10.0 THEN 2 ELSE 3 END AS INT) AS rain_cat
+          |FROM status
+          |LEFT JOIN (SELECT DISTINCT station_no, district, total_spaces FROM info) dim
+          |  USING (station_no)
+          |LEFT JOIN weather ON date_trunc('hour', record_time) = weather.hour_key
+          |ORDER BY event_id""".stripMargin)),
+
+    Q("j4_anti_join_new_stations",
+      "Insert-only-new dimension upsert via anti join (J4, etl_job.py:121-122): " +
+        "incoming station ids not yet in the 'existing' dim subset.",
+      (s, d) => {
+        val existing = Analog.info(s, d)
+          .filter(col("station_no").cast("long") % 3 === 0)
+          .select("station_no")
+        Analog.status(s, d).select("station_no").distinct()
+          .join(broadcast(existing), Seq("station_no"), "left_anti")
+          .orderBy("station_no")
+      },
+      Some(enrSql +
+        """SELECT DISTINCT station_no FROM status
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM info
+          |  WHERE CAST(info.station_no AS BIGINT) % 3 = 0
+          |    AND info.station_no = status.station_no)
+          |ORDER BY station_no""".stripMargin)),
+
+    Q("j5_nn_mrt_distance",
+      "Nearest-neighbor spatial join (J5+X1, 01:56-61): station × broadcast " +
+        "MRT cross join, haversine, min per station. Small side bounded → " +
+        "broadcast; large-large would switch to a grid/LSH prune (SURVEY §7.3#9).",
+      (s, d) =>
+        Analog.info(s, d)
+          .crossJoin(broadcast(Analog.mrt(s, d)))
+          .withColumn("dist_m", Derive.haversineMeters(
+            col("lat"), col("lng"), col("mrt_lat"), col("mrt_lng")))
+          .groupBy("station_no")
+          .agg(Fmt.trunc(min("dist_m"), 3).as("dist_to_mrt"))
+          .orderBy("station_no"),
+      Some(enrSql +
+        """SELECT station_no,
+          |       floor((min(2.0 * 6371000.0 * atan2(sqrt(a), sqrt(1.0 - a)))) * 1e3) / 1e3 AS dist_to_mrt
+          |FROM (
+          |  SELECT station_no,
+          |         pow(sin(radians(mrt_lat - lat) / 2), 2) +
+          |         cos(radians(lat)) * cos(radians(mrt_lat)) *
+          |         pow(sin(radians(mrt_lng - lng) / 2), 2) AS a
+          |  FROM info CROSS JOIN mrt)
+          |GROUP BY station_no ORDER BY station_no""".stripMargin)),
+
+    Q("j7_map_lookup",
+      "Broadcast map-literal lookup + formatted label (J7+P16, " +
+        "api/app/main.py:175, dashboard/app.py:38).",
+      (s, d) => {
+        val codes = typedlit(Map(
+          "click" -> 1, "view" -> 2, "purchase" -> 3, "signup" -> 4, "error" -> 5))
+        Analog.status(s, d)
+          .select(
+            col("event_id"),
+            element_at(codes, col("event_type")).as("type_code"),
+            concat(col("event_type"), lit(" ["), col("station_no"), lit("]")).as("label"))
+          .orderBy("event_id")
+      },
+      Some(enrSql +
+        """SELECT event_id,
+          |       CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+          |            WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+          |            WHEN 'error' THEN 5 END AS INT) AS type_code,
+          |       event_type || ' [' || station_no || ']' AS label
+          |FROM status ORDER BY event_id""".stripMargin)),
+
+    Q("p_derive_flags",
+      "Derived-column suite (P6-P18): hour, weekday/weekend/peak flags, " +
+        "risk label, clamp-round.",
+      (s, d) =>
+        enriched(s, d).select(
+          col("event_id"),
+          col("hour"),
+          col("is_weekday"),
+          Derive.isWeekend(col("record_time")).as("is_weekend"),
+          col("is_peak"),
+          Derive.riskLabel(col("filling_rate")).as("risk_label"),
+          Derive.clampRoundNonNeg(col("bikes_available") - 100.0).as("clamped"))
+          .orderBy("event_id"),
+      Some(enrSql +
+        """SELECT event_id, hour, is_weekday, NOT is_weekday AS is_weekend,
+          |       is_peak,
+          |       CASE WHEN filling_rate < 0.1 THEN 'Shortage' ELSE 'Normal' END AS risk_label,
+          |       CAST(greatest(0, CAST(round(bikes_available - 100.0) AS INT)) AS INT) AS clamped
+          |FROM enr ORDER BY event_id""".stripMargin)),
+
+    Q("p8_tz_taipei_to_utc",
+      "Naive Asia/Taipei → naive UTC (P8, etl_job.py:106-109). Taipei has " +
+        "no DST so the oracle is an exact -8 h shift.",
+      (s, d) =>
+        Analog.status(s, d)
+          .select(col("event_id"),
+            Derive.taipeiToUtc(col("record_time")).as("utc_time"))
+          .orderBy("event_id"),
+      Some(enrSql +
+        """SELECT event_id, record_time - INTERVAL 8 HOUR AS utc_time
+          |FROM status ORDER BY event_id""".stripMargin)),
+
+    Q("s8_dedup_replayed_batch",
+      "Exactly-once-ish dedup on (station_no, record_time) over a replayed " +
+        "batch (S8, sql/init_schema.sql:17): union-all replay then dedup.",
+      (s, d) => {
+        val st = Analog.status(s, d).select("station_no", "record_time")
+        st.unionAll(st)
+          .dropDuplicates(Seq("station_no", "record_time"))
+          .groupBy("station_no").agg(count(lit(1)).as("n_dedup"))
+          .orderBy("station_no")
+      },
+      Some(enrSql +
+        """SELECT station_no, count(*) AS n_dedup FROM (
+          |  SELECT DISTINCT station_no, record_time FROM (
+          |    SELECT station_no, record_time FROM status
+          |    UNION ALL
+          |    SELECT station_no, record_time FROM status))
+          |GROUP BY station_no ORDER BY station_no""".stripMargin)),
+
+    Q("f6_idset_filter",
+      "Membership filter on a small id set (F5/F6, 05:178) — pushed to the " +
+        "scan as an IN filter.",
+      (s, d) =>
+        Analog.status(s, d)
+          .filter(col("station_no").isin("2", "3", "5", "7", "11"))
+          .groupBy("station_no")
+          .agg(count(lit(1)).as("n_obs"),
+            Fmt.trunc(avg("bikes_available"), 6).as("avg_bikes"))
+          .orderBy("station_no"),
+      Some(enrSql +
+        """SELECT station_no, count(*) AS n_obs,
+          |       floor((avg(bikes_available)) * 1e6) / 1e6 AS avg_bikes
+          |FROM status WHERE station_no IN ('2','3','5','7','11')
+          |GROUP BY station_no ORDER BY station_no""".stripMargin))
+  )
+}
