@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc JVM/Spark conf injection for perf experiments (graft.Probe):
+// e.g. SPARK_GRAFT_JVM_EXTRA="-Dspark.sql.adaptive.enabled=false"
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+  .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

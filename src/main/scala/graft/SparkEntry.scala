@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   def registries: Seq[Q.Registry] = Seq(
-    RelationalQueries)
+    RelationalQueries, WindowQueries, StatsQueries, MlQueries)
 
   def allQueries: Seq[Q] = registries.flatMap(_.all)
 

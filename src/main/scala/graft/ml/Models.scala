@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{MinMaxScaler, MinMaxScalerModel, RFormula, VectorAssembler}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ML layer (SURVEY §2.10 X10-X13) on spark.ml — the reference's
+  * statsmodels/sklearn fits re-expressed as Pipelines.
+  *
+  * Reference provenance (file:line in /root/reference):
+  *  - X10 OLS M1/M2/M3 via R formulas: notebooks/01_youbike_analysis.ipynb:1139-1148
+  *    (R² comparison 01:1151; M3's lag feature is the story: 0.02 → 0.92)
+  *  - X11 K-Means k=4, seed fixed, on the station×hour pivot: 01:659-661
+  *  - X12 MinMaxScaler fit/transform: notebooks/04_lstm_prediction.ipynb:67-68
+  *  - X13 MinMax inverse transform: 04:303-312 (the dummy-matrix trick
+  *    replaced by direct arithmetic on the fitted min/max)
+  *
+  * Scale posture: RFormula/LinearRegression(normal solver) reduce to
+  * one pass of gram-matrix accumulation (treeAggregate) — linear scan,
+  * no driver materialization of rows; KMeans consumes the *pivoted*
+  * frame (stations × 24), which is already reduced by ~10⁶ — the
+  * aggregate-before-ML shape the reference itself uses (SURVEY §4.1).
+  */
+object Models {
+
+  /** X10: OLS via R formula (handles `C(...)` one-hot like statsmodels).
+    * Normal-equation solver → deterministic coefficients. The returned
+    * PipelineModel transforms raw rows straight to a `prediction`. */
+  def olsFit(df: DataFrame, formula: String): org.apache.spark.ml.PipelineModel = {
+    val rf = new RFormula().setFormula(formula)
+      .setFeaturesCol("features").setLabelCol("label")
+    val lr = new LinearRegression()
+      .setSolver("normal").setRegParam(0.0)
+      .setFeaturesCol("features").setLabelCol("label")
+    new Pipeline().setStages(Array(rf, lr)).fit(df)
+  }
+
+  /** The LinearRegressionModel inside an [[olsFit]] pipeline. */
+  def lrStage(m: org.apache.spark.ml.PipelineModel): LinearRegressionModel =
+    m.stages(1).asInstanceOf[LinearRegressionModel]
+
+  /** X10: fit the reference's three models and return (model, r2,
+    * n_features) rows — the R² ladder that motivates the lag feature. */
+  def olsLadder(df: DataFrame, formulas: Seq[(String, String)]): Seq[(String, Double, Int)] =
+    formulas.map { case (name, f) =>
+      val m = lrStage(olsFit(df, f))
+      (name, m.summary.r2, m.numFeatures)
+    }
+
+  /** X11: K-Means k=4 on hour-pivot columns (01:659-661). Returns the
+    * input plus a `cluster` column. Seed pinned; cluster *labels* are
+    * arbitrary — downstream naming (A10) keys on peak-hour structure,
+    * not label identity (SURVEY §7.3 #6). */
+  def kmeansOnPivot(pivot: DataFrame, featureCols: Seq[String], k: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    val asm = new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("features")
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cluster")
+    val withVec = asm.transform(pivot)
+    km.fit(withVec).transform(withVec).drop("features")
+  }
+
+  /** X12: fit MinMaxScaler on `cols` assembled as a vector. */
+  def fitMinMax(df: DataFrame, cols: Seq[String]): MinMaxScalerModel = {
+    val asm = new VectorAssembler().setInputCols(cols.toArray).setOutputCol("mm_in")
+    new MinMaxScaler().setInputCol("mm_in").setOutputCol("mm_out")
+      .setMin(0.0).setMax(1.0)
+      .fit(asm.transform(df))
+  }
+
+  /** X12 as plain column arithmetic: (x - min) / (max - min) with the
+    * (min, max) observed over `df` — the exact MinMaxScaler [0,1]
+    * semantics, but expressible in oracle SQL and codegen-friendly.
+    * MlModelsSpec asserts equality with the spark.ml scaler output. */
+  def minMaxScaleExpr(x: Column, minV: Column, maxV: Column): Column =
+    (x - minV) / (maxV - minV)
+
+  /** X13: inverse of [[minMaxScaleExpr]] — scaled*(max-min)+min, the
+    * reference's dummy-matrix unscale (04:303-312) done directly. */
+  def minMaxInverseExpr(scaled: Column, minV: Column, maxV: Column): Column =
+    scaled * (maxV - minV) + minV
+
+  /** X13 driver-side: invert one feature column of a fitted scaler
+    * (the api/app/main.py:192-196 path: only the predicted column). */
+  def minMaxInverse(model: MinMaxScalerModel, featureIdx: Int, scaled: Column): Column = {
+    val mn = model.originalMin.toArray(featureIdx)
+    val mx = model.originalMax.toArray(featureIdx)
+    scaled * (mx - mn) + mn
+  }
+
+  /** Extract one element of an ml Vector column (for reading scaled
+    * features back out as scalars). */
+  val vectorElem: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Vector, i: Int) => v(i))
+}

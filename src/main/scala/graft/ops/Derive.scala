@@ -50,10 +50,13 @@ object Derive {
   def riskLabel(rate: Column): Column =
     when(rate < 0.1, "Shortage").otherwise("Normal")
 
-  /** rain mm → category {0,1,2,3}: ==0→0, ≤2→1, ≤10→2, else 3
-    * (05:84-94). Single shared definition for the three reference copies. */
+  /** rain mm → category {0,1,2,3}: null/0→0, ≤2→1, ≤10→2, else 3
+    * (05:84-94; the reference does `fillna(0)` first at 05:91, so NULL
+    * rain is category 0). Single shared definition for the three
+    * reference copies. */
   def rainCategory(rain: Column): Column =
-    when(rain === 0.0, 0).when(rain <= 2.0, 1).when(rain <= 10.0, 2).otherwise(3)
+    when(rain.isNull || rain === 0.0, 0)
+      .when(rain <= 2.0, 1).when(rain <= 10.0, 2).otherwise(3)
 
   /** Naive Asia/Taipei wall time → naive UTC (etl_job.py:106-109).
     * Taipei has no DST, so this is an exact −8 h shift. */

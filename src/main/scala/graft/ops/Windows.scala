@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Ordered / time-series window recipes (SURVEY §2.6 W1-W6).
+  *
+  * Reference provenance (file:line in /root/reference):
+  *  - W1 lag feature: notebooks/01_youbike_analysis.ipynb:1115-1118
+  *    (`groupby(station_no)[filling_rate].shift(1)` — the reference's
+  *    highest-value feature: M3 R²=0.92 vs M1 0.02 comes from it).
+  *  - W3 ffill/bfill: notebooks/04_lstm_prediction.ipynb:237.
+  *  - W4 per-group linear interpolation: notebooks/05_multistation_lstm.ipynb:194-196
+  *    (`interpolate('linear').ffill().bfill()` cascade).
+  *  - W5 sliding-window sequences: 04:71-85, 05:224-252.
+  *
+  * Scale posture: every recipe is a window over `partitionBy(key)` — one
+  * shuffle on the key, then per-partition sorted evaluation. No driver
+  * collection, no cross-partition state. Skewed keys would be the only
+  * 100 TB risk; station-grain keys are naturally bounded (rows per
+  * station ≪ partition size).
+  */
+object Windows {
+
+  /** W1: 1-row lag of `c` per `key` ordered by `order` (01:1115-1118). */
+  def lag1(c: Column, key: Column, order: Column*): Column =
+    lag(c, 1).over(Window.partitionBy(key).orderBy(order: _*))
+
+  private def byKey(key: Column, order: Seq[Column]): WindowSpec =
+    Window.partitionBy(key).orderBy(order: _*)
+
+  /** W3: forward fill — last non-null value at or before the current row. */
+  def ffill(c: Column, key: Column, order: Column*): Column =
+    last(c, ignoreNulls = true)
+      .over(byKey(key, order).rowsBetween(Window.unboundedPreceding, 0))
+
+  /** W3: backward fill — first non-null value at or after the current row. */
+  def bfill(c: Column, key: Column, order: Column*): Column =
+    first(c, ignoreNulls = true)
+      .over(byKey(key, order).rowsBetween(0, Window.unboundedFollowing))
+
+  /** W3 composed: pandas `.ffill().bfill()` (04:237) — forward fill, then
+    * leading nulls (no predecessor) take the first following value. */
+  def ffillThenBfill(c: Column, key: Column, order: Column*): Column =
+    coalesce(ffill(c, key, order: _*), bfill(c, key, order: _*))
+
+  /** W4: per-group linear interpolation with the reference's exact
+    * `.interpolate('linear').ffill().bfill()` cascade (05:194-196).
+    *
+    * For a null run between known values a (at row i) and b (at row j):
+    * x = a + (b - a) * (rn - i) / (j - i). Leading nulls take the first
+    * known value (bfill), trailing nulls the last known (ffill) — same
+    * edge handling as the reference chain (SURVEY §7.3 #8).
+    */
+  def interpolateLinear(c: Column, key: Column, order: Column*): Column = {
+    val w = byKey(key, order)
+    val before = w.rowsBetween(Window.unboundedPreceding, 0)
+    val after = w.rowsBetween(0, Window.unboundedFollowing)
+    val rn = row_number().over(w)
+    val markedRn = when(c.isNotNull, rn)
+    val prevVal = last(c, ignoreNulls = true).over(before)
+    val nextVal = first(c, ignoreNulls = true).over(after)
+    val prevRn = last(markedRn, ignoreNulls = true).over(before)
+    val nextRn = first(markedRn, ignoreNulls = true).over(after)
+    when(c.isNotNull, c)
+      .when(prevVal.isNotNull && nextVal.isNotNull,
+        prevVal + (nextVal - prevVal) * (rn - prevRn) / (nextRn - prevRn))
+      .otherwise(coalesce(prevVal, nextVal)) // ffill then bfill edges
+  }
+
+  /** W5: sliding sequence of the last `steps` values of `c` (inclusive),
+    * per key; pair with [[leadLabel]] and filter `size === steps` to get
+    * the reference's (X, y) training pairs (04:71-85, 05:224-252). */
+  def slidingSeq(c: Column, steps: Int, key: Column, order: Column*): Column =
+    collect_list(c).over(byKey(key, order).rowsBetween(-(steps - 1), 0))
+
+  /** W5: next-row label (`lead(target, 1)`). */
+  def leadLabel(c: Column, key: Column, order: Column*): Column =
+    lead(c, 1).over(byKey(key, order))
+
+  /** P17: dense 0-based id per distinct key value, ordered (05:182). */
+  def denseId(df: DataFrame, key: String, idCol: String): DataFrame = {
+    val w = Window.orderBy(col(key))
+    df.select(col(key)).distinct()
+      .withColumn(idCol, row_number().over(w) - 1)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.Models
+import graft.ops.{Derive, Windows}
+
+/** SURVEY §2.10 ML layer (X10-X13, X15) + J6 as registered queries.
+  *
+  * Oracle policy: model *fits* are not ANSI-SQL-expressible → rows-only
+  * driver checks here, with the behavioural assertions (R² ladder
+  * ordering, M3 > 0.85 on lag-persistent data, scaler equivalence) in
+  * MlModelsSpec. The MinMax scale/inverse queries ARE pure arithmetic
+  * and get full DuckDB oracles.
+  */
+object MlQueries extends Q.Registry {
+  import RelationalQueries.{clean, enrSql}
+
+  /** Station-level NN distance (J5 output) reused as the X10 feature. */
+  private def nnDist(s: SparkSession, d: String): DataFrame =
+    Analog.info(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(Analog.mrt(s, d)))
+      .withColumn("dist_m", Derive.haversineMeters(
+        col("lat"), col("lng"), col("mrt_lat"), col("mrt_lng")))
+      .groupBy("station_no")
+      .agg(min("dist_m").as("dist_to_mrt"))
+
+  /** The notebook-cell-7 model frame (01:1115-1130): clean + lag1 +
+    * hour-as-categorical + is_weekend + dist_to_mrt, both rates in
+    * [0,1] (01:1123-1125). */
+  def modelFrame(s: SparkSession, d: String): DataFrame =
+    clean(s, d)
+      .withColumn("filling_rate_lag1",
+        Windows.lag1(col("filling_rate"), col("station_no"),
+          col("record_time"), col("event_id")))
+      .withColumn("hour_str", col("hour").cast("string"))
+      .withColumn("is_weekend_d", Derive.isWeekend(col("record_time")).cast("double"))
+      .join(broadcast(nnDist(s, d)), Seq("station_no"), "left")
+      .filter(col("filling_rate_lag1").between(0.0, 1.0))
+      .na.drop(Seq("filling_rate", "dist_to_mrt", "total_spaces"))
+
+  val all: Seq[Q] = Seq(
+
+    Q("x10_ols_ladder",
+      "Three OLS models via RFormula (X10, 01:1139-1151): M1 " +
+        "structural, M2 +time dummies, M3 +lag — emits the R-squared " +
+        "ladder. Fit assertions live in MlModelsSpec.",
+      (s, d) => {
+        import s.implicits._
+        val frame = modelFrame(s, d).cache()
+        val ladder = Models.olsLadder(frame, Seq(
+          "M1" -> "filling_rate ~ dist_to_mrt + total_spaces + district",
+          "M2" -> "filling_rate ~ dist_to_mrt + total_spaces + district + hour_str + is_weekend_d",
+          "M3" -> "filling_rate ~ dist_to_mrt + total_spaces + hour_str + filling_rate_lag1"))
+        frame.unpersist()
+        ladder.toDF("model", "r2", "n_features")
+      },
+      None),
+
+    Q("x11_kmeans_j6",
+      "K-Means k=4 seed=42 on the station-hour pivot (X11, 01:659-661) " +
+        "+ cluster-attr lookup join back to the dim (J6, 01:682-686).",
+      (s, d) => {
+        val pivot = clean(s, d)
+          .groupBy("station_no").pivot("hour", 0 to 23)
+          .agg(avg("filling_rate")).na.fill(0.0)
+        val cols = (0 to 23).map(_.toString)
+        val clustered = Models.kmeansOnPivot(pivot, cols)
+          .select("station_no", "cluster")
+        val dim = Analog.info(s, d).select("station_no", "district").dropDuplicates("station_no")
+        clustered.join(broadcast(dim), Seq("station_no"), "left")
+          .orderBy("station_no")
+      },
+      None),
+
+    Q("x12_minmax_scale",
+      "MinMax [0,1] scaling of rate and bikes (X12, 04:67-68) as exact " +
+        "column arithmetic (MlModelsSpec proves equivalence to " +
+        "ml.feature.MinMaxScaler on the same frame).",
+      (s, d) => {
+        val base = clean(s, d)
+        val bounds = base.agg(
+          min("filling_rate").as("r_min"), max("filling_rate").as("r_max"),
+          min("bikes_available").as("b_min"), max("bikes_available").as("b_max"))
+        base.crossJoin(broadcast(bounds))
+          .select(
+            col("event_id"),
+            Fmt.trunc(Models.minMaxScaleExpr(
+              col("filling_rate"), col("r_min"), col("r_max")), 6).as("rate_scaled"),
+            Fmt.trunc(Models.minMaxScaleExpr(
+              col("bikes_available"), col("b_min"), col("b_max")), 6).as("bikes_scaled"))
+      },
+      Some(enrSql +
+        """SELECT event_id,
+          |       floor(((filling_rate - r_min) / (r_max - r_min)) * 1e6) / 1e6 AS rate_scaled,
+          |       floor(((bikes_available - b_min) / (b_max - b_min)) * 1e6) / 1e6 AS bikes_scaled
+          |FROM clean CROSS JOIN (
+          |  SELECT min(filling_rate) AS r_min, max(filling_rate) AS r_max,
+          |         min(bikes_available) AS b_min, max(bikes_available) AS b_max
+          |  FROM clean)""".stripMargin)),
+
+    Q("x13_minmax_roundtrip",
+      "MinMax inverse transform (X13, 04:303-312): unscale(scale(x)) " +
+        "reproduces x — the direct-arithmetic replacement for the " +
+        "reference's dummy-matrix trick.",
+      (s, d) => {
+        val base = clean(s, d)
+        val bounds = base.agg(
+          min("filling_rate").as("r_min"), max("filling_rate").as("r_max"))
+        base.crossJoin(broadcast(bounds))
+          .withColumn("rate_scaled",
+            Models.minMaxScaleExpr(col("filling_rate"), col("r_min"), col("r_max")))
+          .select(
+            col("event_id"),
+            col("filling_rate"),
+            Fmt.trunc(Models.minMaxInverseExpr(
+              col("rate_scaled"), col("r_min"), col("r_max")), 6).as("rate_roundtrip"))
+      },
+      Some(enrSql +
+        """SELECT event_id, filling_rate,
+          |       floor((((filling_rate - r_min) / (r_max - r_min)) * (r_max - r_min) + r_min) * 1e6) / 1e6 AS rate_roundtrip
+          |FROM clean CROSS JOIN (
+          |  SELECT min(filling_rate) AS r_min, max(filling_rate) AS r_max
+          |  FROM clean)""".stripMargin)),
+
+    Q("x15_scoring",
+      "Batch scoring pipeline (X15, api/app/main.py:148-199): fit M3, " +
+        "score the frame, convert rate → bikes, clamp/round (P18). " +
+        "The LSTM forward pass (X14) is out of engine scope; M3 is the " +
+        "engine-native predictor (SURVEY §2.10).",
+      (s, d) => {
+        val frame = modelFrame(s, d).cache()
+        val m3 = Models.olsFit(frame,
+          "filling_rate ~ dist_to_mrt + total_spaces + hour_str + filling_rate_lag1")
+        val scored = m3.transform(frame)
+        frame.unpersist()
+        scored.select(
+          col("event_id"),
+          Derive.clampRoundNonNeg(col("prediction") * col("total_spaces")).as("bikes_pred"))
+      },
+      None)
+  )
+}

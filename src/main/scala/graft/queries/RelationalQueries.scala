@@ -139,8 +139,9 @@ object RelationalQueries extends Q.Registry {
           .pivot("hour", 0 to 23)
           .agg(Fmt.trunc(avg("filling_rate"), 6))
           .na.fill(0.0)
-        val renamed = (0 to 23).foldLeft(p)((df, h) => df.withColumnRenamed(h.toString, s"h$h"))
-        renamed.orderBy("station_no")
+        // single select keeps the plan flat (vs 24 nested projections)
+        p.select(col("station_no") +: (0 to 23).map(h => col(s"`$h`").as(s"h$h")): _*)
+          .orderBy("station_no")
       },
       Some(enrSql +
         "SELECT station_no, " +
@@ -263,28 +264,32 @@ object RelationalQueries extends Q.Registry {
     Q("a11_shortage_ranking",
       "Per-district shortage probability vs global mean (A11, 01:1014).",
       (s, d) => {
-        val base = clean(s, d)
-          .withColumn("is_short", when(col("filling_rate") < 0.1, 1.0).otherwise(0.0))
-        val global = base.agg(avg("is_short").as("global_rate"))
-        base.groupBy("district").agg(avg("is_short").as("rate"))
-          .crossJoin(broadcast(global))
+        import org.apache.spark.sql.expressions.Window
+        // single pass: per-district counts, then the global rate derived
+        // from the 25-row aggregate via an unpartitioned window (the
+        // post-agg frame is tiny, so the single-partition window is safe)
+        val perDistrict = clean(s, d)
+          .groupBy("district").agg(
+            sum(when(col("filling_rate") < 0.1, 1.0).otherwise(0.0)).as("n_short"),
+            count(lit(1)).cast("double").as("n"))
+        val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        perDistrict
+          .withColumn("global_rate", sum("n_short").over(w) / sum("n").over(w))
           .select(
             col("district"),
-            Fmt.trunc(col("rate"), 6).as("shortage_rate"),
-            Fmt.trunc(col("rate") - col("global_rate"), 6).as("delta_vs_global"))
+            Fmt.trunc(col("n_short") / col("n"), 6).as("shortage_rate"),
+            Fmt.trunc(col("n_short") / col("n") - col("global_rate"), 6).as("delta_vs_global"))
           .orderBy(desc("shortage_rate"), col("district"))
       },
       Some(enrSql +
         """SELECT district,
-          |       floor((rate) * 1e6) / 1e6 AS shortage_rate,
-          |       floor((rate - g.global_rate) * 1e6) / 1e6 AS delta_vs_global
+          |       floor((n_short / n) * 1e6) / 1e6 AS shortage_rate,
+          |       floor((n_short / n - sum(n_short) OVER () / sum(n) OVER ()) * 1e6) / 1e6 AS delta_vs_global
           |FROM (
           |  SELECT district,
-          |         avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END) AS rate
+          |         sum(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END) AS n_short,
+          |         CAST(count(*) AS DOUBLE) AS n
           |  FROM clean GROUP BY district) t
-          |CROSS JOIN (
-          |  SELECT avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END) AS global_rate
-          |  FROM clean) g
           |ORDER BY shortage_rate DESC, district""".stripMargin)),
 
     Q("j2_hourly_weather_join",
@@ -298,15 +303,13 @@ object RelationalQueries extends Q.Registry {
             col("event_id"),
             Fmt.trunc(col("temperature"), 6).as("temperature"),
             col("rain"),
-            Derive.rainCategory(col("rain")).as("rain_cat"))
-          .orderBy("event_id"),
+            Derive.rainCategory(col("rain")).as("rain_cat")),
       Some(enrSql +
         """SELECT event_id, floor((temperature) * 1e6) / 1e6 AS temperature, rain,
-          |       CAST(CASE WHEN rain = 0.0 THEN 0 WHEN rain <= 2.0 THEN 1
+          |       CAST(CASE WHEN rain IS NULL OR rain = 0.0 THEN 0 WHEN rain <= 2.0 THEN 1
           |            WHEN rain <= 10.0 THEN 2 ELSE 3 END AS INT) AS rain_cat
           |FROM status LEFT JOIN weather
-          |  ON date_trunc('hour', record_time) = weather.hour_key
-          |ORDER BY event_id""".stripMargin)),
+          |  ON date_trunc('hour', record_time) = weather.hour_key""".stripMargin)),
 
     Q("j3_wide_master",
       "Tableau-style wide master table (J3, 06:70-79): fact ⋈ deduped dim ⋈ " +
@@ -325,19 +328,17 @@ object RelationalQueries extends Q.Registry {
             Fmt.trunc(col("bikes_available") / col("total_spaces"), 6).as("filling_rate"),
             Fmt.trunc(col("temperature"), 6).as("temperature"),
             Derive.rainCategory(col("rain")).as("rain_cat"))
-          .orderBy("event_id")
       },
       Some(enrSql +
         """SELECT event_id, station_no, district, total_spaces, bikes_available,
           |       floor((bikes_available / total_spaces) * 1e6) / 1e6 AS filling_rate,
           |       floor((temperature) * 1e6) / 1e6 AS temperature,
-          |       CAST(CASE WHEN rain = 0.0 THEN 0 WHEN rain <= 2.0 THEN 1
+          |       CAST(CASE WHEN rain IS NULL OR rain = 0.0 THEN 0 WHEN rain <= 2.0 THEN 1
           |            WHEN rain <= 10.0 THEN 2 ELSE 3 END AS INT) AS rain_cat
           |FROM status
           |LEFT JOIN (SELECT DISTINCT station_no, district, total_spaces FROM info) dim
           |  USING (station_no)
-          |LEFT JOIN weather ON date_trunc('hour', record_time) = weather.hour_key
-          |ORDER BY event_id""".stripMargin)),
+          |LEFT JOIN weather ON date_trunc('hour', record_time) = weather.hour_key""".stripMargin)),
 
     Q("j4_anti_join_new_stations",
       "Insert-only-new dimension upsert via anti join (J4, etl_job.py:121-122): " +
@@ -363,7 +364,12 @@ object RelationalQueries extends Q.Registry {
         "MRT cross join, haversine, min per station. Small side bounded → " +
         "broadcast; large-large would switch to a grid/LSH prune (SURVEY §7.3#9).",
       (s, d) =>
+        // Fan out the probe side before the row-multiplying cross join:
+        // the dim-join output would otherwise inherit its single input
+        // partition and one task would compute every haversine
+        // (15 M rows at sf0.1 — the round-1 scale-killer).
         Analog.info(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .crossJoin(broadcast(Analog.mrt(s, d)))
           .withColumn("dist_m", Derive.haversineMeters(
             col("lat"), col("lng"), col("mrt_lat"), col("mrt_lng")))
@@ -390,9 +396,8 @@ object RelationalQueries extends Q.Registry {
         Analog.status(s, d)
           .select(
             col("event_id"),
-            element_at(codes, col("event_type")).as("type_code"),
+            try_element_at(codes, col("event_type")).as("type_code"),
             concat(col("event_type"), lit(" ["), col("station_no"), lit("]")).as("label"))
-          .orderBy("event_id")
       },
       Some(enrSql +
         """SELECT event_id,
@@ -400,7 +405,7 @@ object RelationalQueries extends Q.Registry {
           |            WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
           |            WHEN 'error' THEN 5 END AS INT) AS type_code,
           |       event_type || ' [' || station_no || ']' AS label
-          |FROM status ORDER BY event_id""".stripMargin)),
+          |FROM status""".stripMargin)),
 
     Q("p_derive_flags",
       "Derived-column suite (P6-P18): hour, weekday/weekend/peak flags, " +
@@ -413,14 +418,13 @@ object RelationalQueries extends Q.Registry {
           Derive.isWeekend(col("record_time")).as("is_weekend"),
           col("is_peak"),
           Derive.riskLabel(col("filling_rate")).as("risk_label"),
-          Derive.clampRoundNonNeg(col("bikes_available") - 100.0).as("clamped"))
-          .orderBy("event_id"),
+          Derive.clampRoundNonNeg(col("bikes_available") - 100.0).as("clamped")),
       Some(enrSql +
         """SELECT event_id, hour, is_weekday, NOT is_weekday AS is_weekend,
           |       is_peak,
           |       CASE WHEN filling_rate < 0.1 THEN 'Shortage' ELSE 'Normal' END AS risk_label,
           |       CAST(greatest(0, CAST(round(bikes_available - 100.0) AS INT)) AS INT) AS clamped
-          |FROM enr ORDER BY event_id""".stripMargin)),
+          |FROM enr""".stripMargin)),
 
     Q("p8_tz_taipei_to_utc",
       "Naive Asia/Taipei → naive UTC (P8, etl_job.py:106-109). Taipei has " +
@@ -428,11 +432,10 @@ object RelationalQueries extends Q.Registry {
       (s, d) =>
         Analog.status(s, d)
           .select(col("event_id"),
-            Derive.taipeiToUtc(col("record_time")).as("utc_time"))
-          .orderBy("event_id"),
+            Derive.taipeiToUtc(col("record_time")).as("utc_time")),
       Some(enrSql +
         """SELECT event_id, record_time - INTERVAL 8 HOUR AS utc_time
-          |FROM status ORDER BY event_id""".stripMargin)),
+          |FROM status""".stripMargin)),
 
     Q("s8_dedup_replayed_batch",
       "Exactly-once-ish dedup on (station_no, record_time) over a replayed " +

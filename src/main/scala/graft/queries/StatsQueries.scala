@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.stats.StatTests
+
+/** SURVEY §2.10 statistical kernel (X2-X9) as oracle-backed queries.
+  *
+  * Oracle policy (VERDICT r1 #3): the aggregate/arithmetic parts —
+  * means, sems, CIs (via the mirrored Cornish-Fisher quantile), t/F/χ²
+  * statistics, Welch dfs, effect sizes, residuals — are DuckDB-checked;
+  * p-values need iterative special functions (incomplete beta/gamma)
+  * that SQL can't express, so the engine computes them ([[graft.stats
+  * .Distributions]]) and the queries drop those columns from the
+  * oracled output; StatTestsSpec pins them against mpmath-derived
+  * fixture constants instead.
+  */
+object StatsQueries extends Q.Registry {
+  import RelationalQueries.{clean, enrSql}
+
+  val all: Seq[Q] = Seq(
+
+    Q("x2_t_ci",
+      "Per-district 95% t-CI on filling_rate + KPI 0.30 classification " +
+        "(X2, 01:408-430). CI uses the Cornish-Fisher t-quantile " +
+        "expansion (mirrored in SQL; exact tInv is unit-tested).",
+      (s, d) =>
+        StatTests.tCIByGroup(clean(s, d), "filling_rate", "district")
+          .select(
+            col("district"), col("n"),
+            Fmt.trunc(col("mean"), 6).as("mean_rate"),
+            Fmt.trunc(col("sem"), 6).as("sem"),
+            Fmt.trunc(col("ci_lower"), 6).as("ci_lower"),
+            Fmt.trunc(col("ci_upper"), 6).as("ci_upper"),
+            col("status"))
+          .orderBy("district"),
+      Some(enrSql +
+        s"""SELECT district, n,
+           |       floor((mean) * 1e6) / 1e6 AS mean_rate,
+           |       floor((sem) * 1e6) / 1e6 AS sem,
+           |       floor((mean - t_crit * sem) * 1e6) / 1e6 AS ci_lower,
+           |       floor((mean + t_crit * sem) * 1e6) / 1e6 AS ci_upper,
+           |       CASE WHEN mean - t_crit * sem > 0.3 THEN 'Pass (Green)'
+           |            WHEN mean + t_crit * sem < 0.3 THEN 'Fail (Red)'
+           |            ELSE 'Warning (Orange)' END AS status
+           |FROM (
+           |  SELECT *, ${StatTests.tQuantile975Sql("n - 1.0")} AS t_crit
+           |  FROM (
+           |    SELECT district, count(*) AS n, avg(filling_rate) AS mean,
+           |           stddev_samp(filling_rate) / sqrt(count(*)) AS sem
+           |    FROM clean GROUP BY district))
+           |ORDER BY district""".stripMargin)),
+
+    Q("x3_welch_cohen",
+      "Welch two-sample t (equal_var=False) + Cohen's d between peak " +
+        "and off-peak weekday rates (X3+X4+F4, 01:563-581). p-value is " +
+        "engine-side (StatTests.welchCohen) and pinned in StatTestsSpec.",
+      (s, d) =>
+        StatTests.welchCohen(clean(s, d), "filling_rate", col("is_peak"))
+          .select(
+            col("n_a").cast("long").as("n_peak"),
+            col("n_b").cast("long").as("n_offpeak"),
+            Fmt.trunc(col("mean_a"), 6).as("mean_peak"),
+            Fmt.trunc(col("mean_b"), 6).as("mean_offpeak"),
+            Fmt.trunc(col("t_stat"), 6).as("t_stat"),
+            Fmt.trunc(col("df_welch"), 4).as("df_welch"),
+            Fmt.trunc(col("cohens_d"), 6).as("cohens_d")),
+      Some(enrSql +
+        """SELECT CAST(n_a AS BIGINT) AS n_peak, CAST(n_b AS BIGINT) AS n_offpeak,
+          |       floor((mean_a) * 1e6) / 1e6 AS mean_peak,
+          |       floor((mean_b) * 1e6) / 1e6 AS mean_offpeak,
+          |       floor(((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) * 1e6) / 1e6 AS t_stat,
+          |       floor(((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+          |              ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
+          |               (var_b / n_b) * (var_b / n_b) / (n_b - 1))) * 1e4) / 1e4 AS df_welch,
+          |       floor(((mean_a - mean_b) /
+          |              sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))) * 1e6) / 1e6 AS cohens_d
+          |FROM (
+          |  SELECT CAST(count(CASE WHEN is_peak THEN 1 END) AS DOUBLE) AS n_a,
+          |         CAST(count(CASE WHEN NOT is_peak THEN 1 END) AS DOUBLE) AS n_b,
+          |         avg(CASE WHEN is_peak THEN filling_rate END) AS mean_a,
+          |         avg(CASE WHEN NOT is_peak THEN filling_rate END) AS mean_b,
+          |         var_samp(CASE WHEN is_peak THEN filling_rate END) AS var_a,
+          |         var_samp(CASE WHEN NOT is_peak THEN filling_rate END) AS var_b
+          |  FROM clean)""".stripMargin)),
+
+    Q("x5_anova_eta",
+      "One-way ANOVA of filling_rate across districts: SSB/SSW/F/η² " +
+        "(X5, 01:842-845). p-value engine-side, pinned in StatTestsSpec.",
+      (s, d) =>
+        StatTests.anova(clean(s, d), "filling_rate", "district")
+          .select(
+            col("k").cast("long").as("k_groups"),
+            col("n_total").cast("long").as("n_total"),
+            Fmt.trunc(col("ss_between"), 4).as("ss_between"),
+            Fmt.trunc(col("ss_within"), 4).as("ss_within"),
+            Fmt.trunc(col("f_stat"), 6).as("f_stat"),
+            Fmt.trunc(col("eta_sq"), 6).as("eta_sq")),
+      Some(enrSql +
+        """, ganova AS (
+          |  SELECT district, CAST(count(*) AS DOUBLE) AS n,
+          |         avg(filling_rate) AS mean, var_samp(filling_rate) AS variance
+          |  FROM clean GROUP BY district)
+          |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+          |       floor((ss_between) * 1e4) / 1e4 AS ss_between,
+          |       floor((ss_within) * 1e4) / 1e4 AS ss_within,
+          |       floor(((ss_between / (k - 1)) / (ss_within / (n_total - k))) * 1e6) / 1e6 AS f_stat,
+          |       floor((ss_between / (ss_between + ss_within)) * 1e6) / 1e6 AS eta_sq
+          |FROM (
+          |  SELECT count(*) AS k, sum(n) AS n_total,
+          |         sum(n * (mean - gm) * (mean - gm)) AS ss_between,
+          |         sum(variance * (n - 1)) AS ss_within
+          |  FROM ganova
+          |  CROSS JOIN (SELECT sum(mean * n) / sum(n) AS gm FROM ganova))""".stripMargin)),
+
+    Q("x6_tukey",
+      "Tukey-Kramer HSD pairwise tests on the 3-district slice (X6+F5, " +
+        "01:851-853): q statistic vs table q_crit(3, inf)=3.314.",
+      (s, d) =>
+        StatTests.tukeyHSD(
+          clean(s, d).filter(col("district").isin("NATION_1", "NATION_2", "NATION_3")),
+          "filling_rate", "district")
+          .select(
+            col("group_a"), col("group_b"),
+            Fmt.trunc(col("mean_diff"), 6).as("mean_diff"),
+            Fmt.trunc(col("se_pair"), 6).as("se_pair"),
+            Fmt.trunc(col("q_stat"), 6).as("q_stat"),
+            col("reject"))
+          .orderBy("group_a", "group_b"),
+      Some(enrSql +
+        """, gtukey AS (
+          |  SELECT district, CAST(count(*) AS DOUBLE) AS n, avg(filling_rate) AS mean,
+          |         var_samp(filling_rate) AS variance
+          |  FROM clean WHERE district IN ('NATION_1','NATION_2','NATION_3')
+          |  GROUP BY district)
+          |SELECT a.district AS group_a, b.district AS group_b,
+          |       floor((b.mean - a.mean) * 1e6) / 1e6 AS mean_diff,
+          |       floor((sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6) / 1e6 AS se_pair,
+          |       floor((abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6) / 1e6 AS q_stat,
+          |       abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)) > 3.314 AS reject
+          |FROM gtukey a
+          |JOIN gtukey b ON a.district < b.district
+          |CROSS JOIN (
+          |  SELECT sum(variance * (n - 1)) / (sum(n) - count(*)) AS msw FROM gtukey) s
+          |ORDER BY group_a, group_b""".stripMargin)),
+
+    Q("x7_chi2_cramer",
+      "Chi-square independence district × Risk_Label + Cramér's V and " +
+        "strength bucket (X7+X8, 01:972-992). p-value engine-side.",
+      (s, d) => {
+        val base = clean(s, d)
+          .withColumn("risk", graft.ops.Derive.riskLabel(col("filling_rate")))
+        val cells = StatTests.chi2Cells(base, "district", "risk")
+        StatTests.chi2Summary(cells, "district", "risk")
+          .select(
+            Fmt.trunc(col("chi2"), 4).as("chi2"),
+            col("dof").cast("long").as("dof"),
+            col("n").cast("long").as("n_total"),
+            Fmt.trunc(col("cramers_v"), 6).as("cramers_v"),
+            col("strength"))
+      },
+      Some(enrSql + chi2CellsSql +
+        """SELECT floor((chi2) * 1e4) / 1e4 AS chi2,
+          |       CAST(dof AS BIGINT) AS dof, CAST(n AS BIGINT) AS n_total,
+          |       floor((sqrt(chi2 / (n * least(r, c) - n))) * 1e6) / 1e6 AS cramers_v,
+          |       CASE WHEN sqrt(chi2 / (n * least(r, c) - n)) < 0.1 THEN 'weak'
+          |            WHEN sqrt(chi2 / (n * least(r, c) - n)) < 0.3 THEN 'moderate'
+          |            ELSE 'strong' END AS strength
+          |FROM (
+          |  SELECT sum((observed - expected) * (observed - expected) / expected) AS chi2,
+          |         CAST(count(DISTINCT district) AS DOUBLE) AS r,
+          |         CAST(count(DISTINCT risk) AS DOUBLE) AS c,
+          |         (CAST(count(DISTINCT district) AS DOUBLE) - 1) *
+          |         (CAST(count(DISTINCT risk) AS DOUBLE) - 1) AS dof,
+          |         max(n_total) AS n
+          |  FROM expcells)""".stripMargin)),
+
+    Q("x9_residuals",
+      "Standardized residuals (obs-exp)/sqrt(exp) per contingency cell " +
+        "(X9, 01:998) — the 'who drives the significance' heat-map frame.",
+      (s, d) => {
+        val base = clean(s, d)
+          .withColumn("risk", graft.ops.Derive.riskLabel(col("filling_rate")))
+        StatTests.chi2Cells(base, "district", "risk")
+          .select(
+            col("district"), col("risk"),
+            col("observed").cast("long").as("observed"),
+            Fmt.trunc(col("expected"), 4).as("expected"),
+            Fmt.trunc(col("std_residual"), 6).as("std_residual"))
+          .orderBy("district", "risk")
+      },
+      Some(enrSql + chi2CellsSql +
+        """SELECT district, risk, CAST(observed AS BIGINT) AS observed,
+          |       floor((expected) * 1e4) / 1e4 AS expected,
+          |       floor(((observed - expected) / sqrt(expected)) * 1e6) / 1e6 AS std_residual
+          |FROM expcells ORDER BY district, risk""".stripMargin))
+  )
+
+  /** Shared contingency-grid SQL (zero-filled like pd.crosstab),
+    * mirroring [[StatTests.chi2Cells]]. */
+  private lazy val chi2CellsSql: String =
+    """, counts AS (
+      |  SELECT district,
+      |         CASE WHEN filling_rate < 0.1 THEN 'Shortage' ELSE 'Normal' END AS risk,
+      |         CAST(count(*) AS DOUBLE) AS observed
+      |  FROM clean GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.district, r.risk
+      |  FROM (SELECT DISTINCT district FROM counts) d
+      |  CROSS JOIN (SELECT DISTINCT risk FROM counts) r),
+      |cells AS (
+      |  SELECT g.district, g.risk, coalesce(c.observed, 0.0) AS observed
+      |  FROM grid g LEFT JOIN counts c ON g.district = c.district AND g.risk = c.risk),
+      |expcells AS (
+      |  SELECT district, risk, observed,
+      |         sum(observed) OVER (PARTITION BY district) *
+      |         sum(observed) OVER (PARTITION BY risk) /
+      |         sum(observed) OVER () AS expected,
+      |         sum(observed) OVER () AS n_total
+      |  FROM cells)
+      |""".stripMargin
+}

@@ -1,0 +1,191 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-test kernel (SURVEY §2.10 X2-X9): every test is a
+  * distributed aggregation (one shuffle on the group key) followed by
+  * scalar distribution math on the reduced frame. p-values that need
+  * iterative special functions ([[Distributions]]) run as UDFs over the
+  * aggregated rows only — tens of rows, never the fact table.
+  *
+  * Reference provenance (file:line in /root/reference,
+  * notebooks/01_youbike_analysis.ipynb unless noted):
+  *  - X2 per-group t-CI + KPI classify: 01:408-430
+  *  - X3 Welch two-sample t: 01:563-572   - X4 Cohen's d: 01:575-581
+  *  - X5 one-way ANOVA + η²: 01:842-845   - X6 Tukey HSD: 01:851-853
+  *  - X7 χ² independence: 01:975          - X8 Cramér's V: 01:977-992
+  *  - X9 standardized residuals: 01:998
+  */
+object StatTests {
+
+  // Cornish-Fisher coefficients for the 97.5% t quantile, pre-folded to
+  // doubles so the Column expression and the SQL mirror parse the SAME
+  // decimal literals (Double.toString round-trips — bit-equal on both
+  // engines; see tQuantile975Sql).
+  private val Z975 = 1.9599639845400542
+  private val CF1 = Z975 * Z975 * Z975 + Z975
+  private val CF2 = 5.0 * math.pow(Z975, 5) + 16.0 * math.pow(Z975, 3) + 3.0 * Z975
+  private val CF3 =
+    3.0 * math.pow(Z975, 7) + 19.0 * math.pow(Z975, 5) + 17.0 * math.pow(Z975, 3) - 15.0 * Z975
+
+  /** 97.5% Student-t quantile as a pure column expression via the
+    * Cornish-Fisher expansion around the normal quantile — codegen-able
+    * and mirrorable in oracle SQL. |err| < 2e-6 at df=30, < 2e-8 at
+    * df≥100 (the per-group n in every reference use site is ≥400);
+    * for small-df accuracy use [[Distributions.tInv]] driver-side. */
+  def tQuantile975(df: Column): Column =
+    lit(Z975) + lit(CF1) / (lit(4.0) * df) +
+      lit(CF2) / (lit(96.0) * df * df) +
+      lit(CF3) / (lit(384.0) * df * df * df)
+
+  /** SQL mirror of [[tQuantile975]] for DuckDB oracles; `df` is a SQL
+    * expression string. Same operations in the same order → bit-equal. */
+  def tQuantile975Sql(df: String): String =
+    s"($Z975 + $CF1 / (4.0 * ($df)) + $CF2 / (96.0 * ($df) * ($df)) + " +
+      s"$CF3 / (384.0 * ($df) * ($df) * ($df)))"
+
+  /** X2: per-group mean, sem, 95% t-CI and KPI classification
+    * (01:408-430; labels mirror the reference's Pass/Fail/Warning). */
+  def tCIByGroup(df: DataFrame, value: String, group: String,
+                 kpiTarget: Double = 0.30): DataFrame = {
+    val aggd = df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      avg(value).as("mean"),
+      stddev_samp(col(value)).as("sd"))
+      .withColumn("sem", col("sd") / sqrt(col("n")))
+      .withColumn("t_crit", tQuantile975(col("n") - 1.0))
+      .withColumn("ci_lower", col("mean") - col("t_crit") * col("sem"))
+      .withColumn("ci_upper", col("mean") + col("t_crit") * col("sem"))
+    aggd.withColumn("status",
+      when(col("ci_lower") > kpiTarget, "Pass (Green)")
+        .when(col("ci_upper") < kpiTarget, "Fail (Red)")
+        .otherwise("Warning (Orange)"))
+  }
+
+  /** X3+X4: Welch two-sample t (equal_var=False) and Cohen's d between
+    * the rows where `flag` is true (group A) vs false (group B)
+    * (01:563-581). Returns one row: n/mean/var per group, t_stat,
+    * df_welch, p_value (exact, via [[Distributions]]), cohens_d. */
+  def welchCohen(df: DataFrame, value: String, flag: Column): DataFrame = {
+    val aggd = df.agg(
+      count(when(flag, 1)).cast("double").as("n_a"),
+      count(when(!flag, 1)).cast("double").as("n_b"),
+      avg(when(flag, col(value))).as("mean_a"),
+      avg(when(!flag, col(value))).as("mean_b"),
+      var_samp(when(flag, col(value))).as("var_a"),
+      var_samp(when(!flag, col(value))).as("var_b"))
+    val se2a = col("var_a") / col("n_a")
+    val se2b = col("var_b") / col("n_b")
+    // explicit x*x (not pow) so oracle SQL mirrors are bit-identical
+    val welch = aggd
+      .withColumn("t_stat", (col("mean_a") - col("mean_b")) / sqrt(se2a + se2b))
+      .withColumn("df_welch",
+        (se2a + se2b) * (se2a + se2b) /
+          (se2a * se2a / (col("n_a") - 1) + se2b * se2b / (col("n_b") - 1)))
+      .withColumn("cohens_d",
+        (col("mean_a") - col("mean_b")) /
+          sqrt(((col("n_a") - 1) * col("var_a") + (col("n_b") - 1) * col("var_b")) /
+            (col("n_a") + col("n_b") - 2)))
+    welch.withColumn("p_value", pValueT(col("t_stat"), col("df_welch")))
+  }
+
+  private val pValueT = udf((t: Double, df: Double) =>
+    Distributions.tTwoSidedP(math.abs(t), df))
+  private val pValueF = udf((f: Double, d1: Double, d2: Double) =>
+    Distributions.fP(f, d1, d2))
+  private val pValueChi2 = udf((x: Double, df: Double) =>
+    Distributions.chi2P(x, df))
+
+  /** X5: one-way ANOVA from per-group (n, mean, var): SSB/SSW/F/η² +
+    * exact p (01:842-845). One row. */
+  def anova(df: DataFrame, value: String, group: String): DataFrame = {
+    val g = df.groupBy(group).agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(value).as("mean"),
+      var_samp(col(value)).as("variance"))
+    val tot = g.agg(
+      count(lit(1)).cast("double").as("k"),
+      sum("n").as("n_total"),
+      (sum(col("mean") * col("n")) / sum("n")).as("grand_mean"),
+      sum(col("variance") * (col("n") - 1)).as("ss_within"))
+    val ssb = g.crossJoin(broadcast(tot))
+      .agg(sum(col("n") * (col("mean") - col("grand_mean")) * (col("mean") - col("grand_mean"))).as("ss_between"),
+        first("k").as("k"), first("n_total").as("n_total"),
+        first("ss_within").as("ss_within"))
+    ssb
+      .withColumn("df_between", col("k") - 1)
+      .withColumn("df_within", col("n_total") - col("k"))
+      .withColumn("f_stat",
+        (col("ss_between") / col("df_between")) / (col("ss_within") / col("df_within")))
+      .withColumn("eta_sq", col("ss_between") / (col("ss_between") + col("ss_within")))
+      .withColumn("p_value", pValueF(col("f_stat"), col("df_between"), col("df_within")))
+  }
+
+  /** X6: Tukey-Kramer HSD pairwise comparisons (01:851-853). Critical
+    * value from the q₀.₀₅(k, ∞) table ([[Distributions.tukeyQcrit05]]);
+    * within-group dfs at every reference use site are in the thousands,
+    * where the ∞ row is <0.5% off. Returns one row per unordered pair. */
+  def tukeyHSD(df: DataFrame, value: String, group: String): DataFrame = {
+    val g = df.groupBy(group).agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(value).as("mean"),
+      var_samp(col(value)).as("variance"))
+    val stats = g.agg(
+      count(lit(1)).as("k"),
+      sum("n").as("n_total"),
+      (sum(col("variance") * (col("n") - 1)) / (sum("n") - count(lit(1)))).as("msw"))
+    val a = g.select(col(group).as("group_a"), col("n").as("n_a"), col("mean").as("mean_a"))
+    val b = g.select(col(group).as("group_b"), col("n").as("n_b"), col("mean").as("mean_b"))
+    val qcrit = udf((k: Int) => Distributions.tukeyQcrit05(k))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(stats))
+      .withColumn("mean_diff", col("mean_b") - col("mean_a"))
+      .withColumn("se_pair",
+        sqrt(col("msw") / 2.0 * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("q_stat", abs(col("mean_diff")) / col("se_pair"))
+      .withColumn("q_crit", qcrit(col("k")))
+      .withColumn("reject", col("q_stat") > col("q_crit"))
+      .drop("msw", "n_total")
+  }
+
+  /** X7+X8+X9: χ² independence on the `rowVar` × `colVar` contingency
+    * grid (zero-filled like pd.crosstab), with expected counts and
+    * standardized residuals per cell (01:972-998). Returns the cell
+    * frame; aggregate with [[chi2Summary]] for the test statistic. */
+  def chi2Cells(df: DataFrame, rowVar: String, colVar: String): DataFrame = {
+    val counts = df.groupBy(rowVar, colVar).agg(count(lit(1)).cast("double").as("observed"))
+    // complete the grid: absent combinations are observed-0 cells
+    val grid = counts.select(rowVar).distinct()
+      .crossJoin(counts.select(colVar).distinct())
+    val cells = grid.join(counts, Seq(rowVar, colVar), "left").na.fill(0.0, Seq("observed"))
+    val wr = Window.partitionBy(rowVar)
+    val wc = Window.partitionBy(colVar)
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("row_total", sum("observed").over(wr))
+      .withColumn("col_total", sum("observed").over(wc))
+      .withColumn("n_total", sum("observed").over(wAll))
+      .withColumn("expected", col("row_total") * col("col_total") / col("n_total"))
+      .withColumn("std_residual", (col("observed") - col("expected")) / sqrt(col("expected")))
+  }
+
+  /** X7/X8 summary over [[chi2Cells]]: χ², dof, exact p, Cramér's V and
+    * the reference's strength bucket (01:987-992). One row. */
+  def chi2Summary(cells: DataFrame, rowVar: String, colVar: String): DataFrame = {
+    val agg = cells.agg(
+      sum((col("observed") - col("expected")) * (col("observed") - col("expected")) / col("expected")).as("chi2"),
+      countDistinct(col(rowVar)).cast("double").as("r"),
+      countDistinct(col(colVar)).cast("double").as("c"),
+      first("n_total").as("n"))
+    agg
+      .withColumn("dof", (col("r") - 1) * (col("c") - 1))
+      .withColumn("cramers_v", sqrt(col("chi2") / (col("n") * least(col("r"), col("c")) - col("n"))))
+      .withColumn("strength",
+        when(col("cramers_v") < 0.1, "weak")
+          .when(col("cramers_v") < 0.3, "moderate")
+          .otherwise("strong"))
+      .withColumn("p_value", pValueChi2(col("chi2"), col("dof")))
+  }
+}

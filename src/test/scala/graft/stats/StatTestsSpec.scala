@@ -1,0 +1,118 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioural tests for the X2-X9 kernel on crafted fixtures with
+  * independently computed (mpmath, 30-digit) expected values. */
+class StatTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two crafted samples with known exact moments:
+  //   A = [0.1, 0.2, 0.3, 0.4, 0.5]  (n=5, mean=0.3, var=0.025)
+  //   B = [0.3, 0.5, 0.7, 0.9]       (n=4, mean=0.6, var=0.0666..)
+  private def twoGroups = (
+    Seq(0.1, 0.2, 0.3, 0.4, 0.5).map(("A", _)) ++
+      Seq(0.3, 0.5, 0.7, 0.9).map(("B", _))
+  ).toDF("g", "x")
+
+  test("welchCohen: t, df, p, d match the hand/mpmath-computed fixture") {
+    val r = StatTests.welchCohen(twoGroups, "x", col("g") === "A").collect()(0)
+    // se² = 0.025/5 + 0.0666667/4 = 0.0216667; t = -0.3/sqrt(.0216667)
+    val t = r.getAs[Double]("t_stat")
+    val df = r.getAs[Double]("df_welch")
+    val p = r.getAs[Double]("p_value")
+    val d = r.getAs[Double]("cohens_d")
+    assert(math.abs(t - tExpected) < 1e-10, s"t=$t")
+    assert(math.abs(df - dfExpected) < 1e-8, s"df=$df")
+    assert(math.abs(p - pExpected) < 1e-10, s"p=$p")
+    assert(math.abs(d - (-1.4491376746189439)) < 1e-10, s"d=$d")
+  }
+
+  // mpmath (30-digit): t = -2.0380986614602724, df = 4.749414519906323,
+  // two-sided p = 0.10008380903500762, pooled-SD d = -1.4491376746189439
+  private val tExpected = -2.0380986614602724
+  private val dfExpected = 4.749414519906323
+  private val pExpected = 0.10008380903500762
+
+  test("welch symmetry: swapping the groups flips the t sign (property)") {
+    val ab = StatTests.welchCohen(twoGroups, "x", col("g") === "A").collect()(0)
+    val ba = StatTests.welchCohen(twoGroups, "x", col("g") === "B").collect()(0)
+    assert(math.abs(ab.getAs[Double]("t_stat") + ba.getAs[Double]("t_stat")) < 1e-12)
+    assert(math.abs(ab.getAs[Double]("p_value") - ba.getAs[Double]("p_value")) < 1e-12)
+  }
+
+  test("anova: F/p/eta2 on a 3-group fixture") {
+    val df3 = (
+      Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 3.0, 4.0).map(("b", _)) ++
+        Seq(5.0, 6.0, 7.0).map(("c", _))
+    ).toDF("g", "x")
+    val r = StatTests.anova(df3, "x", "g").collect()(0)
+    assert(math.abs(r.getAs[Double]("f_stat") - fExpected) < 1e-10)
+    assert(math.abs(r.getAs[Double]("p_value") - fpExpected) < 1e-10)
+    assert(math.abs(r.getAs[Double]("eta_sq") - etaExpected) < 1e-12)
+  }
+
+  // SSB = 26, SSW = 6 → F = 13; p = f_sf(13, 2, 6) = 0.006591796875 (exact dyadic)
+  private val fExpected = 13.0
+  private val fpExpected = 0.006591796875
+  private val etaExpected = 26.0 / 32.0
+
+  test("chi2Cells completes the grid with zero cells and exact expected counts") {
+    // 2x2 with an absent combination: (x,q) missing
+    val df = Seq(("x", "p"), ("x", "p"), ("y", "p"), ("y", "q")).toDF("r", "c")
+    val cells = StatTests.chi2Cells(df, "r", "c").collect()
+    assert(cells.length === 4)
+    val m = cells.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("observed")).toMap
+    assert(m(("x", "q")) === 0.0)
+    val e = cells.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("expected")).toMap
+    assert(math.abs(e(("x", "p")) - 2 * 3 / 4.0) < 1e-12)
+    assert(math.abs(e(("x", "q")) - 2 * 1 / 4.0) < 1e-12)
+  }
+
+  test("chi2Summary: statistic/dof/p/CramérV on a fixed 2x2 table") {
+    // observed: [[10, 20], [30, 40]]; expected [[12, 18], [28, 42]];
+    // chi2 (no Yates, matching dof=24-grade reference use) = 50/63
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val cells = StatTests.chi2Cells(rows.toDF("r", "c"), "r", "c")
+    val s = StatTests.chi2Summary(cells, "r", "c").collect()(0)
+    assert(math.abs(s.getAs[Double]("chi2") - 50.0 / 63.0) < 1e-10)
+    assert(s.getAs[Double]("dof") === 1.0)
+    assert(math.abs(s.getAs[Double]("cramers_v") - math.sqrt(50.0 / 63.0 / 100.0)) < 1e-12)
+    assert(math.abs(s.getAs[Double]("p_value") - chi2pExpected) < 1e-9)
+    assert(s.getAs[String]("strength") === "weak")
+  }
+
+  // mpmath: chi2_sf(50/63, 1) = 0.37299848361348712
+  private val chi2pExpected = 0.37299848361348712
+
+  test("tCIByGroup: CI brackets the mean, Pass/Fail classification correct") {
+    val df = (Seq.fill(50)(0.6) ++ Seq.fill(50)(0.65)).map(("hi", _))
+      .++((Seq.fill(50)(0.05) ++ Seq.fill(50)(0.1)).map(("lo", _)))
+      .toDF("g", "x")
+    val out = StatTests.tCIByGroup(df, "x", "g").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("hi").getAs[String]("status") === "Pass (Green)")
+    assert(out("lo").getAs[String]("status") === "Fail (Red)")
+    val hi = out("hi")
+    assert(hi.getAs[Double]("ci_lower") < 0.625 && hi.getAs[Double]("ci_upper") > 0.625)
+  }
+
+  test("tukeyHSD: q stats and rejections on a 3-group fixture") {
+    val df3 = (
+      Seq(1.0, 2.0, 3.0, 2.0).map(("a", _)) ++ Seq(2.0, 3.0, 4.0, 3.0).map(("b", _)) ++
+        Seq(8.0, 9.0, 10.0, 9.0).map(("c", _))
+    ).toDF("g", "x")
+    val rows = StatTests.tukeyHSD(df3, "x", "g").collect()
+      .map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) -> r).toMap
+    assert(rows.size === 3)
+    // MSW = 2/3; se = sqrt(MSW/2*(1/4+1/4)) = sqrt(1/6); diffs: b-a=1, c-a=7, c-b=6
+    val se = math.sqrt((2.0 / 3.0) / 2.0 * 0.5)
+    assert(math.abs(rows(("a", "b")).getAs[Double]("q_stat") - 1.0 / se) < 1e-10)
+    assert(!rows(("a", "b")).getAs[Boolean]("reject"))
+    assert(rows(("a", "c")).getAs[Boolean]("reject"))
+    assert(rows(("b", "c")).getAs[Boolean]("reject"))
+  }
+}
