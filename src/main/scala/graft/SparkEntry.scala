@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   def registries: Seq[Q.Registry] = Seq(
-    RelationalQueries, WindowQueries, StatsQueries, MlQueries)
+    RelationalQueries, WindowQueries, StatsQueries, MlQueries, LlmQueries,
+    IngestQueries)
 
   def allQueries: Seq[Q] = registries.flatMap(_.all)
 

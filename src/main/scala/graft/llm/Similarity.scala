@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, and an IVF (inverted-file) variant as the scale path.
+  *
+  * Scale posture: brute force broadcasts the query set and linearly
+  * scans the corpus — correct and embarrassingly parallel, with no
+  * shuffle until the final per-query top-k (a tiny window). IVF prunes
+  * the scan: vectors are bucketed by nearest centroid, queries probe
+  * only the nProbe closest cells, so the scanned fraction drops to
+  * ~nProbe/cells while recall stays near 1 for clustered data. At
+  * 100 TB the cell id becomes the storage partitioning key, so a probe
+  * touches only matching partitions — same plan, pruned at the source.
+  */
+object Similarity {
+
+  /** Dot product of two float-vector columns in double precision,
+    * sequential left fold — bit-identical to the SQL oracle's
+    * list_sum(list_transform(...)). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity via [[dotD]]. */
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** Squared L2 distance in double precision, same fold shape. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force exact top-k: broadcast `queries` (qIdCol, qVecCol)
+    * against the corpus, cosine per pair, row_number per query with a
+    * deterministic (similarity desc, corpus id) tie-break. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cos_sim", cosine(col(qVecCol), col(vecCol)))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("cos_sim"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        col("cos_sim"), col("rank"))
+  }
+
+  /** IVF cell assignment: nearest centroid by squared L2 per row.
+    * `centroids` = (cell, centVecCol), broadcast-small by construction
+    * (cells ≪ corpus). One broadcast join + per-id argmin window. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, cellCol: String, centVecCol: String): DataFrame = {
+    val joined = df.crossJoin(broadcast(centroids))
+      .withColumn("cell_dist", sqDist(col(vecCol), col(centVecCol)))
+    val w = Window.partitionBy(idCol).orderBy(col("cell_dist"), col(cellCol))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cell_dist", centVecCol)
+  }
+
+  /** IVF search: per query pick the nProbe nearest cells, scan only
+    * corpus rows in those cells, exact cosine + top-k inside the
+    * probed subset. `cellCorpus` must carry cellCol (from
+    * [[assignCells]]). */
+  def ivfTopK(cellCorpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              centroids: DataFrame, centVecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              nProbe: Int, k: Int): DataFrame = {
+    val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col(cellCol))
+    val candidates = cellCorpus.join(broadcast(probes), Seq(cellCol))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cos_sim", cosine(col(qVecCol), col(vecCol)))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("cos_sim"), col(idCol))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        col("cos_sim"), col("rank"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenize,
+  * shingle, quality metrics, language ID, fingerprinting. All pure
+  * column expressions (codegen-able, no UDFs) so they run at scan
+  * throughput — at 100 TB these are the per-document map stage before
+  * any shuffle, so staying inside WholeStageCodegen is the whole game.
+  *
+  * Mirrors of each formula exist in the DuckDB oracles
+  * (LlmQueries) — operation order is kept bit-identical.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, lower-cased. */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Sliding word n-grams ("shingles") as strings. Empty array when the
+    * document is shorter than n (Spark's sequence() would DESCEND for
+    * stop < start, so the guard is semantic, not cosmetic). */
+  def wordShingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish token count: letter runs, single digits, single
+    * punctuation — the standard cheap proxy for subword token counts. */
+  val TokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+
+  /** Punctuation-character ratio over total characters. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") /
+      length(text)
+
+  /** Mean token length in characters. */
+  def meanWordLen(ws: Column): Column =
+    aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws)
+
+  /** Fraction of tokens found in `stops`. */
+  def stopwordRatio(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(stops))).cast("double") / size(ws)
+
+  /** Small per-language stopword lists for the n-gram/stopword language
+    * ID heuristic. Deliberately tiny — the operator shape (scored
+    * argmax over language profiles) is what scales, not the lists. */
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val StopEs = Seq("el", "la", "de", "que", "y", "los", "las", "un")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+  val StopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est")
+  val StopZh = Seq("的", "了", "是", "我", "不", "在", "有", "他")
+
+  /** Language ID: stopword-hit counts per language, deterministic
+    * argmax with fixed priority (en > es > de > fr > zh) on ties. */
+  def langId(ws: Column): Column = {
+    val en = size(filter(ws, w => w.isInCollection(StopEn)))
+    val es = size(filter(ws, w => w.isInCollection(StopEs)))
+    val de = size(filter(ws, w => w.isInCollection(StopDe)))
+    val fr = size(filter(ws, w => w.isInCollection(StopFr)))
+    val zh = size(filter(ws, w => w.isInCollection(StopZh)))
+    when(en >= es && en >= de && en >= fr && en >= zh, "en")
+      .when(es >= de && es >= fr && es >= zh, "es")
+      .when(de >= fr && de >= zh, "de")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+  }
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * healthy stopword share — the length/punct/stopword-ratio heuristic
+    * family used by web-scale corpus filters. */
+  def qualityScore(text: Column, ws: Column): Column = {
+    val lenScore = when(length(text).between(50, 5000), 1.0).otherwise(0.3)
+    val punctScore = when(punctRatio(text) < 0.2, 1.0).otherwise(0.4)
+    val stopScore = when(stopwordRatio(ws, StopEn) > 0.02, 1.0).otherwise(0.5)
+    (lenScore + punctScore + stopScore) / lit(3.0)
+  }
+
+  /** Polynomial rolling hash over the document's characters, mod a
+    * 31-bit prime: fold(0, chars)((acc, c) => (acc*31 + ascii(c)) mod p).
+    * Order-sensitive → a true content fingerprint, and expressible
+    * bit-identically in SQL (LlmQueries mirrors it). */
+  val FingerprintMod = 1000000007L
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % FingerprintMod)
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ingest.IngestBatch
+import graft.ops.Derive
+
+/** SURVEY §3.1 ingest pipeline + §2.1 source-shape operators as
+  * oracle-backed queries: JSON record batches (S1), dict-of-arrays
+  * payloads (S2), the validate→rename→cast→tz→dedup transform chain
+  * (P2/P3/P5/P7/P8/P15/F7/A8/A9), and the JSON scalar surface
+  * (from_json on the events.props column).
+  */
+object IngestQueries extends Q.Registry {
+  import RelationalQueries.enrSql
+
+  val all: Seq[Q] = Seq(
+
+    Q("ing1_json_ingest",
+      "S1+P2/P3/P5/P7/P8/P15 end-to-end: events re-serialized as the " +
+        "reference's JSON snapshot records (sno/sna/srcUpdateTime " +
+        "Taipei-naive, deliberately dirty Quantity), parsed back, " +
+        "validated, renamed, leniently cast, tz-normalized, prefix-" +
+        "stripped. Oracle reproduces the semantics from the raw tables.",
+      (s, d) => {
+        import s.implicits._
+        // Build the JSON batch the reference's API would deliver
+        // (etl_job.py:69-71): Taipei wall-clock strings, station dim
+        // attrs inline, every 97th Quantity malformed.
+        val enr = RelationalQueries.enriched(s, d)
+        val records = enr.select(to_json(struct(
+          col("station_no").as("sno"),
+          concat(lit("Customer#"), lpad(col("station_no"), 9, "0")).as("sna"),
+          col("district").as("sarea"),
+          col("lat").as("latitude"),
+          col("lng").as("longitude"),
+          when(col("event_id") % 97 === 0, "N/A")
+            .otherwise(col("total_spaces").cast("string")).as("Quantity"),
+          col("bikes_available").as("available_rent_bikes"),
+          (col("total_spaces") - col("bikes_available")).as("available_return_bikes"),
+          date_format(from_utc_timestamp(col("record_time"), "Asia/Taipei"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("srcUpdateTime"),
+          col("event_id"))).as("json")).as[String]
+        val raw = IngestBatch.parseJson(s, records)
+        IngestBatch.validate(raw, IngestBatch.RequiredInfo ++ IngestBatch.RequiredStatus.drop(1))
+        IngestBatch.requireNonEmpty(raw, "events snapshot")
+        val renamed = IngestBatch.renameByMap(raw, Map(
+          "sno" -> "station_no", "sna" -> "name_tw", "sarea" -> "district",
+          "srcUpdateTime" -> "record_time_tpe"))
+        renamed.select(
+          col("event_id"),
+          col("station_no").cast("string").as("station_no"),
+          Derive.stripPrefix(col("name_tw"), "Customer#").as("station_code"),
+          col("district"),
+          IngestBatch.lenientInt(col("Quantity")).as("total_spaces"),
+          col("available_rent_bikes").as("bikes_available"),
+          Derive.taipeiToUtc(to_timestamp(col("record_time_tpe"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("record_time"))
+      },
+      Some(enrSql +
+        """SELECT event_id, station_no,
+          |       lpad(station_no, 9, '0') AS station_code,
+          |       district,
+          |       CASE WHEN event_id % 97 = 0 THEN NULL ELSE total_spaces END AS total_spaces,
+          |       CAST(bikes_available AS DOUBLE) AS bikes_available,
+          |       record_time
+          |FROM enr""".stripMargin)),
+
+    Q("ing2_dict_of_arrays",
+      "S2: weather delivered as one dict-of-arrays JSON payload (the " +
+        "Open-Meteo shape, 02:190-206), rebuilt into rows via " +
+        "from_json + arrays_zip + explode.",
+      (s, d) => {
+        val weather = Analog.weather(s, d)
+        val payload = weather
+          .agg(to_json(struct(
+            sort_array(collect_list(struct(col("hour_key"), col("temperature")))).as("rows")))
+            .as("json"))
+        val schema = StructType(Seq(StructField("rows", ArrayType(StructType(Seq(
+          StructField("hour_key", TimestampType),
+          StructField("temperature", DoubleType)))))))
+        payload
+          .select(explode(from_json(col("json"), schema).getField("rows")).as("r"))
+          .select(
+            col("r.hour_key").as("hour_key"),
+            Fmt.trunc(col("r.temperature"), 6).as("temperature"))
+      },
+      Some(enrSql +
+        """SELECT hour_key, floor((temperature) * 1e6) / 1e6 AS temperature
+          |FROM weather""".stripMargin)),
+
+    Q("ing3_props_json_extract",
+      "JSON scalar surface (§2.8): from_json over the events.props " +
+        "column, typed extraction + aggregation by the embedded key.",
+      (s, d) => {
+        val schema = StructType(Seq(StructField("k", LongType)))
+        Tables.events(s, d)
+          .withColumn("k", from_json(col("props"), schema).getField("k"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"),
+            Fmt.trunc(avg("value"), 6).as("avg_value"))
+          .orderBy("k_mod")
+      },
+      Some(
+        """SELECT CAST(CAST(props ->> 'k' AS BIGINT) % 10 AS BIGINT) AS k_mod,
+          |       count(*) AS n,
+          |       floor((avg(value)) * 1e6) / 1e6 AS avg_value
+          |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
+
+    Q("a9_table_counts",
+      "A9 count/emptiness checkpoints, explicit: row counts of the " +
+        "pipeline's tables as a single frame.",
+      (s, d) => {
+        val counts = Seq("events", "customer", "supplier", "documents", "embeddings")
+          .map(t => Tables.load(s, d, t).agg(count(lit(1)).as("n_rows"))
+            .select(lit(t).as("table_name"), col("n_rows")))
+        counts.reduce(_ unionAll _).orderBy("table_name")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'events' AS table_name, count(*) AS n_rows FROM events
+          |  UNION ALL SELECT 'customer', count(*) FROM customer
+          |  UNION ALL SELECT 'supplier', count(*) FROM supplier
+          |  UNION ALL SELECT 'documents', count(*) FROM documents
+          |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings)
+          |ORDER BY table_name""".stripMargin))
+  )
+}

@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup family, similarity search, text
+  * analysis, multimodal plumbing. First-class components per the
+  * round-1 brief/verdict.
+  *
+  * Oracle policy: everything arithmetic/string-expressible is DuckDB-
+  * checked (exact dedup, minhash signatures + LSH candidate pairs +
+  * Jaccard — md5/string-min/list ops are portable; token stats,
+  * quality, langid, fingerprint; brute-force cosine — sequential
+  * double folds are mirrored). SimHash (xxhash64) and the IVF probe
+  * path are Spark-native → rows-only + LlmSpec unit tests.
+  */
+object LlmQueries extends Q.Registry {
+
+  /** Corpus with planted near-duplicates: every 50th document is
+    * replayed with its last word dropped and id + 1,000,000 — gives
+    * the dedup operators deterministic positives to find. Mirrored in
+    * SQL as `corpus`. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mutated = docs.filter(col("doc_id") % 50 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(mutated)
+  }
+
+  private val corpusSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', ''),
+      |         lang, source, n_chars
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |""".stripMargin
+
+  /** Shared shingle-set + minhash SQL mirror (k=9 sigs, 3 bands x 3). */
+  private val MinhashK = 9
+  private val Bands = 3
+  private val RowsPerBand = 3
+  private def sigSqlExprs: String =
+    (0 until MinhashK).map(j =>
+      s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS sig$j").mkString(", ")
+  private def bandSqlExprs: String =
+    (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}")
+      s"md5(${parts.mkString(" || '|' || ")}) AS band$b"
+    }.mkString(", ")
+
+  private val shinglesSql: String =
+    """shingled AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |           THEN list_transform(range(1, len(ws) - 1),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |           ELSE [] END AS sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+      |        FROM corpus)),
+      |""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("dd1_exact_dedup",
+      "Exact dedup at scale: one shuffle on the 128-bit content hash, " +
+        "canonical min-id survivor + copy count per identical text.",
+      (s, d) => {
+        // union a full replay so exact duplicates actually exist
+        val c = corpus(s, d)
+        Dedup.exactDedup(c.unionAll(c), "text", "doc_id")
+          .orderBy("content_key")
+      },
+      Some(corpusSql +
+        """replayed AS (
+          |  SELECT * FROM corpus UNION ALL SELECT * FROM corpus)
+          |SELECT md5(text) AS content_key, min(doc_id) AS keep_id,
+          |       count(*) AS n_copies
+          |FROM replayed GROUP BY md5(text) ORDER BY content_key""".stripMargin)),
+
+    Q("dd2_minhash_sigs",
+      "MinHash signatures (9 permutations as lexicographic-min of " +
+        "seeded md5 over 3-word shingles) — the map stage of banded " +
+        "near-dup dedup; pure per-document expressions.",
+      (s, d) => {
+        val ws = TextOps.words(col("text"))
+        val sh = TextOps.wordShingles(ws, 3)
+        val sig = Dedup.minhashSig(sh, MinhashK)
+        corpus(s, d)
+          .withColumn("sig", sig)
+          .select(col("doc_id") +:
+            (0 until MinhashK).map(j => element_at(col("sig"), j + 1).as(s"sig$j")): _*)
+      },
+      Some(corpusSql + shinglesSql.dropRight(2) + "\n" +
+        s"""SELECT doc_id, $sigSqlExprs
+           |FROM shingled""".stripMargin)),
+
+    Q("dd3_lsh_near_dup",
+      "Banded LSH near-dup detection end-to-end: band keys -> " +
+        "candidate pairs (shuffle on band key, never all-pairs) -> " +
+        "exact shingle-Jaccard verification >= 0.6.",
+      (s, d) => {
+        val base = corpus(s, d)
+          .withColumn("ws", TextOps.words(col("text")))
+          .withColumn("sh", TextOps.wordShingles(col("ws"), 3))
+          .withColumn("sh_set", array_distinct(col("sh")))
+          .withColumn("sig", Dedup.minhashSig(col("sh"), MinhashK))
+          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+        val pairs = Dedup.lshCandidatePairs(base, "doc_id", "bands")
+        val sets = base.select(col("doc_id"), col("sh_set"))
+        pairs
+          .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), Seq("doc_b"))
+          .withColumn("jaccard", Fmt.trunc(Dedup.jaccard(col("set_a"), col("set_b")), 6))
+          .filter(col("jaccard") >= 0.6)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(corpusSql + shinglesSql +
+        s"""sigs AS (
+           |  SELECT doc_id, list_distinct(sh) AS sh_set, $sigSqlExprs
+           |  FROM shingled),
+           |banded AS (
+           |  SELECT doc_id, sh_set, $bandSqlExprs FROM sigs),
+           |exploded AS (
+           |  SELECT doc_id, sh_set, unnest([${(0 until Bands).map(b => s"band$b").mkString(", ")}]) AS band_key
+           |  FROM banded),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.sh_set AS set_a, b.sh_set AS set_b
+           |  FROM exploded a JOIN exploded b USING (band_key)
+           |  WHERE a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       floor((CAST(len(list_distinct(list_intersect(set_a, set_b))) AS DOUBLE) /
+           |              len(list_distinct(list_concat(set_a, set_b)))) * 1e6) / 1e6 AS jaccard
+           |FROM pairs
+           |WHERE floor((CAST(len(list_distinct(list_intersect(set_a, set_b))) AS DOUBLE) /
+           |             len(list_distinct(list_concat(set_a, set_b)))) * 1e6) / 1e6 >= 0.6
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("dd4_simhash_near_dup",
+      "SimHash-64 near-dup: per-word bit votes packed to one long, " +
+        "planted mutations detected by hamming distance <= 12. " +
+        "xxhash64-based (Spark-native) -> rows-only + LlmSpec.",
+      (s, d) => {
+        val base = corpus(s, d)
+          .withColumn("simhash", Dedup.simhash64(TextOps.words(col("text"))))
+        val planted = base.filter(col("doc_id") >= 1000000L)
+          .select((col("doc_id") - 1000000L).as("doc_id"), col("simhash").as("sim_b"))
+        base.join(planted, Seq("doc_id"))
+          .withColumn("hamming", Dedup.hamming64(col("simhash"), col("sim_b")))
+          .filter(col("hamming") <= 12)
+          .select("doc_id", "hamming")
+          .orderBy("doc_id")
+      },
+      None),
+
+    Q("ss1_cosine_topk",
+      "Brute-force exact cosine top-5 per query (every 100th vector as " +
+        "query, broadcast): the ANN baseline. Double-precision " +
+        "sequential folds mirrored bit-identically in SQL.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "q_id", "q_vec", 5)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          |  WHERE vec_id % 100 = 0),
+          |scored AS (
+          |  SELECT q.q_id, e.vec_id,
+          |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+          |      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+          |    (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+          |      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+          |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos_sim
+          |  FROM embeddings e CROSS JOIN q
+          |  WHERE e.vec_id <> q.q_id),
+          |ranked AS (
+          |  SELECT q_id AS query_id, vec_id AS neighbor_id,
+          |         floor((cos_sim) * 1e4) / 1e4 AS cos_sim,
+          |         row_number() OVER (PARTITION BY q_id
+          |                            ORDER BY cos_sim DESC, vec_id) AS rank
+          |  FROM scored)
+          |SELECT * FROM ranked WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("ss2_ivf_topk",
+      "IVF approximate top-3: corpus bucketed by nearest label-centroid " +
+        "cell, queries probe the 3 closest cells only — the scan-" +
+        "pruning scale path. Recall vs brute force asserted in LlmSpec.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // 'trained' centroids: mean vector per label cell (deterministic)
+        val centroids = emb
+          .select(col("label").as("cell"), col("embedding"))
+          .groupBy("cell")
+          .agg(array((0 until 64).map(i =>
+            avg(element_at(col("embedding"), i + 1))): _*).as("cent_vec"))
+        val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding",
+          centroids, "cell", "cent_vec")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfTopK(cellCorpus, "vec_id", "embedding", "cell",
+          centroids, "cent_vec", queries, "q_id", "q_vec", nProbe = 3, k = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    Q("tx1_token_stats",
+      "Per-document token statistics: whitespace words, BPE-ish regex " +
+        "tokens, mean word length, punctuation ratio — the map-stage " +
+        "text profile.",
+      (s, d) => {
+        val ws = TextOps.words(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(ws).as("n_words"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          Fmt.trunc(TextOps.meanWordLen(ws), 6).as("mean_word_len"),
+          Fmt.trunc(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(text) AS INT) AS n_chars_m,
+          |  CAST(len(ws) AS INT) AS n_words,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_tokens,
+          |  floor((CAST(list_sum(list_transform(ws, w -> CAST(len(w) AS BIGINT))) AS DOUBLE) / len(ws)) * 1e6) / 1e6 AS mean_word_len,
+          |  floor((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text)) * 1e6) / 1e6 AS punct_ratio
+          |FROM (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS ws
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("tx2_quality_langid",
+      "Quality scoring (length/punct/stopword bands) + stopword-profile " +
+        "language ID with deterministic argmax — the corpus-filter pair.",
+      (s, d) => {
+        val ws = TextOps.words(col("text"))
+        Tables.documents(s, d)
+          .withColumn("ws", ws)
+          .select(
+            col("doc_id"),
+            Fmt.trunc(TextOps.stopwordRatio(col("ws"), TextOps.StopEn), 6).as("stop_ratio_en"),
+            Fmt.trunc(TextOps.qualityScore(col("text"), col("ws")), 6).as("quality"),
+            TextOps.langId(col("ws")).as("lang_pred"),
+            col("lang").as("lang_labeled"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def hits(stops: Seq[String]) =
+          s"len(list_filter(ws, w -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], w)))"
+        val en = hits(TextOps.StopEn); val es = hits(TextOps.StopEs)
+        val de = hits(TextOps.StopDe); val fr = hits(TextOps.StopFr)
+        val zh = hits(TextOps.StopZh)
+        s"""SELECT doc_id,
+           |  floor((CAST($en AS DOUBLE) / len(ws)) * 1e6) / 1e6 AS stop_ratio_en,
+           |  floor((((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.3 END) +
+           |          (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) < 0.2 THEN 1.0 ELSE 0.4 END) +
+           |          (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6) / 1e6 AS quality,
+           |  CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
+           |       WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
+           |       WHEN $de >= $fr AND $de >= $zh THEN 'de'
+           |       WHEN $fr >= $zh THEN 'fr'
+           |       ELSE 'zh' END AS lang_pred,
+           |  lang AS lang_labeled
+           |FROM (SELECT doc_id, text, lang, string_split_regex(lower(text), '\\s+') AS ws
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("tx3_fingerprint",
+      "Order-sensitive rolling-hash document fingerprint (mod 1e9+7) — " +
+        "reorder-detecting content identity, fold mirrored in SQL.",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  list_reduce(
+          |    list_concat([CAST(0 AS BIGINT)],
+          |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+          |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("mm1_binary_meta",
+      "Multimodal binary-column plumbing: opaque payload bytes + " +
+        "byte-length/checksum/chunk-count metadata (decode itself is " +
+        "the stubbed seam, see llm.Multimodal).",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("payload", Multimodal.payload(col("text")))
+          .select(
+            col("doc_id"),
+            length(col("payload")).as("n_bytes"),
+            md5(col("payload")).as("checksum"),
+            ceil(length(col("payload")).cast("double") / 16).cast("long").as("n_chunks"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          |  md5(text) AS checksum,
+          |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 16) AS BIGINT) AS n_chunks
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("mm2_chunk_sample",
+      "Chunk + stride-sample the binary payload (frame-sampling shape): " +
+        "16-byte chunks, every 4th kept, exploded to rows. Spark-side " +
+        "plumbing; decode stub tested in LlmSpec.",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("payload", Multimodal.payload(col("text")))
+          .withColumn("meta", Multimodal.fakeDecodeMeta(col("payload")))
+          .withColumn("chunks", Multimodal.chunks(col("payload"), 16))
+          .withColumn("sampled", Multimodal.sampleEvery(col("chunks"), 4))
+          .select(
+            col("doc_id"),
+            col("meta.format").as("format"),
+            posexplode(col("sampled")).as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("format"), col("chunk_idx"),
+            length(col("chunk")).as("chunk_bytes")),
+      None)
+  )
+}

@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behaviour of the LLM-pipeline operators on crafted fixtures —
+  * especially the approximate stages (SimHash, MinHash/LSH recall,
+  * IVF) that are exempt from the SQL oracle. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TextOps.words + wordShingles: 3-gram shingles, short docs give empty (not descending sequence!)") {
+    val out = Seq("a b c d", "a b", "").toDF("t")
+      .select(TextOps.wordShingles(TextOps.words($"t"), 3)).as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("exactDedup keeps min id and counts copies") {
+    val df = Seq((1L, "xx"), (5L, "xx"), (3L, "yy")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs share the full signature; near-dups share most of it") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // identical
+      (3L, "the quick brown fox jumps over the lazy dog again and once"), // near
+      (4L, "completely different words appear in this unrelated document body")
+    ).toDF("doc_id", "text")
+    val sigs = docs
+      .withColumn("sig", Dedup.minhashSig(TextOps.wordShingles(TextOps.words($"text"), 3), 12))
+      .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    val nearAgree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(nearAgree >= 6, s"near-dup should agree on most minhashes, got $nearAgree/12")
+    val farAgree = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(farAgree === 0, s"unrelated docs should share ~no minhashes, got $farAgree/12")
+  }
+
+  test("LSH banding finds the identical pair without an all-pairs join") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val base = docs
+      .withColumn("sig", Dedup.minhashSig(TextOps.wordShingles(TextOps.words($"text"), 3), 9))
+      .withColumn("bands", Dedup.bandKeys($"sig", 3, 3))
+    val pairs = Dedup.lshCandidatePairs(base, "doc_id", "bands")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical → hamming 0; one-word change → small; unrelated → large") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs home fast",
+      "the quick brown fox jumps over the lazy dog and runs home quick",
+      "entirely disjoint vocabulary with nothing shared whatsoever here today"
+    ).toDF("t").withColumn("sh", Dedup.simhash64(TextOps.words($"t")))
+    val hs = df.select("sh").as[Long].collect()
+    assert(Dedup.hamming64(lit(hs(0)), lit(hs(0))) != null) // expression builds
+    val near = java.lang.Long.bitCount(hs(0) ^ hs(1))
+    val far = java.lang.Long.bitCount(hs(0) ^ hs(2))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16, s"one-word change should be close, got $near")
+  }
+
+  test("cosine: orthogonal → 0, identical → 1, known angle") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(1f, 1f))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK: deterministic neighbors on a crafted corpus") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1f, 0f))).toDF("q_id", "q_vec")
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((2L, 1), (3L, 2)))
+  }
+
+  test("IVF recall@3 >= 0.9 vs brute force on clustered vectors (the scale-path contract)") {
+    // IVF's recall promise holds for CLUSTERED data (real embedding
+    // spaces); on the driver's uniform-random test vectors recall is
+    // structurally poor (~0.5 measured) — so the contract is asserted
+    // on a deterministic 8-cluster fixture.
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 30) yield {
+      val center = Array.tabulate(dim)(j => if (j % 8 == c % 8) 5f else 0f)
+      val vec = center.map(v => v + rnd.nextGaussian().toFloat * 0.3f).toSeq
+      ((c * 30 + i).toLong, c, vec)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val centroids = emb.select($"label".as("cell"), $"embedding")
+      .groupBy("cell")
+      .agg(array((0 until dim).map(i => avg(element_at($"embedding", i + 1))): _*).as("cent_vec"))
+    val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding", centroids, "cell", "cent_vec")
+    val queries = emb.filter($"vec_id" % 24 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val ivf = Similarity.ivfTopK(cellCorpus, "vec_id", "embedding", "cell",
+      centroids, "cent_vec", queries, "q_id", "q_vec", nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@3 = $mean")
+  }
+
+  test("langId classifies real multilingual sentences") {
+    val out = Seq(
+      "the cat sat on the mat and it is a good day",
+      "el perro y la casa de los vecinos que viven en un pueblo",
+      "der hund und die katze das ist ein gutes tier mit uns",
+      "le chien et les chats est une belle chose de la vie",
+      "我 的 朋友 是 他 不 在 家 有 了"
+    ).toDF("t").select(TextOps.langId(TextOps.words($"t"))).as[String].collect().toSeq
+    assert(out === Seq("en", "es", "de", "fr", "zh"))
+  }
+
+  test("fingerprint is order-sensitive (reordered words differ) and deterministic") {
+    val out = Seq("a b c", "c b a", "a b c").toDF("t")
+      .select(TextOps.fingerprint($"t")).as[Long].collect()
+    assert(out(0) === out(2))
+    assert(out(0) !== out(1))
+  }
+
+  test("multimodal chunking: payload round-trip, chunk sizes, stride sample, stub meta schema") {
+    val df = Seq(("x" * 40)).toDF("t")
+      .withColumn("p", Multimodal.payload($"t"))
+      .withColumn("chunks", Multimodal.chunks($"p", 16))
+      .withColumn("sampled", Multimodal.sampleEvery($"chunks", 2))
+      .withColumn("meta", Multimodal.fakeDecodeMeta($"p"))
+    val r = df.select($"chunks", $"sampled", $"meta.n_bytes", $"meta.format").collect()(0)
+    val chunks = r.getSeq[Array[Byte]](0)
+    assert(chunks.map(_.length).toSeq === Seq(16, 16, 8))
+    assert(r.getSeq[Array[Byte]](1).length === 2) // indexes 0 and 2
+    assert(r.getInt(2) === 40)
+    assert(Seq("png", "jpeg", "webp").contains(r.getString(3)))
+  }
+}

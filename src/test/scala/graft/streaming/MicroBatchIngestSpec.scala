@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Deterministic batch-equivalence test for the §2.9 streaming ingest
+  * (VERDICT r1 #9): feed replayed micro-batches through the
+  * watermarked dedup + foreachBatch upsert and assert the result
+  * equals the batch-mode semantics (DISTINCT on the unique key;
+  * insert-only dims). */
+class MicroBatchIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Fact(station_no: String, record_time: Timestamp, bikes: Int)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked dedup drops within-batch and cross-batch replays (S8 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fact]
+    val collected = scala.collection.mutable.ArrayBuffer[(String, Timestamp)]()
+    val dimLog = scala.collection.mutable.ArrayBuffer[String]()
+    var existing = Seq("s1") // s1 dim already known
+
+    val q = MicroBatchIngest.writer(
+      input.toDF(),
+      appendFacts = b => collected.synchronized {
+        collected ++= b.select("station_no", "record_time")
+          .as[(String, Timestamp)].collect()
+      },
+      upsertDims = b => dimLog.synchronized {
+        val ids = b.select("station_no").as[String].collect()
+        dimLog ++= ids
+        existing = existing ++ ids
+      },
+      dims = _ => collected.synchronized {
+        collected.map(_._1).distinct.toSeq.toDF("station_no")
+      },
+      existingDims = () => existing.toDF("station_no"),
+      triggerInterval = "0 seconds")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString)
+      .start()
+
+    // batch 1: one replay inside the batch
+    input.addData(
+      Fact("s1", ts("2024-03-01 08:00:00"), 5),
+      Fact("s1", ts("2024-03-01 08:00:00"), 5), // dup (same unique key)
+      Fact("s2", ts("2024-03-01 08:00:00"), 7))
+    q.processAllAvailable()
+    // batch 2: replay of batch 1's key within the watermark + a new key
+    input.addData(
+      Fact("s1", ts("2024-03-01 08:00:00"), 5), // cross-batch dup
+      Fact("s2", ts("2024-03-01 08:10:00"), 8))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch-mode reference: DISTINCT over the union on the unique key
+    val expected = Set(
+      ("s1", ts("2024-03-01 08:00:00")),
+      ("s2", ts("2024-03-01 08:00:00")),
+      ("s2", ts("2024-03-01 08:10:00")))
+    assert(collected.toSet === expected, s"got ${collected.toSet}")
+    // dim upsert: s1 pre-existing → only s2 ever inserted, exactly once
+    assert(dimLog.toSet === Set("s2"), s"dims inserted: $dimLog")
+  }
+}
