@@ -320,6 +320,55 @@ object LlmQueries extends Q.Registry {
           |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 16) AS BIGINT) AS n_chunks
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("dd5_embedding_near_dup",
+      "Embedding-cosine near-dup: planted perturbed replays detected " +
+        "by pairwise cosine >= 0.99. Exact all-pairs here (oracle-able " +
+        "at test scale); at 100 TB the pair generation switches to the " +
+        "dd3 LSH banding or ss2 IVF cells — the verify stage is this " +
+        "same cosine filter either way.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // plant near-dups: every 40th vector replayed with +0.05 on its
+        // first component (cosine ~0.999 vs original)
+        val planted = emb.filter(col("vec_id") % 40 === 0)
+          .select(
+            (col("vec_id") + 1000000L).as("vec_id"),
+            concat(
+              array(element_at(col("embedding"), 1) + lit(0.05f)),
+              slice(col("embedding"), 2, 63)).as("embedding"))
+        val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+        val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+        val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("cos_sim", Fmt.trunc(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+          .filter(col("cos_sim") >= 0.99)
+          .select("id_a", "id_b", "cos_sim")
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |         list_concat([embedding[1] + CAST(0.05 AS FLOAT)], embedding[2:64])
+          |  FROM embeddings WHERE vec_id % 40 = 0),
+          |pairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |         a.embedding AS va, b.embedding AS vb
+          |  FROM corpus a CROSS JOIN corpus b WHERE a.vec_id < b.vec_id),
+          |scored AS (
+          |  SELECT id_a, id_b,
+          |    floor((
+          |      list_sum(list_transform(range(1, len(va) + 1),
+          |        i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(range(1, len(va) + 1),
+          |        i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+          |        i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))))) * 1e4) / 1e4 AS cos_sim
+          |  FROM pairs)
+          |SELECT id_a, id_b, cos_sim FROM scored
+          |WHERE cos_sim >= 0.99 ORDER BY id_a, id_b""".stripMargin)),
+
     Q("mm2_chunk_sample",
       "Chunk + stride-sample the binary payload (frame-sampling shape): " +
         "16-byte chunks, every 4th kept, exploded to rows. Spark-side " +

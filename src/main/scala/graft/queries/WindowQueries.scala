@@ -110,6 +110,20 @@ object WindowQueries extends Q.Registry {
           |        ELSE coalesce(prev_val, next_val) END) * 1e6) / 1e6 AS x_interp
           |FROM staged""".stripMargin)),
 
+    Q("p17_dense_ids",
+      "Dense 0-based station index (P17, 05:182): the reference's " +
+        "enumerate() mapping dict as a ranking window over distinct keys.",
+      (s, d) =>
+        graft.ops.Windows.denseId(
+          RelationalQueries.enriched(s, d).filter(col("district").isNotNull),
+          "station_no", "station_idx")
+          .orderBy("station_idx"),
+      Some(enrSql +
+        """SELECT station_no,
+          |       CAST(row_number() OVER (ORDER BY station_no) - 1 AS INT) AS station_idx
+          |FROM (SELECT DISTINCT station_no FROM enr WHERE district IS NOT NULL)
+          |ORDER BY station_idx""".stripMargin)),
+
     Q("w5_sequences",
       "Sliding-window (X, y) training pairs (W5, 04:71-85, 05:224-252): " +
         "3-step sequence of rates + next-step label per station, emitted " +
