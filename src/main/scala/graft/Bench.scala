@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   * per query.
   */
 object Bench {
+  /** Queries that fit an ML model (single bench run, see below). */
+  val FitQueries: Set[String] = Set("x10_ols_ladder", "x11_kmeans_j6", "x15_scoring")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,10 +48,11 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      // Oracle-less queries are ML model fits (x10/x11/x15): their cost
-      // is iterative numeric work, not codegen warm-up, and refitting an
-      // identical model 4x measures nothing new — single run.
-      val isFit = !SparkEntry.oracleSql.contains(name)
+      // ML model fits: their cost is iterative numeric work, not codegen
+      // warm-up, and refitting an identical model 4x measures nothing
+      // new — single run. (Other oracle-less queries still get the
+      // warm-up + min-of-N treatment.)
+      val isFit = Bench.FitQueries(name)
       val sec =
         try {
           explainDir.foreach { d =>

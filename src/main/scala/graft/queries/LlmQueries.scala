@@ -106,12 +106,16 @@ object LlmQueries extends Q.Registry {
         "candidate pairs (shuffle on band key, never all-pairs) -> " +
         "exact shingle-Jaccard verification >= 0.6.",
       (s, d) => {
+        // cache: the shingle/md5 signature subtree feeds three plan arms
+        // (band explode + two set-lookup joins) — materialize it once
         val base = corpus(s, d)
           .withColumn("ws", TextOps.words(col("text")))
           .withColumn("sh", TextOps.wordShingles(col("ws"), 3))
           .withColumn("sh_set", array_distinct(col("sh")))
           .withColumn("sig", Dedup.minhashSig(col("sh"), MinhashK))
           .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+          .select("doc_id", "sh_set", "bands")
+          .cache()
         val pairs = Dedup.lshCandidatePairs(base, "doc_id", "bands")
         val sets = base.select(col("doc_id"), col("sh_set"))
         pairs
