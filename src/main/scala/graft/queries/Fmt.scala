@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions.floor
 object Fmt {
   def trunc(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
-    floor(c * f) / f
+    // +1e-6 on the SCALED value: cross-engine float-sum noise (~1e-7 on
+    // the scaled magnitude for averages) can no longer flip the floor
+    // when the true value sits exactly on a decimal grid line — the one
+    // systematic hash-mismatch class (weather averages land on exact
+    // 3-decimal values). Mirrored in [[sql]]; both engines shift the
+    // boundary identically, so outputs stay bit-equal.
+    floor(c * f + 1e-6) / f
   }
 
   def t6(c: Column): Column = trunc(c, 6)
@@ -24,7 +30,7 @@ object Fmt {
   def t3(c: Column): Column = trunc(c, 3)
 
   /** DuckDB-side mirror of [[trunc]]. */
-  def sql(e: String, scale: Int): String = s"floor(($e) * 1e$scale) / 1e$scale"
+  def sql(e: String, scale: Int): String = s"floor(($e) * 1e$scale + 1e-6) / 1e$scale"
   def sql6(e: String): String = sql(e, 6)
   def sql4(e: String): String = sql(e, 4)
   def sql3(e: String): String = sql(e, 3)

@@ -88,7 +88,7 @@ object IngestQueries extends Q.Registry {
             Fmt.trunc(col("r.temperature"), 6).as("temperature"))
       },
       Some(enrSql +
-        """SELECT hour_key, floor((temperature) * 1e6) / 1e6 AS temperature
+        """SELECT hour_key, floor((temperature) * 1e6 + 1e-6) / 1e6 AS temperature
           |FROM weather""".stripMargin)),
 
     Q("ing3_props_json_extract",
@@ -106,7 +106,7 @@ object IngestQueries extends Q.Registry {
       Some(
         """SELECT CAST(CAST(props ->> 'k' AS BIGINT) % 10 AS BIGINT) AS k_mod,
           |       count(*) AS n,
-          |       floor((avg(value)) * 1e6) / 1e6 AS avg_value
+          |       floor((avg(value)) * 1e6 + 1e-6) / 1e6 AS avg_value
           |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
 
     Q("a9_table_counts",

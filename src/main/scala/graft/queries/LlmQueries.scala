@@ -142,10 +142,10 @@ object LlmQueries extends Q.Registry {
            |  WHERE a.doc_id < b.doc_id)
            |SELECT doc_a, doc_b,
            |       floor((CAST(len(list_distinct(list_intersect(set_a, set_b))) AS DOUBLE) /
-           |              len(list_distinct(list_concat(set_a, set_b)))) * 1e6) / 1e6 AS jaccard
+           |              len(list_distinct(list_concat(set_a, set_b)))) * 1e6 + 1e-6) / 1e6 AS jaccard
            |FROM pairs
            |WHERE floor((CAST(len(list_distinct(list_intersect(set_a, set_b))) AS DOUBLE) /
-           |             len(list_distinct(list_concat(set_a, set_b)))) * 1e6) / 1e6 >= 0.6
+           |             len(list_distinct(list_concat(set_a, set_b)))) * 1e6 + 1e-6) / 1e6 >= 0.6
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("dd4_simhash_near_dup",
@@ -195,7 +195,7 @@ object LlmQueries extends Q.Registry {
           |  WHERE e.vec_id <> q.q_id),
           |ranked AS (
           |  SELECT q_id AS query_id, vec_id AS neighbor_id,
-          |         floor((cos_sim) * 1e4) / 1e4 AS cos_sim,
+          |         floor((cos_sim) * 1e4 + 1e-6) / 1e4 AS cos_sim,
           |         row_number() OVER (PARTITION BY q_id
           |                            ORDER BY cos_sim DESC, vec_id) AS rank
           |  FROM scored)
@@ -245,8 +245,8 @@ object LlmQueries extends Q.Registry {
           |  CAST(len(text) AS INT) AS n_chars_m,
           |  CAST(len(ws) AS INT) AS n_words,
           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_tokens,
-          |  floor((CAST(list_sum(list_transform(ws, w -> CAST(len(w) AS BIGINT))) AS DOUBLE) / len(ws)) * 1e6) / 1e6 AS mean_word_len,
-          |  floor((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text)) * 1e6) / 1e6 AS punct_ratio
+          |  floor((CAST(list_sum(list_transform(ws, w -> CAST(len(w) AS BIGINT))) AS DOUBLE) / len(ws)) * 1e6 + 1e-6) / 1e6 AS mean_word_len,
+          |  floor((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text)) * 1e6 + 1e-6) / 1e6 AS punct_ratio
           |FROM (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS ws
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin)),
@@ -273,10 +273,10 @@ object LlmQueries extends Q.Registry {
         val de = hits(TextOps.StopDe); val fr = hits(TextOps.StopFr)
         val zh = hits(TextOps.StopZh)
         s"""SELECT doc_id,
-           |  floor((CAST($en AS DOUBLE) / len(ws)) * 1e6) / 1e6 AS stop_ratio_en,
+           |  floor((CAST($en AS DOUBLE) / len(ws)) * 1e6 + 1e-6) / 1e6 AS stop_ratio_en,
            |  floor((((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.3 END) +
            |          (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) < 0.2 THEN 1.0 ELSE 0.4 END) +
-           |          (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6) / 1e6 AS quality,
+           |          (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6 + 1e-6) / 1e6 AS quality,
            |  CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
            |       WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
            |       WHEN $de >= $fr AND $de >= $zh THEN 'de'
@@ -368,7 +368,7 @@ object LlmQueries extends Q.Registry {
           |      (sqrt(list_sum(list_transform(range(1, len(va) + 1),
           |        i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)))) *
           |       sqrt(list_sum(list_transform(range(1, len(vb) + 1),
-          |        i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))))) * 1e4) / 1e4 AS cos_sim
+          |        i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))))) * 1e4 + 1e-6) / 1e4 AS cos_sim
           |  FROM pairs)
           |SELECT id_a, id_b, cos_sim FROM scored
           |WHERE cos_sim >= 0.99 ORDER BY id_a, id_b""".stripMargin)),

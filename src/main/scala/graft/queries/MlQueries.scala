@@ -94,8 +94,8 @@ object MlQueries extends Q.Registry {
       },
       Some(enrSql +
         """SELECT event_id,
-          |       floor(((filling_rate - r_min) / (r_max - r_min)) * 1e6) / 1e6 AS rate_scaled,
-          |       floor(((bikes_available - b_min) / (b_max - b_min)) * 1e6) / 1e6 AS bikes_scaled
+          |       floor(((filling_rate - r_min) / (r_max - r_min)) * 1e6 + 1e-6) / 1e6 AS rate_scaled,
+          |       floor(((bikes_available - b_min) / (b_max - b_min)) * 1e6 + 1e-6) / 1e6 AS bikes_scaled
           |FROM clean CROSS JOIN (
           |  SELECT min(filling_rate) AS r_min, max(filling_rate) AS r_max,
           |         min(bikes_available) AS b_min, max(bikes_available) AS b_max
@@ -120,7 +120,7 @@ object MlQueries extends Q.Registry {
       },
       Some(enrSql +
         """SELECT event_id, filling_rate,
-          |       floor((((filling_rate - r_min) / (r_max - r_min)) * (r_max - r_min) + r_min) * 1e6) / 1e6 AS rate_roundtrip
+          |       floor((((filling_rate - r_min) / (r_max - r_min)) * (r_max - r_min) + r_min) * 1e6 + 1e-6) / 1e6 AS rate_roundtrip
           |FROM clean CROSS JOIN (
           |  SELECT min(filling_rate) AS r_min, max(filling_rate) AS r_max
           |  FROM clean)""".stripMargin)),

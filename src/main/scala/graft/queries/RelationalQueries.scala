@@ -9,7 +9,7 @@ import graft.ops.Derive
 /** SURVEY §2.1-2.5 + §2.7 relational operator inventory as named queries.
   *
   * Conventions shared with every oracle (SURVEY §5.2):
-  *  - every computed double is `floor((x) * 1e6) / 1e6` (or 3 for meters) on BOTH
+  *  - every computed double is `floor((x) * 1e6 + 1e-6) / 1e6` (or 3 for meters) on BOTH
   *    sides, so cross-engine last-ulp float noise can't break the hash;
   *  - every aggregate/computed column is aliased identically on both sides;
   *  - output is deterministically ordered with explicit tie-breaks;
@@ -70,8 +70,8 @@ object RelationalQueries extends Q.Registry {
           count(lit(1)).as("n_obs"))
           .orderBy(desc("mean_rate"), col("district")),
       Some(enrSql +
-        """SELECT district, floor((avg(filling_rate)) * 1e6) / 1e6 AS mean_rate,
-          |       floor((stddev_samp(filling_rate)) * 1e6) / 1e6 AS std_rate,
+        """SELECT district, floor((avg(filling_rate)) * 1e6 + 1e-6) / 1e6 AS mean_rate,
+          |       floor((stddev_samp(filling_rate)) * 1e6 + 1e-6) / 1e6 AS std_rate,
           |       count(*) AS n_obs
           |FROM clean GROUP BY district
           |ORDER BY mean_rate DESC, district""".stripMargin)),
@@ -95,12 +95,12 @@ object RelationalQueries extends Q.Registry {
           .drop("is_peak")
           .orderBy("slice"),
       Some(enrSql +
-        """SELECT floor((avg(filling_rate)) * 1e6) / 1e6 AS mean_rate,
-          |       floor((median(filling_rate)) * 1e6) / 1e6 AS p50_rate,
-          |       floor((stddev_samp(filling_rate)) * 1e6) / 1e6 AS std_rate,
-          |       floor((stddev_samp(filling_rate) / avg(filling_rate)) * 1e6) / 1e6 AS cv,
-          |       floor((avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END)) * 1e6) / 1e6 AS p_shortage,
-          |       floor((avg(CASE WHEN filling_rate > 0.9 THEN 1.0 ELSE 0.0 END)) * 1e6) / 1e6 AS p_full,
+        """SELECT floor((avg(filling_rate)) * 1e6 + 1e-6) / 1e6 AS mean_rate,
+          |       floor((median(filling_rate)) * 1e6 + 1e-6) / 1e6 AS p50_rate,
+          |       floor((stddev_samp(filling_rate)) * 1e6 + 1e-6) / 1e6 AS std_rate,
+          |       floor((stddev_samp(filling_rate) / avg(filling_rate)) * 1e6 + 1e-6) / 1e6 AS cv,
+          |       floor((avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END)) * 1e6 + 1e-6) / 1e6 AS p_shortage,
+          |       floor((avg(CASE WHEN filling_rate > 0.9 THEN 1.0 ELSE 0.0 END)) * 1e6 + 1e-6) / 1e6 AS p_full,
           |       count(*) AS n_obs,
           |       CASE WHEN GROUPING(is_peak) = 1 THEN 'all'
           |            ELSE CAST(is_peak AS VARCHAR) END AS slice
@@ -115,16 +115,20 @@ object RelationalQueries extends Q.Registry {
           .filter(col("l_quantity") > 5.0)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            Fmt.trunc(sum("l_quantity"), 4).as("sum_qty"),
+            // Big-magnitude SUMs diverge across engines by up to ~1e-3
+            // absolute (different fold order over 600 k doubles), so they
+            // get a 0.1 grid with an epsilon far above that noise;
+            // averages stay at the standard trunc scale.
+            (floor(sum("l_quantity") * 10 + 0.01) / 10).as("sum_qty"),
             Fmt.trunc(avg("l_extendedprice"), 4).as("avg_price"),
-            Fmt.trunc(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+            (floor(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10 + 0.01) / 10).as("sum_disc_price"),
             count(lit(1)).as("n_rows"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some(
         """SELECT l_returnflag, l_linestatus,
-          |       floor((sum(l_quantity)) * 1e4) / 1e4 AS sum_qty,
-          |       floor((avg(l_extendedprice)) * 1e4) / 1e4 AS avg_price,
-          |       floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e4) / 1e4 AS sum_disc_price,
+          |       floor(sum(l_quantity) * 10 + 0.01) / 10 AS sum_qty,
+          |       floor((avg(l_extendedprice)) * 1e4 + 1e-6) / 1e4 AS avg_price,
+          |       floor(sum(l_extendedprice * (1.0 - l_discount)) * 10 + 0.01) / 10 AS sum_disc_price,
           |       count(*) AS n_rows
           |FROM lineitem WHERE l_quantity > 5.0
           |GROUP BY l_returnflag, l_linestatus
@@ -146,7 +150,7 @@ object RelationalQueries extends Q.Registry {
       Some(enrSql +
         "SELECT station_no, " +
         (0 to 23).map(h =>
-          s"coalesce(floor((avg(CASE WHEN hour = $h THEN filling_rate END)) * 1e6) / 1e6, 0.0) AS h$h")
+          s"coalesce(floor((avg(CASE WHEN hour = $h THEN filling_rate END)) * 1e6 + 1e-6) / 1e6, 0.0) AS h$h")
           .mkString(", ") +
         " FROM clean GROUP BY station_no ORDER BY station_no")),
 
@@ -182,8 +186,8 @@ object RelationalQueries extends Q.Registry {
           .orderBy("district"),
       Some(enrSql +
         """SELECT district,
-          |       floor((COUNT(*) FILTER (WHERE filling_rate < 0.1) / CAST(count(*) AS DOUBLE)) * 1e6) / 1e6 AS p_shortage,
-          |       floor((COUNT(*) FILTER (WHERE filling_rate >= 0.1) / CAST(count(*) AS DOUBLE)) * 1e6) / 1e6 AS p_normal
+          |       floor((COUNT(*) FILTER (WHERE filling_rate < 0.1) / CAST(count(*) AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS p_shortage,
+          |       floor((COUNT(*) FILTER (WHERE filling_rate >= 0.1) / CAST(count(*) AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS p_normal
           |FROM clean GROUP BY district ORDER BY district""".stripMargin)),
 
     Q("a6_top1_global",
@@ -283,8 +287,8 @@ object RelationalQueries extends Q.Registry {
       },
       Some(enrSql +
         """SELECT district,
-          |       floor((n_short / n) * 1e6) / 1e6 AS shortage_rate,
-          |       floor((n_short / n - sum(n_short) OVER () / sum(n) OVER ()) * 1e6) / 1e6 AS delta_vs_global
+          |       floor((n_short / n) * 1e6 + 1e-6) / 1e6 AS shortage_rate,
+          |       floor((n_short / n - sum(n_short) OVER () / sum(n) OVER ()) * 1e6 + 1e-6) / 1e6 AS delta_vs_global
           |FROM (
           |  SELECT district,
           |         sum(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END) AS n_short,
@@ -305,7 +309,7 @@ object RelationalQueries extends Q.Registry {
             col("rain"),
             Derive.rainCategory(col("rain")).as("rain_cat")),
       Some(enrSql +
-        """SELECT event_id, floor((temperature) * 1e6) / 1e6 AS temperature, rain,
+        """SELECT event_id, floor((temperature) * 1e6 + 1e-6) / 1e6 AS temperature, rain,
           |       CAST(CASE WHEN rain IS NULL OR rain = 0.0 THEN 0 WHEN rain <= 2.0 THEN 1
           |            WHEN rain <= 10.0 THEN 2 ELSE 3 END AS INT) AS rain_cat
           |FROM status LEFT JOIN weather
@@ -331,8 +335,8 @@ object RelationalQueries extends Q.Registry {
       },
       Some(enrSql +
         """SELECT event_id, station_no, district, total_spaces, bikes_available,
-          |       floor((bikes_available / total_spaces) * 1e6) / 1e6 AS filling_rate,
-          |       floor((temperature) * 1e6) / 1e6 AS temperature,
+          |       floor((bikes_available / total_spaces) * 1e6 + 1e-6) / 1e6 AS filling_rate,
+          |       floor((temperature) * 1e6 + 1e-6) / 1e6 AS temperature,
           |       CAST(CASE WHEN rain IS NULL OR rain = 0.0 THEN 0 WHEN rain <= 2.0 THEN 1
           |            WHEN rain <= 10.0 THEN 2 ELSE 3 END AS INT) AS rain_cat
           |FROM status
@@ -378,7 +382,7 @@ object RelationalQueries extends Q.Registry {
           .orderBy("station_no"),
       Some(enrSql +
         """SELECT station_no,
-          |       floor((min(2.0 * 6371000.0 * atan2(sqrt(a), sqrt(1.0 - a)))) * 1e3) / 1e3 AS dist_to_mrt
+          |       floor((min(2.0 * 6371000.0 * atan2(sqrt(a), sqrt(1.0 - a)))) * 1e3 + 1e-6) / 1e3 AS dist_to_mrt
           |FROM (
           |  SELECT station_no,
           |         pow(sin(radians(mrt_lat - lat) / 2), 2) +
@@ -467,7 +471,7 @@ object RelationalQueries extends Q.Registry {
           .orderBy("station_no"),
       Some(enrSql +
         """SELECT station_no, count(*) AS n_obs,
-          |       floor((avg(bikes_available)) * 1e6) / 1e6 AS avg_bikes
+          |       floor((avg(bikes_available)) * 1e6 + 1e-6) / 1e6 AS avg_bikes
           |FROM status WHERE station_no IN ('2','3','5','7','11')
           |GROUP BY station_no ORDER BY station_no""".stripMargin))
   )

@@ -36,10 +36,10 @@ object StatsQueries extends Q.Registry {
           .orderBy("district"),
       Some(enrSql +
         s"""SELECT district, n,
-           |       floor((mean) * 1e6) / 1e6 AS mean_rate,
-           |       floor((sem) * 1e6) / 1e6 AS sem,
-           |       floor((mean - t_crit * sem) * 1e6) / 1e6 AS ci_lower,
-           |       floor((mean + t_crit * sem) * 1e6) / 1e6 AS ci_upper,
+           |       floor((mean) * 1e6 + 1e-6) / 1e6 AS mean_rate,
+           |       floor((sem) * 1e6 + 1e-6) / 1e6 AS sem,
+           |       floor((mean - t_crit * sem) * 1e6 + 1e-6) / 1e6 AS ci_lower,
+           |       floor((mean + t_crit * sem) * 1e6 + 1e-6) / 1e6 AS ci_upper,
            |       CASE WHEN mean - t_crit * sem > 0.3 THEN 'Pass (Green)'
            |            WHEN mean + t_crit * sem < 0.3 THEN 'Fail (Red)'
            |            ELSE 'Warning (Orange)' END AS status
@@ -67,14 +67,14 @@ object StatsQueries extends Q.Registry {
             Fmt.trunc(col("cohens_d"), 6).as("cohens_d")),
       Some(enrSql +
         """SELECT CAST(n_a AS BIGINT) AS n_peak, CAST(n_b AS BIGINT) AS n_offpeak,
-          |       floor((mean_a) * 1e6) / 1e6 AS mean_peak,
-          |       floor((mean_b) * 1e6) / 1e6 AS mean_offpeak,
-          |       floor(((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) * 1e6) / 1e6 AS t_stat,
+          |       floor((mean_a) * 1e6 + 1e-6) / 1e6 AS mean_peak,
+          |       floor((mean_b) * 1e6 + 1e-6) / 1e6 AS mean_offpeak,
+          |       floor(((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) * 1e6 + 1e-6) / 1e6 AS t_stat,
           |       floor(((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
           |              ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
-          |               (var_b / n_b) * (var_b / n_b) / (n_b - 1))) * 1e4) / 1e4 AS df_welch,
+          |               (var_b / n_b) * (var_b / n_b) / (n_b - 1))) * 1e4 + 1e-6) / 1e4 AS df_welch,
           |       floor(((mean_a - mean_b) /
-          |              sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))) * 1e6) / 1e6 AS cohens_d
+          |              sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))) * 1e6 + 1e-6) / 1e6 AS cohens_d
           |FROM (
           |  SELECT CAST(count(CASE WHEN is_peak THEN 1 END) AS DOUBLE) AS n_a,
           |         CAST(count(CASE WHEN NOT is_peak THEN 1 END) AS DOUBLE) AS n_b,
@@ -102,10 +102,10 @@ object StatsQueries extends Q.Registry {
           |         avg(filling_rate) AS mean, var_samp(filling_rate) AS variance
           |  FROM clean GROUP BY district)
           |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
-          |       floor((ss_between) * 1e4) / 1e4 AS ss_between,
-          |       floor((ss_within) * 1e4) / 1e4 AS ss_within,
-          |       floor(((ss_between / (k - 1)) / (ss_within / (n_total - k))) * 1e6) / 1e6 AS f_stat,
-          |       floor((ss_between / (ss_between + ss_within)) * 1e6) / 1e6 AS eta_sq
+          |       floor((ss_between) * 1e4 + 1e-6) / 1e4 AS ss_between,
+          |       floor((ss_within) * 1e4 + 1e-6) / 1e4 AS ss_within,
+          |       floor(((ss_between / (k - 1)) / (ss_within / (n_total - k))) * 1e6 + 1e-6) / 1e6 AS f_stat,
+          |       floor((ss_between / (ss_between + ss_within)) * 1e6 + 1e-6) / 1e6 AS eta_sq
           |FROM (
           |  SELECT count(*) AS k, sum(n) AS n_total,
           |         sum(n * (mean - gm) * (mean - gm)) AS ss_between,
@@ -134,9 +134,9 @@ object StatsQueries extends Q.Registry {
           |  FROM clean WHERE district IN ('NATION_1','NATION_2','NATION_3')
           |  GROUP BY district)
           |SELECT a.district AS group_a, b.district AS group_b,
-          |       floor((b.mean - a.mean) * 1e6) / 1e6 AS mean_diff,
-          |       floor((sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6) / 1e6 AS se_pair,
-          |       floor((abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6) / 1e6 AS q_stat,
+          |       floor((b.mean - a.mean) * 1e6 + 1e-6) / 1e6 AS mean_diff,
+          |       floor((sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6 + 1e-6) / 1e6 AS se_pair,
+          |       floor((abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6 + 1e-6) / 1e6 AS q_stat,
           |       abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)) > 3.314 AS reject
           |FROM gtukey a
           |JOIN gtukey b ON a.district < b.district
@@ -160,9 +160,9 @@ object StatsQueries extends Q.Registry {
             col("strength"))
       },
       Some(enrSql + chi2CellsSql +
-        """SELECT floor((chi2) * 1e4) / 1e4 AS chi2,
+        """SELECT floor((chi2) * 1e4 + 1e-6) / 1e4 AS chi2,
           |       CAST(dof AS BIGINT) AS dof, CAST(n AS BIGINT) AS n_total,
-          |       floor((sqrt(chi2 / (n * least(r, c) - n))) * 1e6) / 1e6 AS cramers_v,
+          |       floor((sqrt(chi2 / (n * least(r, c) - n))) * 1e6 + 1e-6) / 1e6 AS cramers_v,
           |       CASE WHEN sqrt(chi2 / (n * least(r, c) - n)) < 0.1 THEN 'weak'
           |            WHEN sqrt(chi2 / (n * least(r, c) - n)) < 0.3 THEN 'moderate'
           |            ELSE 'strong' END AS strength
@@ -191,8 +191,8 @@ object StatsQueries extends Q.Registry {
       },
       Some(enrSql + chi2CellsSql +
         """SELECT district, risk, CAST(observed AS BIGINT) AS observed,
-          |       floor((expected) * 1e4) / 1e4 AS expected,
-          |       floor(((observed - expected) / sqrt(expected)) * 1e6) / 1e6 AS std_residual
+          |       floor((expected) * 1e4 + 1e-6) / 1e4 AS expected,
+          |       floor(((observed - expected) / sqrt(expected)) * 1e6 + 1e-6) / 1e6 AS std_residual
           |FROM expcells ORDER BY district, risk""".stripMargin))
   )
 

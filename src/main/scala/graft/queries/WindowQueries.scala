@@ -107,7 +107,7 @@ object WindowQueries extends Q.Registry {
           |  floor((CASE WHEN x IS NOT NULL THEN x
           |        WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
           |          THEN prev_val + (next_val - prev_val) * (rn - prev_rn) / (next_rn - prev_rn)
-          |        ELSE coalesce(prev_val, next_val) END) * 1e6) / 1e6 AS x_interp
+          |        ELSE coalesce(prev_val, next_val) END) * 1e6 + 1e-6) / 1e6 AS x_interp
           |FROM staged""".stripMargin)),
 
     Q("p17_dense_ids",

@@ -11,10 +11,10 @@ class FmtSpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(4242)
 
-  test("trunc(x, 6) equals floor(x*1e6)/1e6 exactly over random samples (property)") {
+  test("trunc(x, 6) equals floor(x*1e6 + 1e-6)/1e6 exactly over random samples (property)") {
     val xs = Seq.fill(200)((rnd.nextDouble() - 0.5) * 2e6)
     val got = xs.toDF("x").select(Fmt.trunc($"x", 6)).as[Double].collect()
-    val want = xs.map(x => math.floor(x * 1e6) / 1e6)
+    val want = xs.map(x => math.floor(x * 1e6 + 1e-6) / 1e6)
     assert(got.toSeq === want)
   }
 
@@ -25,7 +25,7 @@ class FmtSpec extends SparkSpec {
     // engines compute the identical result from the same input double.
     val xs = Seq.fill(200)(-(rnd.nextDouble()) * 1e4)
     val got = xs.toDF("x").select(Fmt.trunc($"x", 6)).as[Double].collect()
-    val want = xs.map(x => math.floor(x * 1e6) / 1e6)
+    val want = xs.map(x => math.floor(x * 1e6 + 1e-6) / 1e6)
     assert(got.toSeq === want)
   }
 
@@ -34,6 +34,15 @@ class FmtSpec extends SparkSpec {
     // motivated truncation over round() (see Fmt scaladoc).
     val got = Seq(41.61 / 160.0).toDF("x").select(Fmt.trunc($"x", 6)).as[Double].head()
     assert(got === 0.260062)
+  }
+
+  test("the epsilon absorbs sub-noise perturbations at exact decimal grid lines") {
+    // the j2/j3 class: an average lands exactly on a 3-decimal value and
+    // the two engines' sums differ by ~1e-13 — without the epsilon the
+    // floor flips between 78.753999 and 78.754.
+    val got = Seq(78.754, 78.754 - 1e-13, 78.754 + 1e-13).toDF("x")
+      .select(Fmt.trunc($"x", 6)).as[Double].collect().toSeq
+    assert(got === Seq(78.754, 78.754, 78.754))
   }
 
   test("dropDuplicates is idempotent: dedup(dedup(df)) == dedup(df) (SURVEY §5.2 #3)") {
