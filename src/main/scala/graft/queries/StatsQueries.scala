@@ -144,6 +144,24 @@ object StatsQueries extends Q.Registry {
           |  SELECT sum(variance * (n - 1)) / (sum(n) - count(*)) AS msw FROM gtukey) s
           |ORDER BY group_a, group_b""".stripMargin)),
 
+    Q("x16_per_group_ttest",
+      "Per-district one-sample t-test vs the 0.30 KPI with DISTRIBUTED " +
+        "exact p-values via the native codegen'd t_pvalue expression " +
+        "(functions.NativeExpressions) — the custom-Expression scale " +
+        "path for million-group testing. t-stat column is SQL-" +
+        "expressible; p-values are pinned in NativeExpressionsSpec.",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        StatTests.tCIByGroup(clean(s, d), "filling_rate", "district")
+          .withColumn("t_stat", (col("mean") - 0.3) / col("sem"))
+          .selectExpr(
+            "district", "n",
+            "floor(t_stat * 1e6 + 1e-6) / 1e6 AS t_stat",
+            "floor(t_pvalue(t_stat, n - 1.0) * 1e6 + 1e-6) / 1e6 AS p_value")
+          .orderBy("district")
+      },
+      None),
+
     Q("x7_chi2_cramer",
       "Chi-square independence district × Risk_Label + Cramér's V and " +
         "strength bucket (X7+X8, 01:972-992). p-value engine-side.",
