@@ -109,6 +109,42 @@ object IngestQueries extends Q.Registry {
           |       floor((avg(value)) * 1e6 + 1e-6) / 1e6 AS avg_value
           |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
 
+    Q("st1_stream_watermark_dedup",
+      "Streaming ingest (2.9) exercised end-to-end as a bounded run: " +
+        "file-source micro-batches -> watermarked dedup on the " +
+        "warehouse unique key -> memory sink, then per-station dedup " +
+        "counts. Oracle is the batch semantics (DISTINCT on the key) - " +
+        "the stream/batch equivalence the watermark design promises.",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, timestamp_micros, expr}
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        // the file source wants a directory: stream the sf dir, filtered
+        // to the events file
+        val raw = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+        val tsCol =
+          if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            timestamp_micros(expr("ts div 1000"))
+          else col("ts")
+        val facts = raw.select(
+          col("user_id").cast("string").as("station_no"),
+          tsCol.as("record_time"))
+        val deduped = graft.streaming.MicroBatchIngest.dedupWithinWatermark(facts)
+        val sink = "st1_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy("station_no").agg(count(lit(1)).as("n_dedup"))
+          .orderBy("station_no")
+      },
+      Some(enrSql +
+        """SELECT station_no, count(*) AS n_dedup FROM (
+          |  SELECT DISTINCT station_no, record_time FROM status)
+          |GROUP BY station_no ORDER BY station_no""".stripMargin)),
+
     Q("a9_table_counts",
       "A9 count/emptiness checkpoints, explicit: row counts of the " +
         "pipeline's tables as a single frame.",
