@@ -7,16 +7,26 @@ package graft.ingest
   * [[IngestBatch.parseJson]]. */
 object Retry {
   /** Run `fetch`, retrying up to `attempts` times with `backoffMs ×
-    * attempt` sleeps between failures; rethrows the last error. */
+    * attempt` sleeps between failures; rethrows the last error. Only
+    * non-fatal errors are retried — OutOfMemoryError and friends
+    * propagate immediately, and an interrupt during the backoff sleep
+    * aborts the loop with the flag restored. */
   def withBackoff[T](attempts: Int = 3, backoffMs: Long = 2000)(fetch: => T): T = {
     var last: Throwable = null
     var i = 1
     while (i <= attempts) {
       try return fetch
       catch {
-        case e: Throwable =>
+        case e if scala.util.control.NonFatal(e) =>
           last = e
-          if (i < attempts) Thread.sleep(backoffMs * i)
+          if (i < attempts)
+            try Thread.sleep(backoffMs * i)
+            catch {
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt()
+                e.addSuppressed(ie)
+                throw e
+            }
       }
       i += 1
     }

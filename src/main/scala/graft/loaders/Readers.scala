@@ -29,7 +29,7 @@ object Readers {
     * normalize headers. Driver-side retry loop over lazy scans: each
     * attempt reads only the header until a candidate wins. */
   def robustReadCsv(spark: SparkSession, path: String,
-                    encodings: Seq[String] = Seq("UTF-8", "Big5", "CP950", "UTF-8"),
+                    encodings: Seq[String] = Seq("UTF-8", "Big5", "CP950", "ISO-8859-1"),
                     seps: Seq[String] = Seq(",", "\t")): DataFrame = {
     val attempts = for (enc <- encodings; sep <- seps) yield (enc, sep)
     val hit = attempts.iterator
@@ -65,8 +65,9 @@ object Readers {
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
-  /** S3: JDBC scan (etl_job.py:120-121). Untested here — no JDBC
-    * driver ships in this container; thin pass-through by design. */
+  /** S3: JDBC scan (etl_job.py:120-121). Exercised end-to-end against
+    * embedded Derby in JdbcSpec (write-append → read-back → predicate
+    * pushdown). */
   def readJdbc(spark: SparkSession, url: String, table: String,
                props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)

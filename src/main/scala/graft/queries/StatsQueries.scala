@@ -115,7 +115,8 @@ object StatsQueries extends Q.Registry {
 
     Q("x6_tukey",
       "Tukey-Kramer HSD pairwise tests on the 3-district slice (X6+F5, " +
-        "01:851-853): q statistic vs table q_crit(3, inf)=3.314.",
+        "01:851-853): q statistic vs the df-aware critical value " +
+        "q_crit(3, df_within) (∞/120-row blend at these dfs).",
       (s, d) =>
         StatTests.tukeyHSD(
           clean(s, d).filter(col("district").isin("NATION_1", "NATION_2", "NATION_3")),
@@ -137,11 +138,13 @@ object StatsQueries extends Q.Registry {
           |       floor((b.mean - a.mean) * 1e6 + 1e-6) / 1e6 AS mean_diff,
           |       floor((sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6 + 1e-6) / 1e6 AS se_pair,
           |       floor((abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6 + 1e-6) / 1e6 AS q_stat,
-          |       abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)) > 3.314 AS reject
+          |       abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))
+          |         > (3.314 + (3.356 - 3.314) * (120.0 / s.dfw)) AS reject
           |FROM gtukey a
           |JOIN gtukey b ON a.district < b.district
           |CROSS JOIN (
-          |  SELECT sum(variance * (n - 1)) / (sum(n) - count(*)) AS msw FROM gtukey) s
+          |  SELECT sum(variance * (n - 1)) / (sum(n) - count(*)) AS msw,
+          |         sum(n) - count(*) AS dfw FROM gtukey) s
           |ORDER BY group_a, group_b""".stripMargin)),
 
     Q("x16_per_group_ttest",

@@ -204,19 +204,74 @@ object Distributions {
     x
   }
 
-  /** Studentized-range critical values q_{0.05}(k, df=∞) for Tukey HSD
+  /** Studentized-range critical values q_{0.05}(k, df) for Tukey HSD
     * (X6), k = 2..20 — table-driven per SURVEY §7.2 (exact integration
-    * is out of scope; the reference's group counts are ≤ 13 and the
-    * within-group dfs are in the thousands, where the ∞ row is accurate
-    * to <0.5%). Source: standard studentized-range tables. */
+    * is out of scope). Rows at df = 5, 10, 20, 30, 60, 120, ∞ from
+    * standard studentized-range tables; between rows the value is
+    * linearly interpolated in 1/df (the standard convention), which
+    * keeps the error well under 1% — vs >10% if the ∞ row were used
+    * at df ≈ 5-20. */
   private val q05Inf: Map[Int, Double] = Map(
     2 -> 2.772, 3 -> 3.314, 4 -> 3.633, 5 -> 3.858, 6 -> 4.030,
     7 -> 4.170, 8 -> 4.286, 9 -> 4.387, 10 -> 4.474, 11 -> 4.552,
     12 -> 4.622, 13 -> 4.685, 14 -> 4.743, 15 -> 4.796, 16 -> 4.845,
     17 -> 4.891, 18 -> 4.934, 19 -> 4.974, 20 -> 5.012)
 
+  private val q05ByDf: Seq[(Double, Map[Int, Double])] = Seq(
+    5.0 -> Map(
+      2 -> 3.635, 3 -> 4.602, 4 -> 5.218, 5 -> 5.673, 6 -> 6.033,
+      7 -> 6.330, 8 -> 6.582, 9 -> 6.801, 10 -> 6.995, 11 -> 7.167,
+      12 -> 7.323, 13 -> 7.466, 14 -> 7.596, 15 -> 7.716, 16 -> 7.828,
+      17 -> 7.932, 18 -> 8.030, 19 -> 8.122, 20 -> 8.208),
+    10.0 -> Map(
+      2 -> 3.151, 3 -> 3.877, 4 -> 4.327, 5 -> 4.654, 6 -> 4.912,
+      7 -> 5.124, 8 -> 5.305, 9 -> 5.461, 10 -> 5.599, 11 -> 5.722,
+      12 -> 5.833, 13 -> 5.935, 14 -> 6.028, 15 -> 6.114, 16 -> 6.194,
+      17 -> 6.269, 18 -> 6.339, 19 -> 6.405, 20 -> 6.467),
+    20.0 -> Map(
+      2 -> 2.950, 3 -> 3.578, 4 -> 3.958, 5 -> 4.232, 6 -> 4.445,
+      7 -> 4.620, 8 -> 4.768, 9 -> 4.896, 10 -> 5.008, 11 -> 5.108,
+      12 -> 5.199, 13 -> 5.282, 14 -> 5.357, 15 -> 5.427, 16 -> 5.492,
+      17 -> 5.553, 18 -> 5.610, 19 -> 5.663, 20 -> 5.714),
+    30.0 -> Map(
+      2 -> 2.888, 3 -> 3.486, 4 -> 3.845, 5 -> 4.102, 6 -> 4.302,
+      7 -> 4.464, 8 -> 4.602, 9 -> 4.720, 10 -> 4.824, 11 -> 4.917,
+      12 -> 5.001, 13 -> 5.077, 14 -> 5.147, 15 -> 5.211, 16 -> 5.271,
+      17 -> 5.327, 18 -> 5.379, 19 -> 5.429, 20 -> 5.475),
+    60.0 -> Map(
+      2 -> 2.829, 3 -> 3.399, 4 -> 3.737, 5 -> 3.977, 6 -> 4.163,
+      7 -> 4.314, 8 -> 4.441, 9 -> 4.550, 10 -> 4.646, 11 -> 4.732,
+      12 -> 4.808, 13 -> 4.878, 14 -> 4.942, 15 -> 5.001, 16 -> 5.056,
+      17 -> 5.107, 18 -> 5.154, 19 -> 5.199, 20 -> 5.241),
+    120.0 -> Map(
+      2 -> 2.800, 3 -> 3.356, 4 -> 3.685, 5 -> 3.917, 6 -> 4.096,
+      7 -> 4.241, 8 -> 4.363, 9 -> 4.468, 10 -> 4.560, 11 -> 4.641,
+      12 -> 4.714, 13 -> 4.781, 14 -> 4.842, 15 -> 4.898, 16 -> 4.950,
+      17 -> 4.998, 18 -> 5.044, 19 -> 5.086, 20 -> 5.126))
+
+  /** q_{0.05}(k, ∞) — kept for callers that know their dfs are huge. */
   def tukeyQcrit05(k: Int): Double = {
     require(k >= 2 && k <= 20, s"tukeyQcrit05 table covers k in [2,20], got $k")
     q05Inf(k)
+  }
+
+  /** q_{0.05}(k, dfWithin) with 1/df interpolation; requires
+    * dfWithin ≥ 5 (below the table, no safe extrapolation). For
+    * df ≥ 120 the ∞ and 120 rows are blended as
+    * q∞ + (q₁₂₀ − q∞)·(120/df) — the same closed form the SQL oracle
+    * mirrors. */
+  def tukeyQcrit05(k: Int, dfWithin: Double): Double = {
+    require(k >= 2 && k <= 20, s"tukeyQcrit05 table covers k in [2,20], got $k")
+    require(dfWithin >= 5.0, s"tukeyQcrit05 needs dfWithin >= 5, got $dfWithin")
+    if (dfWithin >= 120.0)
+      q05Inf(k) + (q05ByDf.last._2(k) - q05Inf(k)) * (120.0 / dfWithin)
+    else {
+      val x = 1.0 / dfWithin
+      // bracketing rows in 1/df space (rows are ascending in df)
+      val pts = q05ByDf.map { case (df, m) => (1.0 / df, m(k)) }.sortBy(_._1)
+      val (x1, y1) = pts.takeWhile(_._1 <= x).lastOption.getOrElse(pts.head)
+      val (x2, y2) = pts.dropWhile(_._1 < x).headOption.getOrElse(pts.last)
+      if (x2 == x1) y1 else y1 + (y2 - y1) * (x - x1) / (x2 - x1)
+    }
   }
 }

@@ -124,9 +124,11 @@ object StatTests {
   }
 
   /** X6: Tukey-Kramer HSD pairwise comparisons (01:851-853). Critical
-    * value from the q₀.₀₅(k, ∞) table ([[Distributions.tukeyQcrit05]]);
-    * within-group dfs at every reference use site are in the thousands,
-    * where the ∞ row is <0.5% off. Returns one row per unordered pair. */
+    * value from the df-aware q₀.₀₅(k, df_within) table
+    * ([[Distributions.tukeyQcrit05]] with 1/df interpolation) — the ∞
+    * row alone would be >10% anti-conservative at small dfs. Requires
+    * df_within ≥ 5 (the table floor). Returns one row per unordered
+    * pair. */
   def tukeyHSD(df: DataFrame, value: String, group: String): DataFrame = {
     val g = df.groupBy(group).agg(
       count(lit(1)).cast("double").as("n"),
@@ -138,14 +140,14 @@ object StatTests {
       (sum(col("variance") * (col("n") - 1)) / (sum("n") - count(lit(1)))).as("msw"))
     val a = g.select(col(group).as("group_a"), col("n").as("n_a"), col("mean").as("mean_a"))
     val b = g.select(col(group).as("group_b"), col("n").as("n_b"), col("mean").as("mean_b"))
-    val qcrit = udf((k: Int) => Distributions.tukeyQcrit05(k))
+    val qcrit = udf((k: Int, dfW: Double) => Distributions.tukeyQcrit05(k, dfW))
     a.join(b, col("group_a") < col("group_b"))
       .crossJoin(broadcast(stats))
       .withColumn("mean_diff", col("mean_b") - col("mean_a"))
       .withColumn("se_pair",
         sqrt(col("msw") / 2.0 * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
       .withColumn("q_stat", abs(col("mean_diff")) / col("se_pair"))
-      .withColumn("q_crit", qcrit(col("k")))
+      .withColumn("q_crit", qcrit(col("k"), col("n_total").cast("double") - col("k")))
       .withColumn("reject", col("q_stat") > col("q_crit"))
       .drop("msw", "n_total")
   }

@@ -64,4 +64,19 @@ class DistributionsSpec extends AnyFunSuite {
     assert(tukeyQcrit05(3) === 3.314)
     assertThrows[IllegalArgumentException](tukeyQcrit05(25))
   }
+
+  test("tukeyQcrit05(k, df): table rows exact, interpolation close, floor enforced") {
+    // exact table rows
+    assert(tukeyQcrit05(3, 10.0) === 3.877)
+    assert(tukeyQcrit05(4, 30.0) === 3.845)
+    // df=9 interpolates between the 5 and 10 rows; published q(3,9)=3.948
+    close(tukeyQcrit05(3, 9.0), 3.948, 0.02)
+    // huge df converges to the ∞ row
+    close(tukeyQcrit05(3, 1e9), 3.314, 1e-6)
+    // df ≥ 120 uses the ∞/120 closed-form blend (mirrored in x6's oracle)
+    close(tukeyQcrit05(3, 240.0), 3.314 + (3.356 - 3.314) * 0.5, 1e-12)
+    // the ∞ row alone would be anti-conservative by >10% here
+    assert(tukeyQcrit05(3, 5.0) / tukeyQcrit05(3) > 1.1)
+    assertThrows[IllegalArgumentException](tukeyQcrit05(3, 4.0))
+  }
 }
