@@ -71,7 +71,10 @@ case class FPValue(left: Expression, right: Expression, df1: Double) extends Dis
 object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "t_pvalue" -> { args => TTestPValue(args(0), args(1)) },
-    "chi2_pvalue" -> { args => Chi2PValue(args(0), args(1)) })
+    "chi2_pvalue" -> { args => Chi2PValue(args(0), args(1)) },
+    "dot_double" -> { args => DotProductD(args(0), args(1)) },
+    "sqdist_double" -> { args => SquaredDistanceD(args(0), args(1)) },
+    "simhash_pack" -> { args => SimHashPack(args(0)) })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -65,17 +65,13 @@ object Dedup {
       size(array_union(aSet, bSet))
 
   /** SimHash-64: per bit b, sum +1/−1 votes of each word-hash's bit b;
-    * the sign vector packed into one long. Pure expressions (xxhash64
-    * is Spark-native; SimHash is oracle-exempt, unit-tested instead). */
-  def simhash64(ws: Column): Column = {
-    val hashes = transform(ws, w => xxhash64(w))
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+    * the sign vector packed into one long (xxhash64 is Spark-native;
+    * SimHash is oracle-exempt, unit-tested instead). The vote tally
+    * runs in the native codegen'd [[graft.functions.SimHashPack]] —
+    * one generated loop instead of 64 interpreted `aggregate` folds
+    * per row (the BENCH r2 dd4 pathology: 119 s → sub-second). */
+  def simhash64(ws: Column): Column =
+    graft.functions.ArrayKernels.simhashPack(transform(ws, w => xxhash64(w)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArrayKernels
+
 /** Embedding similarity search: brute-force cosine top-k as the exact
   * baseline, and an IVF (inverted-file) variant as the scale path.
   *
@@ -15,38 +17,47 @@ import org.apache.spark.sql.functions._
   * ~nProbe/cells while recall stays near 1 for clustered data. At
   * 100 TB the cell id becomes the storage partitioning key, so a probe
   * touches only matching partitions — same plan, pruned at the source.
+  *
+  * Hot-path arithmetic runs on the native codegen'd kernels
+  * ([[graft.functions.ArrayKernels]]) — same sequential-fold order as
+  * the `aggregate`+`zip_with` composition they replaced (bit-identical,
+  * oracle-stable), but inside whole-stage codegen instead of
+  * interpreted lambda evals. Norms are factored out of the pair loop:
+  * cosine(a,b) = dot(a,b)/(‖a‖·‖b‖) with ‖·‖ computed once per row
+  * before the join — the same doubles, ~3× fewer fold passes.
   */
 object Similarity {
 
   /** Dot product of two float-vector columns in double precision,
     * sequential left fold — bit-identical to the SQL oracle's
     * list_sum(list_transform(...)). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dotD(a: Column, b: Column): Column = ArrayKernels.dotD(a, b)
 
-  /** Cosine similarity via [[dotD]]. */
+  /** Cosine similarity via [[dotD]]. Prefer pre-computing the norms
+    * before a join (as the operators below do) when one side is reused
+    * across many pairs. */
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
+  /** ‖v‖ = sqrt(Σ vᵢ²) in double precision. */
+  def norm(v: Column): Column = sqrt(dotD(v, v))
+
   /** Squared L2 distance in double precision, same fold shape. */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+  def sqDist(a: Column, b: Column): Column = ArrayKernels.sqDistD(a, b)
 
   /** Brute-force exact top-k: broadcast `queries` (qIdCol, qVecCol)
-    * against the corpus, cosine per pair, row_number per query with a
-    * deterministic (similarity desc, corpus id) tie-break. */
+    * against the corpus, cosine per pair (norms precomputed per side),
+    * row_number per query with a deterministic (similarity desc,
+    * corpus id) tie-break. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val corpusN = corpus.withColumn("__c_norm", norm(col(vecCol)))
+    val queriesN = queries.withColumn("__q_norm", norm(col(qVecCol)))
+    val scored = corpusN.crossJoin(broadcast(queriesN))
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos_sim", cosine(col(qVecCol), col(vecCol)))
+      .withColumn("cos_sim",
+        dotD(col(qVecCol), col(vecCol)) / (col("__q_norm") * col("__c_norm")))
     val w = Window.partitionBy(qIdCol).orderBy(desc("cos_sim"), col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -81,9 +92,13 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col(qIdCol), col(qVecCol), col(cellCol))
-    val candidates = cellCorpus.join(broadcast(probes), Seq(cellCol))
+      .withColumn("__q_norm", norm(col(qVecCol)))
+    val candidates = cellCorpus
+      .withColumn("__c_norm", norm(col(vecCol)))
+      .join(broadcast(probes), Seq(cellCol))
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos_sim", cosine(col(qVecCol), col(vecCol)))
+      .withColumn("cos_sim",
+        dotD(col(qVecCol), col(vecCol)) / (col("__q_norm") * col("__c_norm")))
     val w = Window.partitionBy(qIdCol).orderBy(desc("cos_sim"), col(idCol))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -340,11 +340,18 @@ object LlmQueries extends Q.Registry {
             concat(
               array(element_at(col("embedding"), 1) + lit(0.05f)),
               slice(col("embedding"), 2, 63)).as("embedding"))
+        // norms once per row (not per pair) — same doubles as
+        // cosine(a,b)'s inline sqrt(dot(x,x)) factors, oracle-stable
         val corpus = emb.select("vec_id", "embedding").unionAll(planted)
-        val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-        val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+          .withColumn("nrm", Similarity.norm(col("embedding")))
+        val a = corpus.select(col("vec_id").as("id_a"),
+          col("embedding").as("vec_a"), col("nrm").as("nrm_a"))
+        val b = corpus.select(col("vec_id").as("id_b"),
+          col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
-          .withColumn("cos_sim", Fmt.trunc(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+          .withColumn("cos_sim", Fmt.trunc(
+            Similarity.dotD(col("vec_a"), col("vec_b")) /
+              (col("nrm_a") * col("nrm_b")), 4))
           .filter(col("cos_sim") >= 0.99)
           .select("id_a", "id_b", "cos_sim")
           .orderBy("id_a", "id_b")

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native kernels must be BIT-IDENTICAL to the interpreted
+  * higher-order-function compositions they replaced — the DuckDB
+  * oracles for dd5/ss1 were built against the HOF forms, so any
+  * divergence (even one ulp) would surface as a hash mismatch. */
+class ArrayKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The original HOF dot product (Similarity r2) — reference form. */
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def hofSqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The original 64-fold SimHash (Dedup r2) — reference form. */
+  private def hofSimhash(ws: Column): Column = {
+    val hashes = transform(ws, w => xxhash64(w))
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  private val floatVecs = Seq(
+    (Array(1.0f, -2.5f, 3.25f, 0.1f), Array(0.5f, 4.0f, -1.75f, 2.2f)),
+    (Array(1e-8f, 1e8f, -1e-8f, 1e8f), Array(1e8f, 1e-8f, 1e8f, -1e-8f)),
+    (Array(0.0f, 0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f, 4.0f)))
+
+  test("dotD/sqDistD: bit-identical to the HOF fold on float vectors (incl. cancellation-sensitive cases)") {
+    val df = floatVecs.toDF("a", "b")
+    val rows = df.select(
+      ArrayKernels.dotD($"a", $"b").as("k_dot"), hofDot($"a", $"b").as("h_dot"),
+      ArrayKernels.sqDistD($"a", $"b").as("k_sq"), hofSqDist($"a", $"b").as("h_sq"))
+      .collect()
+    rows.foreach { r =>
+      // bitwise, not approximate: fold order must match exactly
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("dotD: mixed float/double sides (IVF centroid case) match the HOF form") {
+    val df = Seq((Array(1.5f, -2.0f, 0.25f), Array(0.1, 2.0 / 3.0, -7.125)))
+      .toDF("f", "d")
+    val r = df.select(ArrayKernels.dotD($"f", $"d"), hofDot($"f", $"d"),
+      ArrayKernels.sqDistD($"f", $"d"), hofSqDist($"f", $"d")).head()
+    assert(r.getDouble(0) === r.getDouble(1))
+    assert(r.getDouble(2) === r.getDouble(3))
+  }
+
+  test("dotD: null on length mismatch (zip_with padding semantics) and on null input") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val r = df.select(ArrayKernels.dotD($"a", $"b"), hofDot($"a", $"b")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val rn = df.select(ArrayKernels.dotD(lit(null).cast("array<float>"), $"a")).head()
+    assert(rn.isNullAt(0))
+  }
+
+  test("simhashPack(transform(xxhash64)): identical to the 64-fold form; empty array → 0") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs", "single").toDF("t")
+      .select(split($"t", " ").as("ws"))
+    val rows = df.select(
+      Dedup_simhash($"ws").as("k"), hofSimhash($"ws").as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val empty = spark.sql("SELECT 1").select(
+      Dedup_simhash(array().cast("array<string>"))).head()
+    assert(empty.getLong(0) === 0L)
+  }
+  private def Dedup_simhash(ws: Column): Column = graft.llm.Dedup.simhash64(ws)
+
+  test("kernels are SQL-registered (dot_double / sqdist_double / simhash_pack)") {
+    GraftFunctions.register(spark)
+    val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .selectExpr("dot_double(a, b)", "sqdist_double(a, b)",
+        "simhash_pack(array(xxhash64('w')))")
+      .head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 8.0)
+  }
+}
