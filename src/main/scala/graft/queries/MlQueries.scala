@@ -131,11 +131,15 @@ object MlQueries extends Q.Registry {
         "The LSTM forward pass (X14) is out of engine scope; M3 is the " +
         "engine-native predictor (SURVEY §2.10).",
       (s, d) => {
+        // no unpersist here: the returned frame is lazy — dropping the
+        // cache before the caller's action would recompute modelFrame
+        // cold for the scoring pass. The entry is plan-keyed and tiny
+        // (the x10 ladder shares it); it lives for the session like the
+        // Warm.prime views.
         val frame = modelFrame(s, d).cache()
         val m3 = Models.olsFit(frame,
           "filling_rate ~ dist_to_mrt + total_spaces + hour_str + filling_rate_lag1")
         val scored = m3.transform(frame)
-        frame.unpersist()
         scored.select(
           col("event_id"),
           Derive.clampRoundNonNeg(col("prediction") * col("total_spaces")).as("bikes_pred"))
