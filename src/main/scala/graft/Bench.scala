@@ -34,7 +34,9 @@ object Bench {
   /** Queries that fit an ML model or drive a full streaming pipeline
     * (single bench run, see below). */
   val FitQueries: Set[String] = Set(
-    "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring", "st1_stream_watermark_dedup")
+    "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring",
+    "st1_stream_watermark_dedup", "st2_stream_windowed_agg",
+    "st3_stream_stateful_counts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

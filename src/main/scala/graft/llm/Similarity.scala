@@ -78,6 +78,62 @@ object Similarity {
       .drop("rn", "cell_dist", centVecCol)
   }
 
+  /** Sign-random-projection (hyperplane) LSH tables: `tables`
+    * independent tables of `bits` seeded gaussian hyperplanes each.
+    * Deterministic for a fixed seed — the data-INDEPENDENT ANN path
+    * (no training pass, unlike IVF): two vectors land in the same
+    * bucket of one table with probability (1 − θ/π)^bits for angle θ,
+    * so near-duplicates (θ≈0) collide in almost every table while the
+    * bulk spreads over 2^bits buckets. */
+  def hyperplaneTables(dim: Int, tables: Int, bits: Int,
+                       seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Packed sign-bucket of `v` under one table's hyperplanes: bit i =
+    * (v · plane_i ≥ 0). Pure codegen'd dot products over literal
+    * plane arrays. */
+  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(ArrayKernels.dotD(v, array(p.map(lit).toIndexedSeq: _*)) >= 0,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Multi-table hyperplane-LSH top-k: candidates are corpus rows that
+    * share (table, bucket) with the query in ANY table — the union-of-
+    * tables probe — deduplicated, then exact cosine + top-k. The join
+    * key is (table, bucket): shuffle-bounded, never all-pairs; at
+    * 100 TB (table, bucket) becomes the storage partitioning key and a
+    * probe touches only matching partitions, like ss2's IVF cells but
+    * with zero training. Recall is tunable via tables × bits
+    * (asserted against brute force in LlmSpec). */
+  def hyperplaneTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     dim: Int, tables: Int, bits: Int, k: Int,
+                     seed: Long = 42L): DataFrame = {
+    val planes = hyperplaneTables(dim, tables, bits, seed)
+    def buckets(vec: Column): Column = array(planes.zipWithIndex.map {
+      case (ps, t) => struct(lit(t).as("t"), hyperplaneBucket(vec, ps).as("b"))
+    }: _*)
+    val cB = corpus
+      .withColumn("__c_norm", norm(col(vecCol)))
+      .withColumn("tb", explode(buckets(col(vecCol))))
+    val qB = queries
+      .withColumn("__q_norm", norm(col(qVecCol)))
+      .withColumn("tb", explode(buckets(col(qVecCol))))
+    val candidates = cB.join(broadcast(qB), Seq("tb"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .dropDuplicates(qIdCol, idCol) // same pair can collide in several tables
+      .withColumn("cos_sim",
+        dotD(col(qVecCol), col(vecCol)) / (col("__q_norm") * col("__c_norm")))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("cos_sim"), col(idCol))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        col("cos_sim"), col("rank"))
+  }
+
   /** IVF search: per query pick the nProbe nearest cells, scan only
     * corpus rows in those cells, exact cosine + top-k inside the
     * probed subset. `cellCorpus` must carry cellCol (from

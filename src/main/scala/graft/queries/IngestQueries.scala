@@ -16,6 +16,41 @@ import graft.ops.Derive
 object IngestQueries extends Q.Registry {
   import RelationalQueries.enrSql
 
+  /** Bounded file-source stream over the events table (the micro-batch
+    * analog of the reference's 10-min poll): station_no, record_time,
+    * bikes_available. */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    // the file source wants a directory: stream the sf dir, filtered
+    // to the events file
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val tsCol =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
+    raw.select(
+      col("user_id").cast("string").as("station_no"),
+      tsCol.as("record_time"),
+      col("value").as("bikes_available"))
+  }
+
+  /** Run a bounded streaming frame to a uniquely-named memory sink and
+    * return the sink table. */
+  private def runToMemory(s: org.apache.spark.sql.SparkSession,
+                          df: org.apache.spark.sql.DataFrame, prefix: String,
+                          mode: String): org.apache.spark.sql.DataFrame = {
+    val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("ing1_json_ingest",
@@ -116,27 +151,10 @@ object IngestQueries extends Q.Registry {
         "counts. Oracle is the batch semantics (DISTINCT on the key) - " +
         "the stream/batch equivalence the watermark design promises.",
       (s, d) => {
-        import org.apache.spark.sql.functions.{col, count, lit, timestamp_micros, expr}
-        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-        // the file source wants a directory: stream the sf dir, filtered
-        // to the events file
-        val raw = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-        val tsCol =
-          if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-            timestamp_micros(expr("ts div 1000"))
-          else col("ts")
-        val facts = raw.select(
-          col("user_id").cast("string").as("station_no"),
-          tsCol.as("record_time"))
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val facts = eventsStream(s, d).select("station_no", "record_time")
         val deduped = graft.streaming.MicroBatchIngest.dedupWithinWatermark(facts)
-        val sink = "st1_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = deduped.writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(sink)
+        runToMemory(s, deduped, "st1_out_", "append")
           .groupBy("station_no").agg(count(lit(1)).as("n_dedup"))
           .orderBy("station_no")
       },
@@ -144,6 +162,49 @@ object IngestQueries extends Q.Registry {
         """SELECT station_no, count(*) AS n_dedup FROM (
           |  SELECT DISTINCT station_no, record_time FROM status)
           |GROUP BY station_no ORDER BY station_no""".stripMargin)),
+
+    Q("st2_stream_windowed_agg",
+      "Streaming watermarked WINDOWED aggregation (2.9): tumbling " +
+        "1-hour event-time windows per station over the bounded " +
+        "micro-batch run, complete-mode sink. Oracle is the batch " +
+        "hourly rollup - the window/batch equivalence.",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val agg = graft.streaming.MicroBatchIngest.hourlyWindowStats(eventsStream(s, d))
+        runToMemory(s, agg, "st2_out_", "complete")
+          .select(
+            col("window.start").as("window_start"),
+            col("station_no"),
+            col("n"),
+            Fmt.trunc(col("avg_bikes"), 6).as("avg_bikes"))
+          .orderBy("window_start", "station_no")
+      },
+      Some(enrSql +
+        """SELECT date_trunc('hour', record_time) AS window_start, station_no,
+          |       count(*) AS n,
+          |       floor((avg(bikes_available)) * 1e6 + 1e-6) / 1e6 AS avg_bikes
+          |FROM status GROUP BY 1, 2 ORDER BY window_start, station_no""".stripMargin)),
+
+    Q("st3_stream_stateful_counts",
+      "Streaming CUSTOM STATE via flatMapGroupsWithState (2.9): " +
+        "cumulative per-station counts carried in GroupState across " +
+        "micro-batches (cross-batch accumulation proven in " +
+        "MicroBatchIngestSpec); the bounded run's final state equals " +
+        "the batch group-by count.",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, max}
+        val counted = graft.streaming.MicroBatchIngest
+          .runningCounts(eventsStream(s, d))
+          .toDF("station_no", "n_cum")
+        // max over the per-batch emissions = the final running total
+        // (robust to the source splitting the run into several batches)
+        runToMemory(s, counted, "st3_out_", "append")
+          .groupBy("station_no").agg(max("n_cum").as("n_events"))
+          .orderBy("station_no")
+      },
+      Some(enrSql +
+        """SELECT station_no, count(*) AS n_events
+          |FROM status GROUP BY station_no ORDER BY station_no""".stripMargin)),
 
     Q("a9_table_counts",
       "A9 count/emptiness checkpoints, explicit: row counts of the " +

@@ -272,6 +272,23 @@ object LlmQueries extends Q.Registry {
       },
       None),
 
+    Q("ss3_hyperplane_lsh_topk",
+      "Hyperplane-LSH approximate top-3: sign-random-projection " +
+        "buckets (3 tables x 8 bits, seeded), union-of-tables probe, " +
+        "exact cosine inside candidates — the data-independent ANN " +
+        "path beside ss2's trained IVF. Recall vs brute force " +
+        "asserted in LlmSpec.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.hyperplaneTopK(emb, "vec_id", "embedding",
+          queries, "q_id", "q_vec", dim = 64, tables = 3, bits = 8, k = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     Q("tx1_token_stats",
       "Per-document token statistics: whitespace words, BPE-ish regex " +
         "tokens, mean word length, punctuation ratio — the map-stage " +

@@ -46,7 +46,12 @@ object MlQueries extends Q.Registry {
     Q("x10_ols_ladder",
       "Three OLS models via RFormula (X10, 01:1139-1151): M1 " +
         "structural, M2 +time dummies, M3 +lag — emits the R-squared " +
-        "ladder. Fit assertions live in MlModelsSpec.",
+        "ladder. Fit assertions live in MlModelsSpec. Note: M2 is " +
+        "rank-deficient BY CONSTRUCTION (is_weekend over the weekday-" +
+        "filtered frame, faithful to 01: df_analysis is weekday-only " +
+        "and statsmodels pinv-solves it silently) — the normal-solver " +
+        "Cholesky failure + quasi-Newton retry warning is the expected " +
+        "Spark analog, not a bug.",
       (s, d) => {
         import s.implicits._
         val frame = modelFrame(s, d).cache()

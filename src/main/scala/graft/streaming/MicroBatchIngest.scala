@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.ingest.IngestBatch
@@ -27,6 +28,36 @@ object MicroBatchIngest {
     facts
       .withWatermark("record_time", watermark)
       .dropDuplicatesWithinWatermark("station_no", "record_time")
+
+  /** §2.9 watermarked windowed aggregation: tumbling 1-hour windows
+    * per station over event time — the streaming form of the J2/A2
+    * hourly rollup. Watermark bounds the window state ledger: windows
+    * older than the horizon are finalized and dropped, so state is
+    * (stations × open windows), not history. */
+  def hourlyWindowStats(facts: DataFrame, watermark: String = "1 hour"): DataFrame =
+    facts
+      .withWatermark("record_time", watermark)
+      .groupBy(window(col("record_time"), "1 hour"), col("station_no"))
+      .agg(count(lit(1)).as("n"), avg("bikes_available").as("avg_bikes"))
+
+  /** §2.9 custom state via `flatMapGroupsWithState`: cumulative per-
+    * station event counts that survive across micro-batches — the
+    * KeyValueGroupedDataset state API the built-in aggregations can't
+    * express (emit-per-batch running totals). State per key is one
+    * long; the shuffle is the groupByKey hash partitioning, identical
+    * at 1000 executors. */
+  def runningCounts(facts: DataFrame): Dataset[(String, Long)] = {
+    val session = facts.sparkSession
+    import session.implicits._
+    facts.select(col("station_no")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[String], state: GroupState[Long]) => {
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator(key -> total)
+        })
+  }
 
   /** Full sink wiring: watermark dedup, then per-micro-batch dim
     * upsert + fact append through user callbacks (the JDBC/parquet

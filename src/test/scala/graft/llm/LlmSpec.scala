@@ -127,6 +127,47 @@ class LlmSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@3 = $mean")
   }
 
+  test("hyperplane LSH recall@3 >= 0.8 vs brute force on clustered vectors; near-identical pairs always collide") {
+    // same 8-cluster fixture shape as the IVF test: the (1 - θ/π)^bits
+    // collision law only buys recall when neighbors subtend small
+    // angles, i.e. clustered data.
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 30) yield {
+      val center = Array.tabulate(dim)(j => if (j % 8 == c % 8) 5f else 0f)
+      val vec = center.map(v => v + rnd.nextGaussian().toFloat * 0.3f).toSeq
+      ((c * 30 + i).toLong, c, vec)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val queries = emb.filter($"vec_id" % 24 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val lsh = Similarity.hyperplaneTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", dim = dim, tables = 4, bits = 6, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@3 = $mean")
+    // a vector and its tiny perturbation (θ≈0) must meet in ≥1 table
+    val base = emb.limit(5)
+      .select($"vec_id" + 10000L, transform($"embedding", x => x + lit(0.01f)))
+      .toDF("vec_id", "embedding")
+    val nearQ = base.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val hits = Similarity.hyperplaneTopK(
+      emb.select("vec_id", "embedding").unionAll(base), "vec_id", "embedding",
+      nearQ, "q_id", "q_vec", dim = dim, tables = 4, bits = 6, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    base.select("vec_id").as[Long].collect().foreach { q =>
+      assert(hits.get(q).contains(q - 10000L), s"near-dup $q missed: $hits")
+    }
+  }
+
   test("langId classifies real multilingual sentences") {
     val out = Seq(
       "the cat sat on the mat and it is a good day",

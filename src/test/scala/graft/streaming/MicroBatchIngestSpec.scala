@@ -69,4 +69,61 @@ class MicroBatchIngestSpec extends SparkSpec {
     // dim upsert: s1 pre-existing → only s2 ever inserted, exactly once
     assert(dimLog.toSet === Set("s2"), s"dims inserted: $dimLog")
   }
+
+  test("hourlyWindowStats: tumbling event-time windows equal the batch hourly rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fact]
+    val agg = MicroBatchIngest.hourlyWindowStats(
+      input.toDF().withColumnRenamed("bikes", "bikes_available"))
+    val q = agg.writeStream.format("memory").queryName("st2_spec")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("0 seconds")).start()
+    input.addData(
+      Fact("s1", ts("2024-03-01 08:05:00"), 4),
+      Fact("s1", ts("2024-03-01 08:55:00"), 6),
+      Fact("s2", ts("2024-03-01 08:10:00"), 10))
+    q.processAllAvailable()
+    input.addData(
+      Fact("s1", ts("2024-03-01 09:05:00"), 8), // next window
+      Fact("s1", ts("2024-03-01 08:59:00"), 0)) // cross-batch, same window
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st2_spec")
+      .select($"window.start".cast("string"), $"station_no", $"n", $"avg_bikes")
+      .as[(String, String, Long, Double)].collect().toSet
+    val expected = Set(
+      ("2024-03-01 08:00:00", "s1", 3L, 10.0 / 3),
+      ("2024-03-01 08:00:00", "s2", 1L, 10.0),
+      ("2024-03-01 09:00:00", "s1", 1L, 8.0))
+    assert(got === expected, s"got $got")
+  }
+
+  test("runningCounts: GroupState accumulates across micro-batches (emit-per-batch totals)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fact]
+    val counted = MicroBatchIngest.runningCounts(input.toDF())
+      .toDF("station_no", "n_cum")
+    val q = counted.writeStream.format("memory").queryName("st3_spec")
+      .outputMode("append").trigger(Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-st3-ckpt").toString)
+      .start()
+    input.addData(
+      Fact("s1", ts("2024-03-01 08:00:00"), 1),
+      Fact("s1", ts("2024-03-01 08:01:00"), 2),
+      Fact("s2", ts("2024-03-01 08:02:00"), 3))
+    q.processAllAvailable()
+    input.addData(Fact("s1", ts("2024-03-01 09:00:00"), 4))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st3_spec")
+      .as[(String, Long)].collect().toSeq
+    // batch 1 emits the within-batch totals; batch 2 re-emits s1 with
+    // the CARRIED total 2+1=3 — the state survived the batch boundary
+    assert(rows.count(_ == ("s1", 2L)) === 1, s"rows: $rows")
+    assert(rows.count(_ == ("s2", 1L)) === 1, s"rows: $rows")
+    assert(rows.count(_ == ("s1", 3L)) === 1, s"rows: $rows")
+    // final per-key max == batch-mode group counts
+    val finalCounts = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(finalCounts === Map("s1" -> 3L, "s2" -> 1L))
+  }
 }
