@@ -54,12 +54,14 @@ object MlQueries extends Q.Registry {
         "Spark analog, not a bug.",
       (s, d) => {
         import s.implicits._
+        // cache() joins the Warm-primed plan-keyed entry; no unpersist —
+        // dropping it here would evict the shared session view x15 and
+        // later executions reuse
         val frame = modelFrame(s, d).cache()
         val ladder = Models.olsLadder(frame, Seq(
           "M1" -> "filling_rate ~ dist_to_mrt + total_spaces + district",
           "M2" -> "filling_rate ~ dist_to_mrt + total_spaces + district + hour_str + is_weekend_d",
           "M3" -> "filling_rate ~ dist_to_mrt + total_spaces + hour_str + filling_rate_lag1"))
-        frame.unpersist()
         ladder.toDF("model", "r2", "n_features")
       },
       None),

@@ -22,5 +22,9 @@ object Warm {
     Analog.weather(spark, dir).cache()
     RelationalQueries.enriched(spark, dir).cache()
     RelationalQueries.clean(spark, dir).cache()
+    // cell 7's model frame (clean + lag + nn-dist) is likewise built
+    // once per reference session and reused by every fit — x10/x15
+    // then measure the FITS, not the frame rebuild
+    MlQueries.modelFrame(spark, dir).cache()
   }
 }
