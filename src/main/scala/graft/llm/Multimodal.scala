@@ -1,7 +1,11 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+/** Typed output row of the batched decode stage. */
+case class DecodedMeta(doc_id: Long, format: String, width: Int,
+                       height: Int, n_bytes: Int)
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, chunking/frame-sampling, and a decode seam.
@@ -49,4 +53,51 @@ object Multimodal {
   /** Every k-th chunk ("frame sample" stride). */
   def sampleEvery(chunksCol: Column, stride: Int): Column =
     filter(chunksCol, (_, i) => i % stride === 0)
+
+  /** === STUB: deterministic batch codec ===
+    * One call per batch of payloads (the shape a real codec wants —
+    * model/codec init amortized per batch, not per row). Derives
+    * (format, width, height) from the byte length only, so the result
+    * is SQL-mirrorable and the batched path gets a full hash oracle.
+    * Replace exactly this function with javax.imageio / ffmpeg /
+    * an ONNX feature extractor in production — the signature (a batch
+    * of byte arrays in, one meta tuple per payload out) stays. */
+  def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[(String, Int, Int)] =
+    payloads.map { b =>
+      val n = b.length
+      val fmt = n % 3 match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
+      (fmt, n % 1920 + 64, n % 1080 + 64)
+    }
+
+  /** The mapInPandas analog in Scala: a partition-local BATCHED decode
+    * stage over (id, binary payload) rows. Each task consumes its
+    * partition in `batchSize`-row groups (the Arrow-batch shape),
+    * invokes the codec once per group, and emits one typed
+    * [[DecodedMeta]] row per payload. No shuffle, no driver
+    * collection — the stage runs at scan parallelism, so at 100 TB it
+    * scales with executors exactly like any map stage; `batchSize`
+    * trades codec-call overhead against task memory (batch bytes held
+    * at once). MultimodalSpec proves batch-boundary invariance and the
+    * one-call-per-batch contract; the mm3 query hash-oracles the
+    * stubbed output end-to-end. */
+  def decodeBatched(df: DataFrame, idCol: String, payloadCol: String,
+                    batchSize: Int = 64,
+                    decodeBatch: Seq[Array[Byte]] => Seq[(String, Int, Int)] = stubDecodeBatch)
+      : Dataset[DecodedMeta] = {
+    val session = df.sparkSession
+    import session.implicits._
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val metas = decodeBatch(batch.map(_._2))
+          require(metas.length == batch.length,
+            s"codec returned ${metas.length} metas for ${batch.length} payloads")
+          batch.lazyZip(metas).map { case ((id, bytes), (fmt, w, h)) =>
+            DecodedMeta(id, fmt, w, h, bytes.length)
+          }
+        }
+      }
+  }
 }

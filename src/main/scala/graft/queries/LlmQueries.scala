@@ -388,6 +388,27 @@ object LlmQueries extends Q.Registry {
           |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 16) AS BIGINT) AS n_chunks
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("mm3_batched_decode",
+      "Batched multimodal decode (the mapInPandas analog): " +
+        "mapPartitions consumes 64-row payload batches, one codec call " +
+        "per batch, typed DecodedMeta rows out. The stub codec is " +
+        "byte-length-deterministic, so even this non-SQL execution " +
+        "path gets a full hash oracle.",
+      (s, d) => {
+        val withPayload = Tables.documents(s, d)
+          .withColumn("payload", Multimodal.payload(col("text")))
+        Multimodal.decodeBatched(withPayload, "doc_id", "payload")
+          .toDF().orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CASE octet_length(encode(text)) % 3
+          |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+          |  CAST(octet_length(encode(text)) % 1920 + 64 AS INT) AS width,
+          |  CAST(octet_length(encode(text)) % 1080 + 64 AS INT) AS height,
+          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("dd5_embedding_near_dup",
       "Embedding-cosine near-dup: planted perturbed replays detected " +
         "by pairwise cosine >= 0.99. Exact all-pairs here (oracle-able " +

@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contracts of the batched decode stage (the mapInPandas analog):
+  * batch boundaries must not change results, the codec must be called
+  * once per batch (not per row), and ragged final batches must work. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, "x" * (i % 97 + 1))).toDF("doc_id", "text")
+      .withColumn("payload", Multimodal.payload($"text"))
+
+  test("decodeBatched: results independent of batch size (incl. ragged last batch)") {
+    val df = docs(131).repartition(3)
+    val bySize = Seq(1, 7, 64, 1000).map { bs =>
+      Multimodal.decodeBatched(df, "doc_id", "payload", batchSize = bs)
+        .collect().sortBy(_.doc_id).toSeq
+    }
+    bySize.tail.foreach(r => assert(r === bySize.head))
+    // and the stub meta matches its spec
+    val m = bySize.head(100) // doc 100 → 100 % 97 + 1 = 4 bytes
+    assert(m === DecodedMeta(100L, m.format, 4 % 1920 + 64, 4 % 1080 + 64, 4))
+    assert(m.format === (4 % 3 match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }))
+  }
+
+  test("decodeBatched: one codec invocation per batch, not per row") {
+    val calls = spark.sparkContext.longAccumulator("codec_calls")
+    val rows = spark.sparkContext.longAccumulator("codec_rows")
+    val df = docs(100).coalesce(1) // one partition → ceil(100/8)=13 calls
+    val out = Multimodal.decodeBatched(df, "doc_id", "payload", batchSize = 8,
+      decodeBatch = { batch =>
+        calls.add(1); rows.add(batch.length)
+        Multimodal.stubDecodeBatch(batch)
+      }).count()
+    assert(out === 100)
+    assert(calls.value === 13, s"codec calls: ${calls.value}")
+    assert(rows.value === 100)
+  }
+
+  test("decodeBatched: codec returning a wrong-arity batch fails loudly") {
+    val df = docs(5).coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeBatched(df, "doc_id", "payload", batchSize = 5,
+        decodeBatch = _ => Seq(("png", 64, 64))).count()
+    }
+    assert(ex.getMessage.contains("metas") ||
+      Option(ex.getCause).exists(_.getMessage.contains("metas")))
+  }
+}
