@@ -61,6 +61,13 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    // per-query methodology marker, emitted in the JSON so committed
+    // artifacts can't silently mix steady-state minima with degraded
+    // single shots: "min2" (warm-up + min-of-iters), "single"
+    // (fit/stream or slow-warm-up: one measured run after warm-up),
+    // "fit" (one run, no warm-up by design), "degraded" (budget spent:
+    // one cold run)
+    val modes = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
     def js(s: String): String =
       "\"" + s.flatMap {
@@ -74,7 +81,10 @@ object Bench {
         errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       }
       val total = rs.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${js(sfDir)},"iters":$iters,"partial":$partial,"errors":$errJson}"""
+      val modeJson = rs.map { case (k, _) =>
+        s"${js(k)}:${js(modes.getOrDefault(k, "unknown"))}"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${js(sfDir)},"iters":$iters,"partial":$partial,"modes":$modeJson,"errors":$errJson}"""
     }
 
     @volatile var finished = false
@@ -107,11 +117,14 @@ object Bench {
               org.apache.spark.sql.execution.FormattedMode)
             Files.writeString(Paths.get(s"$d/$name.txt"), plan)
           }
-          if (isFit || degraded) once()
-          else {
+          if (isFit || degraded) {
+            modes.put(name, if (isFit) "fit" else "degraded")
+            once()
+          } else {
             val warm = once() // warm-up: codegen + JIT + cache fill
             // a slow warm-up means iterations are expensive — cap at one
             val n = if (warm > 5.0) 1 else math.max(1, iters)
+            modes.put(name, if (n == 1) "single" else s"min$n")
             Seq.fill(n)(once()).min
           }
         } catch {
@@ -119,6 +132,7 @@ object Bench {
             errors.synchronized {
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
             }
+            modes.put(name, "error")
             1000.0
         }
       done.add(name -> sec)

@@ -71,7 +71,12 @@ object Dedup {
     * one generated loop instead of 64 interpreted `aggregate` folds
     * per row (the BENCH r2 dd4 pathology: 119 s → sub-second). */
   def simhash64(ws: Column): Column =
-    graft.functions.ArrayKernels.simhashPack(transform(ws, w => xxhash64(w)))
+    // coalesce preserves the original fold-form contract for a NULL
+    // word array (each when(votes>0).otherwise(0) bit summed to 0L);
+    // the kernel itself stays honestly null-propagating
+    coalesce(
+      graft.functions.ArrayKernels.simhashPack(transform(ws, w => xxhash64(w))),
+      lit(0L))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

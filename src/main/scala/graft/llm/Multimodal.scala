@@ -87,7 +87,12 @@ object Multimodal {
     val session = df.sparkSession
     import session.implicits._
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    // null contract: rows with a null id or null payload are SKIPPED
+    // (they would otherwise NPE inside the codec / break the primitive
+    // encoder) — a production pipeline routes them to a dead-letter
+    // side output instead of dying mid-job
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .filter(col(idCol).isNotNull && col(payloadCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>

@@ -93,11 +93,16 @@ object Similarity {
 
   /** Packed sign-bucket of `v` under one table's hyperplanes: bit i =
     * (v · plane_i ≥ 0). Pure codegen'd dot products over literal
-    * plane arrays. */
+    * plane arrays. NULL-propagating by design: if the vector length
+    * doesn't match the planes' dim, dotD is null and so is the bucket —
+    * the downstream equi-join then DROPS the row (null keys never
+    * match) instead of silently collapsing everything into bucket 0
+    * and going quadratic. */
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(ArrayKernels.dotD(v, array(p.map(lit).toIndexedSeq: _*)) >= 0,
-        lit(1 << i)).otherwise(lit(0))
+      val d = ArrayKernels.dotD(v, array(p.map(lit).toIndexedSeq: _*))
+      // no .otherwise: null dot → null branch → null bucket
+      when(d >= 0, lit(1 << i)).when(d < 0, lit(0))
     }.reduce(_ + _)
 
   /** Multi-table hyperplane-LSH top-k: candidates are corpus rows that
@@ -112,17 +117,29 @@ object Similarity {
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      dim: Int, tables: Int, bits: Int, k: Int,
                      seed: Long = 42L): DataFrame = {
+    require(bits >= 1 && bits <= 31,
+      s"bits must be in [1,31] (bucket is a packed Int), got $bits")
+    require(dim >= 1 && tables >= 1 && k >= 1,
+      s"dim/tables/k must be positive, got dim=$dim tables=$tables k=$k")
     val planes = hyperplaneTables(dim, tables, bits, seed)
     def buckets(vec: Column): Column = array(planes.zipWithIndex.map {
       case (ps, t) => struct(lit(t).as("t"), hyperplaneBucket(vec, ps).as("b"))
     }: _*)
+    // join on the SCALAR (table, bucket) columns, not the struct: a
+    // struct key compares as raw bytes (null fields match!), while
+    // scalar equi-join keys give null buckets SQL null semantics —
+    // they match nothing
     val cB = corpus
       .withColumn("__c_norm", norm(col(vecCol)))
       .withColumn("tb", explode(buckets(col(vecCol))))
+      .withColumn("__t", col("tb.t")).withColumn("__b", col("tb.b"))
+      .drop("tb")
     val qB = queries
       .withColumn("__q_norm", norm(col(qVecCol)))
       .withColumn("tb", explode(buckets(col(qVecCol))))
-    val candidates = cB.join(broadcast(qB), Seq("tb"))
+      .withColumn("__t", col("tb.t")).withColumn("__b", col("tb.b"))
+      .drop("tb")
+    val candidates = cB.join(broadcast(qB), Seq("__t", "__b"))
       .filter(col(idCol) =!= col(qIdCol))
       .dropDuplicates(qIdCol, idCol) // same pair can collide in several tables
       .withColumn("cos_sim",

@@ -139,7 +139,14 @@ object StatsQueries extends Q.Registry {
           |       floor((sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6 + 1e-6) / 1e6 AS se_pair,
           |       floor((abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6 + 1e-6) / 1e6 AS q_stat,
           |       abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))
-          |         > (3.314 + (3.356 - 3.314) * (120.0 / s.dfw)) AS reject
+          |         > (CASE
+          |              WHEN s.dfw >= 120 THEN 3.314 + (3.356 - 3.314) * (120.0 / s.dfw)
+          |              WHEN s.dfw >= 60 THEN 3.356 + (3.399 - 3.356) * ((1.0/s.dfw) - (1.0/120.0)) / ((1.0/60.0) - (1.0/120.0))
+          |              WHEN s.dfw >= 30 THEN 3.399 + (3.486 - 3.399) * ((1.0/s.dfw) - (1.0/60.0)) / ((1.0/30.0) - (1.0/60.0))
+          |              WHEN s.dfw >= 20 THEN 3.486 + (3.578 - 3.486) * ((1.0/s.dfw) - (1.0/30.0)) / ((1.0/20.0) - (1.0/30.0))
+          |              WHEN s.dfw >= 10 THEN 3.578 + (3.877 - 3.578) * ((1.0/s.dfw) - (1.0/20.0)) / ((1.0/10.0) - (1.0/20.0))
+          |              ELSE 3.877 + (4.602 - 3.877) * ((1.0/s.dfw) - (1.0/10.0)) / ((1.0/5.0) - (1.0/10.0))
+          |            END) AS reject
           |FROM gtukey a
           |JOIN gtukey b ON a.district < b.district
           |CROSS JOIN (

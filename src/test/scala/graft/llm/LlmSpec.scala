@@ -168,6 +168,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 on a NULL word array returns 0L (the original fold-form contract)") {
+    val out = Seq(Tuple1("x")).toDF("t")
+      .select(Dedup.simhash64(lit(null).cast("array<string>"))).head()
+    assert(!out.isNullAt(0) && out.getLong(0) === 0L)
+  }
+
+  test("hyperplaneTopK fails fast on bad bits and yields EMPTY (not quadratic) on wrong dim") {
+    val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Seq(4.0f, 3.0f, 2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    assertThrows[IllegalArgumentException] {
+      Similarity.hyperplaneTopK(emb, "vec_id", "embedding", q, "q_id", "q_vec",
+        dim = 4, tables = 1, bits = 32, k = 1)
+    }
+    // dim mismatch: buckets go null, null join keys match nothing —
+    // the safe failure mode (empty result), never an all-pairs join
+    val wrongDim = Similarity.hyperplaneTopK(emb, "vec_id", "embedding",
+      q, "q_id", "q_vec", dim = 7, tables = 2, bits = 4, k = 1)
+    assert(wrongDim.count() === 0)
+  }
+
   test("langId classifies real multilingual sentences") {
     val out = Seq(
       "the cat sat on the mat and it is a good day",

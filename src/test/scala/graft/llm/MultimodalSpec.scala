@@ -41,6 +41,19 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.value === 100)
   }
 
+  test("decodeBatched: null ids/payloads are skipped, not NPE'd") {
+    val df = Seq(
+      (Some(1L), Some("abc")),
+      (Some(2L), None),          // null payload
+      (None, Some("def")),       // null id
+      (Some(4L), Some("ghij"))
+    ).toDF("doc_id", "text")
+      .withColumn("payload", Multimodal.payload($"text"))
+    val out = Multimodal.decodeBatched(df, "doc_id", "payload")
+      .collect().map(_.doc_id).sorted.toSeq
+    assert(out === Seq(1L, 4L))
+  }
+
   test("decodeBatched: codec returning a wrong-arity batch fails loudly") {
     val df = docs(5).coalesce(1)
     val ex = intercept[org.apache.spark.SparkException] {
