@@ -32,15 +32,18 @@ object Multimodal {
 
   /** === STUB: deterministic fake decode ===
     * Derives (format, width, height, n_bytes) pseudo-metadata from the
-    * payload bytes. Replace with a real codec (e.g. javax.imageio /
-    * ffmpeg via mapPartitions) in production — signature stays. */
+    * payload byte LENGTH — the same rule as [[stubDecodeBatch]], so the
+    * expression path and the batched path agree, and queries over
+    * either are SQL-mirrorable (mm2/mm3 carry full hash oracles).
+    * Replace with a real codec (e.g. javax.imageio / ffmpeg via
+    * [[decodeBatched]]) in production — signature stays. */
   def fakeDecodeMeta(bin: Column): Column = {
-    val h = abs(xxhash64(bin))
+    val n = length(bin)
     struct(
-      when(h % 3 === 0, "png").when(h % 3 === 1, "jpeg").otherwise("webp").as("format"),
-      (h % 1920 + 64).cast("int").as("width"),
-      (h % 1080 + 64).cast("int").as("height"),
-      length(bin).as("n_bytes"))
+      when(n % 3 === 0, "png").when(n % 3 === 1, "jpeg").otherwise("webp").as("format"),
+      (n % 1920 + 64).cast("int").as("width"),
+      (n % 1080 + 64).cast("int").as("height"),
+      n.as("n_bytes"))
   }
 
   /** Fixed-size byte chunks (frame sampling / patch extraction shape):

@@ -467,8 +467,9 @@ object LlmQueries extends Q.Registry {
 
     Q("mm2_chunk_sample",
       "Chunk + stride-sample the binary payload (frame-sampling shape): " +
-        "16-byte chunks, every 4th kept, exploded to rows. Spark-side " +
-        "plumbing; decode stub tested in LlmSpec.",
+        "16-byte chunks, every 4th kept, exploded to rows. The length-" +
+        "deterministic stub makes even the chunk geometry fully " +
+        "hash-oracled.",
       (s, d) =>
         Tables.documents(s, d)
           .withColumn("payload", Multimodal.payload(col("text")))
@@ -481,6 +482,18 @@ object LlmQueries extends Q.Registry {
             posexplode(col("sampled")).as(Seq("chunk_idx", "chunk")))
           .select(col("doc_id"), col("format"), col("chunk_idx"),
             length(col("chunk")).as("chunk_bytes")),
-      None)
+      Some(
+        """SELECT doc_id,
+          |  CASE len % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+          |  CAST(j // 4 AS INT) AS chunk_idx,
+          |  CAST(CASE WHEN j < n_chunks - 1 THEN 16
+          |            ELSE len - 16 * (n_chunks - 1) END AS INT) AS chunk_bytes
+          |FROM (
+          |  SELECT doc_id, len, n_chunks, unnest(range(0, n_chunks)) AS j
+          |  FROM (
+          |    SELECT doc_id, octet_length(encode(text)) AS len,
+          |           CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_chunks
+          |    FROM documents))
+          |WHERE j % 4 = 0""".stripMargin))
   )
 }
