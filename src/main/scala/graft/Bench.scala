@@ -25,6 +25,10 @@ import org.apache.spark.sql.SparkSession
   *    if the process is SIGTERM'd before completion, so even a timeout
   *    kill leaves a parsable last line where the output pump allows it.
   *
+  * The JSON line is also written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json`) — stdout on a stalled host arrives interleaved
+  * with sbt log lines, so the file is the authoritative artifact.
+  *
   * Set `SPARK_GRAFT_EXPLAIN_DIR` to also dump `explain("formatted")`
   * per query (skipped for [[FitQueries]] — building their DataFrame
   * runs the model fit / stream, so an explain dump would execute them
@@ -87,9 +91,21 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${js(sfDir)},"iters":$iters,"partial":$partial,"modes":$modeJson,"errors":$errJson}"""
     }
 
+    // The JSON line on stdout gets interleaved with sbt log noise on
+    // contended hosts (BENCH_r03 arrived unparseable) — also write it
+    // to a file the harness can read without scraping logs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    def emit(partial: Boolean): Unit = {
+      val line = jsonLine(partial)
+      try Files.writeString(Paths.get(outFile), line + "\n")
+      catch { case e: java.io.IOException => System.err.println(s"[bench] cannot write $outFile: $e") }
+      System.out.println(line)
+      System.out.flush()
+    }
+
     @volatile var finished = false
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (!finished) { System.out.println(jsonLine(partial = true)); System.out.flush() }
+      if (!finished) emit(partial = true)
     }))
 
     val t0 = System.nanoTime()
@@ -140,7 +156,7 @@ object Bench {
     }
 
     finished = true
-    println(jsonLine(partial = false))
+    emit(partial = false)
     spark.stop()
   }
 }

@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 import graft.stats.Distributions
@@ -55,16 +56,41 @@ case class Chi2PValue(left: Expression, right: Expression) extends DistributionE
     copy(left = l, right = r)
 }
 
-/** F-distribution upper-tail p-value: f_pvalue(f, df1*1, df2) — binary
-  * form with packed dfs is awkward, so df1 rides in the constructor. */
-case class FPValue(left: Expression, right: Expression, df1: Double) extends DistributionExpr {
+/** F-distribution upper-tail p-value: f_pvalue(f, df1, df2). */
+case class FPValue(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "f_pvalue"
-  override protected def javaCall(f: String, df2: String): String =
-    s"graft.stats.Distributions.fP($f, $df1, $df2)"
-  override protected def scalaCall(f: Double, df2: Double): Double =
-    Distributions.fP(f, df1, df2)
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(f: Any, df1: Any, df2: Any): Any =
+    Distributions.fP(f.asInstanceOf[Double], df1.asInstanceOf[Double],
+      df2.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, df1, df2) =>
+      s"graft.stats.Distributions.fP($f, $df1, $df2)")
+  override protected def withNewChildrenInternal(
+      f: Expression, d1: Expression, d2: Expression): Expression =
+    copy(first = f, second = d1, third = d2)
+}
+
+/** Column API over the native p-value expressions — what the stats
+  * kernel ([[graft.stats.StatTests]]) uses instead of Scala UDFs, so
+  * even the p-value arithmetic stays inside WholeStageCodegen. */
+object PValues {
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Two-sided Student-t p-value (|t| taken inside). */
+  def t(tStat: Column, df: Column): Column =
+    ColumnBridge.column(TTestPValue(ex(tStat), ex(df)))
+
+  /** χ² upper-tail p-value. */
+  def chi2(stat: Column, df: Column): Column =
+    ColumnBridge.column(Chi2PValue(ex(stat), ex(df)))
+
+  /** F upper-tail p-value. */
+  def f(fStat: Column, df1: Column, df2: Column): Column =
+    ColumnBridge.column(FPValue(ex(fStat), ex(df1), ex(df2)))
 }
 
 /** Session-level registration (works on any existing SparkSession). */
@@ -72,6 +98,7 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "t_pvalue" -> { args => TTestPValue(args(0), args(1)) },
     "chi2_pvalue" -> { args => Chi2PValue(args(0), args(1)) },
+    "f_pvalue" -> { args => FPValue(args(0), args(1), args(2)) },
     "dot_double" -> { args => DotProductD(args(0), args(1)) },
     "sqdist_double" -> { args => SquaredDistanceD(args(0), args(1)) },
     "simhash_pack" -> { args => SimHashPack(args(0)) })
@@ -97,5 +124,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("chi2_pvalue"),
       new ExpressionInfo(classOf[Chi2PValue].getName, "chi2_pvalue"),
       (args: Seq[Expression]) => Chi2PValue(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("f_pvalue"),
+      new ExpressionInfo(classOf[FPValue].getName, "f_pvalue"),
+      (args: Seq[Expression]) => FPValue(args(0), args(1), args(2))))
   }
 }

@@ -64,18 +64,31 @@ object Dedup {
     size(array_intersect(aSet, bSet)).cast("double") /
       size(array_union(aSet, bSet))
 
+  /** Portable 64-bit word hash: the first 16 hex chars of md5 packed
+    * into a signed long, assembled from two 32-bit halves so neither
+    * conv() result can overflow an ANSI long cast (the unsigned upper
+    * half parsed whole would). Bit-identical to the DuckDB oracle's
+    * `CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT)`, which is
+    * what upgrades SimHash from rows-only to fully hash-oracled.
+    * xxhash64 is ~one hash pass cheaper per word — prefer the
+    * [[simhash64]] default for Spark-only pipelines. */
+  def md5Hash64(w: Column): Column =
+    shiftleft(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(w), 9, 8), 16, 10).cast("long"))
+
   /** SimHash-64: per bit b, sum +1/−1 votes of each word-hash's bit b;
-    * the sign vector packed into one long (xxhash64 is Spark-native;
-    * SimHash is oracle-exempt, unit-tested instead). The vote tally
-    * runs in the native codegen'd [[graft.functions.SimHashPack]] —
-    * one generated loop instead of 64 interpreted `aggregate` folds
-    * per row (the BENCH r2 dd4 pathology: 119 s → sub-second). */
-  def simhash64(ws: Column): Column =
+    * the sign vector packed into one long. `hashFn` picks the word
+    * hash: xxhash64 (default, Spark-native → rows-only checking) or
+    * [[md5Hash64]] (oracle-portable). The vote tally runs in the
+    * native codegen'd [[graft.functions.SimHashPack]] — one generated
+    * loop instead of 64 interpreted `aggregate` folds per row (the
+    * BENCH r2 dd4 pathology: 119 s → sub-second). */
+  def simhash64(ws: Column, hashFn: Column => Column = xxhash64(_)): Column =
     // coalesce preserves the original fold-form contract for a NULL
     // word array (each when(votes>0).otherwise(0) bit summed to 0L);
     // the kernel itself stays honestly null-propagating
     coalesce(
-      graft.functions.ArrayKernels.simhashPack(transform(ws, w => xxhash64(w))),
+      graft.functions.ArrayKernels.simhashPack(transform(ws, hashFn)),
       lit(0L))
 
   /** Hamming distance between two 64-bit fingerprints. */

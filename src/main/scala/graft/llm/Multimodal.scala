@@ -12,13 +12,14 @@ case class DecodedMeta(doc_id: Long, format: String, width: Int,
   *
   * The Spark-side plumbing — schema (binary + metadata struct),
   * partition-friendly per-row expressions, chunk explosion — is real
-  * and tested. The actual codec step is STUBBED: this container ships
-  * no image/audio libraries, so [[fakeDecodeMeta]] derives
-  * deterministic pseudo-metadata from the bytes. A production build
-  * replaces exactly that one function with a real decoder (as a
-  * mapPartitions/Arrow-batch stage so the codec amortizes per batch);
-  * every downstream operator (chunking, metadata filters, sampling) is
-  * unchanged.
+  * and tested. The codec step has two implementations behind one seam:
+  * [[stubDecodeBatch]]/[[fakeDecodeMeta]] derive deterministic
+  * pseudo-metadata from the bytes (SQL-mirrorable → the mm2/mm3 hash
+  * oracles), and [[imageioDecodeBatch]] is a REAL decoder — JDK
+  * javax.imageio header reads — proving the seam with an actual codec
+  * (MultimodalSpec drives it over generated PNGs). A production
+  * pipeline swaps in ffmpeg/ONNX the same way; every downstream
+  * operator (chunking, metadata filters, sampling) is unchanged.
   *
   * Scale posture: payloads stay opaque binary all the way through the
   * plan — no driver collection, no string round-trip; metadata extract
@@ -70,6 +71,35 @@ object Multimodal {
       val n = b.length
       val fmt = n % 3 match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
       (fmt, n % 1920 + 64, n % 1080 + 64)
+    }
+
+  /** Real JDK image codec for the decode seam: javax.imageio header
+    * reads (PNG/JPEG/GIF/BMP — whatever the JVM's ImageIO registry
+    * supports), at zero dependency cost. Only the header is parsed
+    * (`ImageReader.getWidth/getHeight`, not a full pixel decode), the
+    * shape a metadata-extraction pass wants. Payloads no reader
+    * recognizes become ("unknown", -1, -1) dead-letter rows instead of
+    * failing the batch — the same skip-don't-die contract as
+    * [[decodeBatched]]'s null handling. This is the production proof
+    * of the seam: [[MultimodalSpec]] drives it over generated PNGs
+    * through the UNCHANGED [[decodeBatched]] plumbing; the mm3 query
+    * keeps the stub codec so its full SQL hash oracle stays. */
+  def imageioDecodeBatch(payloads: Seq[Array[Byte]]): Seq[(String, Int, Int)] =
+    payloads.map { bytes =>
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) ("unknown", -1, -1)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            (r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              r.getWidth(0), r.getHeight(0))
+          } finally r.dispose()
+        }
+      } finally in.close()
     }
 
   /** The mapInPandas analog in Scala: a partition-local BATCHED decode

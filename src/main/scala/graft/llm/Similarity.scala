@@ -105,6 +105,33 @@ object Similarity {
       when(d >= 0, lit(1 << i)).when(d < 0, lit(0))
     }.reduce(_ + _)
 
+  /** Axis-aligned sign-bit LSH tables: table `t` packs the sign bits
+    * of components `[groupBits·t+1, groupBits·(t+1)]` — the degenerate
+    * hyperplane family whose planes are standard basis vectors. Data-
+    * independent like [[hyperplaneBucket]], but each bit is a single
+    * element sign test instead of a 64-term dot product, and — unlike
+    * seeded gaussian planes — compactly mirrorable in a SQL oracle
+    * (`embedding[i] >= 0`, no plane literals). Because the tables
+    * cover DISJOINT component groups, a perturbation confined to one
+    * group leaves every other table's bucket identical, so near-dups
+    * that differ in few components collide deterministically — the
+    * recall guarantee dd5 relies on. Returns an array of (t, b)
+    * structs to explode into equi-join keys; a missing/short vector
+    * yields null buckets (no `.otherwise`), which the downstream
+    * equi-join drops instead of collapsing into bucket 0. */
+  def axisSignBuckets(v: Column, tables: Int, groupBits: Int): Column = {
+    require(groupBits >= 1 && groupBits <= 31,
+      s"groupBits must be in [1,31] (bucket is a packed Int), got $groupBits")
+    require(tables >= 1, s"tables must be positive, got $tables")
+    array((0 until tables).map { t =>
+      val b = (0 until groupBits).map { i =>
+        val e = try_element_at(v, lit(groupBits * t + i + 1))
+        when(e >= 0f, lit(1 << i)).when(e < 0f, lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), b.as("b"))
+    }: _*)
+  }
+
   /** Multi-table hyperplane-LSH top-k: candidates are corpus rows that
     * share (table, bucket) with the query in ANY table — the union-of-
     * tables probe — deduplicated, then exact cosine + top-k. The join

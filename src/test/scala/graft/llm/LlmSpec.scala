@@ -168,6 +168,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("md5Hash64 bit-matches DuckDB's CAST('0x'||md5[1:16] AS UBIGINT), incl. the sign bit") {
+    // pinned against duckdb: 'hello' → 0x5d41402abc4b2a76; 'the' →
+    // 0x8fc42c6ddf9966db (top bit set — the two-half assembly must
+    // land it in the long's sign bit, not overflow)
+    val out = Seq("hello", "the").toDF("w")
+      .select(Dedup.md5Hash64($"w")).as[Long].collect()
+    assert(out(0) === 6719722671305337462L)
+    assert(out(1) === -8087290180436138277L)
+  }
+
+  test("simhash over md5Hash64 still detects planted one-word mutations (the dd4 contract)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1000001L, "the quick brown fox jumps over the lazy dog again and again now"), // 1-word mutation
+      (2L, "completely unrelated content with different vocabulary and structure entirely")
+    ).toDF("doc_id", "text")
+    val sims = docs
+      .withColumn("sim", Dedup.simhash64(TextOps.words($"text"), Dedup.md5Hash64))
+      .select("doc_id", "sim").as[(Long, Long)].collect().toMap
+    val near = spark.range(1).select(
+      Dedup.hamming64(lit(sims(1L)), lit(sims(1000001L)))).as[Int].head()
+    val far = spark.range(1).select(
+      Dedup.hamming64(lit(sims(1L)), lit(sims(2L)))).as[Int].head()
+    assert(near <= 12, s"planted mutation must stay within hamming 12, got $near")
+    assert(far > 12, s"unrelated docs must exceed hamming 12, got $far")
+  }
+
   test("simhash64 on a NULL word array returns 0L (the original fold-form contract)") {
     val out = Seq(Tuple1("x")).toDF("t")
       .select(Dedup.simhash64(lit(null).cast("array<string>"))).head()
@@ -187,6 +214,42 @@ class LlmSpec extends SparkSpec {
     val wrongDim = Similarity.hyperplaneTopK(emb, "vec_id", "embedding",
       q, "q_id", "q_vec", dim = 7, tables = 2, bits = 4, k = 1)
     assert(wrongDim.count() === 0)
+  }
+
+  test("axisSignBuckets: disjoint-group tables collide deterministically under a 1-component perturbation") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val perturbed = base.clone(); perturbed(0) = -base(0) - 1.0f // flip the sign of component 1
+    val other = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = Seq((1L, base.toSeq), (2L, perturbed.toSeq), (3L, other.toSeq),
+      (4L, Seq(1.0f, 2.0f))) // short vector: buckets must go null, not 0
+    val out = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", explode(Similarity.axisSignBuckets($"embedding", 4, 16)).as("tb"))
+      .select($"vec_id", $"tb.t", $"tb.b")
+      .as[(Long, Int, Option[Int])].collect()
+    val byId = out.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    // component 1 lives in table 0 only: tables 1-3 identical, table 0 differs
+    assert(byId(1L)(0) !== byId(2L)(0))
+    (1 to 3).foreach(t => assert(byId(1L)(t) === byId(2L)(t), s"table $t must collide"))
+    // a genuinely different vector shares no guarantee (sanity: at least one table differs)
+    assert((0 to 3).exists(t => byId(1L)(t) !== byId(3L)(t)))
+    // short vector: every bucket null → equi-join drops it (never bucket 0)
+    (0 to 3).foreach(t => assert(byId(4L)(t).isEmpty, s"short vector table $t must be null"))
+  }
+
+  test("dd5 finds exactly the planted pairs with NO cartesian in the physical plan") {
+    val dir = java.nio.file.Files.createTempDirectory("dd5spec").toString
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 50L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = graft.SparkEntry.queries("dd5_embedding_near_dup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "dd5 must not build all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "dd5 must not build all-pairs")
+    val pairs = df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1000000L), (40L, 1000040L)),
+      s"expected exactly the planted every-40th replays, got $pairs")
   }
 
   test("langId classifies real multilingual sentences") {

@@ -54,6 +54,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Seq(1L, 4L))
   }
 
+  test("decodeBatched with the REAL javax.imageio codec: true dimensions through the unchanged seam") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "JDK must ship a PNG writer")
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, png(7, 5)),
+      (2L, png(320, 200)),
+      (3L, "definitely not an image".getBytes("UTF-8")) // dead-letter row
+    ).toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.decodeBatched(df, "doc_id", "payload", batchSize = 2,
+      decodeBatch = Multimodal.imageioDecodeBatch)
+      .collect().map(m => m.doc_id -> ((m.format, m.width, m.height))).toMap
+    assert(out(1L) === (("png", 7, 5)))
+    assert(out(2L) === (("png", 320, 200)))
+    assert(out(3L) === (("unknown", -1, -1)))
+  }
+
   test("decodeBatched: codec returning a wrong-arity batch fails loudly") {
     val df = docs(5).coalesce(1)
     val ex = intercept[org.apache.spark.SparkException] {
