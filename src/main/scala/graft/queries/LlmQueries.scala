@@ -11,12 +11,14 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
   * analysis, multimodal plumbing. First-class components per the
   * round-1 brief/verdict.
   *
-  * Oracle policy: everything arithmetic/string-expressible is DuckDB-
-  * checked (exact dedup, minhash signatures + LSH candidate pairs +
-  * Jaccard — md5/string-min/list ops are portable; token stats,
-  * quality, langid, fingerprint; brute-force cosine — sequential
-  * double folds are mirrored). SimHash (xxhash64) and the IVF probe
-  * path are Spark-native → rows-only + LlmSpec unit tests.
+  * Oracle policy: every query here is DuckDB-checked. Exact dedup,
+  * minhash signatures + LSH candidate pairs + Jaccard ride on portable
+  * md5/string-min/list ops; token stats, quality, langid, fingerprint
+  * on string ops; the cosine family on bit-identical sequential double
+  * folds. SimHash's word hash is an md5-derived 64-bit long for
+  * exactly this portability; ss2's centroids are truncated so the only
+  * cross-engine float-order hazard vanishes; ss3's seeded planes are
+  * interpolated into the SQL as literals ([[ss3OracleSql]]).
   */
 object LlmQueries extends Q.Registry {
 
@@ -65,6 +67,70 @@ object LlmQueries extends Q.Registry {
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
       |        FROM corpus)),
       |""".stripMargin
+
+  /** ss3's oracle: the seeded gaussian planes are plain constants, so
+    * the whole bucket geometry is SQL-expressible — interpolate the
+    * SAME `hyperplaneTables(64, 3, 8, 42)` doubles (Double.toString
+    * round-trips exactly; DuckDB parses decimal/E-notation literals to
+    * the identical nearest double) as a 24-row VALUES table and mirror
+    * the sign-bit packing, union-of-tables probe, and exact-cosine
+    * re-rank. The bucket NULL contract (any null dot → null bucket →
+    * row dropped by the equi-join) is kept via the FILTER guard, since
+    * SQL `sum` would otherwise skip nulls. */
+  private def ss3OracleSql: String = {
+    val planes = Similarity.hyperplaneTables(dim = 64, tables = 3, bits = 8, seed = 42L)
+    val planeRows = planes.zipWithIndex.flatMap { case (ps, t) =>
+      ps.zipWithIndex.map { case (p, b) =>
+        p.mkString(s"($t, $b, CAST([", ", ", "] AS DOUBLE[]))")
+      }
+    }.mkString(",\n  ")
+    s"""WITH planes(t, bit, plane) AS (VALUES
+       |  $planeRows),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       |      WHERE vec_id % 100 = 0),
+       |cbd AS (
+       |  SELECT e.vec_id, p.t, p.bit,
+       |         list_sum(list_transform(range(1, 65),
+       |           j -> CAST(e.embedding[j] AS DOUBLE) * p.plane[j])) AS d
+       |  FROM embeddings e CROSS JOIN planes p),
+       |cb AS (
+       |  SELECT vec_id, t,
+       |         CASE WHEN count(*) FILTER (WHERE d IS NULL) = 0
+       |              THEN sum(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) END AS b
+       |  FROM cbd GROUP BY vec_id, t),
+       |qbd AS (
+       |  SELECT q.q_id, p.t, p.bit,
+       |         list_sum(list_transform(range(1, 65),
+       |           j -> CAST(q.q_vec[j] AS DOUBLE) * p.plane[j])) AS d
+       |  FROM q CROSS JOIN planes p),
+       |qb AS (
+       |  SELECT q_id, t,
+       |         CASE WHEN count(*) FILTER (WHERE d IS NULL) = 0
+       |              THEN sum(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) END AS b
+       |  FROM qbd GROUP BY q_id, t),
+       |cand AS (
+       |  SELECT DISTINCT qb.q_id, cb.vec_id
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.b = qb.b
+       |  WHERE cb.vec_id <> qb.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      j -> CAST(q.q_vec[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(range(1, 65),
+       |      j -> CAST(q.q_vec[j] AS DOUBLE) * CAST(q.q_vec[j] AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(range(1, 65),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE))))) AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.q_id = c.q_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q_id AS query_id, vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -276,12 +342,17 @@ object LlmQueries extends Q.Registry {
         "pruning scale path. Recall vs brute force asserted in LlmSpec.",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // 'trained' centroids: mean vector per label cell (deterministic)
+        // 'trained' centroids: mean vector per label cell. Each element
+        // is truncated to 6 decimals so the centroid is identical across
+        // engines AND across runs — a float avg's summation order is
+        // scheduler-dependent, and an ulp-level wobble at an argmin
+        // boundary would flip a cell assignment. Everything downstream
+        // (sqDist, cosine) is a deterministic sequential fold.
         val centroids = emb
           .select(col("label").as("cell"), col("embedding"))
           .groupBy("cell")
           .agg(array((0 until 64).map(i =>
-            avg(element_at(col("embedding"), i + 1))): _*).as("cent_vec"))
+            Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*).as("cent_vec"))
         val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding",
           centroids, "cell", "cent_vec")
         val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -291,7 +362,50 @@ object LlmQueries extends Q.Registry {
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(
+        """WITH cent0 AS (
+          |  SELECT label AS cell, idx.i AS i,
+          |         floor(avg(CAST(embedding[idx.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
+          |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+          |  GROUP BY label, idx.i),
+          |cent AS (SELECT cell, list(c ORDER BY i) AS cent_vec FROM cent0 GROUP BY cell),
+          |assign AS (
+          |  SELECT vec_id, embedding, cell FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell,
+          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |             list_sum(list_transform(range(1, 65),
+          |               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]) *
+          |                    (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))), c.cell) AS rn
+          |    FROM embeddings e CROSS JOIN cent c)
+          |  WHERE rn = 1),
+          |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          |      WHERE vec_id % 100 = 0),
+          |probes AS (
+          |  SELECT q_id, q_vec, cell FROM (
+          |    SELECT q.q_id, q.q_vec, c.cell,
+          |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+          |             list_sum(list_transform(range(1, 65),
+          |               i -> (CAST(q.q_vec[i] AS DOUBLE) - c.cent_vec[i]) *
+          |                    (CAST(q.q_vec[i] AS DOUBLE) - c.cent_vec[i]))), c.cell) AS rn
+          |    FROM q CROSS JOIN cent c)
+          |  WHERE rn <= 3),
+          |cand AS (
+          |  SELECT p.q_id, a.vec_id,
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) /
+          |    (sqrt(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(p.q_vec[i] AS DOUBLE)))) *
+          |     sqrt(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))) AS cos_sim
+          |  FROM assign a JOIN probes p ON a.cell = p.cell
+          |  WHERE a.vec_id <> p.q_id)
+          |SELECT query_id, neighbor_id, rank FROM (
+          |  SELECT q_id AS query_id, vec_id AS neighbor_id,
+          |         row_number() OVER (PARTITION BY q_id
+          |                            ORDER BY cos_sim DESC, vec_id) AS rank
+          |  FROM cand)
+          |WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin)),
 
     Q("ss3_hyperplane_lsh_topk",
       "Hyperplane-LSH approximate top-3: sign-random-projection " +
@@ -308,7 +422,7 @@ object LlmQueries extends Q.Registry {
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(ss3OracleSql)),
 
     Q("tx1_token_stats",
       "Per-document token statistics: whitespace words, BPE-ish regex " +
