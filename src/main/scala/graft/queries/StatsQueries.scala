@@ -18,6 +18,25 @@ import graft.stats.StatTests
 object StatsQueries extends Q.Registry {
   import RelationalQueries.{clean, enrSql}
 
+  /** SQL expression for q_{0.05}(k, `dfw`): a CASE over the SAME
+    * exact-integration grid [[graft.stats.Distributions.tukeyQ05Grid]]
+    * that the Spark side interpolates, with the slope prefolded in
+    * Scala and every constant emitted as CAST(… AS DOUBLE) so DuckDB
+    * can't run any step in exact DECIMAL arithmetic — the interpolated
+    * q_crit is bit-identical across engines, keeping x6's boolean
+    * `reject` hash-stable however close a q statistic sits to the
+    * threshold. */
+  private def tukeyQcritSql(k: Int, dfw: String): String = {
+    def dl(v: Double) = s"CAST($v AS DOUBLE)"
+    val whens = graft.stats.Distributions.tukeySegments(k).map {
+      case ((dfU, qU), (dfL, qL)) =>
+        val xU = if (dfU.isInfinity) 0.0 else 1.0 / dfU
+        val slope = (qL - qU) / (1.0 / dfL - xU)
+        s"WHEN $dfw >= ${dl(dfL)} THEN ${dl(qU)} + ${dl(slope)} * (1.0 / $dfw - ${dl(xU)})"
+    }
+    s"(CASE ${whens.mkString(" ")} END)"
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("x2_t_ci",
@@ -116,7 +135,9 @@ object StatsQueries extends Q.Registry {
     Q("x6_tukey",
       "Tukey-Kramer HSD pairwise tests on the 3-district slice (X6+F5, " +
         "01:851-853): q statistic vs the df-aware critical value " +
-        "q_crit(3, df_within) (∞/120-row blend at these dfs).",
+        "q_crit(3, df_within), interpolated over a grid computed by " +
+        "EXACT Gauss-Legendre integration of the studentized-range CDF " +
+        "(Distributions) and mirrored bit-identically into the SQL CASE.",
       (s, d) =>
         StatTests.tukeyHSD(
           clean(s, d).filter(col("district").isin("NATION_1", "NATION_2", "NATION_3")),
@@ -139,14 +160,8 @@ object StatsQueries extends Q.Registry {
           |       floor((sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6 + 1e-6) / 1e6 AS se_pair,
           |       floor((abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))) * 1e6 + 1e-6) / 1e6 AS q_stat,
           |       abs(b.mean - a.mean) / sqrt(s.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))
-          |         > (CASE
-          |              WHEN s.dfw >= 120 THEN 3.314 + (3.356 - 3.314) * (120.0 / s.dfw)
-          |              WHEN s.dfw >= 60 THEN 3.356 + (3.399 - 3.356) * ((1.0/s.dfw) - (1.0/120.0)) / ((1.0/60.0) - (1.0/120.0))
-          |              WHEN s.dfw >= 30 THEN 3.399 + (3.486 - 3.399) * ((1.0/s.dfw) - (1.0/60.0)) / ((1.0/30.0) - (1.0/60.0))
-          |              WHEN s.dfw >= 20 THEN 3.486 + (3.578 - 3.486) * ((1.0/s.dfw) - (1.0/30.0)) / ((1.0/20.0) - (1.0/30.0))
-          |              WHEN s.dfw >= 10 THEN 3.578 + (3.877 - 3.578) * ((1.0/s.dfw) - (1.0/20.0)) / ((1.0/10.0) - (1.0/20.0))
-          |              ELSE 3.877 + (4.602 - 3.877) * ((1.0/s.dfw) - (1.0/10.0)) / ((1.0/5.0) - (1.0/10.0))
-          |            END) AS reject
+          |         > """.stripMargin + tukeyQcritSql(3, "s.dfw") + " AS reject" +
+        """
           |FROM gtukey a
           |JOIN gtukey b ON a.district < b.district
           |CROSS JOIN (

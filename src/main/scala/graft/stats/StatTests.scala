@@ -121,10 +121,11 @@ object StatTests {
   }
 
   /** X6: Tukey-Kramer HSD pairwise comparisons (01:851-853). Critical
-    * value from the df-aware q₀.₀₅(k, df_within) table
-    * ([[Distributions.tukeyQcrit05]] with 1/df interpolation) — the ∞
-    * row alone would be >10% anti-conservative at small dfs. Requires
-    * df_within ≥ 5 (the table floor). Returns one row per unordered
+    * value q₀.₀₅(k, df_within) from [[Distributions.tukeyQcrit05]]:
+    * 1/df interpolation over a grid computed by exact Gauss–Legendre
+    * integration of the studentized-range CDF — the ∞ value alone
+    * would be >10% anti-conservative at small dfs. Requires
+    * df_within ≥ 5 (the grid floor). Returns one row per unordered
     * pair. */
   def tukeyHSD(df: DataFrame, value: String, group: String): DataFrame = {
     val g = df.groupBy(group).agg(

@@ -59,24 +59,48 @@ class DistributionsSpec extends AnyFunSuite {
       close(tCdf(tInv(p, df), df), p, 1e-10)
   }
 
-  test("tukeyQcrit05 anchors: k=2 is √2·z₀.₉₇₅; k=3 = 3.314") {
-    close(tukeyQcrit05(2), math.sqrt(2.0) * 1.9599639845400542, 5e-3)
-    assert(tukeyQcrit05(3) === 3.314)
-    assertThrows[IllegalArgumentException](tukeyQcrit05(25))
+  test("studentized range: q(k, df) pinned vs published tables at df ∈ {5,10,30,120,∞}") {
+    // Standard q_{0.05} tables publish 3-4 significant digits; the
+    // exact Gauss–Legendre integration must land within rounding of
+    // every one of them. (Tighter mpmath pins below.)
+    val published = Seq(
+      (2, 5.0, 3.635), (2, 10.0, 3.151), (2, 30.0, 2.888),
+      (2, 120.0, 2.800), (2, Double.PositiveInfinity, 2.772),
+      (3, 5.0, 4.602), (3, 10.0, 3.877), (3, 30.0, 3.486),
+      (3, 120.0, 3.356), (3, Double.PositiveInfinity, 3.314),
+      (5, 5.0, 5.673), (5, 10.0, 4.654), (5, 30.0, 4.102),
+      (5, 120.0, 3.917), (5, Double.PositiveInfinity, 3.858))
+    for ((k, df, want) <- published)
+      close(studentizedRangeInv(0.95, k, df), want, 2.5e-3)
   }
 
-  test("tukeyQcrit05(k, df): table rows exact, interpolation close, floor enforced") {
-    // exact table rows
-    assert(tukeyQcrit05(3, 10.0) === 3.877)
-    assert(tukeyQcrit05(4, 30.0) === 3.845)
-    // df=9 interpolates between the 5 and 10 rows; published q(3,9)=3.948
-    close(tukeyQcrit05(3, 9.0), 3.948, 0.02)
-    // huge df converges to the ∞ row
-    close(tukeyQcrit05(3, 1e9), 3.314, 1e-6)
-    // df ≥ 120 uses the ∞/120 closed-form blend (mirrored in x6's oracle)
-    close(tukeyQcrit05(3, 240.0), 3.314 + (3.356 - 3.314) * 0.5, 1e-12)
-    // the ∞ row alone would be anti-conservative by >10% here
+  test("studentized range: k=2 ∞ case is the √2·z closed form; CDF is a CDF") {
+    // range of 2 normals = |N(0,√2)| → q_{0.05}(2, ∞) = √2·Φ⁻¹(0.975)
+    close(studentizedRangeInv(0.95, 2, Double.PositiveInfinity),
+      math.sqrt(2.0) * 1.9599639845400542, 1e-7)
+    close(normalRangeCdf(1e9, 4), 1.0, 1e-12)
+    assert(normalRangeCdf(0.0, 4) === 0.0)
+    // monotone in q, decreasing in df at fixed q
+    assert(studentizedRangeCdf(3.0, 3, 10.0) < studentizedRangeCdf(3.5, 3, 10.0))
+    assert(studentizedRangeCdf(3.5, 3, 10.0) < studentizedRangeCdf(3.5, 3, 1000.0))
+    // quantile round-trips through the CDF
+    for (df <- Seq(7.0, 40.0, 500.0))
+      close(studentizedRangeCdf(studentizedRangeInv(0.95, 3, df), 3, df), 0.95, 1e-7)
+  }
+
+  test("tukeyQcrit05(k, df): interpolation tracks exact within 1e-3, floor enforced") {
+    // off-grid dfs: the 1/df interpolation over the exact grid stays
+    // within ~1e-3 of direct integration (the grid exists so the
+    // SQL oracle can mirror q_crit bit-identically, not for speed)
+    for (df <- Seq(5.25, 7.5, 13.0, 25.0, 75.0, 300.0, 7000.0))
+      close(tukeyQcrit05(3, df), studentizedRangeInv(0.95, 3, df), 1e-3)
+    // grid rows are the exact values themselves
+    close(tukeyQcrit05(3, 10.0), studentizedRangeInv(0.95, 3, 10.0), 1e-9)
+    // huge df converges to the ∞ value
+    close(tukeyQcrit05(3, 1e9), studentizedRangeInv(0.95, 3, Double.PositiveInfinity), 1e-6)
+    // the ∞ value alone would be anti-conservative by >10% at df=5
     assert(tukeyQcrit05(3, 5.0) / tukeyQcrit05(3) > 1.1)
     assertThrows[IllegalArgumentException](tukeyQcrit05(3, 4.0))
+    assertThrows[IllegalArgumentException](tukeyQcrit05(25))
   }
 }
