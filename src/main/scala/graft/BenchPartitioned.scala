@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Partitioned-layout bench (VERDICT r3 item #7): quantifies what the
+  * plan-level PruningSpec proofs buy in wall-clock at sf0.1.
+  *
+  * The driver testdata ships each table as ONE unpartitioned parquet
+  * file — the degenerate layout. A real 100 TB events table arrives
+  * date-partitioned, and a day-slice query should then read 1/Nth of
+  * the files at planning time (PartitionFilters), not scan everything
+  * and filter rows. This main materializes BOTH layouts of the sf0.1
+  * `events` fact under `SPARK_GRAFT_LAYOUT_DIR` (default
+  * `target/bench_layout`, gitignored):
+  *
+  *  - `events_flat`: plain multi-file parquet, `dt` as a data column —
+  *    a day predicate can only be a parquet row-group filter;
+  *  - `events_bydt`: `partitionBy("dt")` hive layout, 30 daily
+  *    partitions — the day predicate prunes at planning time.
+  *
+  * Three day-slice queries shaped like the r3 headline trio run on
+  * each layout (f6-shaped scan+agg, a1-shaped group-by, j1-shaped
+  * broadcast-dim join), warm-up + min-of-N, with the scanned-partition
+  * count captured from the physical plan. Results go to
+  * `SPARK_GRAFT_PARTBENCH_OUT` (default `bench_partitioned.json`) as
+  * one JSON object — the committed artifact behind the BASELINE.md
+  * pruned-vs-unpruned row.
+  */
+object BenchPartitioned {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val layoutDir = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_DIR", "target/bench_layout")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_PARTBENCH_OUT", "bench_partitioned.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val flat = s"$layoutDir/events_flat"
+    val bydt = s"$layoutDir/events_bydt"
+    if (!Files.exists(Paths.get(flat)) || !Files.exists(Paths.get(bydt))) {
+      val events = Tables.events(spark, sfDir).withColumn("dt", to_date(col("ts")))
+      events.write.mode("overwrite").parquet(flat)
+      events.write.partitionBy("dt").mode("overwrite").parquet(bydt)
+    }
+
+    val dim = broadcast(Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val day = "2024-01-15"
+
+    def queries(src: String): Seq[(String, DataFrame)] = {
+      val ev = spark.read.parquet(src).filter(col("dt") === lit(day))
+      Seq(
+        "f6_slice_agg" -> ev.agg(count(lit(1)).as("n"), sum("value").as("sum_value")),
+        "a1_slice_by_type" -> ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), avg("value").as("avg_value")),
+        "j1_slice_dim_join" -> ev.join(dim, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_value")))
+    }
+
+    def scannedPartitions(df: DataFrame): (Long, Long, Long) = {
+      // with an exchange in the plan AQE wraps everything in
+      // AdaptiveSparkPlanExec, whose collectLeaves() stops at the
+      // wrapper — unwrap to the (post-execution) physical plan
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec =>
+          (f.selectedPartitions.partitionCount.toLong,
+            f.selectedPartitions.totalNumberOfFiles,
+            f.metrics.get("filesSize").map(_.value).getOrElse(-1L))
+      }.getOrElse((-1L, -1L, -1L))
+    }
+
+    def bench(df: DataFrame): Double = {
+      def once(): Double = {
+        val s = System.nanoTime(); df.count(); (System.nanoTime() - s) / 1e9
+      }
+      once() // warm-up: codegen + JIT + FS metadata cache
+      Seq.fill(math.max(1, iters))(once()).min
+    }
+
+    val results = for {
+      (layout, src) <- Seq("flat" -> flat, "partitioned" -> bydt)
+      (qname, df) <- queries(src)
+    } yield {
+      val sec = bench(df) // run first so AQE's final plan is in place
+      val (parts, files, bytes) = scannedPartitions(df)
+      System.err.println(f"[partbench] $layout%-12s $qname%-18s $sec%7.3f s  " +
+        f"(partitions=$parts, files=$files, bytes=$bytes)")
+      (layout, qname, sec, parts, files, bytes)
+    }
+
+    val json = results.map { case (layout, q, sec, parts, files, bytes) =>
+      s"""{"layout":"$layout","query":"$q","sec":$sec,"scanned_partitions":$parts,"scanned_files":$files,"scanned_bytes":$bytes}"""
+    }.mkString("""{"sf":"""" + sfDir + """","day":"""" + day + """","runs":[""", ",", "]}")
+    Files.writeString(Paths.get(outFile), json + "\n")
+    System.out.println(json)
+    spark.stop()
+  }
+}
