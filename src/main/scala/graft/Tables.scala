@@ -57,7 +57,11 @@ object Tables {
       else df
     }
     val p = spark.sparkContext.defaultParallelism
-    if (fanOut(name) && typed.rdd.getNumPartitions < math.max(2, p / 2))
+    // file count as the parallelism proxy (one task per file at this
+    // data scale; single-row-group files can't split further anyway) —
+    // unlike .rdd.getNumPartitions it needs no logical→RDD plan
+    // conversion per load (VERDICT r3 note)
+    if (fanOut(name) && typed.inputFiles.length < math.max(2, p / 2))
       typed.repartition(p)
     else typed
   }
