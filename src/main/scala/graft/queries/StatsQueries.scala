@@ -8,12 +8,15 @@ import graft.stats.StatTests
   *
   * Oracle policy (VERDICT r1 #3): the aggregate/arithmetic parts —
   * means, sems, CIs (via the mirrored Cornish-Fisher quantile), t/F/χ²
-  * statistics, Welch dfs, effect sizes, residuals — are DuckDB-checked;
-  * p-values need iterative special functions (incomplete beta/gamma)
-  * that SQL can't express, so the engine computes them ([[graft.stats
-  * .Distributions]]) and the queries drop those columns from the
-  * oracled output; StatTestsSpec pins them against mpmath-derived
-  * fixture constants instead.
+  * statistics, Welch dfs, effect sizes, residuals — are DuckDB-checked.
+  * p-values need iterative special functions; where their output is
+  * discriminating (x16's 25 per-district values span (0, 0.7)) the
+  * oracle replays the incomplete-beta continued fraction as a recursive
+  * CTE ([[tPvalueCfSql]]) — where a single-row p truncates to 0.0
+  * anyway (x3/x5/x7: |t|, F, χ² are huge on 10k rows), the engine
+  * computes it ([[graft.stats.Distributions]]), the query drops the
+  * column from the oracled output, and StatTestsSpec pins it against
+  * mpmath-derived fixture constants instead.
   */
 object StatsQueries extends Q.Registry {
   import RelationalQueries.{clean, enrSql}
@@ -36,6 +39,76 @@ object StatsQueries extends Q.Registry {
     }
     s"(CASE ${whens.mkString(" ")} END)"
   }
+
+  /** Two-sided t p-value in PURE SQL: replays the same Lentz continued
+    * fraction for the regularized incomplete beta that
+    * [[graft.stats.Distributions.regBeta]] runs, as a DuckDB recursive
+    * CTE over a `tst(district, n, t_stat, df)` input. Every iteration
+    * is plain IEEE double arithmetic in the Scala loop's exact
+    * operation order (two half-steps per level, fpmin clamps, freeze
+    * once |del−1| ≤ 1e-16 — the loop's stop condition becomes a
+    * carried `done` flag so converged rows stop updating while the
+    * recursion pads to the Scala loop's m < 500 cap). Only `front` (exp/ln/
+    * lgamma — DuckDB's libm vs the JVM's, ~1e-13 rel) differs, far
+    * inside the 1e-6 output truncation. Produces `pv(district, p)`.
+    * Prototype validation: 6 (t, df) shapes vs the Scala math at rel
+    * ≤ 2.3e-13. */
+  private val tPvalueCfSql: String =
+    """args AS (
+      |  SELECT district, df/(df + t_stat*t_stat) AS x0, df/2.0 AS a0,
+      |         CAST(0.5 AS DOUBLE) AS b0
+      |  FROM tst),
+      |sel AS (
+      |  SELECT district, x0, a0, b0,
+      |         x0 < (a0 + 1.0)/(a0 + b0 + 2.0) AS direct,
+      |         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN x0 ELSE 1.0 - x0 END AS x,
+      |         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN a0 ELSE b0 END AS a,
+      |         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN b0 ELSE a0 END AS b
+      |  FROM args WHERE x0 > 0.0 AND x0 < 1.0),
+      |cf AS (
+      |  SELECT district, x, a, b, 1 AS m, CAST(1.0 AS DOUBLE) AS c,
+      |         1.0 / (CASE WHEN abs(1.0 - (a+b)*x/(a+1.0)) < 1e-300 THEN 1e-300
+      |                     ELSE 1.0 - (a+b)*x/(a+1.0) END) AS d,
+      |         1.0 / (CASE WHEN abs(1.0 - (a+b)*x/(a+1.0)) < 1e-300 THEN 1e-300
+      |                     ELSE 1.0 - (a+b)*x/(a+1.0) END) AS h,
+      |         FALSE AS done
+      |  FROM sel
+      |  UNION ALL
+      |  SELECT district, x, a, b, m + 1,
+      |         CASE WHEN done THEN c ELSE cB END,
+      |         CASE WHEN done THEN d ELSE dBi END,
+      |         CASE WHEN done THEN h ELSE hB END,
+      |         done OR abs(delB - 1.0) <= 1e-16
+      |  FROM (
+      |    SELECT *,
+      |      m*(b-m)*x/((a-1.0+2*m)*(a+2*m)) AS aa1,
+      |      CASE WHEN abs(1.0 + aa1*d) < 1e-300 THEN 1e-300 ELSE 1.0 + aa1*d END AS dA0,
+      |      CASE WHEN abs(1.0 + aa1/c) < 1e-300 THEN 1e-300 ELSE 1.0 + aa1/c END AS cA,
+      |      1.0/dA0 AS dAi,
+      |      h * (dAi*cA) AS hA,
+      |      -(a+m)*(a+b+m)*x/((a+2*m)*(a+1.0+2*m)) AS aa2,
+      |      CASE WHEN abs(1.0 + aa2*dAi) < 1e-300 THEN 1e-300 ELSE 1.0 + aa2*dAi END AS dB0,
+      |      CASE WHEN abs(1.0 + aa2/cA) < 1e-300 THEN 1e-300 ELSE 1.0 + aa2/cA END AS cB,
+      |      1.0/dB0 AS dBi,
+      |      dBi*cB AS delB,
+      |      hA * delB AS hB
+      |    FROM cf WHERE m < 500)),
+      |cffinal AS (SELECT district, h FROM cf WHERE m = 500),
+      |pv AS (
+      |  SELECT t.district,
+      |         COALESCE(
+      |           CASE WHEN s.direct
+      |                THEN exp(s.a0*ln(s.x0) + s.b0*ln(1.0 - s.x0)
+      |                         - (lgamma(s.a0) + lgamma(s.b0) - lgamma(s.a0 + s.b0)))
+      |                     * f.h / s.a0
+      |                ELSE 1.0 - exp(s.a0*ln(s.x0) + s.b0*ln(1.0 - s.x0)
+      |                               - (lgamma(s.a0) + lgamma(s.b0) - lgamma(s.a0 + s.b0)))
+      |                           * f.h / s.b0 END,
+      |           CASE WHEN t.df/(t.df + t.t_stat*t.t_stat) >= 1.0 THEN 1.0 ELSE 0.0 END) AS p
+      |  FROM tst t
+      |  LEFT JOIN sel s ON t.district = s.district
+      |  LEFT JOIN cffinal f ON t.district = f.district)
+      |""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -173,8 +246,9 @@ object StatsQueries extends Q.Registry {
       "Per-district one-sample t-test vs the 0.30 KPI with DISTRIBUTED " +
         "exact p-values via the native codegen'd t_pvalue expression " +
         "(functions.NativeExpressions) — the custom-Expression scale " +
-        "path for million-group testing. t-stat column is SQL-" +
-        "expressible; p-values are pinned in NativeExpressionsSpec.",
+        "path for million-group testing. Fully oracled: the DuckDB SQL " +
+        "replays the regularized-incomplete-beta continued fraction as " +
+        "a recursive CTE (see tPvalueCfSql).",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         StatTests.tCIByGroup(clean(s, d), "filling_rate", "district")
@@ -185,7 +259,21 @@ object StatsQueries extends Q.Registry {
             "floor(t_pvalue(t_stat, n - 1.0) * 1e6 + 1e-6) / 1e6 AS p_value")
           .orderBy("district")
       },
-      None),
+      Some(enrSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """, gstats AS (
+          |  SELECT district, count(*) AS n, avg(filling_rate) AS mean,
+          |         stddev_samp(filling_rate) / sqrt(count(*)) AS sem
+          |  FROM clean GROUP BY district),
+          |tst AS (
+          |  SELECT district, n, (mean - 0.3) / sem AS t_stat,
+          |         CAST(n AS DOUBLE) - 1.0 AS df
+          |  FROM gstats),
+          |""".stripMargin + tPvalueCfSql +
+        """SELECT t.district, t.n,
+          |       floor(t.t_stat * 1e6 + 1e-6) / 1e6 AS t_stat,
+          |       floor(pv.p * 1e6 + 1e-6) / 1e6 AS p_value
+          |FROM tst t JOIN pv ON t.district = pv.district
+          |ORDER BY t.district""".stripMargin)),
 
     Q("x7_chi2_cramer",
       "Chi-square independence district × Risk_Label + Cramér's V and " +
