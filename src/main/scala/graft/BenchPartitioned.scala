@@ -69,26 +69,31 @@ object BenchPartitioned {
           .agg(count(lit(1)).as("n"), sum("value").as("sum_value")))
     }
 
-    def scannedPartitions(df: DataFrame): (Long, Long, Long) = {
-      // with an exchange in the plan AQE wraps everything in
-      // AdaptiveSparkPlanExec, whose collectLeaves() stops at the
-      // wrapper — unwrap to the (post-execution) physical plan
-      val plan = df.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      plan.collectLeaves().collectFirst {
-        case f: FileSourceScanExec =>
-          (f.selectedPartitions.partitionCount.toLong,
-            f.selectedPartitions.totalNumberOfFiles,
-            f.metrics.get("filesSize").map(_.value).getOrElse(-1L))
-      }.getOrElse((-1L, -1L, -1L))
-    }
+    // Scan-shape probe: the benched queries aggregate, so their plans
+    // are AQE-wrapped and (after execution) their leaves are opaque
+    // QueryStageExec wrappers. The scan they all share is introspected
+    // through an exchange-free projection of the same source + day
+    // filter instead — no AQE, and selectedPartitions / the filesSize
+    // metric are driver-side planning-time values (PruningSpec proves
+    // this plan shape), so no execution is needed.
+    def scannedPartitions(src: String): (Long, Long, Long) =
+      spark.read.parquet(src).filter(col("dt") === lit(day))
+        .select("event_id")
+        .queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: FileSourceScanExec =>
+            (f.selectedPartitions.partitionCount.toLong,
+              f.selectedPartitions.totalNumberOfFiles,
+              f.metrics.get("filesSize").map(_.value).getOrElse(-1L))
+        }.getOrElse((-1L, -1L, -1L))
 
     def bench(df: DataFrame): Double = {
+      // collect(), not count(): count() builds a SEPARATE QueryExecution,
+      // which would leave df.queryExecution (the one scannedPartitions
+      // inspects) unexecuted — its AQE plan never finalized and its scan
+      // metrics unpopulated. The frames are tiny post-agg results, so
+      // collect cost == count cost.
       def once(): Double = {
-        val s = System.nanoTime(); df.count(); (System.nanoTime() - s) / 1e9
+        val s = System.nanoTime(); df.collect(); (System.nanoTime() - s) / 1e9
       }
       once() // warm-up: codegen + JIT + FS metadata cache
       Seq.fill(math.max(1, iters))(once()).min
@@ -98,8 +103,8 @@ object BenchPartitioned {
       (layout, src) <- Seq("flat" -> flat, "partitioned" -> bydt)
       (qname, df) <- queries(src)
     } yield {
-      val sec = bench(df) // run first so AQE's final plan is in place
-      val (parts, files, bytes) = scannedPartitions(df)
+      val sec = bench(df)
+      val (parts, files, bytes) = scannedPartitions(src)
       System.err.println(f"[partbench] $layout%-12s $qname%-18s $sec%7.3f s  " +
         f"(partitions=$parts, files=$files, bytes=$bytes)")
       (layout, qname, sec, parts, files, bytes)

@@ -57,11 +57,14 @@ object Tables {
       else df
     }
     val p = spark.sparkContext.defaultParallelism
-    // file count as the parallelism proxy (one task per file at this
-    // data scale; single-row-group files can't split further anyway) —
-    // unlike .rdd.getNumPartitions it needs no logical→RDD plan
-    // conversion per load (VERDICT r3 note)
-    if (fanOut(name) && typed.inputFiles.length < math.max(2, p / 2))
+    // .rdd.getNumPartitions is the PRECISE planned-scan parallelism.
+    // A file count would avoid the logical→RDD conversion this forces
+    // per load, but it over-estimates: Spark packs small files into
+    // few scan partitions (maxPartitionBytes/openCostInBytes), so "32
+    // tiny files" can still be the 1-task scan this guard exists to
+    // fix. The conversion cost is per-load, driver-side, and cached
+    // away by prime() — keep the exact check.
+    if (fanOut(name) && typed.rdd.getNumPartitions < math.max(2, p / 2))
       typed.repartition(p)
     else typed
   }

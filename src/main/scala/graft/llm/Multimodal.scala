@@ -78,28 +78,37 @@ object Multimodal {
     * supports), at zero dependency cost. Only the header is parsed
     * (`ImageReader.getWidth/getHeight`, not a full pixel decode), the
     * shape a metadata-extraction pass wants. Payloads no reader
-    * recognizes become ("unknown", -1, -1) dead-letter rows instead of
-    * failing the batch — the same skip-don't-die contract as
+    * recognizes — AND payloads a reader claims but then fails to parse
+    * (valid magic, truncated/corrupt header: `getWidth` throws) —
+    * become ("unknown", -1, -1) dead-letter rows instead of failing
+    * the batch, the same skip-don't-die contract as
     * [[decodeBatched]]'s null handling. This is the production proof
     * of the seam: [[MultimodalSpec]] drives it over generated PNGs
     * through the UNCHANGED [[decodeBatched]] plumbing; the mm3 query
     * keeps the stub codec so its full SQL hash oracle stays. */
   def imageioDecodeBatch(payloads: Seq[Array[Byte]]): Seq[(String, Int, Int)] =
     payloads.map { bytes =>
-      val in = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) ("unknown", -1, -1)
-        else {
-          val r = readers.next()
-          try {
-            r.setInput(in)
-            (r.getFormatName.toLowerCase(java.util.Locale.ROOT),
-              r.getWidth(0), r.getHeight(0))
-          } finally r.dispose()
-        }
-      } finally in.close()
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        if (in == null) ("unknown", -1, -1)
+        else try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) ("unknown", -1, -1)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              (r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                r.getWidth(0), r.getHeight(0))
+            } finally r.dispose()
+          }
+        } finally in.close()
+      } catch {
+        // recognized-but-corrupt payload (e.g. PNG magic, truncated
+        // IHDR): dead-letter, don't fail the task
+        case scala.util.control.NonFatal(_) => ("unknown", -1, -1)
+      }
     }
 
   /** The mapInPandas analog in Scala: a partition-local BATCHED decode

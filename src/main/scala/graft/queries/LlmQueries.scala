@@ -595,9 +595,13 @@ object LlmQueries extends Q.Registry {
           |  FROM embeddings WHERE vec_id % 40 = 0),
           |keyed AS (
           |  SELECT vec_id, embedding, t,
-          |    list_sum(list_transform(range(1, 17),
-          |      i -> CASE WHEN embedding[16*t + i] >= 0
-          |           THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS b
+          |    CASE WHEN len(embedding) >= 16*t + 16
+          |          AND len(list_filter(embedding[16*t + 1 : 16*t + 16],
+          |                              e -> e IS NULL)) = 0
+          |         THEN list_sum(list_transform(range(1, 17),
+          |                i -> CASE WHEN embedding[16*t + i] >= 0
+          |                     THEN (1::BIGINT << (i-1)) ELSE 0 END))
+          |         END AS b
           |  FROM corpus, (VALUES (0), (1), (2), (3)) tt(t)),
           |cand AS (
           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -28,7 +28,11 @@ object StatsQueries extends Q.Registry {
     * can't run any step in exact DECIMAL arithmetic — the interpolated
     * q_crit is bit-identical across engines, keeping x6's boolean
     * `reject` hash-stable however close a q statistic sits to the
-    * threshold. */
+    * threshold. No ELSE: below the grid floor (dfw < 5) the CASE
+    * yields NULL — on that input the Spark side throws its
+    * dfWithin >= 5 require first, so the oracle never gets compared;
+    * NULL is the honest "no defined value" for a standalone reader of
+    * the SQL. */
   private def tukeyQcritSql(k: Int, dfw: String): String = {
     def dl(v: Double) = s"CAST($v AS DOUBLE)"
     val whens = graft.stats.Distributions.tukeySegments(k).map {
@@ -104,7 +108,8 @@ object StatsQueries extends Q.Registry {
       |                ELSE 1.0 - exp(s.a0*ln(s.x0) + s.b0*ln(1.0 - s.x0)
       |                               - (lgamma(s.a0) + lgamma(s.b0) - lgamma(s.a0 + s.b0)))
       |                           * f.h / s.b0 END,
-      |           CASE WHEN t.df/(t.df + t.t_stat*t.t_stat) >= 1.0 THEN 1.0 ELSE 0.0 END) AS p
+      |           CASE WHEN t.df/(t.df + t.t_stat*t.t_stat) >= 1.0 THEN 1.0
+      |                WHEN t.df/(t.df + t.t_stat*t.t_stat) <= 0.0 THEN 0.0 END) AS p
       |  FROM tst t
       |  LEFT JOIN sel s ON t.district = s.district
       |  LEFT JOIN cffinal f ON t.district = f.district)

@@ -65,7 +65,9 @@ class MultimodalSpec extends SparkSpec {
     val df = Seq(
       (1L, png(7, 5)),
       (2L, png(320, 200)),
-      (3L, "definitely not an image".getBytes("UTF-8")) // dead-letter row
+      (3L, "definitely not an image".getBytes("UTF-8")), // no reader matches
+      (4L, png(9, 9).take(20)) // PNG magic but truncated header: reader
+                               // matches, then getWidth throws → dead-letter
     ).toDF("doc_id", "payload").repartition(2)
     val out = Multimodal.decodeBatched(df, "doc_id", "payload", batchSize = 2,
       decodeBatch = Multimodal.imageioDecodeBatch)
@@ -73,6 +75,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) === (("png", 7, 5)))
     assert(out(2L) === (("png", 320, 200)))
     assert(out(3L) === (("unknown", -1, -1)))
+    assert(out(4L) === (("unknown", -1, -1)))
   }
 
   test("decodeBatched: codec returning a wrong-arity batch fails loudly") {
