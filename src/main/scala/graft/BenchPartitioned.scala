@@ -110,9 +110,45 @@ object BenchPartitioned {
       (layout, qname, sec, parts, files, bytes)
     }
 
+    // Second layout lever: bucketed co-located fact-to-fact join.
+    // orders ⋈ lineitem on the order key at sf0.1 (150k × 600k), with
+    // broadcast disabled so the unbucketed baseline is a genuine
+    // shuffle join (two exchanges) — the co-bucketed layout removes
+    // both (BucketingSpec proves the plan property; this measures it).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bucketJoin = try {
+      val orders = Tables.orders(spark, sfDir)
+      val lineitem = Tables.lineitem(spark, sfDir)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      if (!spark.catalog.tableExists("bb_orders")) {
+        loaders.Bucketing.writeBucketed(orders, "bb_orders", "o_orderkey", 16)
+        loaders.Bucketing.writeBucketed(lineitem, "bb_lineitem", "o_orderkey", 16)
+      }
+      def agg(o: DataFrame, l: DataFrame): DataFrame =
+        o.join(l, Seq("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("rev"))
+      def exchanges(df: DataFrame): Int =
+        "(?m)^.*Exchange".r.findAllIn(
+          df.queryExecution.executedPlan.toString).length
+      val shuffled = agg(orders, lineitem)
+      val colocated = agg(loaders.Bucketing.readBucketed(spark, "bb_orders"),
+        loaders.Bucketing.readBucketed(spark, "bb_lineitem"))
+      val (sSec, cSec) = (bench(shuffled), bench(colocated))
+      // count pre-agg exchanges on the join inputs (the agg itself
+      // still shuffles on the group key in the flat case)
+      val sEx = exchanges(orders.join(lineitem, Seq("o_orderkey")))
+      val cEx = exchanges(loaders.Bucketing.readBucketed(spark, "bb_orders")
+        .join(loaders.Bucketing.readBucketed(spark, "bb_lineitem"), Seq("o_orderkey")))
+      System.err.println(f"[partbench] shuffle join $sSec%7.3f s ($sEx exchanges)  " +
+        f"co-bucketed $cSec%7.3f s ($cEx exchanges)")
+      s""","bucketed_join":{"shuffle_sec":$sSec,"shuffle_exchanges":$sEx,"bucketed_sec":$cSec,"bucketed_exchanges":$cEx}"""
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     val json = results.map { case (layout, q, sec, parts, files, bytes) =>
       s"""{"layout":"$layout","query":"$q","sec":$sec,"scanned_partitions":$parts,"scanned_files":$files,"scanned_bytes":$bytes}"""
-    }.mkString("""{"sf":"""" + sfDir + """","day":"""" + day + """","runs":[""", ",", "]}")
+    }.mkString("""{"sf":"""" + sfDir + """","day":"""" + day + """","runs":[""", ",",
+      "]" + bucketJoin + "}")
     Files.writeString(Paths.get(outFile), json + "\n")
     System.out.println(json)
     spark.stop()
