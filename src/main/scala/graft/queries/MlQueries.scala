@@ -135,8 +135,9 @@ object MlQueries extends Q.Registry {
     Q("x15_scoring",
       "Batch scoring pipeline (X15, api/app/main.py:148-199): fit M3, " +
         "score the frame, convert rate → bikes, clamp/round (P18). " +
-        "The LSTM forward pass (X14) is out of engine scope; M3 is the " +
-        "engine-native predictor (SURVEY §2.10).",
+        "M3 is the engine-native predictor (SURVEY §2.10); the NN slot " +
+        "of the same seam is ml/Lstm.scoreUdf (X14 inference, " +
+        "LstmSpec), with training staying framework-side.",
       (s, d) => {
         // no unpersist here: the returned frame is lazy — dropping the
         // cache before the caller's action would recompute modelFrame

@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pin the engine-native LSTM forward pass (X14 serving half) against
+  * an independently computed NumPy fixture, and prove the X15 seam:
+  * the scorer as a Spark UDF over sequence rows with the
+  * skip-don't-die null contract.
+  *
+  * Fixture: weights generated from closed-form sin/cos formulas (both
+  * sides evaluate the same trig on the same args; JVM vs C libm agree
+  * to ~1 ulp, far inside the 1e-9 tolerance after 3-5 timesteps) and
+  * run through an independent NumPy implementation of the PyTorch
+  * gate equations.
+  */
+class LstmSpec extends SparkSpec {
+  import Lstm._
+  import spark.implicits._
+
+  private val D = 2
+  private val H = 3
+
+  private val w = LstmWeights(
+    inputSize = D, hidden = H,
+    wIh = Array.tabulate(4 * H, D)((k, d) => math.sin(0.7 * k + 0.3 * d) * 0.5),
+    wHh = Array.tabulate(4 * H, H)((k, j) => math.cos(0.9 * k + 0.2 * j) * 0.5),
+    bIh = Array.tabulate(4 * H)(k => math.sin(1.3 * k) * 0.1),
+    bHh = Array.tabulate(4 * H)(k => math.cos(1.7 * k) * 0.1),
+    fcW = Array.tabulate(H)(j => math.sin(2.1 * j + 0.5)),
+    fcB = 0.25)
+
+  private def close(got: Double, want: Double, tol: Double = 1e-9): Unit =
+    assert(math.abs(got - want) < tol, s"got $got, want $want")
+
+  test("forward pass matches the NumPy fixture on three sequence shapes") {
+    val seq1 = (0 until 3).map(t => Array.tabulate(D)(d => math.sin(t + 0.5 * d)))
+    val seq2 = (0 until 5).map(t => Array.tabulate(D)(d => 0.25 * t - 0.1 * d))
+    val seq3 = Seq(Array(1.0, -2.0))
+    close(forward(seq1, w).get, 0.23717329577041635)
+    close(forward(seq2, w).get, 0.24650321917126516)
+    close(forward(seq3, w).get, 0.32287731071794423)
+  }
+
+  test("degenerate inputs skip, not die: empty seq, ragged width, null step") {
+    assert(forward(Seq.empty, w).isEmpty)
+    assert(forward(Seq(Array(1.0)), w).isEmpty) // width 1 != D
+    assert(forward(Seq(Array(1.0, 2.0), null), w).isEmpty)
+  }
+
+  test("fromFlat rebuilds the PyTorch state_dict layout bit-identically") {
+    val w2 = fromFlat(D, H,
+      w.wIh.flatten, w.wHh.flatten, w.bIh, w.bHh, w.fcW, w.fcB)
+    val seq = (0 until 3).map(t => Array.tabulate(D)(d => math.sin(t + 0.5 * d)))
+    assert(forward(seq, w2) === forward(seq, w))
+  }
+
+  test("scoreUdf: distributed scoring over sequence rows, nulls propagate") {
+    val rows = Seq(
+      (1L, Seq(Seq(math.sin(0.0), math.sin(0.5)),
+        Seq(math.sin(1.0), math.sin(1.5)), Seq(math.sin(2.0), math.sin(2.5)))),
+      (2L, Seq(Seq(1.0, -2.0))),
+      (3L, Seq(Seq(1.0)))) // ragged → null
+      .toDF("id", "seq")
+    val out = rows.withColumn("score", scoreUdf(w)(col("seq")))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    close(out(1L).get.asInstanceOf[Double], 0.23717329577041635)
+    close(out(2L).get.asInstanceOf[Double], 0.32287731071794423)
+    assert(out(3L).isEmpty)
+  }
+
+  test("X15 serving-path shape: tile x3 -> LSTM -> inverse scale -> clamp (main.py:148-199)") {
+    // the API's single-observation path: scaled features tiled into a
+    // length-3 steady-state sequence, scored, then mapped back to a
+    // non-negative bike count — here with the engine LSTM in the seam
+    // the reference fills with the trained torch model
+    val obs = Seq((10L, 0.4, 0.7), (11L, 0.9, 0.1)).toDF("sid", "f1", "f2")
+    val seqd = obs.withColumn("seq",
+      array_repeat(array(col("f1"), col("f2")), 3))
+    val scored = seqd
+      .withColumn("pred_scaled", scoreUdf(w)(col("seq")))
+      .withColumn("bikes_pred",
+        greatest(lit(0.0), round(col("pred_scaled") * 30.0)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    // fixture: forward([[0.4,0.7]]*3) and [[0.9,0.1]]*3 via the same
+    // equations, scaled by the 30-space inverse and clamped
+    val e10 = forward(Seq.fill(3)(Array(0.4, 0.7)), w).get
+    val e11 = forward(Seq.fill(3)(Array(0.9, 0.1)), w).get
+    assert(scored(10L) === math.max(0.0, math.round(e10 * 30.0).toDouble))
+    assert(scored(11L) === math.max(0.0, math.round(e11 * 30.0).toDouble))
+  }
+}
