@@ -1,24 +1,34 @@
 package graft.ml
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 
-/** X14's serving half, engine-native: a standard LSTM **forward pass**
-  * (the reference's `nn.LSTM(input, hidden, batch_first) → last
-  * timestep → Linear(hidden, 1)`, `notebooks/04_lstm_prediction
-  * .ipynb:90-135`) in pure Scala, pluggable into the X15 scoring
-  * pipeline as a scalar UDF.
+/** X14 engine-native: a standard LSTM (the reference's
+  * `nn.LSTM(input, hidden, batch_first) → last timestep →
+  * Linear(hidden, 1)`, `notebooks/04_lstm_prediction.ipynb:90-135`)
+  * in pure Scala — the **forward pass** pluggable into the X15
+  * scoring pipeline as a scalar UDF, and the **training half**:
+  * exact BPTT gradients of the MSE loss plus an Adam loop, with a
+  * distributed full-batch gradient for cluster-scale fits.
   *
-  * Scope: TRAINING stays out of engine scope (SURVEY §2.10 X14 — a
-  * 50-100-epoch Adam loop is a deep-learning-framework job, and the
-  * reference's own M3 OLS-with-lag is the engine-native predictor).
-  * What the engine must own is the SERVING path: load trained weights
-  * (the S10 ML-artifact seam — four flat arrays in PyTorch's
-  * parameter layout) and evaluate them distributed, next to the
-  * feature pipeline (W5 windows, X12 scaling, X13 inverse) that is
-  * already here. A scalar codegen'd loop over ≤ (T·H·(D+H)) mults per
-  * row is exactly a map-stage kernel: no shuffle, scales with
-  * executors like any projection.
+  * Serving posture: load trained weights (the S10 ML-artifact seam —
+  * four flat arrays in PyTorch's parameter layout) and evaluate them
+  * distributed, next to the feature pipeline (W5 windows, X12
+  * scaling, X13 inverse) that is already here. A scalar codegen'd
+  * loop over ≤ (T·H·(D+H)) mults per row is exactly a map-stage
+  * kernel: no shuffle, scales with executors like any projection.
+  *
+  * Training posture: synchronous full-batch gradient descent — the
+  * classic Spark shape (MLlib's GradientDescent/L-BFGS do the same).
+  * Per epoch: broadcast the (tiny — 4H·(D+H+2)+H+1 doubles) weight
+  * vector, `treeAggregate` the per-sample BPTT gradients (map-side
+  * partial sums, log-depth combine — one reduce of an ~1 KB array
+  * regardless of row count), Adam step on the driver. At 100 TB the
+  * bottleneck is the scan, not the 88-double gradient shuffle.
+  * Gradient correctness is pinned against central finite differences
+  * over every parameter in LstmSpec.
   *
   * Weight layout follows PyTorch `nn.LSTM` exactly so a state_dict
   * dumps straight in: `weight_ih_l0` is (4H × D) and `weight_hh_l0`
@@ -114,4 +124,290 @@ object Lstm {
     udf((seq: Seq[Seq[Double]]) =>
       if (seq == null) None
       else forward(seq.map(s => if (s == null) null else s.toArray), w))
+
+  // ---------------------------------------------------------------------
+  // Training half: BPTT + Adam (X14 train, 04_lstm_prediction.ipynb:137-162)
+  // ---------------------------------------------------------------------
+
+  /** Accumulated gradients of the summed squared-error loss, flat in
+    * the same PyTorch layout as [[LstmWeights]]. Mutable on purpose:
+    * one instance per partition accumulates in place inside
+    * `treeAggregate`, so per-row allocation is zero. */
+  final class Grads(val d: Int, val h: Int) extends Serializable {
+    val wIh = new Array[Double](4 * h * d)
+    val wHh = new Array[Double](4 * h * h)
+    val bIh = new Array[Double](4 * h)
+    val bHh = new Array[Double](4 * h)
+    val fcW = new Array[Double](h)
+    var fcB = 0.0
+    var loss = 0.0
+    var n = 0L
+
+    def merge(o: Grads): Grads = {
+      var i = 0
+      while (i < wIh.length) { wIh(i) += o.wIh(i); i += 1 }
+      i = 0
+      while (i < wHh.length) { wHh(i) += o.wHh(i); i += 1 }
+      i = 0
+      while (i < bIh.length) { bIh(i) += o.bIh(i); bHh(i) += o.bHh(i); i += 1 }
+      i = 0
+      while (i < fcW.length) { fcW(i) += o.fcW(i); i += 1 }
+      fcB += o.fcB; loss += o.loss; n += o.n
+      this
+    }
+
+    /** Mean-gradient vector in [[flatten]] parameter order. */
+    def meanVector: Array[Double] = {
+      val m = math.max(1L, n).toDouble
+      val out = new Array[Double](wIh.length + wHh.length + bIh.length +
+        bHh.length + fcW.length + 1)
+      var p = 0
+      def put(a: Array[Double]): Unit = { var i = 0; while (i < a.length) { out(p) = a(i) / m; p += 1; i += 1 } }
+      put(wIh); put(wHh); put(bIh); put(bHh); put(fcW)
+      out(p) = fcB / m
+      out
+    }
+
+    def meanLoss: Double = loss / math.max(1L, n).toDouble
+  }
+
+  /** Weights → flat parameter vector (layout matches [[Grads.meanVector]]). */
+  def flatten(w: LstmWeights): Array[Double] =
+    (w.wIh.flatten ++ w.wHh.flatten ++ w.bIh ++ w.bHh ++ w.fcW) :+ w.fcB
+
+  /** Flat parameter vector → weights (inverse of [[flatten]]). */
+  def unflatten(d: Int, h: Int, v: Array[Double]): LstmWeights = {
+    val (nIh, nHh, nB) = (4 * h * d, 4 * h * h, 4 * h)
+    require(v.length == nIh + nHh + 2 * nB + h + 1,
+      s"parameter vector must have ${nIh + nHh + 2 * nB + h + 1} entries, got ${v.length}")
+    var p = 0
+    def take(n: Int): Array[Double] = { val a = v.slice(p, p + n); p += n; a }
+    fromFlat(d, h, take(nIh), take(nHh), take(nB), take(nB), take(h), v(p))
+  }
+
+  /** One sample's exact BPTT: accumulate d(pred−y)²/dθ into `acc`.
+    * Ragged/empty rows are skipped (the forward-pass contract). */
+  def accumulateGrad(seq: Seq[Array[Double]], y: Double, w: LstmWeights,
+                     acc: Grads): Unit = {
+    if (seq.isEmpty || seq.exists(x => x == null || x.length != w.inputSize))
+      return
+    val hDim = w.hidden
+    val dDim = w.inputSize
+    val t = seq.length
+    val xs = seq.toArray
+    // forward, caching every timestep's activations for the backward pass
+    val iv = Array.ofDim[Double](t, hDim)
+    val fv = Array.ofDim[Double](t, hDim)
+    val gv = Array.ofDim[Double](t, hDim)
+    val ov = Array.ofDim[Double](t, hDim)
+    val cv = Array.ofDim[Double](t, hDim)
+    val hv = Array.ofDim[Double](t, hDim)
+    val gates = new Array[Double](4 * hDim)
+    var step = 0
+    while (step < t) {
+      val x = xs(step)
+      val hPrev = if (step == 0) null else hv(step - 1)
+      var k = 0
+      while (k < 4 * hDim) {
+        var a = w.bIh(k) + w.bHh(k)
+        val wi = w.wIh(k); val wh = w.wHh(k)
+        var d = 0
+        while (d < dDim) { a += wi(d) * x(d); d += 1 }
+        if (hPrev != null) {
+          var j = 0
+          while (j < hDim) { a += wh(j) * hPrev(j); j += 1 }
+        }
+        gates(k) = a
+        k += 1
+      }
+      var j = 0
+      while (j < hDim) {
+        val i = sigmoid(gates(j))
+        val f = sigmoid(gates(hDim + j))
+        val g = math.tanh(gates(2 * hDim + j))
+        val o = sigmoid(gates(3 * hDim + j))
+        val cPrev = if (step == 0) 0.0 else cv(step - 1)(j)
+        iv(step)(j) = i; fv(step)(j) = f; gv(step)(j) = g; ov(step)(j) = o
+        cv(step)(j) = f * cPrev + i * g
+        hv(step)(j) = o * math.tanh(cv(step)(j))
+        j += 1
+      }
+      step += 1
+    }
+    var pred = w.fcB
+    var j = 0
+    while (j < hDim) { pred += w.fcW(j) * hv(t - 1)(j); j += 1 }
+    val err = pred - y
+    acc.loss += err * err
+    acc.n += 1
+    val dPred = 2.0 * err
+    // backward
+    val dh = new Array[Double](hDim)
+    val dc = new Array[Double](hDim)
+    j = 0
+    while (j < hDim) {
+      acc.fcW(j) += dPred * hv(t - 1)(j)
+      dh(j) = dPred * w.fcW(j)
+      j += 1
+    }
+    acc.fcB += dPred
+    val dPre = new Array[Double](4 * hDim)
+    step = t - 1
+    while (step >= 0) {
+      val x = xs(step)
+      val hPrev = if (step == 0) null else hv(step - 1)
+      var jj = 0
+      while (jj < hDim) {
+        val i = iv(step)(jj); val f = fv(step)(jj)
+        val g = gv(step)(jj); val o = ov(step)(jj)
+        val tc = math.tanh(cv(step)(jj))
+        val cPrev = if (step == 0) 0.0 else cv(step - 1)(jj)
+        dc(jj) += dh(jj) * o * (1.0 - tc * tc)
+        dPre(jj) = dc(jj) * g * i * (1.0 - i) // input gate
+        dPre(hDim + jj) = dc(jj) * cPrev * f * (1.0 - f) // forget gate
+        dPre(2 * hDim + jj) = dc(jj) * i * (1.0 - g * g) // cell candidate
+        dPre(3 * hDim + jj) = dh(jj) * tc * o * (1.0 - o) // output gate
+        dc(jj) *= f // carried to step-1
+        jj += 1
+      }
+      var k = 0
+      java.util.Arrays.fill(dh, 0.0)
+      while (k < 4 * hDim) {
+        val dp = dPre(k)
+        acc.bIh(k) += dp; acc.bHh(k) += dp
+        val rowI = k * dDim
+        var d = 0
+        while (d < dDim) { acc.wIh(rowI + d) += dp * x(d); d += 1 }
+        if (hPrev != null) {
+          val rowH = k * hDim
+          val wh = w.wHh(k)
+          var j2 = 0
+          while (j2 < hDim) {
+            acc.wHh(rowH + j2) += dp * hPrev(j2)
+            dh(j2) += dp * wh(j2)
+            j2 += 1
+          }
+        }
+        k += 1
+      }
+      step -= 1
+    }
+  }
+
+  /** Deterministic small-weight init (uniform in ±1/√H, seeded LCG —
+    * the PyTorch default scale without a framework RNG). */
+  def init(inputSize: Int, hidden: Int, seed: Long = 42L): LstmWeights = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      // top 53 bits → [0,1), then to ±1/√H
+      ((state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) /
+        math.sqrt(hidden.toDouble)
+    }
+    LstmWeights(inputSize, hidden,
+      Array.fill(4 * hidden, inputSize)(next()),
+      Array.fill(4 * hidden, hidden)(next()),
+      Array.fill(4 * hidden)(next()),
+      Array.fill(4 * hidden)(next()),
+      Array.fill(hidden)(next()),
+      next())
+  }
+
+  /** Adam state over a flat parameter vector (Kingma & Ba 2015,
+    * PyTorch defaults β=(0.9, 0.999), ε=1e-8). */
+  final class Adam(nParams: Int, lr: Double = 1e-2,
+                   beta1: Double = 0.9, beta2: Double = 0.999,
+                   eps: Double = 1e-8) extends Serializable {
+    private val m = new Array[Double](nParams)
+    private val v = new Array[Double](nParams)
+    private var step = 0
+
+    def update(params: Array[Double], grad: Array[Double]): Unit = {
+      require(params.length == nParams && grad.length == nParams)
+      step += 1
+      val bc1 = 1.0 - math.pow(beta1, step)
+      val bc2 = 1.0 - math.pow(beta2, step)
+      var i = 0
+      while (i < nParams) {
+        m(i) = beta1 * m(i) + (1.0 - beta1) * grad(i)
+        v(i) = beta2 * v(i) + (1.0 - beta2) * grad(i) * grad(i)
+        params(i) -= lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
+        i += 1
+      }
+    }
+  }
+
+  /** Local full-batch Adam fit. Returns the trained weights and the
+    * per-epoch mean-MSE history (index 0 = loss under the init). */
+  def fit(samples: Seq[(Seq[Array[Double]], Double)], w0: LstmWeights,
+          epochs: Int, lr: Double = 1e-2): (LstmWeights, Array[Double]) = {
+    var w = w0
+    val params = flatten(w0)
+    val adam = new Adam(params.length, lr)
+    val history = new Array[Double](epochs + 1)
+    var e = 0
+    while (e < epochs) {
+      val acc = new Grads(w.inputSize, w.hidden)
+      samples.foreach { case (seq, y) => accumulateGrad(seq, y, w, acc) }
+      history(e) = acc.meanLoss
+      adam.update(params, acc.meanVector)
+      w = unflatten(w.inputSize, w.hidden, params)
+      e += 1
+    }
+    val fin = new Grads(w.inputSize, w.hidden)
+    samples.foreach { case (seq, y) => accumulateGrad(seq, y, w, fin) }
+    history(epochs) = fin.meanLoss
+    (w, history)
+  }
+
+  /** One distributed full-batch gradient: broadcast the weights, BPTT
+    * per row, map-side partial sums, log-depth combine. The returned
+    * [[Grads]] is bitwise what a single partition would accumulate up
+    * to float-sum order. */
+  def distributedGrad(rdd: RDD[(Seq[Array[Double]], Double)],
+                      w: LstmWeights): Grads = {
+    val bc = rdd.sparkContext.broadcast(w)
+    try {
+      rdd.treeAggregate(new Grads(w.inputSize, w.hidden))(
+        seqOp = (acc, row) => { accumulateGrad(row._1, row._2, bc.value, acc); acc },
+        combOp = (a, b) => a.merge(b))
+    } finally bc.destroy()
+  }
+
+  /** Distributed full-batch Adam fit over a frame with a sequence
+    * column (array<array<double>>) and a double label column — the
+    * cluster-scale X14 trainer. One scan + one ~1 KB gradient reduce
+    * per epoch; the sequence frame is cached for the epoch loop and
+    * released before returning. */
+  def fitDistributed(df: DataFrame, seqCol: String, labelCol: String,
+                     w0: LstmWeights, epochs: Int, lr: Double = 1e-2)
+      : (LstmWeights, Array[Double]) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    val rdd = df.select(col(seqCol), col(labelCol).cast("double")).rdd
+      .map { r =>
+        val seq = r.getSeq[scala.collection.Seq[Double]](0)
+        val arr: Seq[Array[Double]] =
+          if (seq == null) Seq.empty
+          else seq.map(s => if (s == null) null else s.toArray).toSeq
+        (arr, r.getDouble(1))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = w0
+      val params = flatten(w0)
+      val adam = new Adam(params.length, lr)
+      val history = new Array[Double](epochs + 1)
+      var e = 0
+      while (e < epochs) {
+        val acc = distributedGrad(rdd, w)
+        history(e) = acc.meanLoss
+        adam.update(params, acc.meanVector)
+        w = unflatten(w.inputSize, w.hidden, params)
+        e += 1
+      }
+      history(epochs) = distributedGrad(rdd, w).meanLoss
+      (w, history)
+    } finally rdd.unpersist(blocking = false)
+  }
 }

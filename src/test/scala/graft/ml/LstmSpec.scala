@@ -70,6 +70,77 @@ class LstmSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("BPTT gradients match central finite differences on every parameter") {
+    val samples = Seq(
+      ((0 until 4).map(t => Array.tabulate(D)(d => math.sin(0.9 * t - 0.4 * d))), 0.6),
+      ((0 until 2).map(t => Array.tabulate(D)(d => 0.3 * t + 0.1 * d)), -0.2))
+    def loss(wts: Lstm.LstmWeights): Double = {
+      val acc = new Lstm.Grads(D, H)
+      samples.foreach { case (s, y) => Lstm.accumulateGrad(s, y, wts, acc) }
+      acc.loss
+    }
+    val acc = new Lstm.Grads(D, H)
+    samples.foreach { case (s, y) => Lstm.accumulateGrad(s, y, w, acc) }
+    // analytic summed-loss gradient (meanVector divides by n=2 — undo)
+    val analytic = acc.meanVector.map(_ * acc.n)
+    val params = Lstm.flatten(w)
+    val eps = 1e-6
+    params.indices.foreach { i =>
+      val p = params.clone()
+      p(i) = params(i) + eps
+      val up = loss(Lstm.unflatten(D, H, p))
+      p(i) = params(i) - eps
+      val dn = loss(Lstm.unflatten(D, H, p))
+      val numeric = (up - dn) / (2 * eps)
+      assert(math.abs(analytic(i) - numeric) < 1e-6,
+        s"param $i: analytic ${analytic(i)} vs numeric $numeric")
+    }
+  }
+
+  test("Adam fit learns next-step prediction on a sine series (04:137-162 analog)") {
+    val xs = (0 until 60).map(t => (math.sin(0.4 * t) + 1.0) / 2.0)
+    val samples = (0 until 56).map { s =>
+      ((0 until 3).map(t => Array(xs(s + t))), xs(s + 3))
+    }
+    val (trained, hist) = Lstm.fit(samples, Lstm.init(1, 4, seed = 7L),
+      epochs = 300, lr = 0.02)
+    assert(hist.last < 0.05 * hist.head,
+      s"loss ${hist.head} -> ${hist.last}: did not learn")
+    assert(hist.last < 5e-3, s"final mean MSE ${hist.last} too high")
+    // trained forward actually predicts the next point
+    val pred = Lstm.forward((10 until 13).map(t => Array(xs(t))), trained).get
+    assert(math.abs(pred - xs(13)) < 0.15, s"pred $pred vs ${xs(13)}")
+  }
+
+  test("distributedGrad over 4 partitions equals the local accumulation") {
+    val samples = (0 until 24).map { s =>
+      ((0 until 3).map(t => Array.tabulate(D)(d => math.sin(0.2 * (s + t) + d))),
+        math.cos(0.3 * s))
+    }
+    val local = new Lstm.Grads(D, H)
+    samples.foreach { case (sq, y) => Lstm.accumulateGrad(sq, y, w, local) }
+    val dist = Lstm.distributedGrad(
+      spark.sparkContext.parallelize(samples, 4), w)
+    assert(dist.n === local.n)
+    assert(math.abs(dist.loss - local.loss) < 1e-12 * math.abs(local.loss))
+    val (lv, dv) = (local.meanVector, dist.meanVector)
+    lv.indices.foreach { i =>
+      assert(math.abs(lv(i) - dv(i)) <= 1e-10 * (1.0 + math.abs(lv(i))),
+        s"grad $i: local ${lv(i)} vs distributed ${dv(i)}")
+    }
+  }
+
+  test("fitDistributed: full-batch Adam over a sequence frame reduces loss") {
+    val xs = (0 until 40).map(t => (math.sin(0.4 * t) + 1.0) / 2.0)
+    val rows = (0 until 36).map { s =>
+      (s.toLong, Seq(Seq(xs(s)), Seq(xs(s + 1)), Seq(xs(s + 2))), xs(s + 3))
+    }.toDF("id", "seq", "label").repartition(4)
+    val (_, hist) = Lstm.fitDistributed(rows, "seq", "label",
+      Lstm.init(1, 3, seed = 11L), epochs = 40, lr = 0.05)
+    assert(hist.last < 0.3 * hist.head,
+      s"distributed loss ${hist.head} -> ${hist.last}: did not drop")
+  }
+
   test("X15 serving-path shape: tile x3 -> LSTM -> inverse scale -> clamp (main.py:148-199)") {
     // the API's single-observation path: scaled features tiled into a
     // length-3 steady-state sequence, scored, then mapped back to a
