@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.Models
+import graft.ml.{Lstm, Models}
 import graft.ops.{Derive, Windows}
 
 /** SURVEY §2.10 ML layer (X10-X13, X15) + J6 as registered queries.
@@ -40,6 +40,73 @@ object MlQueries extends Q.Registry {
       .join(broadcast(nnDist(s, d)), Seq("station_no"), "left")
       .filter(col("filling_rate_lag1").between(0.0, 1.0))
       .na.drop(Seq("filling_rate", "dist_to_mrt", "total_spaces"))
+
+  /** X14's pinned serving weights (D=1, H=3): deterministic sin/cos
+    * formulas so the Scala UDF and the generated SQL oracle embed the
+    * exact same doubles (Double.toString round-trips bit-exactly
+    * through DuckDB's literal parser). */
+  private[queries] lazy val lstmW: Lstm.LstmWeights = Lstm.LstmWeights(
+    inputSize = 1, hidden = 3,
+    wIh = Array.tabulate(12, 1)((k, _) => math.sin(0.7 * k + 0.3) * 0.5),
+    wHh = Array.tabulate(12, 3)((k, j) => math.cos(0.9 * k + 0.2 * j) * 0.5),
+    bIh = Array.tabulate(12)(k => math.sin(1.3 * k) * 0.1),
+    bHh = Array.tabulate(12)(k => math.cos(1.7 * k) * 0.1),
+    fcW = Array.tabulate(3)(j => math.sin(2.1 * j + 0.5)),
+    fcB = 0.25)
+
+  /** The LSTM forward pass unrolled into chained CTEs — with the
+    * weights as literals it is pure (exp, tanh, +, ×) arithmetic, so
+    * the NN scorer gets a full DuckDB oracle. Generated to match the
+    * Scala loop's float-op order exactly: gate pre-activation =
+    * ((b + w·x) + Σ wh·h) left-assoc, c' = f·c + i·g, h' = o·tanh(c').
+    * Old state is renamed (oc*) per step so no CTE ever references a
+    * lateral alias. */
+  private[queries] def lstmOracleSql: String = {
+    val w = lstmW
+    val H = w.hidden
+    def lit(x: Double): String = x.toString
+    def sig(e: String): String = s"1.0/(1.0 + exp(-($e)))"
+    // DuckDB 1.0.0 ships no tanh; the exp identity differs from JVM
+    // Math.tanh by ≤1 ulp, absorbed by the trunc-6 output grid
+    def th(e: String): String = s"((exp(2.0*($e)) - 1.0)/(exp(2.0*($e)) + 1.0))"
+    val zeros = ((1 to H).map(j => s"CAST(0.0 AS DOUBLE) AS h$j") ++
+      (1 to H).map(j => s"CAST(0.0 AS DOUBLE) AS c$j")).mkString(", ")
+    val steps = (1 to 3).map { t =>
+      val ocs = (1 to H).map(j => s"c$j AS oc$j").mkString(", ")
+      val pre = (0 until 4 * H).map { k =>
+        val b = lit(w.bIh(k) + w.bHh(k))
+        val hs = (0 until H).map(j => s" + ${lit(w.wHh(k)(j))}*h${j + 1}").mkString
+        s"$b + ${lit(w.wIh(k)(0))}*x$t$hs AS p$k"
+      }.mkString(",\n      ")
+      val state = (0 until H).map { j =>
+        val cNew = s"${sig(s"p${H + j}")}*oc${j + 1} + ${sig(s"p$j")}*${th(s"p${2 * H + j}")}"
+        s"$cNew AS c${j + 1},\n      ${sig(s"p${3 * H + j}")}*${th(cNew)} AS h${j + 1}"
+      }.mkString(",\n      ")
+      s"""|, g$t AS (
+          |    SELECT event_id, x1, x2, x3, $ocs,
+          |      $pre
+          |    FROM s${t - 1})
+          |, s$t AS (
+          |    SELECT event_id, x1, x2, x3,
+          |      $state
+          |    FROM g$t)""".stripMargin
+    }.mkString("\n")
+    val head = (s"${lit(w.fcB)}" +:
+      (0 until H).map(j => s"${lit(w.fcW(j))}*h${j + 1}")).mkString(" + ")
+    enrSql +
+      s"""|, seqs AS (
+          |    SELECT event_id,
+          |      lag(filling_rate, 2) OVER w AS x1,
+          |      lag(filling_rate, 1) OVER w AS x2,
+          |      filling_rate AS x3
+          |    FROM enr WHERE filling_rate IS NOT NULL
+          |    WINDOW w AS (PARTITION BY station_no ORDER BY record_time, event_id))
+          |, s0 AS (
+          |    SELECT event_id, x1, x2, x3, $zeros
+          |    FROM seqs WHERE x1 IS NOT NULL AND x2 IS NOT NULL)
+          |$steps
+          |SELECT event_id, ${Fmt.sql6(head)} AS lstm_score FROM s3""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -132,12 +199,35 @@ object MlQueries extends Q.Registry {
           |  SELECT min(filling_rate) AS r_min, max(filling_rate) AS r_max
           |  FROM clean)""".stripMargin)),
 
+    Q("x14_lstm_score",
+      "LSTM batch scoring (X14 serving, 04:90-135): W5's 3-step rate " +
+        "sequences through the engine-native forward pass with pinned " +
+        "weights. Map-stage kernel — no shuffle beyond the window. The " +
+        "oracle is the forward pass unrolled into SQL (weights as " +
+        "literals), so even the NN scorer is hash-checked; training " +
+        "(BPTT+Adam, Lstm.fit/fitDistributed) is spec-covered in " +
+        "LstmSpec — fits are not SQL-expressible.",
+      (s, d) => {
+        val k = col("station_no")
+        val ord = Seq(col("record_time"), col("event_id"))
+        RelationalQueries.enriched(s, d)
+          .filter(col("filling_rate").isNotNull)
+          .withColumn("seq",
+            Windows.slidingSeq(col("filling_rate"), 3, k, ord: _*))
+          .filter(size(col("seq")) === 3)
+          .withColumn("nested", transform(col("seq"), x => array(x)))
+          .select(
+            col("event_id"),
+            Fmt.t6(Lstm.scoreUdf(lstmW)(col("nested"))).as("lstm_score"))
+      },
+      Some(lstmOracleSql)),
+
     Q("x15_scoring",
       "Batch scoring pipeline (X15, api/app/main.py:148-199): fit M3, " +
         "score the frame, convert rate → bikes, clamp/round (P18). " +
         "M3 is the engine-native predictor (SURVEY §2.10); the NN slot " +
-        "of the same seam is ml/Lstm.scoreUdf (X14 inference, " +
-        "LstmSpec), with training staying framework-side.",
+        "of the same seam is ml/Lstm.scoreUdf (X14, with in-engine " +
+        "BPTT+Adam training — see x14_lstm_score and LstmSpec).",
       (s, d) => {
         // no unpersist here: the returned frame is lazy — dropping the
         // cache before the caller's action would recompute modelFrame
