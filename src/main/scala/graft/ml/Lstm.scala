@@ -186,9 +186,12 @@ object Lstm {
   }
 
   /** One sample's exact BPTT: accumulate d(pred−y)²/dθ into `acc`.
-    * Ragged/empty rows are skipped (the forward-pass contract). */
+    * Ragged/empty rows are skipped (the forward-pass contract).
+    * When `dX` is non-null (a zeroed T×D buffer) the input gradients
+    * ∂loss/∂x_t[d] are added into it — the hook the multi-station
+    * embedding trainer uses to backprop into its embedding table. */
   def accumulateGrad(seq: Seq[Array[Double]], y: Double, w: LstmWeights,
-                     acc: Grads): Unit = {
+                     acc: Grads, dX: Array[Array[Double]] = null): Unit = {
     if (seq.isEmpty || seq.exists(x => x == null || x.length != w.inputSize))
       return
     val hDim = w.hidden
@@ -276,8 +279,13 @@ object Lstm {
         val dp = dPre(k)
         acc.bIh(k) += dp; acc.bHh(k) += dp
         val rowI = k * dDim
+        val wiRow = w.wIh(k)
         var d = 0
-        while (d < dDim) { acc.wIh(rowI + d) += dp * x(d); d += 1 }
+        while (d < dDim) {
+          acc.wIh(rowI + d) += dp * x(d)
+          if (dX != null) dX(step)(d) += dp * wiRow(d)
+          d += 1
+        }
         if (hPrev != null) {
           val rowH = k * hDim
           val wh = w.wHh(k)
@@ -409,5 +417,124 @@ object Lstm {
       history(epochs) = distributedGrad(rdd, w).meanLoss
       (w, history)
     } finally rdd.unpersist(blocking = false)
+  }
+
+  // ---------------------------------------------------------------------
+  // Multi-station variant: LSTM + trainable station embedding (X14's
+  // 05_multistation_lstm.ipynb:276-310 — nn.Embedding(num_stations, E)
+  // concatenated to the features at every timestep)
+  // ---------------------------------------------------------------------
+
+  /** LSTM weights + an N×E station-embedding table. The LSTM's input
+    * size is baseDim + embDim. */
+  final case class EmbeddingWeights(base: LstmWeights, emb: Array[Array[Double]],
+                                    baseDim: Int) {
+    require(emb.forall(_.length == base.inputSize - baseDim),
+      "embedding width must equal lstm inputSize - baseDim")
+    def embDim: Int = base.inputSize - baseDim
+    def nStations: Int = emb.length
+  }
+
+  /** Gradient accumulator for [[EmbeddingWeights]]: the base LSTM
+    * grads plus the flat N×E embedding-table gradient. Shares the base
+    * accumulator's loss/n counters. */
+  final class EmbGrads(d: Int, h: Int, nStations: Int, embDim: Int)
+      extends Serializable {
+    val base = new Grads(d, h)
+    val emb = new Array[Double](nStations * embDim)
+    def merge(o: EmbGrads): EmbGrads = {
+      base.merge(o.base)
+      var i = 0
+      while (i < emb.length) { emb(i) += o.emb(i); i += 1 }
+      this
+    }
+  }
+
+  /** One multi-station sample's BPTT: concatenate the sample's station
+    * embedding to every timestep, run the base BPTT, and route the
+    * embedding columns' input gradients (summed over timesteps, as a
+    * shared weight must) into the table row. */
+  def accumulateGradEmb(station: Int, baseSeq: Seq[Array[Double]], y: Double,
+                        w: EmbeddingWeights, acc: EmbGrads): Unit = {
+    val e = w.embDim
+    if (station < 0 || station >= w.nStations) return
+    if (baseSeq.isEmpty ||
+        baseSeq.exists(x => x == null || x.length != w.baseDim)) return
+    val row = w.emb(station)
+    val seq = baseSeq.map(x => x ++ row)
+    val t = seq.length
+    val dX = Array.ofDim[Double](t, w.base.inputSize)
+    accumulateGrad(seq, y, w.base, acc.base, dX)
+    var step = 0
+    while (step < t) {
+      var j = 0
+      while (j < e) {
+        acc.emb(station * e + j) += dX(step)(w.baseDim + j)
+        j += 1
+      }
+      step += 1
+    }
+  }
+
+  /** Deterministic init for the multi-station model. */
+  def initEmbedding(baseDim: Int, embDim: Int, nStations: Int, hidden: Int,
+                    seed: Long = 42L): EmbeddingWeights = {
+    val base = init(baseDim + embDim, hidden, seed)
+    var state = seed ^ 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) * 0.1
+    }
+    EmbeddingWeights(base, Array.fill(nStations, embDim)(next()), baseDim)
+  }
+
+  /** Local full-batch Adam fit of LSTM + embedding table. Samples are
+    * (stationIdx, baseFeatureSeq, label). */
+  def fitMultiStation(samples: Seq[(Int, Seq[Array[Double]], Double)],
+                      w0: EmbeddingWeights, epochs: Int, lr: Double = 1e-2)
+      : (EmbeddingWeights, Array[Double]) = {
+    val (n, e, d, h) = (w0.nStations, w0.embDim, w0.baseDim, w0.base.hidden)
+    val nBase = flatten(w0.base).length
+    var w = w0
+    val params = flatten(w0.base) ++ w0.emb.flatten
+    val adam = new Adam(params.length, lr)
+    val history = new Array[Double](epochs + 1)
+    def meanGradVector(acc: EmbGrads): Array[Double] = {
+      val m = math.max(1L, acc.base.n).toDouble
+      acc.base.meanVector ++ acc.emb.map(_ / m)
+    }
+    def epochGrads(): EmbGrads = {
+      val acc = new EmbGrads(d + e, h, n, e)
+      samples.foreach { case (s, sq, y) => accumulateGradEmb(s, sq, y, w, acc) }
+      acc
+    }
+    var ep = 0
+    while (ep < epochs) {
+      val acc = epochGrads()
+      history(ep) = acc.base.meanLoss
+      adam.update(params, meanGradVector(acc))
+      w = EmbeddingWeights(
+        unflatten(d + e, h, params.slice(0, nBase)),
+        params.slice(nBase, params.length).grouped(e).toArray,
+        d)
+      ep += 1
+    }
+    history(epochs) = epochGrads().base.meanLoss
+    (w, history)
+  }
+
+  /** Distributed full-batch gradient for the multi-station model: same
+    * treeAggregate shape as [[distributedGrad]] — the reduced payload
+    * grows by N·E doubles (1,500 stations × 5 dims ≈ 60 KB), still a
+    * broadcast-and-reduce, never a shuffle of the data. */
+  def distributedGradEmb(rdd: RDD[(Int, Seq[Array[Double]], Double)],
+                         w: EmbeddingWeights): EmbGrads = {
+    val bc = rdd.sparkContext.broadcast(w)
+    try {
+      rdd.treeAggregate(
+        new EmbGrads(w.base.inputSize, w.base.hidden, w.nStations, w.embDim))(
+        seqOp = (acc, r) => { accumulateGradEmb(r._1, r._2, r._3, bc.value, acc); acc },
+        combOp = (a, b) => a.merge(b))
+    } finally bc.destroy()
   }
 }

@@ -141,6 +141,94 @@ class LstmSpec extends SparkSpec {
       s"distributed loss ${hist.head} -> ${hist.last}: did not drop")
   }
 
+  test("multi-station BPTT: embedding-table gradients match finite differences") {
+    val we = Lstm.initEmbedding(baseDim = 1, embDim = 2, nStations = 3,
+      hidden = 2, seed = 5L)
+    val samples = Seq(
+      (0, (0 until 3).map(t => Array(math.sin(0.5 * t))), 0.4),
+      (2, (0 until 2).map(t => Array(0.2 * t)), -0.1),
+      (0, (0 until 4).map(t => Array(math.cos(0.3 * t))), 0.7))
+    def loss(v: Array[Double]): Double = {
+      val nBase = Lstm.flatten(we.base).length
+      val wv = Lstm.EmbeddingWeights(
+        Lstm.unflatten(3, 2, v.slice(0, nBase)),
+        v.slice(nBase, v.length).grouped(2).toArray, 1)
+      val acc = new Lstm.EmbGrads(3, 2, 3, 2)
+      samples.foreach { case (s, sq, y) => Lstm.accumulateGradEmb(s, sq, y, wv, acc) }
+      acc.base.loss
+    }
+    val acc = new Lstm.EmbGrads(3, 2, 3, 2)
+    samples.foreach { case (s, sq, y) => Lstm.accumulateGradEmb(s, sq, y, we, acc) }
+    // base grads via meanVector (undo the /n); emb grads are raw sums
+    val analytic = acc.base.meanVector.map(_ * acc.base.n) ++ acc.emb
+    val params = Lstm.flatten(we.base) ++ we.emb.flatten
+    val eps = 1e-6
+    params.indices.foreach { i =>
+      val p = params.clone(); p(i) += eps
+      val up = loss(p)
+      p(i) = params(i) - eps
+      val dn = loss(p)
+      val numeric = (up - dn) / (2 * eps)
+      assert(math.abs(analytic(i) - numeric) < 1e-6,
+        s"param $i: analytic ${analytic(i)} vs numeric $numeric")
+    }
+    // station 1 received no samples: its table row must have zero grad
+    assert((0 until 2).forall(j => acc.emb(1 * 2 + j) === 0.0))
+  }
+
+  test("multi-station fit separates per-station offsets via the embedding (05:276-372 analog)") {
+    // y = 0.3*x_T + offset(station): without the embedding the best MSE
+    // is the offset variance (~0.05); learning below that proves the
+    // table carries the station identity
+    val offsets = Array(0.1, 0.3, 0.5, 0.7)
+    val samples = for {
+      st <- 0 until 4
+      s <- 0 until 15
+    } yield {
+      val xs = (0 until 3).map(t => Array((math.sin(0.4 * (s + t) + st) + 1.0) / 2.0))
+      (st, xs: Seq[Array[Double]], 0.3 * xs.last(0) + offsets(st))
+    }
+    val (trained, hist) = Lstm.fitMultiStation(samples,
+      Lstm.initEmbedding(1, 2, 4, 4, seed = 3L), epochs = 400, lr = 0.03)
+    val offsetVar = {
+      val m = offsets.sum / 4
+      offsets.map(o => (o - m) * (o - m)).sum / 4
+    }
+    assert(hist.last < 0.2 * offsetVar,
+      s"final MSE ${hist.last} not below the no-embedding floor $offsetVar")
+    assert(hist.last < 0.1 * hist.head, s"loss ${hist.head} -> ${hist.last}")
+    // per-station predictions land near their own offset band
+    val preds = (0 until 4).map { st =>
+      val xs = (0 until 3).map(t => Array((math.sin(0.4 * (7 + t) + st) + 1.0) / 2.0))
+      Lstm.forward(xs.map(_ ++ trained.emb(st)), trained.base).get - 0.3 * xs.last(0)
+    }
+    (0 until 4).foreach { st =>
+      assert(math.abs(preds(st) - offsets(st)) < 0.12,
+        s"station $st: recovered offset ${preds(st)} vs ${offsets(st)}")
+    }
+  }
+
+  test("distributedGradEmb over 4 partitions equals the local accumulation") {
+    val we = Lstm.initEmbedding(1, 2, 5, 3, seed = 9L)
+    val samples = (0 until 30).map { s =>
+      (s % 5, (0 until 3).map(t => Array(math.sin(0.2 * (s + t)))): Seq[Array[Double]],
+        math.cos(0.3 * s))
+    }
+    val local = new Lstm.EmbGrads(3, 3, 5, 2)
+    samples.foreach { case (st, sq, y) => Lstm.accumulateGradEmb(st, sq, y, we, local) }
+    val dist = Lstm.distributedGradEmb(
+      spark.sparkContext.parallelize(samples, 4), we)
+    assert(dist.base.n === local.base.n)
+    local.emb.indices.foreach { i =>
+      assert(math.abs(local.emb(i) - dist.emb(i)) <= 1e-10 * (1.0 + math.abs(local.emb(i))),
+        s"emb grad $i: ${local.emb(i)} vs ${dist.emb(i)}")
+    }
+    val (lv, dv) = (local.base.meanVector, dist.base.meanVector)
+    lv.indices.foreach { i =>
+      assert(math.abs(lv(i) - dv(i)) <= 1e-10 * (1.0 + math.abs(lv(i))))
+    }
+  }
+
   test("X15 serving-path shape: tile x3 -> LSTM -> inverse scale -> clamp (main.py:148-199)") {
     // the API's single-observation path: scaled features tiled into a
     // length-3 steady-state sequence, scored, then mapped back to a
