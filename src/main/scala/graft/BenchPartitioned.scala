@@ -87,11 +87,11 @@ object BenchPartitioned {
         }.getOrElse((-1L, -1L, -1L))
 
     def bench(df: DataFrame): Double = {
-      // collect(), not count(): count() builds a SEPARATE QueryExecution,
-      // which would leave df.queryExecution (the one scannedPartitions
-      // inspects) unexecuted — its AQE plan never finalized and its scan
-      // metrics unpopulated. The frames are tiny post-agg results, so
-      // collect cost == count cost.
+      // collect() times the full plan through result fetch, matching
+      // what a client sees; the frames are tiny post-agg results, so
+      // this is equivalent to count(). (Scan-shape introspection does
+      // NOT depend on this execution — scannedPartitions reads
+      // planning-time values off its own exchange-free probe plan.)
       def once(): Double = {
         val s = System.nanoTime(); df.collect(); (System.nanoTime() - s) / 1e9
       }

@@ -101,8 +101,12 @@ object Similarity {
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val d = ArrayKernels.dotD(v, array(p.map(lit).toIndexedSeq: _*))
-      // no .otherwise: null dot → null branch → null bucket
-      when(d >= 0, lit(1 << i)).when(d < 0, lit(0))
+      // null dot → null bucket (explicit guard); NaN takes the ≥0 bit —
+      // DuckDB orders NaN above all values, so the oracle's `d >= 0` is
+      // true for NaN and the engines must agree on corrupt components
+      when(d.isNull, lit(null).cast("int"))
+        .when(d >= 0 || isnan(d), lit(1 << i))
+        .otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Axis-aligned sign-bit LSH tables: table `t` packs the sign bits
@@ -117,7 +121,7 @@ object Similarity {
     * that differ in few components collide deterministically — the
     * recall guarantee dd5 relies on. Returns an array of (t, b)
     * structs to explode into equi-join keys; a missing/short vector
-    * yields null buckets (no `.otherwise`), which the downstream
+    * yields null buckets (explicit null guard), which the downstream
     * equi-join drops instead of collapsing into bucket 0. */
   def axisSignBuckets(v: Column, tables: Int, groupBits: Int): Column = {
     require(groupBits >= 1 && groupBits <= 31,
@@ -126,7 +130,10 @@ object Similarity {
     array((0 until tables).map { t =>
       val b = (0 until groupBits).map { i =>
         val e = try_element_at(v, lit(groupBits * t + i + 1))
-        when(e >= 0f, lit(1 << i)).when(e < 0f, lit(0))
+        // same NaN-as-≥0 contract as [[hyperplaneBucket]] (DuckDB parity)
+        when(e.isNull, lit(null).cast("int"))
+          .when(e >= 0f || isnan(e), lit(1 << i))
+          .otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(t).as("t"), b.as("b"))
     }: _*)

@@ -302,16 +302,23 @@ object Lstm {
     }
   }
 
+  /** Seeded LCG emitting uniforms in ±1 — the shared deterministic
+    * init source (one copy so the bit-extraction can never drift
+    * between the base and embedding initializers). */
+  private final class SeededUniform(seed: Long) {
+    private var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      // top 53 bits → [0,1), then to ±1
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+
   /** Deterministic small-weight init (uniform in ±1/√H, seeded LCG —
     * the PyTorch default scale without a framework RNG). */
   def init(inputSize: Int, hidden: Int, seed: Long = 42L): LstmWeights = {
-    var state = seed
-    def next(): Double = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      // top 53 bits → [0,1), then to ±1/√H
-      ((state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) /
-        math.sqrt(hidden.toDouble)
-    }
+    val rng = new SeededUniform(seed)
+    def next(): Double = rng.next() / math.sqrt(hidden.toDouble)
     LstmWeights(inputSize, hidden,
       Array.fill(4 * hidden, inputSize)(next()),
       Array.fill(4 * hidden, hidden)(next()),
@@ -383,16 +390,22 @@ object Lstm {
   }
 
   /** Distributed full-batch Adam fit over a frame with a sequence
-    * column (array<array<double>>) and a double label column — the
-    * cluster-scale X14 trainer. One scan + one ~1 KB gradient reduce
-    * per epoch; the sequence frame is cached for the epoch loop and
-    * released before returning. */
+    * column (any array<array<numeric>> — cast to double) and a numeric
+    * label column — the cluster-scale X14 trainer. One scan + one
+    * ~1 KB gradient reduce per epoch; the sequence frame is cached for
+    * the epoch loop and released before returning. Null-label rows
+    * (W5's leadLabel emits one per partition tail) are dropped, the
+    * same skip-don't-die contract as ragged sequences. */
   def fitDistributed(df: DataFrame, seqCol: String, labelCol: String,
                      w0: LstmWeights, epochs: Int, lr: Double = 1e-2)
       : (LstmWeights, Array[Double]) = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.storage.StorageLevel
-    val rdd = df.select(col(seqCol), col(labelCol).cast("double")).rdd
+    val rdd = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(seqCol).cast("array<array<double>>"),
+        col(labelCol).cast("double"))
+      .rdd
       .map { r =>
         val seq = r.getSeq[scala.collection.Seq[Double]](0)
         val arr: Seq[Array[Double]] =
@@ -480,12 +493,9 @@ object Lstm {
   def initEmbedding(baseDim: Int, embDim: Int, nStations: Int, hidden: Int,
                     seed: Long = 42L): EmbeddingWeights = {
     val base = init(baseDim + embDim, hidden, seed)
-    var state = seed ^ 0x9e3779b97f4a7c15L
-    def next(): Double = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      ((state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) * 0.1
-    }
-    EmbeddingWeights(base, Array.fill(nStations, embDim)(next()), baseDim)
+    val rng = new SeededUniform(seed ^ 0x9e3779b97f4a7c15L)
+    EmbeddingWeights(base,
+      Array.fill(nStations, embDim)(rng.next() * 0.1), baseDim)
   }
 
   /** Local full-batch Adam fit of LSTM + embedding table. Samples are

@@ -307,9 +307,15 @@ object Distributions {
     * iteration on the exact CDF — monotone, ~15 CDF evals to 1e-9. */
   def studentizedRangeInv(p: Double, k: Int, df: Double): Double = {
     require(p > 0 && p < 1, s"studentizedRangeInv domain: 0<p<1, got $p")
+    // adaptive bracket: df=1 at p=0.95 needs q≈40+ for k≥6, and tiny p
+    // can undershoot the default low edge — widen before bisecting
     var a = 1e-3; var b = 40.0
     var fa = studentizedRangeCdf(a, k, df) - p
     var fb = studentizedRangeCdf(b, k, df) - p
+    var widen = 0
+    while (fb <= 0 && widen < 20) { b *= 2.0; fb = studentizedRangeCdf(b, k, df) - p; widen += 1 }
+    widen = 0
+    while (fa >= 0 && widen < 20) { a /= 10.0; fa = studentizedRangeCdf(a, k, df) - p; widen += 1 }
     require(fa < 0 && fb > 0, s"studentizedRangeInv bracket failed for (p=$p, k=$k, df=$df)")
     var x = a
     var side = 0
@@ -346,8 +352,20 @@ object Distributions {
       _ => tukeyQ05GridDfs.map(df => df -> studentizedRangeInv(0.95, k, df)))
   }
 
-  /** q_{0.05}(k, ∞) — exact. */
-  def tukeyQcrit05(k: Int): Double = tukeyQ05Grid(k).last._2
+  private val qInfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Double]()
+
+  /** q_{0.05}(k, ∞) — exact. Computes (and caches) only the ∞ row:
+    * callers that know their dfs are huge must not pay the full
+    * 16-row grid's ~1.5 s cold start (reuses the grid if already
+    * built — same root-find, same value). */
+  def tukeyQcrit05(k: Int): Double = {
+    require(k >= 2 && k <= 20, s"tukeyQcrit05 covers k in [2,20], got $k")
+    val grid = qGridCache.get(k)
+    if (grid != null) grid.last._2
+    else qInfCache.computeIfAbsent(k,
+      _ => studentizedRangeInv(0.95, k, Double.PositiveInfinity)).doubleValue()
+  }
 
   /** q_{0.05}(k, dfWithin) by linear interpolation in 1/df over the
     * exact [[tukeyQ05Grid]]; requires dfWithin ≥ 5 (no extrapolation
