@@ -237,6 +237,30 @@ class LlmSpec extends SparkSpec {
     (0 to 3).foreach(t => assert(byId(4L)(t).isEmpty, s"short vector table $t must be null"))
   }
 
+  test("NaN components take the >=0 bucket bit (DuckDB NaN-sorts-greatest parity), nulls still drop") {
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val nanV = base.clone(); nanV(1) = Float.NaN
+    val posV = base.clone(); posV(1) = 1.0f // the bucket NaN must match
+    val rows = Seq((1L, nanV.toSeq), (2L, posV.toSeq))
+    val byId = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", explode(Similarity.axisSignBuckets($"embedding", 4, 16)).as("tb"))
+      .select($"vec_id", $"tb.t", $"tb.b")
+      .as[(Long, Int, Option[Int])].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    (0 to 3).foreach { t =>
+      assert(byId(1L)(t).nonEmpty, s"NaN vector table $t must not be null")
+      assert(byId(1L)(t) === byId(2L)(t), s"NaN must bucket as >=0 in table $t")
+    }
+    // hyperplane variant: a NaN component poisons every dot product to
+    // NaN, so every bit sets — full-ones bucket, never null/dropped
+    val planes = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val hb = Seq((1L, Seq(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.hyperplaneBucket($"embedding", planes).as("b"))
+      .as[Option[Int]].head()
+    assert(hb === Some(3))
+  }
+
   test("dd5 finds exactly the planted pairs with NO cartesian in the physical plan") {
     val dir = java.nio.file.Files.createTempDirectory("dd5spec").toString
     val rnd = new scala.util.Random(11)

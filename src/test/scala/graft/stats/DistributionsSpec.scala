@@ -74,6 +74,17 @@ class DistributionsSpec extends AnyFunSuite {
       close(studentizedRangeInv(0.95, k, df), want, 2.5e-3)
   }
 
+  test("studentized range: tiny dfs bracket adaptively (df=1 needs q far beyond the default hi edge)") {
+    // published q_{0.05} at df ∈ {1, 2} — the quantiles the fixed
+    // [1e-3, 40] bracket could not reach (q(6, 1) ≈ 40.4)
+    val published = Seq(
+      (2, 1.0, 17.97), (3, 1.0, 26.98), (6, 1.0, 40.41),
+      (2, 2.0, 6.085), (6, 2.0, 11.73))
+    for ((k, df, want) <- published)
+      assert(math.abs(studentizedRangeInv(0.95, k, df) / want - 1.0) < 2e-3,
+        s"q(0.95, $k, $df): got ${studentizedRangeInv(0.95, k, df)}, want ~$want")
+  }
+
   test("studentized range: k=2 ∞ case is the √2·z closed form; CDF is a CDF") {
     // range of 2 normals = |N(0,√2)| → q_{0.05}(2, ∞) = √2·Φ⁻¹(0.975)
     close(studentizedRangeInv(0.95, 2, Double.PositiveInfinity),
