@@ -95,38 +95,39 @@ object PValues {
 
 /** Session-level registration (works on any existing SparkSession). */
 object GraftFunctions {
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "t_pvalue" -> { args => TTestPValue(args(0), args(1)) },
-    "chi2_pvalue" -> { args => Chi2PValue(args(0), args(1)) },
-    "f_pvalue" -> { args => FPValue(args(0), args(1), args(2)) },
-    "dot_double" -> { args => DotProductD(args(0), args(1)) },
-    "sqdist_double" -> { args => SquaredDistanceD(args(0), args(1)) },
-    "simhash_pack" -> { args => SimHashPack(args(0)) })
+  private[functions] val builders
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("t_pvalue", classOf[TTestPValue],
+      (args: Seq[Expression]) => TTestPValue(args(0), args(1))),
+    ("chi2_pvalue", classOf[Chi2PValue],
+      (args: Seq[Expression]) => Chi2PValue(args(0), args(1))),
+    ("f_pvalue", classOf[FPValue],
+      (args: Seq[Expression]) => FPValue(args(0), args(1), args(2))),
+    ("dot_double", classOf[DotProductD],
+      (args: Seq[Expression]) => DotProductD(args(0), args(1))),
+    ("sqdist_double", classOf[SquaredDistanceD],
+      (args: Seq[Expression]) => SquaredDistanceD(args(0), args(1))),
+    ("simhash_pack", classOf[SimHashPack],
+      (args: Seq[Expression]) => SimHashPack(args(0))))
 
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) =>
+    builders.foreach { case (name, _, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
     }
 }
 
 /** `spark.sql.extensions` entry point: every session built with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
-  * gets the functions without any imperative registration. */
+  * gets the functions without any imperative registration — the same
+  * builder list as [[GraftFunctions.register]], so the two routes can
+  * never drift (the array kernels used to be register-only). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    ext.injectFunction((
-      FunctionIdentifier("t_pvalue"),
-      new ExpressionInfo(classOf[TTestPValue].getName, "t_pvalue"),
-      (args: Seq[Expression]) => TTestPValue(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("chi2_pvalue"),
-      new ExpressionInfo(classOf[Chi2PValue].getName, "chi2_pvalue"),
-      (args: Seq[Expression]) => Chi2PValue(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("f_pvalue"),
-      new ExpressionInfo(classOf[FPValue].getName, "f_pvalue"),
-      (args: Seq[Expression]) => FPValue(args(0), args(1), args(2))))
+    GraftFunctions.builders.foreach { case (name, cls, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), b))
+    }
   }
 }

@@ -71,4 +71,18 @@ class NativeExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; wiring is what's under test
   }
+
+  test("register and extensions expose the same six functions (SQL-callable kernels included)") {
+    GraftFunctions.register(spark)
+    for (name <- Seq("t_pvalue", "chi2_pvalue", "f_pvalue",
+        "dot_double", "sqdist_double", "simhash_pack"))
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name must be registered")
+    // the array kernels work from SQL text, not just the Column API
+    val d = spark.sql(
+      "SELECT dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(d === 11.0)
+  }
 }
