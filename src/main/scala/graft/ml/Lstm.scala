@@ -395,10 +395,19 @@ object Lstm {
     * ~1 KB gradient reduce per epoch; the sequence frame is cached for
     * the epoch loop and released before returning. Null-label rows
     * (W5's leadLabel emits one per partition tail) are dropped, the
-    * same skip-don't-die contract as ragged sequences. */
+    * same skip-don't-die contract as ragged sequences.
+    *
+    * `batchFraction` < 1 samples that fraction of rows per epoch
+    * (fresh deterministic seed each epoch) — the distributed analog of
+    * the reference's DataLoader minibatching (04:137-150): same
+    * broadcast-and-reduce shape, gradient noise traded for epoch cost.
+    * 1.0 (default) is exact full-batch. */
   def fitDistributed(df: DataFrame, seqCol: String, labelCol: String,
-                     w0: LstmWeights, epochs: Int, lr: Double = 1e-2)
+                     w0: LstmWeights, epochs: Int, lr: Double = 1e-2,
+                     batchFraction: Double = 1.0, seed: Long = 42L)
       : (LstmWeights, Array[Double]) = {
+    require(batchFraction > 0.0 && batchFraction <= 1.0,
+      s"batchFraction must be in (0, 1], got $batchFraction")
     import org.apache.spark.sql.functions.col
     import org.apache.spark.storage.StorageLevel
     val rdd = df
@@ -421,12 +430,17 @@ object Lstm {
       val history = new Array[Double](epochs + 1)
       var e = 0
       while (e < epochs) {
-        val acc = distributedGrad(rdd, w)
+        val batch =
+          if (batchFraction >= 1.0) rdd
+          else rdd.sample(withReplacement = false, batchFraction, seed + e)
+        val acc = distributedGrad(batch, w)
         history(e) = acc.meanLoss
         adam.update(params, acc.meanVector)
         w = unflatten(w.inputSize, w.hidden, params)
         e += 1
       }
+      // final loss is always measured on the FULL set, so histories
+      // from different batch fractions are comparable
       history(epochs) = distributedGrad(rdd, w).meanLoss
       (w, history)
     } finally rdd.unpersist(blocking = false)

@@ -139,6 +139,13 @@ class LstmSpec extends SparkSpec {
       Lstm.init(1, 3, seed = 11L), epochs = 40, lr = 0.05)
     assert(hist.last < 0.3 * hist.head,
       s"distributed loss ${hist.head} -> ${hist.last}: did not drop")
+    // minibatch mode (the reference's DataLoader analog): sampled
+    // epochs still train; final loss is measured on the full set
+    val (_, mb) = Lstm.fitDistributed(rows, "seq", "label",
+      Lstm.init(1, 3, seed = 11L), epochs = 40, lr = 0.05,
+      batchFraction = 0.5)
+    assert(mb.last < 0.5 * mb.head,
+      s"minibatch loss ${mb.head} -> ${mb.last}: did not drop")
   }
 
   test("multi-station BPTT: embedding-table gradients match finite differences") {
