@@ -7,8 +7,19 @@ import org.apache.spark.sql.functions._
 case class DecodedMeta(doc_id: Long, format: String, width: Int,
                        height: Int, n_bytes: Int)
 
+/** Typed output row of the batched resize stage: re-encoded PNG bytes,
+  * or width = -1 + empty png for undecodable dead-letter rows. */
+case class ResizedImage(doc_id: Long, width: Int, height: Int,
+                        png: Array[Byte])
+
+/** Typed output row of the batched feature-extract stage: per-channel
+  * pixel means in [0, 255], or width = -1 for dead-letter rows. */
+case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                         mean_r: Double, mean_g: Double, mean_b: Double)
+
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
-  * metadata, chunking/frame-sampling, and a decode seam.
+  * metadata, the full decode / feature-extract / resize / frame-sample
+  * quartet, and one shared batched-codec seam ([[mapBatched]]).
   *
   * The Spark-side plumbing — schema (binary + metadata struct),
   * partition-friendly per-row expressions, chunk explosion — is real
@@ -128,6 +139,22 @@ object Multimodal {
       : Dataset[DecodedMeta] = {
     val session = df.sparkSession
     import session.implicits._
+    mapBatched(df, idCol, payloadCol, batchSize)(decodeBatch) {
+      case (id, bytes, (fmt, w, h)) => DecodedMeta(id, fmt, w, h, bytes.length)
+    }
+  }
+
+  /** The generic batched-codec seam all multimodal stages share: group
+    * each partition into `batchSize`-row batches, one codec call per
+    * batch (arity-guarded), one typed output row per payload. Same
+    * null/dead-letter and scale posture as [[decodeBatched]] — which
+    * is this, specialized to metadata tuples. */
+  def mapBatched[M, O: org.apache.spark.sql.Encoder](
+      df: DataFrame, idCol: String, payloadCol: String, batchSize: Int)(
+      codec: Seq[Array[Byte]] => Seq[M])(
+      emit: (Long, Array[Byte], M) => O): Dataset[O] = {
+    val session = df.sparkSession
+    import session.implicits._
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     // null contract: rows with a null id or null payload are SKIPPED
     // (they would otherwise NPE inside the codec / break the primitive
@@ -138,13 +165,91 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          val metas = decodeBatch(batch.map(_._2))
-          require(metas.length == batch.length,
-            s"codec returned ${metas.length} metas for ${batch.length} payloads")
-          batch.lazyZip(metas).map { case ((id, bytes), (fmt, w, h)) =>
-            DecodedMeta(id, fmt, w, h, bytes.length)
-          }
+          val outs = codec(batch.map(_._2))
+          require(outs.length == batch.length,
+            s"codec returned ${outs.length} results for ${batch.length} payloads")
+          batch.lazyZip(outs).map { case ((id, bytes), m) => emit(id, bytes, m) }
         }
       }
+  }
+
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real JDK resize codec: full pixel decode → bilinear scale to
+    * `w`×`h` → PNG re-encode. Undecodable payloads → None (the caller
+    * emits a dead-letter row). One batch = one call, like every codec
+    * in this seam. */
+  def imageioResizeBatch(w: Int, h: Int)(
+      payloads: Seq[Array[Byte]]): Seq[Option[Array[Byte]]] =
+    payloads.map { bytes =>
+      readImage(bytes).flatMap { img =>
+        try {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          if (javax.imageio.ImageIO.write(out, "png", bos)) Some(bos.toByteArray)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+
+  /** Batched resize stage (the "resize" op of the multimodal quartet):
+    * opaque binary in, `w`×`h` PNG binary out, dead-letter rows get
+    * width = -1 + empty bytes. Map-side only, scan parallelism. */
+  def resizeBatched(df: DataFrame, idCol: String, payloadCol: String,
+                    w: Int, h: Int, batchSize: Int = 16): Dataset[ResizedImage] = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val session = df.sparkSession
+    import session.implicits._
+    mapBatched(df, idCol, payloadCol, batchSize)(imageioResizeBatch(w, h)) {
+      case (id, _, Some(png)) => ResizedImage(id, w, h, png)
+      case (id, _, None) => ResizedImage(id, -1, -1, Array.emptyByteArray)
+    }
+  }
+
+  /** Real JDK feature-extract codec: full pixel decode → per-channel
+    * RGB means in [0, 255]. Undecodable → None. */
+  def imageioFeatureBatch(payloads: Seq[Array[Byte]])
+      : Seq[Option[(Int, Int, Double, Double, Double)]] =
+    payloads.map { bytes =>
+      readImage(bytes).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        (w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+      }
+    }
+
+  /** Batched feature-extract stage (the "feature-extract" op of the
+    * multimodal quartet): per-channel pixel means as a typed frame —
+    * the shape an embedding/classifier feature pass takes. Dead-letter
+    * rows get width = -1. */
+  def featuresBatched(df: DataFrame, idCol: String, payloadCol: String,
+                      batchSize: Int = 64): Dataset[ImageFeatures] = {
+    val session = df.sparkSession
+    import session.implicits._
+    mapBatched(df, idCol, payloadCol, batchSize)(imageioFeatureBatch) {
+      case (id, _, Some((w, h, r, g, b))) => ImageFeatures(id, w, h, r, g, b)
+      case (id, _, None) => ImageFeatures(id, -1, -1, -1.0, -1.0, -1.0)
+    }
   }
 }

@@ -78,13 +78,66 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) === (("unknown", -1, -1)))
   }
 
+  test("resizeBatched: real bilinear resize to target dims, round-trip decodable, dead-letters marked") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, png(16, 12, 0xcc3344)),
+      (2L, png(5, 9, 0x00ff00)),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.resizeBatched(df, "doc_id", "payload", w = 4, h = 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).width === 4 && out(id).height === 4)
+      // the emitted bytes are a real PNG of the target size
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out(id).png))
+      assert(back.getWidth === 4 && back.getHeight === 4)
+      // solid-color input stays solid through bilinear resample
+      assert((back.getRGB(2, 2) & 0xffffff) ===
+        (if (id == 1L) 0xcc3344 else 0x00ff00))
+    }
+    assert(out(3L).width === -1 && out(3L).png.isEmpty)
+  }
+
+  test("featuresBatched: per-channel means exact on solid colors, dead-letters marked") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, png(8, 6, 0x102030)),
+      (2L, png(3, 3, 0xffffff)),
+      (3L, Array[Byte](1, 2, 3))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.featuresBatched(df, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).width === 8 && out(1L).height === 6)
+    assert(out(1L).mean_r === 0x10.toDouble)
+    assert(out(1L).mean_g === 0x20.toDouble)
+    assert(out(1L).mean_b === 0x30.toDouble)
+    assert(out(2L).mean_r === 255.0 && out(2L).mean_b === 255.0)
+    assert(out(3L).width === -1 && out(3L).mean_r === -1.0)
+  }
+
   test("decodeBatched: codec returning a wrong-arity batch fails loudly") {
     val df = docs(5).coalesce(1)
     val ex = intercept[org.apache.spark.SparkException] {
       Multimodal.decodeBatched(df, "doc_id", "payload", batchSize = 5,
         decodeBatch = _ => Seq(("png", 64, 64))).count()
     }
-    assert(ex.getMessage.contains("metas") ||
-      Option(ex.getCause).exists(_.getMessage.contains("metas")))
+    assert(ex.getMessage.contains("codec returned") ||
+      Option(ex.getCause).exists(_.getMessage.contains("codec returned")))
   }
 }
