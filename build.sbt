@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the bench/verify stdout tail for a bare JSON line.
+// Default LoggedOutput prefixes every forked-stdout line with "[info] "
+// (which broke BENCH_r01's parse) and prints "[success] Total time..."
+// after it (which left the JSON non-final in r3/r4). Pass the child's
+// stdout through untouched and drop the success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

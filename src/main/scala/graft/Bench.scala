@@ -78,17 +78,25 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    def jsonLine(partial: Boolean): String = {
+    // Two renderings of the same result: `rich` (full precision + per-query
+    // methodology modes) goes to the bench_out.json file; the stdout line is
+    // compact (3-decimal seconds, no modes) so the whole line fits inside the
+    // driver's ~4 KB stdout-tail capture — the r3/r4 artifacts lost the line's
+    // head to that window and arrived unparseable.
+    def jsonLine(partial: Boolean, rich: Boolean): String = {
       val rs = done.toArray(Array.empty[(String, Double)]).toSeq
-      val qs = rs.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+      def sec(v: Double): String = if (rich) v.toString else f"$v%.3f"
+      val qs = rs.map { case (k, v) => s"${js(k)}:${sec(v)}" }.mkString("{", ",", "}")
       val errJson = errors.synchronized {
         errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       }
       val total = rs.map(_._2).sum
-      val modeJson = rs.map { case (k, _) =>
-        s"${js(k)}:${js(modes.getOrDefault(k, "unknown"))}"
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${js(sfDir)},"iters":$iters,"partial":$partial,"modes":$modeJson,"errors":$errJson}"""
+      val modeJson =
+        if (!rich) ""
+        else "\"modes\":" + rs.map { case (k, _) =>
+          s"${js(k)}:${js(modes.getOrDefault(k, "unknown"))}"
+        }.mkString("{", ",", "},")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":${js(sfDir)},"iters":$iters,"partial":$partial,$modeJson"errors":$errJson}"""
     }
 
     // The JSON line on stdout gets interleaved with sbt log noise on
@@ -96,10 +104,9 @@ object Bench {
     // to a file the harness can read without scraping logs.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     def emit(partial: Boolean): Unit = {
-      val line = jsonLine(partial)
-      try Files.writeString(Paths.get(outFile), line + "\n")
+      try Files.writeString(Paths.get(outFile), jsonLine(partial, rich = true) + "\n")
       catch { case e: java.io.IOException => System.err.println(s"[bench] cannot write $outFile: $e") }
-      System.out.println(line)
+      System.out.println(jsonLine(partial, rich = false))
       System.out.flush()
     }
 
