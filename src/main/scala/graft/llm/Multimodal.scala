@@ -224,11 +224,16 @@ object Multimodal {
       readImage(bytes).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         var (r, g, b) = (0L, 0L, 0L)
+        // bulk row reads: per-pixel getRGB(x, y) re-runs the color-model
+        // conversion call per pixel, which is the stage's hot loop for
+        // non-INT_RGB rasters; one row per call keeps the buffer O(w)
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val p = img.getRGB(x, y)
+            val p = row(x)
             r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
             x += 1
           }

@@ -121,9 +121,25 @@ object Lstm {
     * X15 seam's NN slot. Weights ride the closure — broadcast-small
     * (4H·(D+H+2)+H+1 doubles) — and null/ragged rows yield null. */
   def scoreUdf(w: LstmWeights): UserDefinedFunction =
-    udf((seq: Seq[Seq[Double]]) =>
+    udf((seq: Seq[Seq[java.lang.Double]]) =>
       if (seq == null) None
-      else forward(seq.map(s => if (s == null) null else s.toArray), w))
+      else forward(seq.map(toStep), w))
+
+  /** One timestep column value → dense step, or null for the skip path.
+    * A null *element* inside the inner array (legal in
+    * array<array<double>> data) would NPE at unboxing, so it degrades to
+    * the same null-step skip as a null inner array. The boxed element
+    * type matters: an unboxed `Seq[Seq[Double]]` UDF signature makes
+    * Spark's deserializer throw NOT_NULL_ASSERT_VIOLATION on the task
+    * before any guard can run. */
+  private def toStep(s: scala.collection.Seq[java.lang.Double]): Array[Double] = {
+    if (s == null || s.contains(null)) return null
+    val a = new Array[Double](s.size)
+    var i = 0
+    val it = s.iterator
+    while (it.hasNext) { a(i) = it.next().doubleValue; i += 1 }
+    a
+  }
 
   // ---------------------------------------------------------------------
   // Training half: BPTT + Adam (X14 train, 04_lstm_prediction.ipynb:137-162)
@@ -416,10 +432,10 @@ object Lstm {
         col(labelCol).cast("double"))
       .rdd
       .map { r =>
-        val seq = r.getSeq[scala.collection.Seq[Double]](0)
+        val seq = r.getSeq[scala.collection.Seq[java.lang.Double]](0)
         val arr: Seq[Array[Double]] =
           if (seq == null) Seq.empty
-          else seq.map(s => if (s == null) null else s.toArray).toSeq
+          else seq.map(s => toStep(s)).toSeq
         (arr, r.getDouble(1))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -456,6 +472,8 @@ object Lstm {
     * size is baseDim + embDim. */
   final case class EmbeddingWeights(base: LstmWeights, emb: Array[Array[Double]],
                                     baseDim: Int) {
+    require(base.inputSize > baseDim,
+      s"embedding dim must be >= 1 (lstm inputSize ${base.inputSize} vs baseDim $baseDim)")
     require(emb.forall(_.length == base.inputSize - baseDim),
       "embedding width must equal lstm inputSize - baseDim")
     def embDim: Int = base.inputSize - baseDim

@@ -70,6 +70,22 @@ class LstmSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("scoreUdf: null SCALAR inside an inner array skips, not NPEs") {
+    // array<array<double>> legally carries null elements; before the fix
+    // this unboxed at s.toArray and killed the task (ADVICE r4)
+    val rows = spark.sql(
+      "SELECT 4L AS id, array(array(1.0d, CAST(NULL AS double))) AS seq")
+    val out = rows.withColumn("score", scoreUdf(w)(col("seq"))).collect()
+    assert(out.head.isNullAt(2))
+  }
+
+  test("EmbeddingWeights rejects embDim == 0 at construction") {
+    // grouped(0) inside fitMultiStation used to be the first failure point
+    intercept[IllegalArgumentException] {
+      Lstm.EmbeddingWeights(w, Array.fill(3)(Array.empty[Double]), baseDim = D)
+    }
+  }
+
   test("BPTT gradients match central finite differences on every parameter") {
     val samples = Seq(
       ((0 until 4).map(t => Array.tabulate(D)(d => math.sin(0.9 * t - 0.4 * d))), 0.6),
