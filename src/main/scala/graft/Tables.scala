@@ -75,8 +75,18 @@ object Tables {
     * [[load]] builds the identical plan for the same (dir, name)).
     * Harness-level choice for Bench/Verify — a 100 TB job would cache
     * only hot dimensions, never the full fact table. */
-  def prime(spark: SparkSession, dir: String): Unit =
+  def prime(spark: SparkSession, dir: String): Unit = {
+    lastPrimed = Some(dir)
     names.foreach(n => load(spark, dir, n).cache())
+  }
+
+  /** The most recently primed data dir. Generated oracles whose SQL
+    * embeds literals from an in-session model fit (MlQueries) resolve
+    * their data location through this when the oracle thunk runs
+    * without explicit (session, dir) arguments — Verify/Bench always
+    * prime before touching queries or oracles. */
+  @volatile private var lastPrimed: Option[String] = None
+  def primedDir: Option[String] = lastPrimed
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Lstm, Models}
+import graft.ml.{LinearScore, Lstm, Models}
 import graft.ops.{Derive, Windows}
 
 /** SURVEY §2.10 ML layer (X10-X13, X15) + J6 as registered queries.
@@ -17,7 +17,11 @@ import graft.ops.{Derive, Windows}
 object MlQueries extends Q.Registry {
   import RelationalQueries.{clean, enrSql}
 
-  /** Station-level NN distance (J5 output) reused as the X10 feature. */
+  /** Station-level NN distance (J5 output) reused as the X10 feature.
+    * Truncated to the same millimeter grid as j5's output: trig output
+    * differs across engines by ulps, so the truncation is what makes
+    * the model frame — and everything scored from it — bit-identical
+    * between Spark and the DuckDB oracle restatement. */
   private def nnDist(s: SparkSession, d: String): DataFrame =
     Analog.info(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -25,7 +29,7 @@ object MlQueries extends Q.Registry {
       .withColumn("dist_m", Derive.haversineMeters(
         col("lat"), col("lng"), col("mrt_lat"), col("mrt_lng")))
       .groupBy("station_no")
-      .agg(min("dist_m").as("dist_to_mrt"))
+      .agg(Fmt.trunc(min("dist_m"), 3).as("dist_to_mrt"))
 
   /** The notebook-cell-7 model frame (01:1115-1130): clean + lag1 +
     * hour-as-categorical + is_weekend + dist_to_mrt, both rates in
@@ -40,6 +44,66 @@ object MlQueries extends Q.Registry {
       .join(broadcast(nnDist(s, d)), Seq("station_no"), "left")
       .filter(col("filling_rate_lag1").between(0.0, 1.0))
       .na.drop(Seq("filling_rate", "dist_to_mrt", "total_spaces"))
+
+  /** The reference's three OLS formulas (01:1139-1148). */
+  private[queries] val M1F = "filling_rate ~ dist_to_mrt + total_spaces + district"
+  private[queries] val M2F = "filling_rate ~ dist_to_mrt + total_spaces + district + hour_str + is_weekend_d"
+  private[queries] val M3F = "filling_rate ~ dist_to_mrt + total_spaces + hour_str + filling_rate_lag1"
+  private val catCols = Set("district", "hour_str")
+
+  /** Per-(dir, formula) memo of the fitted model unrolled to literal
+    * terms. One fit feeds BOTH the Spark query and the generated DuckDB
+    * oracle in the same JVM (Verify runs queries first, dumps
+    * oracle_sql.json after), so the hash compare is exact no matter how
+    * the fit itself behaves run-to-run. */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), LinearScore]()
+  private[queries] def fittedScore(s: SparkSession, d: String,
+                                   formula: String): LinearScore =
+    fitMemo.computeIfAbsent((d, formula), _ => {
+      val frame = modelFrame(s, d).cache()
+      LinearScore.fromFit(Models.olsFit(frame, formula), frame, catCols)
+    })
+
+  /** Oracle-thunk access to [[fittedScore]]: Q oracles take no
+    * (session, dir) arguments, so resolve them from the active session
+    * and the primed table dir — both set before any oracle is read in
+    * the Verify/Bench flow. None (→ rows-only downgrade) outside that
+    * flow rather than a confusing NoSuchElementException. */
+  private def oracleScore(formula: String): Option[LinearScore] =
+    for {
+      s <- SparkSession.getActiveSession
+      d <- graft.Tables.primedDir
+    } yield fittedScore(s, d, formula)
+
+  /** DuckDB restatement of [[modelFrame]] as a `mf` CTE: clean + lag1 +
+    * hour_str/is_weekend_d derives + the trunc-3 NN distance. Every
+    * input column a fitted formula can reference is reproduced
+    * bit-identically (divisions and window lags are exact; the one
+    * trig-derived column is truncated on both sides). */
+  private[queries] val mfSql: String = RelationalQueries.enrSql +
+    """, nn AS (
+      |    SELECT station_no,
+      |           floor((min(2.0 * 6371000.0 * atan2(sqrt(a), sqrt(1.0 - a)))) * 1e3 + 1e-6) / 1e3 AS dist_to_mrt
+      |    FROM (
+      |      SELECT station_no,
+      |             pow(sin(radians(mrt_lat - lat) / 2), 2) +
+      |             cos(radians(lat)) * cos(radians(mrt_lat)) *
+      |             pow(sin(radians(mrt_lng - lng) / 2), 2) AS a
+      |      FROM info CROSS JOIN mrt)
+      |    GROUP BY station_no)
+      |, mf AS (
+      |    SELECT * FROM (
+      |      SELECT clean.*, CAST(hour AS VARCHAR) AS hour_str,
+      |             CAST(isodow(record_time) > 5 AS DOUBLE) AS is_weekend_d,
+      |             lag(filling_rate) OVER (PARTITION BY station_no
+      |               ORDER BY record_time, event_id) AS filling_rate_lag1,
+      |             nn.dist_to_mrt
+      |      FROM clean LEFT JOIN nn USING (station_no))
+      |    WHERE filling_rate_lag1 BETWEEN 0 AND 1
+      |      AND filling_rate IS NOT NULL AND dist_to_mrt IS NOT NULL
+      |      AND total_spaces IS NOT NULL)
+      |""".stripMargin
 
   /** X14's pinned serving weights (D=1, H=3): deterministic sin/cos
     * formulas so the Scala UDF and the generated SQL oracle embed the
@@ -113,25 +177,49 @@ object MlQueries extends Q.Registry {
     Q("x10_ols_ladder",
       "Three OLS models via RFormula (X10, 01:1139-1151): M1 " +
         "structural, M2 +time dummies, M3 +lag — emits the R-squared " +
-        "ladder. Fit assertions live in MlModelsSpec. Note: M2 is " +
-        "rank-deficient BY CONSTRUCTION (is_weekend over the weekday-" +
-        "filtered frame, faithful to 01: df_analysis is weekday-only " +
-        "and statsmodels pinv-solves it silently) — the normal-solver " +
-        "Cholesky failure + quasi-Newton retry warning is the expected " +
-        "Spark analog, not a bug.",
+        "ladder. R² is restated as 1 − SSE/SST over the fitted model's " +
+        "unrolled scoring expression (coefficients as literals, the X14 " +
+        "pattern), so the whole row is hash-oracled against DuckDB " +
+        "computing the identical arithmetic (01:1151); the *fit* " +
+        "assertions (ladder ordering, M3 > 0.85) live in MlModelsSpec. " +
+        "Note: M2 is rank-deficient BY CONSTRUCTION (is_weekend over " +
+        "the weekday-filtered frame, faithful to 01: df_analysis is " +
+        "weekday-only and statsmodels pinv-solves it silently) — the " +
+        "normal-solver Cholesky failure + quasi-Newton retry warning is " +
+        "the expected Spark analog, not a bug.",
       (s, d) => {
-        import s.implicits._
         // cache() joins the Warm-primed plan-keyed entry; no unpersist —
         // dropping it here would evict the shared session view x15 and
         // later executions reuse
         val frame = modelFrame(s, d).cache()
-        val ladder = Models.olsLadder(frame, Seq(
-          "M1" -> "filling_rate ~ dist_to_mrt + total_spaces + district",
-          "M2" -> "filling_rate ~ dist_to_mrt + total_spaces + district + hour_str + is_weekend_d",
-          "M3" -> "filling_rate ~ dist_to_mrt + total_spaces + hour_str + filling_rate_lag1"))
-        ladder.toDF("model", "r2", "n_features")
+        val parts = Seq("M1" -> M1F, "M2" -> M2F, "M3" -> M3F).map {
+          case (name, f) =>
+            val ls = fittedScore(s, d, f)
+            frame.select(col("filling_rate").as("y"), ls.column.as("p"))
+              .agg(Fmt.trunc(
+                lit(1.0) - sum((col("y") - col("p")) * (col("y") - col("p"))) /
+                  (sum(col("y") * col("y")) -
+                    sum(col("y")) * sum(col("y")) / count(lit(1))), 6).as("r2"))
+              .select(lit(name).as("model"), col("r2"),
+                lit(ls.terms.length).as("n_features"))
+        }
+        parts.reduce(_ unionAll _).orderBy("model")
       },
-      None),
+      oracleScore(M1F).flatMap { ls1 =>
+        oracleScore(M2F).flatMap { ls2 =>
+          oracleScore(M3F).map { ls3 =>
+            val blocks = Seq("M1" -> ls1, "M2" -> ls2, "M3" -> ls3).map {
+              case (name, ls) =>
+                val r2 = "1.0 - sum((y - p)*(y - p)) / " +
+                  "(sum(y*y) - sum(y)*sum(y)/count(*))"
+                s"""SELECT '$name' AS model, ${Fmt.sql6(r2)} AS r2,
+                   |       CAST(${ls.terms.length} AS INT) AS n_features
+                   |FROM (SELECT filling_rate AS y, (${ls.sql}) AS p FROM mf)""".stripMargin
+            }
+            mfSql + blocks.mkString("", "\nUNION ALL\n", "\nORDER BY model")
+          }
+        }
+      }),
 
     Q("x11_kmeans_j6",
       "K-Means k=4 seed=42 on the station-hour pivot (X11, 01:659-661) " +
@@ -224,8 +312,11 @@ object MlQueries extends Q.Registry {
 
     Q("x15_scoring",
       "Batch scoring pipeline (X15, api/app/main.py:148-199): fit M3, " +
-        "score the frame, convert rate → bikes, clamp/round (P18). " +
-        "M3 is the engine-native predictor (SURVEY §2.10); the NN slot " +
+        "score the frame via the fitted model's unrolled expression " +
+        "(coefficients as literals — the X14 pattern, so the FITTED " +
+        "model's serving path is hash-oracled), convert rate → bikes, " +
+        "clamp/round (P18). MlModelsSpec pins the expression scorer to " +
+        "the spark.ml pipeline's transform() predictions. The NN slot " +
         "of the same seam is ml/Lstm.scoreUdf (X14, with in-engine " +
         "BPTT+Adam training — see x14_lstm_score and LstmSpec).",
       (s, d) => {
@@ -235,13 +326,18 @@ object MlQueries extends Q.Registry {
         // (the x10 ladder shares it); it lives for the session like the
         // Warm.prime views.
         val frame = modelFrame(s, d).cache()
-        val m3 = Models.olsFit(frame,
-          "filling_rate ~ dist_to_mrt + total_spaces + hour_str + filling_rate_lag1")
-        val scored = m3.transform(frame)
-        scored.select(
+        val p = fittedScore(s, d, M3F).column
+        frame.select(
           col("event_id"),
-          Derive.clampRoundNonNeg(col("prediction") * col("total_spaces")).as("bikes_pred"))
+          Fmt.t6(p).as("rate_pred"),
+          Derive.clampRoundNonNeg(p * col("total_spaces")).as("bikes_pred"))
       },
-      None)
+      oracleScore(M3F).map { ls =>
+        mfSql +
+          s"""SELECT event_id,
+             |       ${Fmt.sql6(s"(${ls.sql})")} AS rate_pred,
+             |       CAST(greatest(0, CAST(round((${ls.sql}) * total_spaces) AS INT)) AS INT) AS bikes_pred
+             |FROM mf""".stripMargin
+      })
   )
 }

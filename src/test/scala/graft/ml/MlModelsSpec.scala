@@ -46,6 +46,23 @@ class MlModelsSpec extends SparkSpec {
     assert(rmse < 0.08, s"rmse=$rmse")
   }
 
+  test("LinearScore expression scoring equals the pipeline's transform() predictions") {
+    // the unrolled coefficients-as-literals scorer (the x10/x15 oracle
+    // path) must be the same model as spark.ml's BLAS-dot serving path;
+    // only summation-order ulps may separate them
+    val m3 = Models.olsFit(lagData, "rate ~ district + hour_str + rate_lag1")
+    val ls = LinearScore.fromFit(m3, lagData, Set("district", "hour_str"))
+    assert(ls.terms.length === Models.lrStage(m3).numFeatures)
+    val maxDiff = m3.transform(lagData)
+      .withColumn("p_expr", ls.column)
+      .select(max(abs(col("p_expr") - col("prediction"))))
+      .as[Double].head()
+    assert(maxDiff < 1e-12, s"maxDiff=$maxDiff")
+    // the SQL rendering references exactly the frame's columns + literals
+    assert(ls.sql.contains("CASE WHEN district = "))
+    assert(ls.sql.contains("rate_lag1"))
+  }
+
   test("X12 arithmetic scaling equals ml.feature.MinMaxScaler output") {
     val df = Seq(1.0, 3.0, 5.0, 9.0).toDF("x")
     val model = Models.fitMinMax(df, Seq("x"))
