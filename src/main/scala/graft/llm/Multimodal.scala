@@ -202,15 +202,51 @@ object Multimodal {
       }
     }
 
+  /** === STUB: deterministic batch resize ===
+    * Same contract as [[imageioResizeBatch]] but byte-deterministic:
+    * payloads whose length is divisible by 17 dead-letter (None), the
+    * rest "resize" to the UTF-8 bytes of
+    * `RESIZED:{w}x{h}:{n_bytes}:{md5hex(payload)}` — every component
+    * restatable in SQL, so the batched resize path gets a full hash
+    * oracle (mm4) exactly like the stub decode got mm3. */
+  def stubResizeBatch(w: Int, h: Int): Seq[Array[Byte]] => Seq[Option[Array[Byte]]] =
+    payloads => payloads.map { b =>
+      if (b.length % 17 == 0) None
+      else Some(s"RESIZED:${w}x$h:${b.length}:${md5Hex(b)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  /** === STUB: deterministic batch feature-extract ===
+    * Same contract as [[imageioFeatureBatch]], derived from the byte
+    * length only (dead-letter on length % 17 == 0) → SQL-mirrorable,
+    * full hash oracle (mm5). */
+  def stubFeatureBatch(payloads: Seq[Array[Byte]])
+      : Seq[Option[(Int, Int, Double, Double, Double)]] =
+    payloads.map { b =>
+      val n = b.length
+      if (n % 17 == 0) None
+      else Some((n % 640 + 32, n % 480 + 32,
+        (n % 256).toDouble, (n * 7 % 256).toDouble, (n * 13 % 256).toDouble))
+    }
+
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
+
   /** Batched resize stage (the "resize" op of the multimodal quartet):
     * opaque binary in, `w`×`h` PNG binary out, dead-letter rows get
-    * width = -1 + empty bytes. Map-side only, scan parallelism. */
+    * width = -1 + empty bytes. Map-side only, scan parallelism. The
+    * codec defaults to the real JDK scaler; mm4 passes
+    * [[stubResizeBatch]] for its hash oracle. */
   def resizeBatched(df: DataFrame, idCol: String, payloadCol: String,
-                    w: Int, h: Int, batchSize: Int = 16): Dataset[ResizedImage] = {
+                    w: Int, h: Int, batchSize: Int = 16,
+                    codec: Option[Seq[Array[Byte]] => Seq[Option[Array[Byte]]]] = None)
+      : Dataset[ResizedImage] = {
     require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
     val session = df.sparkSession
     import session.implicits._
-    mapBatched(df, idCol, payloadCol, batchSize)(imageioResizeBatch(w, h)) {
+    mapBatched(df, idCol, payloadCol, batchSize)(
+      codec.getOrElse(imageioResizeBatch(w, h) _)) {
       case (id, _, Some(png)) => ResizedImage(id, w, h, png)
       case (id, _, None) => ResizedImage(id, -1, -1, Array.emptyByteArray)
     }
@@ -249,10 +285,12 @@ object Multimodal {
     * the shape an embedding/classifier feature pass takes. Dead-letter
     * rows get width = -1. */
   def featuresBatched(df: DataFrame, idCol: String, payloadCol: String,
-                      batchSize: Int = 64): Dataset[ImageFeatures] = {
+                      batchSize: Int = 64,
+                      codec: Seq[Array[Byte]] => Seq[Option[(Int, Int, Double, Double, Double)]] =
+                        imageioFeatureBatch): Dataset[ImageFeatures] = {
     val session = df.sparkSession
     import session.implicits._
-    mapBatched(df, idCol, payloadCol, batchSize)(imageioFeatureBatch) {
+    mapBatched(df, idCol, payloadCol, batchSize)(codec) {
       case (id, _, Some((w, h, r, g, b))) => ImageFeatures(id, w, h, r, g, b)
       case (id, _, None) => ImageFeatures(id, -1, -1, -1.0, -1.0, -1.0)
     }

@@ -544,6 +544,56 @@ object LlmQueries extends Q.Registry {
           |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("mm4_batched_resize",
+      "Batched multimodal resize through the same mapBatched seam as " +
+        "mm3: stub codec (byte-length + md5 deterministic) so the " +
+        "resize stage's plumbing — batching, dead-letter rows, typed " +
+        "output — gets a full hash oracle; the real JDK scaler path " +
+        "(imageioResizeBatch) stays spec-covered in MultimodalSpec.",
+      (s, d) => {
+        val withPayload = Tables.documents(s, d)
+          .withColumn("payload", Multimodal.payload(col("text")))
+        Multimodal.resizeBatched(withPayload, "doc_id", "payload", 64, 64,
+          codec = Some(Multimodal.stubResizeBatch(64, 64)))
+          .select(
+            col("doc_id"), col("width"), col("height"),
+            md5(col("png")).as("png_md5"),
+            length(col("png")).cast("int").as("png_bytes"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(CASE WHEN n % 17 = 0 THEN -1 ELSE 64 END AS INT) AS width,
+          |  CAST(CASE WHEN n % 17 = 0 THEN -1 ELSE 64 END AS INT) AS height,
+          |  CASE WHEN n % 17 = 0 THEN md5('')
+          |       ELSE md5('RESIZED:64x64:' || n || ':' || md5(text)) END AS png_md5,
+          |  CAST(CASE WHEN n % 17 = 0 THEN 0
+          |       ELSE length('RESIZED:64x64:' || n || ':' || md5(text)) END AS INT) AS png_bytes
+          |FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("mm5_feature_extract",
+      "Batched multimodal feature-extract (per-image channel means) " +
+        "through the mapBatched seam: stub codec for the hash oracle; " +
+        "the real full-pixel-decode path (imageioFeatureBatch) stays " +
+        "spec-covered in MultimodalSpec.",
+      (s, d) => {
+        val withPayload = Tables.documents(s, d)
+          .withColumn("payload", Multimodal.payload(col("text")))
+        Multimodal.featuresBatched(withPayload, "doc_id", "payload",
+          codec = Multimodal.stubFeatureBatch)
+          .toDF().orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(CASE WHEN n % 17 = 0 THEN -1 ELSE n % 640 + 32 END AS INT) AS width,
+          |  CAST(CASE WHEN n % 17 = 0 THEN -1 ELSE n % 480 + 32 END AS INT) AS height,
+          |  CAST(CASE WHEN n % 17 = 0 THEN -1 ELSE n % 256 END AS DOUBLE) AS mean_r,
+          |  CAST(CASE WHEN n % 17 = 0 THEN -1 ELSE (n * 7) % 256 END AS DOUBLE) AS mean_g,
+          |  CAST(CASE WHEN n % 17 = 0 THEN -1 ELSE (n * 13) % 256 END AS DOUBLE) AS mean_b
+          |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
     Q("dd5_embedding_near_dup",
       "Embedding-cosine near-dup: planted perturbed replays detected " +
         "by pairwise cosine >= 0.99. Candidate pairs come from axis-" +
