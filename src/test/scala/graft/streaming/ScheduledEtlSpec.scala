@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkSpec
+import graft.ingest.EtlJob
+
+/** The §3.1 lifecycle end-to-end AS A STREAM (the last composition the
+  * batch EtlJobSpec and the operator-level MicroBatchIngestSpec don't
+  * cover): Trigger-paced ticks each drive one full runOnce — flaky
+  * fetch retried, within-batch fact dedup, insert-only dims
+  * accumulating ACROSS ticks — with deterministic MemoryStream ticks
+  * standing in for the production 10-minute rate source. */
+class ScheduledEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def record(sno: String, t: String) =
+    s"""{"sno":"$sno","sna":"n$sno","sarea":"d1","latitude":25.04,"longitude":121.52,
+       |"Quantity":30,"available_rent_bikes":5,"available_return_bikes":25,
+       |"srcUpdateTime":"$t"}""".stripMargin.replace("\n", "")
+
+  private class MemSink {
+    val facts = scala.collection.mutable.ArrayBuffer[String]()
+    val dims = scala.collection.mutable.ArrayBuffer[String]()
+    def sinks: EtlJob.Sinks = EtlJob.Sinks(
+      appendFacts = b => facts.synchronized {
+        facts ++= b.select("station_no").as[String].collect()
+      },
+      insertDims = b => dims.synchronized {
+        dims ++= b.select("station_no").as[String].collect()
+      },
+      existingDimKeys = () => dims.synchronized { dims.toSeq }.toDF("station_no"))
+  }
+
+  test("each trigger runs one retried runOnce tick; dims stay insert-only across ticks") {
+    implicit val sqlCtx = spark.sqlContext
+    val tickSrc = MemoryStream[Long]
+    val sink = new MemSink
+    val calls = new AtomicInteger(0)
+    val tickNo = new AtomicInteger(0)
+    val results = scala.collection.mutable.ArrayBuffer[EtlJob.BatchResult]()
+    // every tick's FIRST fetch attempt times out; Retry recovers on the
+    // second — the etl_job.py:21-23 backoff path exercised per trigger
+    def fetch(): Dataset[String] = {
+      if (calls.incrementAndGet() % 2 == 1)
+        throw new RuntimeException("synthetic fetch timeout")
+      val t = tickNo.incrementAndGet()
+      // s0 repeats every tick (known dim from tick 2 on); s<t> is new.
+      // The s0 record is replayed within the batch → fact dedup.
+      Seq(record("s0", s"2025-12-10 15:0$t:00"),
+        record("s0", s"2025-12-10 15:0$t:00"),
+        record(s"s$t", s"2025-12-10 15:0$t:00")).toDS()
+    }
+    val q = ScheduledEtl.start(spark, () => fetch(), sink.sinks,
+      interval = "0 seconds", attempts = 2, backoffMs = 1,
+      ticks = Some(tickSrc.toDF()),
+      checkpointDir = Some(
+        java.nio.file.Files.createTempDirectory("graft-etl-ckpt").toString),
+      onResult = r => results.synchronized { results += r })
+    tickSrc.addData(1L)
+    q.processAllAvailable()
+    tickSrc.addData(2L)
+    q.processAllAvailable()
+    q.stop()
+
+    // 2 ticks × (1 failed + 1 good) fetch attempts
+    assert(calls.get === 4, s"fetch calls: ${calls.get}")
+    // per tick: 3 records → 2 unique facts; dims: tick 1 inserts both
+    // s0 and s1, tick 2 must insert ONLY s2 (s0 already known)
+    assert(results.synchronized { results.toSeq } ===
+      Seq(EtlJob.BatchResult(2, 2), EtlJob.BatchResult(2, 1)))
+    assert(sink.dims.synchronized { sink.dims.sorted } === Seq("s0", "s1", "s2"))
+    assert(sink.facts.synchronized { sink.facts.sorted } === Seq("s0", "s0", "s1", "s2"))
+  }
+
+  test("a tick that exhausts retries fails the query loudly, not a silent skip") {
+    implicit val sqlCtx = spark.sqlContext
+    val tickSrc = MemoryStream[Long]
+    val sink = new MemSink
+    val q = ScheduledEtl.start(spark,
+      () => throw new RuntimeException("source down"),
+      sink.sinks, interval = "0 seconds", attempts = 2, backoffMs = 1,
+      ticks = Some(tickSrc.toDF()),
+      checkpointDir = Some(
+        java.nio.file.Files.createTempDirectory("graft-etl-ckpt2").toString))
+    tickSrc.addData(1L)
+    val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+    assert(e.getMessage.contains("source down") ||
+      Option(e.getCause).exists(_.getMessage.contains("source down")))
+    assert(sink.facts.isEmpty && sink.dims.isEmpty)
+  }
+}
