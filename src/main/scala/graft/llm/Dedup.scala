@@ -93,4 +93,62 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over near-dup pairs — the canonical-document
+    * selection step every dedup pipeline needs after pair generation:
+    * pairs only say "a ≈ b"; keeping one document per GROUP requires
+    * the transitive closure (a≈b, b≈c → {a,b,c} keep min).
+    *
+    * Hash-min label propagation: every vertex starts labeled with its
+    * own id and repeatedly adopts the minimum label among itself and
+    * its neighbors; fixpoint = the component's minimum id. Each round
+    * is one keyed join + one aggregate on the (vertex, label) frame —
+    * shuffle-bounded, nothing driver-side but the per-round
+    * convergence count. Rounds needed = component diameter; LSH-
+    * verified dup groups are near-cliques (diameter 2-3), so this
+    * terminates in a handful of rounds even at corpus scale. For
+    * adversarial long-chain graphs the same join shape upgrades to
+    * alternating large/small-star (O(log n) rounds); the contract and
+    * output stay identical.
+    *
+    * Returns (doc, group_id) for every vertex that appears in `pairs`,
+    * group_id = min doc id of the component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .cache()
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u").as("doc"))
+        .agg(min("lbl").as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next
+        .join(labels.select(col("doc"), col("lbl").as("old")), Seq("doc"))
+        .filter(col("lbl") =!= col("old"))
+        .count() // materializes `next`; the only driver-side value per round
+      labels.unpersist(blocking = false)
+      labels = next
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the bound — raise maxRounds or " +
+          "switch to large/small-star)")
+    edges.unpersist(blocking = false)
+    labels.select(col("doc"), col("lbl").as("group_id"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** LLM training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text
@@ -67,6 +67,55 @@ object LlmQueries extends Q.Registry {
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
       |        FROM corpus)),
       |""".stripMargin
+
+  /** The dd3 pipeline up to Jaccard-verified pairs, shared by dd3
+    * (emits the pairs) and dd7 (groups them): shingles → MinHash sig →
+    * banded LSH candidates (shuffle on band key, never all-pairs) →
+    * exact shingle-Jaccard >= 0.6. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    // cache: the shingle/md5 signature subtree feeds three plan arms
+    // (band explode + two set-lookup joins) — materialize it once
+    val base = corpus(s, d)
+      .withColumn("ws", TextOps.words(col("text")))
+      .withColumn("sh", TextOps.wordShingles(col("ws"), 3))
+      .withColumn("sh_set", array_distinct(col("sh")))
+      .withColumn("sig", Dedup.minhashSig(col("sh"), MinhashK))
+      .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+      .select("doc_id", "sh_set", "bands")
+      .cache()
+    val pairs = Dedup.lshCandidatePairs(base, "doc_id", "bands")
+    val sets = base.select(col("doc_id"), col("sh_set"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), Seq("doc_b"))
+      .withColumn("jaccard", Fmt.trunc(Dedup.jaccard(col("set_a"), col("set_b")), 6))
+      .filter(col("jaccard") >= 0.6)
+  }
+
+  /** DuckDB mirror of [[verifiedPairs]] as a WITH prefix ending in the
+    * `verified(doc_a, doc_b, jaccard)` CTE. */
+  private def verifiedPairsSql: String = corpusSql + shinglesSql +
+    s"""sigs AS (
+       |  SELECT doc_id, list_distinct(sh) AS sh_set, $sigSqlExprs
+       |  FROM shingled),
+       |banded AS (
+       |  SELECT doc_id, sh_set, $bandSqlExprs FROM sigs),
+       |exploded AS (
+       |  SELECT doc_id, sh_set, unnest([${(0 until Bands).map(b => s"band$b").mkString(", ")}]) AS band_key
+       |  FROM banded),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.sh_set AS set_a, b.sh_set AS set_b
+       |  FROM exploded a JOIN exploded b USING (band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |         floor((CAST(len(list_distinct(list_intersect(set_a, set_b))) AS DOUBLE) /
+       |                len(list_distinct(list_concat(set_a, set_b)))) * 1e6 + 1e-6) / 1e6 AS jaccard
+       |  FROM pairs
+       |  WHERE floor((CAST(len(list_distinct(list_intersect(set_a, set_b))) AS DOUBLE) /
+       |               len(list_distinct(list_concat(set_a, set_b)))) * 1e6 + 1e-6) / 1e6 >= 0.6)
+       |""".stripMargin
 
   /** ss3's oracle: the seeded gaussian planes are plain constants, so
     * the whole bucket geometry is SQL-expressible — interpolate the
@@ -171,48 +220,49 @@ object LlmQueries extends Q.Registry {
       "Banded LSH near-dup detection end-to-end: band keys -> " +
         "candidate pairs (shuffle on band key, never all-pairs) -> " +
         "exact shingle-Jaccard verification >= 0.6.",
-      (s, d) => {
-        // cache: the shingle/md5 signature subtree feeds three plan arms
-        // (band explode + two set-lookup joins) — materialize it once
-        val base = corpus(s, d)
-          .withColumn("ws", TextOps.words(col("text")))
-          .withColumn("sh", TextOps.wordShingles(col("ws"), 3))
-          .withColumn("sh_set", array_distinct(col("sh")))
-          .withColumn("sig", Dedup.minhashSig(col("sh"), MinhashK))
-          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
-          .select("doc_id", "sh_set", "bands")
-          .cache()
-        val pairs = Dedup.lshCandidatePairs(base, "doc_id", "bands")
-        val sets = base.select(col("doc_id"), col("sh_set"))
-        pairs
-          .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), Seq("doc_a"))
-          .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), Seq("doc_b"))
-          .withColumn("jaccard", Fmt.trunc(Dedup.jaccard(col("set_a"), col("set_b")), 6))
-          .filter(col("jaccard") >= 0.6)
+      (s, d) =>
+        verifiedPairs(s, d)
           .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b"),
+      Some(verifiedPairsSql +
+        """SELECT doc_a, doc_b, jaccard FROM verified
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("dd7_dup_groups",
+      "Near-dup GROUPING (connected components over the dd3-verified " +
+        "pair graph): pairs only say a~b; keeping one canonical doc " +
+        "per group needs the transitive closure (a~b, b~c -> {a,b,c}). " +
+        "Hash-min label propagation, one keyed join + aggregate per " +
+        "round, rounds = component diameter (near-cliques from LSH -> " +
+        "2-3). The oracle restates the closure as a DuckDB recursive " +
+        "CTE — group id, size, and the min-id canonical flag all " +
+        "hash-checked.",
+      (s, d) => {
+        val groups = Dedup.connectedComponents(
+          verifiedPairs(s, d).select("doc_a", "doc_b"), "doc_a", "doc_b")
+        val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+        groups.join(sizes, Seq("group_id"))
+          .select(
+            col("doc"), col("group_id"), col("group_size"),
+            (col("doc") === col("group_id")).as("is_canonical"))
+          .orderBy("doc")
       },
-      Some(corpusSql + shinglesSql +
-        s"""sigs AS (
-           |  SELECT doc_id, list_distinct(sh) AS sh_set, $sigSqlExprs
-           |  FROM shingled),
-           |banded AS (
-           |  SELECT doc_id, sh_set, $bandSqlExprs FROM sigs),
-           |exploded AS (
-           |  SELECT doc_id, sh_set, unnest([${(0 until Bands).map(b => s"band$b").mkString(", ")}]) AS band_key
-           |  FROM banded),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         a.sh_set AS set_a, b.sh_set AS set_b
-           |  FROM exploded a JOIN exploded b USING (band_key)
-           |  WHERE a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b,
-           |       floor((CAST(len(list_distinct(list_intersect(set_a, set_b))) AS DOUBLE) /
-           |              len(list_distinct(list_concat(set_a, set_b)))) * 1e6 + 1e-6) / 1e6 AS jaccard
-           |FROM pairs
-           |WHERE floor((CAST(len(list_distinct(list_intersect(set_a, set_b))) AS DOUBLE) /
-           |             len(list_distinct(list_concat(set_a, set_b)))) * 1e6 + 1e-6) / 1e6 >= 0.6
-           |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(verifiedPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM verified
+          |  UNION
+          |  SELECT doc_b, doc_a FROM verified),
+          |reach AS (
+          |  SELECT u, v FROM edges
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          |comp AS (
+          |  SELECT u AS doc, least(u, min(v)) AS group_id
+          |  FROM reach GROUP BY u)
+          |SELECT doc, group_id,
+          |       count(*) OVER (PARTITION BY group_id) AS group_size,
+          |       doc = group_id AS is_canonical
+          |FROM comp ORDER BY doc""".stripMargin)),
 
     Q("dd4_simhash_near_dup",
       "SimHash-64 near-dup: per-word bit votes packed to one long, " +
@@ -502,6 +552,46 @@ object LlmQueries extends Q.Registry {
           |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
           |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("tx4_stratified_sample",
+      "Deterministic stratified quota sample (curation): up to 20 docs " +
+        "per language, the hash-smallest ids — md5 order instead of " +
+        "rand() so the selection is reproducible across runs, engines, " +
+        "and partition layouts (auditable curation). One window " +
+        "shuffle on the stratum key.",
+      (s, d) =>
+        Sampling.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id", 20)
+          .select(col("lang"), col("doc_id"), col("rk"))
+          .orderBy("lang", "rk"),
+      Some(
+        """SELECT lang, doc_id, rk FROM (
+          |  SELECT lang, doc_id,
+          |         CAST(row_number() OVER (PARTITION BY lang
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+          |  FROM documents)
+          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
+
+    Q("tx5_hash_split",
+      "Deterministic train/val/test split (80/10/10): the doc id " +
+        "hashes into one of 100 buckets, buckets map to splits — " +
+        "map-side only, no shuffle, no rand(), so membership is stable " +
+        "under reruns and engine changes (the property that keeps " +
+        "eval sets honest).",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            Sampling.hashSplit(col("doc_id"),
+              Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+          .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          |FROM (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
 
     Q("mm1_binary_meta",
       "Multimodal binary-column plumbing: opaque payload bytes + " +

@@ -56,6 +56,56 @@ class LlmSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("connectedComponents: chains (diameter > 1), separate groups, min-id labels") {
+    // component A is a CHAIN 1-2-3-4 (label must propagate 3 hops, the
+    // case a single nbr-min pass gets wrong); component B is a pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: maxRounds too small for the diameter fails loudly") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxRounds = 2)
+    }
+    // and the honest bound converges
+    val ok = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxRounds = 10)
+      .as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L) && ok.length === 8)
+  }
+
+  test("stratifiedQuota: respects the quota, invariant to partition layout, no rand()") {
+    val df = (1L to 200L).map(i => (s"lang${i % 3}", i)).toDF("lang", "doc_id")
+    val a = Sampling.stratifiedQuota(df, "lang", "doc_id", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val b = Sampling.stratifiedQuota(df.repartition(13), "lang", "doc_id", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(a === b, "selection must not depend on partitioning")
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("hashSplit: deterministic, exhaustive labels, proportions near the weights") {
+    val ids = (1L to 2000L).toDF("doc_id")
+    val split = Sampling.hashSplit(col("doc_id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = ids.select(split.as("s")).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000L) // no row unlabeled
+    assert(math.abs(counts("train") - 1600L) < 100, s"counts=$counts")
+    // same id → same split on a reshuffled frame
+    val again = ids.repartition(7).select(col("doc_id"), split.as("s"))
+      .as[(Long, String)].collect().toMap
+    val first = ids.select(col("doc_id"), split.as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(again === first)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(col("doc_id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
   test("simhash: identical → hamming 0; one-word change → small; unrelated → large") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and runs home fast",
