@@ -1,0 +1,44 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk sequence packing — the layout step of an LLM
+  * training pipeline: documents are laid end-to-end into one token
+  * stream per stratum and the stream is cut into fixed `budget`-token
+  * training sequences (bins). Documents straddle bin boundaries by
+  * design; the bookkeeping this stage emits (start offset, first/last
+  * bin, straddle flag) is what the batch loader needs to materialize
+  * any bin without re-scanning the corpus.
+  *
+  * Layout order is the deterministic hash order of [[Sampling
+  * .sampleKey]], not arrival order: the packing a training run used is
+  * then reproducible from the table alone (same property as the
+  * samplers — no rand(), no partition-layout dependence).
+  *
+  * Scale posture: one window shuffle on the stratum key; the running
+  * sum is a single pass per stratum. Strata (languages, sources)
+  * bound the window's sort; a single global stream would serialize —
+  * at 100 TB you pack within shards exactly like this, never globally.
+  */
+object Packing {
+
+  /** Per-document bin bookkeeping. Zero-token documents get
+    * bin_last = bin_first (they occupy no tokens, they "sit" at their
+    * offset). Output adds: start_tok (tokens before this doc in its
+    * stratum's stream), bin_first, bin_last, spans_boundary. */
+  def packBins(df: DataFrame, stratumCol: String, idCol: String,
+               tokensCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(Sampling.sampleKey(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_tok",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin_first", expr(s"start_tok div $budget"))
+      .withColumn("bin_last", greatest(col("bin_first"),
+        expr(s"(start_tok + $tokensCol - 1) div $budget")))
+      .withColumn("spans_boundary", col("bin_last") > col("bin_first"))
+  }
+}

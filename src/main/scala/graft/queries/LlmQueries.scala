@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** LLM training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text
@@ -570,6 +570,39 @@ object LlmQueries extends Q.Registry {
           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
           |  FROM documents)
           |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
+
+    Q("tx6_pack_sequences",
+      "Concat-and-chunk sequence packing bookkeeping (the LLM training " +
+        "layout step): docs laid end-to-end per language in " +
+        "deterministic hash order, the token stream cut into 512-token " +
+        "bins — start offset, first/last bin, and the straddle flag " +
+        "per doc. One window shuffle per stratum; reproducible from " +
+        "the table alone (no rand, no arrival order).",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(
+          col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Packing.packBins(toks, "lang", "doc_id", "n_tokens", 512)
+          .select("lang", "doc_id", "n_tokens", "start_tok",
+            "bin_first", "bin_last", "spans_boundary")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT lang, doc_id,
+          |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+          |         md5(CAST(doc_id AS VARCHAR)) AS sk
+          |  FROM documents),
+          |laid AS (
+          |  SELECT lang, doc_id, n_tokens,
+          |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY sk, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+          |  FROM toks)
+          |SELECT lang, doc_id, n_tokens, start_tok,
+          |       start_tok // 512 AS bin_first,
+          |       greatest(start_tok // 512, (start_tok + n_tokens - 1) // 512) AS bin_last,
+          |       greatest(start_tok // 512, (start_tok + n_tokens - 1) // 512) > start_tok // 512 AS spans_boundary
+          |FROM laid ORDER BY doc_id""".stripMargin)),
 
     Q("tx5_hash_split",
       "Deterministic train/val/test split (80/10/10): the doc id " +

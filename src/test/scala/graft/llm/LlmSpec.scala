@@ -106,6 +106,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("packBins: offsets are a running sum in hash order, straddles flagged, zero-token safe") {
+    val docs = Seq(("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 0L), ("b", 9L, 1100L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val got = Packing.packBins(docs, "lang", "doc_id", "n_tokens", 512)
+      .select("doc_id", "start_tok", "bin_first", "bin_last", "spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // stratum a lays out in md5(id) order; whatever that order, offsets
+    // must be 0 and 300 for the two 300-token docs (the 0-token doc
+    // contributes nothing) and exactly one of them straddles bin 0/1
+    val aOffsets = Seq(1L, 2L).map(got(_)._1).sorted
+    assert(aOffsets === Seq(0L, 300L))
+    assert(Seq(1L, 2L).count(id => got(id)._4) === 1, s"got $got")
+    // the 1100-token doc alone in stratum b spans bins 0..2
+    assert(got(9L) === ((0L, 0L, 2L, true)))
+    // zero-token doc: bin_last clamped to bin_first, no straddle
+    val z = got(3L)
+    assert(z._2 === z._3 && !z._4)
+    // layout invariant to partitioning
+    val re = Packing.packBins(docs.repartition(5), "lang", "doc_id", "n_tokens", 512)
+      .select("doc_id", "start_tok").as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 9L).forall(id => re(id) === got(id)._1))
+  }
+
   test("simhash: identical → hamming 0; one-word change → small; unrelated → large") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and runs home fast",
