@@ -35,10 +35,12 @@ import org.apache.spark.sql.SparkSession
   * twice).
   */
 object Bench {
-  /** Queries that fit an ML model or drive a full streaming pipeline
-    * (single bench run, see below). */
+  /** Queries that fit an ML model, run an iterative fixpoint, or drive
+    * a full streaming pipeline (single bench run, see below; their
+    * DataFrame construction already executes jobs, so the explain dump
+    * is skipped too). */
   val FitQueries: Set[String] = Set(
-    "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring",
+    "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring", "dd7_dup_groups",
     "st1_stream_watermark_dedup", "st2_stream_windowed_agg",
     "st3_stream_stateful_counts")
 

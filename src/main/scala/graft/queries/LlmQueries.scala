@@ -238,8 +238,10 @@ object LlmQueries extends Q.Registry {
         "CTE — group id, size, and the min-id canonical flag all " +
         "hash-checked.",
       (s, d) => {
+        // cache the verified pairs: edges reads them through two plan
+        // arms (u→v and v→u), and the LSH pipeline shouldn't run twice
         val groups = Dedup.connectedComponents(
-          verifiedPairs(s, d).select("doc_a", "doc_b"), "doc_a", "doc_b")
+          verifiedPairs(s, d).select("doc_a", "doc_b").cache(), "doc_a", "doc_b")
         val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("group_size"))
         groups.join(sizes, Seq("group_id"))
           .select(
