@@ -539,6 +539,74 @@ object LlmQueries extends Q.Registry {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    Q("llm1_curation_pipeline",
+      "Flagship end-to-end corpus curation — the pipeline a training-" +
+        "data job actually runs, composed from this module's oracled " +
+        "operators: quality score + langid (tx2) -> quality filter -> " +
+        "exact content dedup keeping the min id (dd1) -> deterministic " +
+        "train/val/test split (tx5) -> per (lang, split) corpus stats " +
+        "with token budgets (tx1). Hash-checked END-TO-END, not just " +
+        "stage-by-stage. Map-side until the dedup shuffle; one final " +
+        "small aggregate.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, d)
+          .withColumn("ws", TextOps.words(col("text")))
+          .withColumn("quality",
+            Fmt.trunc(TextOps.qualityScore(col("text"), col("ws")), 6))
+          .withColumn("lang_pred", TextOps.langId(col("ws")))
+          .filter(col("quality") >= 0.7)
+        val deduped = scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(Dedup.contentKey(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1)
+        deduped
+          .withColumn("split", Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+          .groupBy("lang", "split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            Fmt.trunc(avg("quality"), 6).as("avg_quality"),
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+            Fmt.trunc(avg(when(col("lang_pred") === col("lang"), 1.0)
+              .otherwise(0.0)), 6).as("langid_agree"))
+          .orderBy("lang", "split")
+      },
+      Some {
+        def hits(stops: Seq[String]) =
+          s"len(list_filter(ws, w -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], w)))"
+        val en = hits(TextOps.StopEn); val es = hits(TextOps.StopEs)
+        val de = hits(TextOps.StopDe); val fr = hits(TextOps.StopFr)
+        val zh = hits(TextOps.StopZh)
+        s"""WITH scored AS (
+           |  SELECT doc_id, text, lang,
+           |    floor((((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.3 END) +
+           |            (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) < 0.2 THEN 1.0 ELSE 0.4 END) +
+           |            (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6 + 1e-6) / 1e6 AS quality,
+           |    CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
+           |         WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
+           |         WHEN $de >= $fr AND $de >= $zh THEN 'de'
+           |         WHEN $fr >= $zh THEN 'fr'
+           |         ELSE 'zh' END AS lang_pred
+           |  FROM (SELECT doc_id, text, lang, string_split_regex(lower(text), '\\s+') AS ws
+           |        FROM documents)),
+           |deduped AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+           |    FROM scored WHERE quality >= 0.7)
+           |  WHERE rk = 1),
+           |assigned AS (
+           |  SELECT *, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+           |        FROM deduped))
+           |SELECT lang, split, count(*) AS n_docs,
+           |  floor((avg(quality)) * 1e6 + 1e-6) / 1e6 AS avg_quality,
+           |  CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)) AS BIGINT) AS n_tokens,
+           |  floor((avg(CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END)) * 1e6 + 1e-6) / 1e6 AS langid_agree
+           |FROM assigned GROUP BY lang, split
+           |ORDER BY lang, split""".stripMargin
+      }),
+
     Q("tx3_fingerprint",
       "Order-sensitive rolling-hash document fingerprint (mod 1e9+7) — " +
         "reorder-detecting content identity, fold mirrored in SQL.",
