@@ -87,10 +87,20 @@ object Bench {
     // head to that window and arrived unparseable.
     def jsonLine(partial: Boolean, rich: Boolean): String = {
       val rs = done.toArray(Array.empty[(String, Double)]).toSeq
-      def sec(v: Double): String = if (rich) v.toString else f"$v%.3f"
+      // Locale.ROOT: a JVM under e.g. de_DE renders f"%.3f" with a decimal
+      // COMMA, which would make the stdout line invalid JSON — the very
+      // failure class this emitter exists to end.
+      def sec(v: Double): String =
+        if (rich) v.toString
+        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val qs = rs.map { case (k, v) => s"${js(k)}:${sec(v)}" }.mkString("{", ",", "}")
       val errJson = errors.synchronized {
-        errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+        // compact rendering truncates error text hard: a degraded run with
+        // several 300-char errors would otherwise push the single stdout
+        // line past the driver's ~4 KB tail window again
+        errors.map { case (k, v) =>
+          s"${js(k)}:${js(if (rich) v else v.take(60))}"
+        }.mkString("{", ",", "}")
       }
       val total = rs.map(_._2).sum
       val modeJson =

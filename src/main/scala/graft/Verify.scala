@@ -42,7 +42,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // respect the dev-iteration filter here too: some oracles are
+    // GENERATED (x10/x15 fit models to build their literals), so dumping
+    // all of them on an `only`-filtered run would pay several model fits
+    // just to serialize SQL the caller won't compare
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -147,7 +147,7 @@ object Dedup {
       if (nVerts <= broadcastVertexMax) broadcast else identity
     var round = 0
     var changed = 1L
-    while (round < maxRounds && changed > 0) {
+    try while (round < maxRounds && changed > 0) {
       val nbrMin = edges
         .join(bc(labels.select(col("doc").as("v"), col("lbl"))), Seq("v"))
         .groupBy(col("u").as("doc"))
@@ -164,13 +164,12 @@ object Dedup {
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("doc", "lbl")
       round += 1
-    }
+    } finally edges.unpersist(blocking = false) // also on the throw below / job failure
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
           "(component diameter exceeds the bound — raise maxRounds or " +
           "switch to large/small-star)")
-    edges.unpersist(blocking = false)
     labels.select(col("doc"), col("lbl").as("group_id"))
   }
 }

@@ -117,6 +117,29 @@ object LlmQueries extends Q.Registry {
        |               len(list_distinct(list_concat(set_a, set_b)))) * 1e6 + 1e-6) / 1e6 >= 0.6)
        |""".stripMargin
 
+  /** tx2's quality/langid formulas as SQL expressions over a `text` +
+    * `ws` (lowercased word list) scope — shared VERBATIM by the tx2
+    * oracle and llm1's composed pipeline oracle, so the three copies of
+    * these formulas (TextOps, tx2, llm1) can never drift apart in SQL. */
+  private def stopHitsSql(stops: Seq[String]): String =
+    s"len(list_filter(ws, w -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], w)))"
+  private def qualitySqlExpr: String = {
+    val en = stopHitsSql(TextOps.StopEn)
+    s"""floor((((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.3 END) +
+       |          (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) < 0.2 THEN 1.0 ELSE 0.4 END) +
+       |          (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6 + 1e-6) / 1e6""".stripMargin
+  }
+  private def langPredSqlExpr: String = {
+    val en = stopHitsSql(TextOps.StopEn); val es = stopHitsSql(TextOps.StopEs)
+    val de = stopHitsSql(TextOps.StopDe); val fr = stopHitsSql(TextOps.StopFr)
+    val zh = stopHitsSql(TextOps.StopZh)
+    s"""CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
+       |       WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
+       |       WHEN $de >= $fr AND $de >= $zh THEN 'de'
+       |       WHEN $fr >= $zh THEN 'fr'
+       |       ELSE 'zh' END""".stripMargin
+  }
+
   /** ss3's oracle: the seeded gaussian planes are plain constants, so
     * the whole bucket geometry is SQL-expressible — interpolate the
     * SAME `hyperplaneTables(64, 3, 8, 42)` doubles (Double.toString
@@ -518,21 +541,11 @@ object LlmQueries extends Q.Registry {
           .orderBy("doc_id")
       },
       Some {
-        def hits(stops: Seq[String]) =
-          s"len(list_filter(ws, w -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], w)))"
-        val en = hits(TextOps.StopEn); val es = hits(TextOps.StopEs)
-        val de = hits(TextOps.StopDe); val fr = hits(TextOps.StopFr)
-        val zh = hits(TextOps.StopZh)
+        val en = stopHitsSql(TextOps.StopEn)
         s"""SELECT doc_id,
            |  floor((CAST($en AS DOUBLE) / len(ws)) * 1e6 + 1e-6) / 1e6 AS stop_ratio_en,
-           |  floor((((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.3 END) +
-           |          (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) < 0.2 THEN 1.0 ELSE 0.4 END) +
-           |          (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6 + 1e-6) / 1e6 AS quality,
-           |  CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
-           |       WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
-           |       WHEN $de >= $fr AND $de >= $zh THEN 'de'
-           |       WHEN $fr >= $zh THEN 'fr'
-           |       ELSE 'zh' END AS lang_pred,
+           |  $qualitySqlExpr AS quality,
+           |  $langPredSqlExpr AS lang_pred,
            |  lang AS lang_labeled
            |FROM (SELECT doc_id, text, lang, string_split_regex(lower(text), '\\s+') AS ws
            |      FROM documents)
@@ -573,21 +586,10 @@ object LlmQueries extends Q.Registry {
           .orderBy("lang", "split")
       },
       Some {
-        def hits(stops: Seq[String]) =
-          s"len(list_filter(ws, w -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], w)))"
-        val en = hits(TextOps.StopEn); val es = hits(TextOps.StopEs)
-        val de = hits(TextOps.StopDe); val fr = hits(TextOps.StopFr)
-        val zh = hits(TextOps.StopZh)
         s"""WITH scored AS (
            |  SELECT doc_id, text, lang,
-           |    floor((((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.3 END) +
-           |            (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) < 0.2 THEN 1.0 ELSE 0.4 END) +
-           |            (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6 + 1e-6) / 1e6 AS quality,
-           |    CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
-           |         WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
-           |         WHEN $de >= $fr AND $de >= $zh THEN 'de'
-           |         WHEN $fr >= $zh THEN 'fr'
-           |         ELSE 'zh' END AS lang_pred
+           |    $qualitySqlExpr AS quality,
+           |    $langPredSqlExpr AS lang_pred
            |  FROM (SELECT doc_id, text, lang, string_split_regex(lower(text), '\\s+') AS ws
            |        FROM documents)),
            |deduped AS (

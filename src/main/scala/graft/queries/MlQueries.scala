@@ -66,15 +66,24 @@ object MlQueries extends Q.Registry {
     })
 
   /** Oracle-thunk access to [[fittedScore]]: Q oracles take no
-    * (session, dir) arguments, so resolve them from the active session
-    * and the primed table dir — both set before any oracle is read in
-    * the Verify/Bench flow. None (→ rows-only downgrade) outside that
-    * flow rather than a confusing NoSuchElementException. */
-  private def oracleScore(formula: String): Option[LinearScore] =
-    for {
-      s <- SparkSession.getActiveSession
+    * (session, dir) arguments, so resolve them from the session
+    * (active-thread first, then the global default — getActiveSession
+    * is a ThreadLocal, and an off-thread oracle read must not lose the
+    * session) and the primed table dir. None (→ rows-only downgrade,
+    * logged loudly — Q.oracle memoizes, so a silent None here would
+    * stick for the JVM's lifetime) outside that flow rather than a
+    * confusing NoSuchElementException. */
+  private def oracleScore(formula: String): Option[LinearScore] = {
+    val resolved = for {
+      s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       d <- graft.Tables.primedDir
     } yield fittedScore(s, d, formula)
+    if (resolved.isEmpty)
+      System.err.println(
+        s"[MlQueries] no session/primed dir when generating the oracle for '$formula' " +
+          "— this query's driver check degrades to rows-only for this JVM")
+    resolved
+  }
 
   /** DuckDB restatement of [[modelFrame]] as a `mf` CTE: clean + lag1 +
     * hour_str/is_weekend_d derives + the trunc-3 NN distance. Every
