@@ -74,6 +74,55 @@ object Models {
     km.fit(withVec).transform(withVec).drop("features")
   }
 
+  /** X11's fitted centroids as plain arrays — the literal payload for
+    * the coefficients-as-literals oracle pattern (see
+    * [[kmeansAssignExpr]]). Same estimator settings as
+    * [[kmeansOnPivot]]. */
+  def kmeansCenters(pivot: DataFrame, featureCols: Seq[String], k: Int = 4,
+                    seed: Long = 42L): Array[Array[Double]] = {
+    val asm = new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("features")
+    val km = new KMeans().setK(k).setSeed(seed).setInitSteps(1)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+    km.fit(asm.transform(pivot).coalesce(2).cache()).clusterCenters.map(_.toArray)
+  }
+
+  /** K-Means ASSIGNMENT unrolled to column arithmetic: squared
+    * euclidean distance to each literal centroid (left-assoc sum of
+    * squares in feature order), then a first-min argmin CASE — the
+    * WHEN for index i tests d_i <= d_j only for j > i, which returns
+    * the first index attaining the minimum (spark.ml's tie rule).
+    * Rendered identically in SQL by [[kmeansAssignSql]], so the
+    * assignment is bit-exact across engines whenever the feature
+    * columns are (x11 feeds it the trunc-6 pivot a3 proves exact). */
+  def kmeansAssignExpr(centers: Array[Array[Double]], featureCols: Seq[String]): Column = {
+    val dists = centers.map { c =>
+      featureCols.zipWithIndex.map { case (h, i) =>
+        (col(h) - lit(c(i))) * (col(h) - lit(c(i)))
+      }.reduceLeft(_ + _)
+    }
+    val k = dists.length
+    (0 until k - 1).foldLeft(org.apache.spark.sql.functions.when(lit(false), k - 1)) {
+      case (acc, i) =>
+        val cond = ((i + 1) until k).map(j => dists(i) <= dists(j)).reduceLeft(_ && _)
+        acc.when(cond, i)
+    }.otherwise(k - 1)
+  }
+
+  /** DuckDB mirror of [[kmeansAssignExpr]], term for term. */
+  def kmeansAssignSql(centers: Array[Array[Double]], featureCols: Seq[String]): String = {
+    val dists = centers.map { c =>
+      featureCols.zipWithIndex.map { case (h, i) =>
+        s"($h - ${c(i)})*($h - ${c(i)})"
+      }.mkString(" + ")
+    }
+    val k = dists.length
+    val whens = (0 until k - 1).map { i =>
+      val cond = ((i + 1) until k).map(j => s"(${dists(i)}) <= (${dists(j)})").mkString(" AND ")
+      s"WHEN $cond THEN $i"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE ${k - 1} END"
+  }
+
   /** X12: fit MinMaxScaler on `cols` assembled as a vector. */
   def fitMinMax(df: DataFrame, cols: Seq[String]): MinMaxScalerModel = {
     val asm = new VectorAssembler().setInputCols(cols.toArray).setOutputCol("mm_in")

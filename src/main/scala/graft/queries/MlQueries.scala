@@ -85,6 +85,41 @@ object MlQueries extends Q.Registry {
     resolved
   }
 
+  /** x11's station×hour pivot, trunc-6 + fillna-0 — the SAME cell
+    * arithmetic a3's full-oracle row proves bit-identical in DuckDB,
+    * so distances computed from it are cross-engine exact. */
+  private def kmeansPivot(s: SparkSession, d: String): DataFrame = {
+    val p = clean(s, d)
+      .groupBy("station_no").pivot("hour", 0 to 23)
+      .agg(Fmt.trunc(avg("filling_rate"), 6)).na.fill(0.0)
+    p.select(col("station_no") +: (0 to 23).map(h => col(s"`$h`").as(s"h$h")): _*)
+  }
+  private val pivotCols: Seq[String] = (0 to 23).map(h => s"h$h")
+
+  /** Per-dir memo of the fitted K-Means centroids (k=4, seed 42) over
+    * [[kmeansPivot]] — same share-the-fit contract as [[fittedScore]]:
+    * the Spark query and the generated oracle read the same centers in
+    * the same JVM, so cluster labels (arbitrary per fit) always agree. */
+  private val kmeansMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private[queries] def fittedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    kmeansMemo.computeIfAbsent(d, _ =>
+      Models.kmeansCenters(kmeansPivot(s, d), pivotCols))
+
+  /** Oracle-thunk access to [[fittedCentroids]] — see [[oracleScore]]
+    * for the session/dir resolution contract. */
+  private def oracleCentroids: Option[Array[Array[Double]]] = {
+    val resolved = for {
+      s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      d <- graft.Tables.primedDir
+    } yield fittedCentroids(s, d)
+    if (resolved.isEmpty)
+      System.err.println(
+        "[MlQueries] no session/primed dir when generating the x11 oracle " +
+          "— its driver check degrades to rows-only for this JVM")
+    resolved
+  }
+
   /** DuckDB restatement of [[modelFrame]] as a `mf` CTE: clean + lag1 +
     * hour_str/is_weekend_d derives + the trunc-3 NN distance. Every
     * input column a fitted formula can reference is reproduced
@@ -232,19 +267,38 @@ object MlQueries extends Q.Registry {
 
     Q("x11_kmeans_j6",
       "K-Means k=4 seed=42 on the station-hour pivot (X11, 01:659-661) " +
-        "+ cluster-attr lookup join back to the dim (J6, 01:682-686).",
+        "+ cluster-attr lookup join back to the dim (J6, 01:682-686). " +
+        "Full oracle since r5 via the centroids-as-literals pattern: " +
+        "the in-session fit's centers unroll into the assignment " +
+        "arithmetic (squared euclidean + first-min argmin) on both " +
+        "sides, over the trunc-6 pivot a3 proves cross-engine exact — " +
+        "so even the arbitrary cluster labels hash-match. MlModelsSpec " +
+        "pins the expression assignment to model.transform.",
       (s, d) => {
-        val pivot = clean(s, d)
-          .groupBy("station_no").pivot("hour", 0 to 23)
-          .agg(avg("filling_rate")).na.fill(0.0)
-        val cols = (0 to 23).map(_.toString)
-        val clustered = Models.kmeansOnPivot(pivot, cols)
-          .select("station_no", "cluster")
+        val pivot = kmeansPivot(s, d)
+        val centers = fittedCentroids(s, d)
         val dim = Analog.info(s, d).select("station_no", "district").dropDuplicates("station_no")
-        clustered.join(broadcast(dim), Seq("station_no"), "left")
+        pivot
+          .withColumn("cluster", Models.kmeansAssignExpr(centers, pivotCols))
+          .select("station_no", "cluster")
+          .join(broadcast(dim), Seq("station_no"), "left")
           .orderBy("station_no")
       },
-      None),
+      oracleCentroids.map { centers =>
+        RelationalQueries.enrSql +
+          s""", pv AS (
+             |  SELECT station_no, ${(0 to 23).map(h =>
+                  s"coalesce(floor((avg(CASE WHEN hour = $h THEN filling_rate END)) * 1e6 + 1e-6) / 1e6, 0.0) AS h$h")
+                  .mkString(", ")}
+             |  FROM clean GROUP BY station_no)
+             |SELECT station_no,
+             |       ${Models.kmeansAssignSql(centers, pivotCols)} AS cluster,
+             |       dim.district
+             |FROM pv
+             |LEFT JOIN (SELECT DISTINCT station_no, district FROM info) dim
+             |  USING (station_no)
+             |ORDER BY station_no""".stripMargin
+      }),
 
     Q("x12_minmax_scale",
       "MinMax [0,1] scaling of rate and bikes (X12, 04:67-68) as exact " +

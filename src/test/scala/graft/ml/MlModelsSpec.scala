@@ -117,4 +117,25 @@ class MlModelsSpec extends SparkSpec {
     assert(kindToClusters.values.forall(_.size === 1), s"$kindToClusters")
     assert(kindToClusters.values.reduce(_ ++ _).size === 4)
   }
+
+  test("kmeansAssignExpr matches model.transform's assignments (the x11 oracle path)") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (k <- 0 until 4; s <- 0 until 12) yield {
+      val base = Array.tabulate(24)(h => 0.2 * k + 0.03 * math.sin(h + k))
+      (s"st_${k}_$s", base.map(_ + rnd.nextDouble() * 0.01).toSeq)
+    }
+    val cols = (0 until 24).map(h => s"h$h")
+    val df = rows.toDF("station_no", "vals")
+      .select(col("station_no") +:
+        (0 until 24).map(h => element_at(col("vals"), h + 1).as(s"h$h")): _*)
+    val centers = Models.kmeansCenters(df, cols)
+    val viaModel = Models.kmeansOnPivot(df, cols)
+      .select("station_no", "cluster").as[(String, Int)].collect().toMap
+    val viaExpr = df.withColumn("c", Models.kmeansAssignExpr(centers, cols))
+      .select("station_no", "c").as[(String, Int)].collect().toMap
+    assert(viaExpr === viaModel)
+    // SQL rendering references the feature columns + literal centers
+    val sql = Models.kmeansAssignSql(centers, cols)
+    assert(sql.startsWith("CASE WHEN") && sql.contains("h23") && sql.endsWith("ELSE 3 END"))
+  }
 }
