@@ -27,6 +27,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  def oracleSql: Map[String, String] = oracleSqlFor(Set.empty)
+
+  /** [[oracleSql]] restricted to `names` (empty = all). The name filter
+    * runs BEFORE any `Q.oracle` thunk is forced — several oracles are
+    * GENERATED (x10/x15 fit OLS models, x11 fits K-Means, x6 integrates
+    * a quadrature grid), so a filtered dump must not pay for oracles it
+    * won't emit. */
+  def oracleSqlFor(names: Set[String]): Map[String, String] =
+    allQueries
+      .filter(q => names.isEmpty || names(q.name))
+      .flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -43,11 +43,10 @@ object Verify {
       case c => c.toString
     } + "\""
     // respect the dev-iteration filter here too: some oracles are
-    // GENERATED (x10/x15 fit models to build their literals), so dumping
-    // all of them on an `only`-filtered run would pay several model fits
-    // just to serialize SQL the caller won't compare
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+    // GENERATED (x10/x15/x11 fit models to build their literals), and the
+    // filter must run before the thunks are forced (oracleSqlFor), or the
+    // fits are paid anyway just to serialize SQL the caller won't compare
+    val json = SparkEntry.oracleSqlFor(only)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -67,23 +67,36 @@ object Models {
     * matters; one || step is enough at k=4). */
   def kmeansOnPivot(pivot: DataFrame, featureCols: Seq[String], k: Int = 4,
                     seed: Long = 42L): DataFrame = {
+    val (model, withVec) = kmeansFit(pivot, featureCols, k, seed)
+    // the cached assembled frame stays: the returned transform reads it
+    model.transform(withVec).drop("features")
+  }
+
+  /** The single source of X11's estimator settings (k, seed, one
+    * k-means|| init step, coalesce-before-iterate) — [[kmeansOnPivot]]
+    * and [[kmeansCenters]] MUST fit identically or the
+    * centroids-as-literals oracle and the expression≡transform spec pin
+    * silently diverge. Returns the model plus the cached assembled
+    * frame (caller owns the unpersist decision). */
+  private def kmeansFit(pivot: DataFrame, featureCols: Seq[String], k: Int,
+                        seed: Long): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     val asm = new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("features")
     val km = new KMeans().setK(k).setSeed(seed).setInitSteps(1)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val withVec = asm.transform(pivot).coalesce(2).cache()
-    km.fit(withVec).transform(withVec).drop("features")
+    (km.fit(withVec), withVec)
   }
 
   /** X11's fitted centroids as plain arrays — the literal payload for
     * the coefficients-as-literals oracle pattern (see
-    * [[kmeansAssignExpr]]). Same estimator settings as
-    * [[kmeansOnPivot]]. */
+    * [[kmeansAssignExpr]]). Shares [[kmeansFit]] with [[kmeansOnPivot]],
+    * so the two paths cannot diverge. */
   def kmeansCenters(pivot: DataFrame, featureCols: Seq[String], k: Int = 4,
                     seed: Long = 42L): Array[Array[Double]] = {
-    val asm = new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("features")
-    val km = new KMeans().setK(k).setSeed(seed).setInitSteps(1)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-    km.fit(asm.transform(pivot).coalesce(2).cache()).clusterCenters.map(_.toArray)
+    val (model, withVec) = kmeansFit(pivot, featureCols, k, seed)
+    val centers = model.clusterCenters.map(_.toArray)
+    withVec.unpersist(blocking = false) // only the driver-side centers escape
+    centers
   }
 
   /** K-Means ASSIGNMENT unrolled to column arithmetic: squared

@@ -65,25 +65,27 @@ object MlQueries extends Q.Registry {
       LinearScore.fromFit(Models.olsFit(frame, formula), frame, catCols)
     })
 
-  /** Oracle-thunk access to [[fittedScore]]: Q oracles take no
-    * (session, dir) arguments, so resolve them from the session
-    * (active-thread first, then the global default — getActiveSession
-    * is a ThreadLocal, and an off-thread oracle read must not lose the
-    * session) and the primed table dir. None (→ rows-only downgrade,
-    * logged loudly — Q.oracle memoizes, so a silent None here would
-    * stick for the JVM's lifetime) outside that flow rather than a
-    * confusing NoSuchElementException. */
-  private def oracleScore(formula: String): Option[LinearScore] = {
+  /** Shared (session, dir) resolution for generated-oracle thunks: Q
+    * oracles take no arguments, so resolve the session (active-thread
+    * first, then the global default — getActiveSession is a ThreadLocal,
+    * and an off-thread oracle read must not lose the session) and the
+    * primed table dir. None (→ rows-only downgrade) is logged LOUDLY:
+    * Q.oracle memoizes, so a silent None here would stick for the JVM's
+    * lifetime. */
+  private def withOracleCtx[T](what: String)(f: (SparkSession, String) => T): Option[T] = {
     val resolved = for {
       s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       d <- graft.Tables.primedDir
-    } yield fittedScore(s, d, formula)
+    } yield f(s, d)
     if (resolved.isEmpty)
       System.err.println(
-        s"[MlQueries] no session/primed dir when generating the oracle for '$formula' " +
+        s"[MlQueries] no session/primed dir when generating the $what oracle " +
           "— this query's driver check degrades to rows-only for this JVM")
     resolved
   }
+
+  private def oracleScore(formula: String): Option[LinearScore] =
+    withOracleCtx(s"'$formula'")(fittedScore(_, _, formula))
 
   /** x11's station×hour pivot, trunc-6 + fillna-0 — the SAME cell
     * arithmetic a3's full-oracle row proves bit-identical in DuckDB,
@@ -99,26 +101,18 @@ object MlQueries extends Q.Registry {
   /** Per-dir memo of the fitted K-Means centroids (k=4, seed 42) over
     * [[kmeansPivot]] — same share-the-fit contract as [[fittedScore]]:
     * the Spark query and the generated oracle read the same centers in
-    * the same JVM, so cluster labels (arbitrary per fit) always agree. */
+    * the same JVM, so cluster labels (arbitrary per fit) always agree.
+    * The pivot is cache()'d before the fit so the assignment pass in
+    * x11's fn — which builds the identical plan — reuses the
+    * materialized aggregate instead of re-running the pivot shuffle. */
   private val kmeansMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
   private[queries] def fittedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     kmeansMemo.computeIfAbsent(d, _ =>
-      Models.kmeansCenters(kmeansPivot(s, d), pivotCols))
+      Models.kmeansCenters(kmeansPivot(s, d).cache(), pivotCols))
 
-  /** Oracle-thunk access to [[fittedCentroids]] — see [[oracleScore]]
-    * for the session/dir resolution contract. */
-  private def oracleCentroids: Option[Array[Array[Double]]] = {
-    val resolved = for {
-      s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      d <- graft.Tables.primedDir
-    } yield fittedCentroids(s, d)
-    if (resolved.isEmpty)
-      System.err.println(
-        "[MlQueries] no session/primed dir when generating the x11 oracle " +
-          "— its driver check degrades to rows-only for this JVM")
-    resolved
-  }
+  private def oracleCentroids: Option[Array[Array[Double]]] =
+    withOracleCtx("x11")(fittedCentroids)
 
   /** DuckDB restatement of [[modelFrame]] as a `mf` CTE: clean + lag1 +
     * hour_str/is_weekend_d derives + the trunc-3 NN distance. Every
@@ -275,7 +269,9 @@ object MlQueries extends Q.Registry {
         "so even the arbitrary cluster labels hash-match. MlModelsSpec " +
         "pins the expression assignment to model.transform.",
       (s, d) => {
-        val pivot = kmeansPivot(s, d)
+        // cache joins the plan-keyed entry fittedCentroids materialized,
+        // so the pivot aggregation runs once across fit + assignment
+        val pivot = kmeansPivot(s, d).cache()
         val centers = fittedCentroids(s, d)
         val dim = Analog.info(s, d).select("station_no", "district").dropDuplicates("station_no")
         pivot
@@ -288,7 +284,7 @@ object MlQueries extends Q.Registry {
         RelationalQueries.enrSql +
           s""", pv AS (
              |  SELECT station_no, ${(0 to 23).map(h =>
-                  s"coalesce(floor((avg(CASE WHEN hour = $h THEN filling_rate END)) * 1e6 + 1e-6) / 1e6, 0.0) AS h$h")
+                  s"coalesce(${Fmt.sql6(s"avg(CASE WHEN hour = $h THEN filling_rate END)")}, 0.0) AS h$h")
                   .mkString(", ")}
              |  FROM clean GROUP BY station_no)
              |SELECT station_no,
