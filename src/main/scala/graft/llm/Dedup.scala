@@ -138,38 +138,67 @@ object Dedup {
     // plan constant-size. At cluster scale swap in checkpoint() on
     // reliable storage if executor loss during the loop must be
     // survivable; the loop shape is unchanged.
-    var labels = edges.select(col("u").as("doc")).distinct()
+    //
+    // Storage discipline: each round's checkpoint RDD is released as
+    // soon as the next round's is materialized (a long-lived session
+    // would otherwise accumulate one pinned RDD per round); only the
+    // RETURNED frame's single checkpoint survives — that is the result
+    // data itself. Release it with [[releaseCheckpoint]] once consumed.
+    var ckpt = edges.select(col("u").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .localCheckpoint(true)
+    var labels = ckpt
     // materialized above; the count drives the per-round join strategy
     val nVerts = labels.count()
     val bc: DataFrame => DataFrame =
       if (nVerts <= broadcastVertexMax) broadcast else identity
     var round = 0
     var changed = 1L
-    try while (round < maxRounds && changed > 0) {
-      val nbrMin = edges
-        .join(bc(labels.select(col("doc").as("v"), col("lbl"))), Seq("v"))
-        .groupBy(col("u").as("doc"))
-        .agg(min("lbl").as("nbr_lbl"))
-      // one join carries both the new label and the old one, so the
-      // convergence count and the next-round frame come from a single
-      // materialization per round (the count is the only driver value)
-      val next = labels
-        .join(bc(nbrMin), Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("old"))
+    try {
+      while (round < maxRounds && changed > 0) {
+        val nbrMin = edges
+          .join(bc(labels.select(col("doc").as("v"), col("lbl"))), Seq("v"))
+          .groupBy(col("u").as("doc"))
+          .agg(min("lbl").as("nbr_lbl"))
+        // one join carries both the new label and the old one, so the
+        // convergence count and the next-round frame come from a single
+        // materialization per round (the count is the only driver value)
+        val next = labels
+          .join(bc(nbrMin), Seq("doc"), "left")
+          .select(col("doc"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+            col("lbl").as("old"))
+          .localCheckpoint(true)
+        changed = next.filter(col("lbl") =!= col("old")).count()
+        releaseCheckpoint(ckpt) // superseded: next is materialized
+        ckpt = next
+        labels = next.select("doc", "lbl")
+        round += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            "(component diameter exceeds the bound — raise maxRounds or " +
+            "use connectedComponentsStar)")
+      // re-checkpoint the projection so the returned frame is
+      // self-contained, then drop the last round's wider (doc,lbl,old)
+      // checkpoint — exactly one pinned RDD (the result) leaves here
+      val out = labels.select(col("doc"), col("lbl").as("group_id"))
         .localCheckpoint(true)
-      changed = next.filter(col("lbl") =!= col("old")).count()
-      labels = next.select("doc", "lbl")
-      round += 1
-    } finally edges.unpersist(blocking = false) // also on the throw below / job failure
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds " +
-          "(component diameter exceeds the bound — raise maxRounds or " +
-          "switch to large/small-star)")
-    labels.select(col("doc"), col("lbl").as("group_id"))
+      releaseCheckpoint(ckpt)
+      out
+    } finally edges.unpersist(blocking = false) // also on throw / job failure
   }
+
+  /** Release the executor storage pinned by a `localCheckpoint`'d frame
+    * (e.g. the result of [[connectedComponents]]) once its contents are
+    * consumed. Safe on any frame — non-checkpoint plans are a no-op.
+    * The frame must not be used afterwards: a local checkpoint's
+    * lineage is truncated, so the data is unrecoverable by design. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -34,11 +34,17 @@ object Packing {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(Sampling.sampleKey(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // integer `div` via call_function, not expr() string interpolation:
+    // a tokensCol needing backticks (dots/hyphens) would break the SQL
+    // parse, and long/long `div` keeps bin ids exact past 2^53 tokens
+    // where double division would round
+    val toks = col(tokensCol).cast("long")
+    val b = lit(budget.toLong)
     df.withColumn("start_tok",
-        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
-      .withColumn("bin_first", expr(s"start_tok div $budget"))
+        coalesce(sum(toks).over(w), lit(0L)))
+      .withColumn("bin_first", call_function("div", col("start_tok"), b))
       .withColumn("bin_last", greatest(col("bin_first"),
-        expr(s"(start_tok + $tokensCol - 1) div $budget")))
+        call_function("div", col("start_tok") + toks - lit(1L), b)))
       .withColumn("spans_boundary", col("bin_last") > col("bin_first"))
   }
 }

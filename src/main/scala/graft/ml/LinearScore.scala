@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions.{col, lit, when}
   * no UDF, exactly the shape a 100 TB batch-scoring pass wants.
   */
 final case class LinearScore(intercept: Double, terms: Seq[LinearScore.Term]) {
+  // a non-finite coefficient (rank-deficient fit) would render as SQL
+  // DuckDB rejects ("Infinity"/"NaN" bare tokens) — fail at
+  // construction with the offending term, not at oracle-parse time
+  require(java.lang.Double.isFinite(intercept),
+    s"non-finite intercept: $intercept")
+  terms.find(t => !java.lang.Double.isFinite(t.coef)).foreach(t =>
+    throw new IllegalArgumentException(
+      s"non-finite coefficient in scoring term $t — the fit is " +
+        "degenerate (rank-deficient design matrix?)"))
 
   /** Spark-side scorer: products in feature-vector index order,
     * left-assoc sum, intercept added last (mirrors the BLAS
@@ -38,13 +47,16 @@ final case class LinearScore(intercept: Double, terms: Seq[LinearScore.Term]) {
     prods.reduceLeft(_ + _) + lit(intercept)
   }
 
-  /** DuckDB-side mirror of [[column]], term for term. */
+  /** DuckDB-side mirror of [[column]], term for term. Identifiers are
+    * double-quoted (ANSI) so feature columns with dots/spaces/keywords
+    * render as valid SQL, like the col()-based Spark side already does. */
   def sql: String = {
     def esc(v: String): String = v.replace("'", "''")
+    def qid(c: String): String = "\"" + c.replace("\"", "\"\"") + "\""
     val prods = terms.map {
-      case LinearScore.Num(c, w) => s"$w*$c"
+      case LinearScore.Num(c, w) => s"$w*${qid(c)}"
       case LinearScore.Cat(c, v, w) =>
-        s"$w*(CASE WHEN $c = '${esc(v)}' THEN 1.0 ELSE 0.0 END)"
+        s"$w*(CASE WHEN ${qid(c)} = '${esc(v)}' THEN 1.0 ELSE 0.0 END)"
     }
     prods.mkString(" + ") + s" + $intercept"
   }

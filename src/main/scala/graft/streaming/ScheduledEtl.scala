@@ -18,6 +18,18 @@ import graft.ingest.EtlJob
   * its retries fails the query loudly (the reference's ValueError
   * contract) instead of silently skipping a cycle.
   *
+  * Delivery contract: **at-least-once per tick.** With a
+  * `checkpointDir`, a driver restart REPLAYS the last batch whose tick
+  * committed to the source offset log but not the sink commit log —
+  * that tick's `EtlJob.runOnce` runs again, so `Sinks.appendFacts`
+  * side effects can duplicate (the reference's cron'd etl_job.py has
+  * the same property: a crash between warehouse insert and process
+  * exit re-inserts on the next cron fire). Exactly-once needs an
+  * idempotent sink: key writes on the foreachBatch `batchId` (exposed
+  * through `onResult`) and have the warehouse upsert/ignore on
+  * (batch_id, unique key) — the dedup-on-conflict sink (S8,
+  * IngestBatch.appendDeduped) is the batch-side building block.
+  *
   * Scale posture: the tick stream is one row per trigger — all real
   * work happens inside runOnce's plan, which is map-side until the
   * dedup shuffle and broadcasts the dim anti-join (see EtlJob). The
@@ -29,7 +41,11 @@ object ScheduledEtl {
   /** Start the scheduled loop. `ticks` defaults to a 1-row/s rate
     * source (only its trigger cadence matters, rows are ignored);
     * tests inject a MemoryStream so ticks are deterministic.
-    * `onResult` observes each tick's [[EtlJob.BatchResult]]. */
+    * `onResult` observes each tick's (batchId, [[EtlJob.BatchResult]]) —
+    * the batchId is the engine's checkpointed micro-batch id, the key
+    * an idempotent sink uses to make restart replays exactly-once
+    * (see the delivery contract above; a replayed tick re-fires with
+    * the SAME batchId). */
   def start(spark: SparkSession,
             fetch: () => Dataset[String],
             sinks: EtlJob.Sinks,
@@ -38,15 +54,15 @@ object ScheduledEtl {
             backoffMs: Long = 2000,
             ticks: Option[DataFrame] = None,
             checkpointDir: Option[String] = None,
-            onResult: EtlJob.BatchResult => Unit = _ => ()): StreamingQuery = {
+            onResult: (Long, EtlJob.BatchResult) => Unit = (_, _) => ()): StreamingQuery = {
     val src = ticks.getOrElse(
       spark.readStream.format("rate").option("rowsPerSecond", 1).load())
     val writer = src.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(interval))
       .queryName("scheduled-etl")
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        onResult(EtlJob.runOnce(spark, fetch, sinks, attempts, backoffMs))
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        onResult(batchId, EtlJob.runOnce(spark, fetch, sinks, attempts, backoffMs))
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))

@@ -58,9 +58,15 @@ class MlModelsSpec extends SparkSpec {
       .select(max(abs(col("p_expr") - col("prediction"))))
       .as[Double].head()
     assert(maxDiff < 1e-12, s"maxDiff=$maxDiff")
-    // the SQL rendering references exactly the frame's columns + literals
-    assert(ls.sql.contains("CASE WHEN district = "))
-    assert(ls.sql.contains("rate_lag1"))
+    // the SQL rendering references exactly the frame's columns + literals,
+    // identifiers ANSI-quoted so odd column names can't break the oracle
+    assert(ls.sql.contains("CASE WHEN \"district\" = "))
+    assert(ls.sql.contains("\"rate_lag1\""))
+    // a degenerate fit (non-finite coefficient) must fail loudly at
+    // construction, not as a DuckDB parse error at oracle time
+    intercept[IllegalArgumentException] {
+      LinearScore(0.0, Seq(LinearScore.Num("x", Double.NaN)))
+    }
   }
 
   test("X12 arithmetic scaling equals ml.feature.MinMaxScaler output") {

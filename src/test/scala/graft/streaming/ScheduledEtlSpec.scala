@@ -42,7 +42,7 @@ class ScheduledEtlSpec extends SparkSpec {
     val sink = new MemSink
     val calls = new AtomicInteger(0)
     val tickNo = new AtomicInteger(0)
-    val results = scala.collection.mutable.ArrayBuffer[EtlJob.BatchResult]()
+    val results = scala.collection.mutable.ArrayBuffer[(Long, EtlJob.BatchResult)]()
     // every tick's FIRST fetch attempt times out; Retry recovers on the
     // second — the etl_job.py:21-23 backoff path exercised per trigger
     def fetch(): Dataset[String] = {
@@ -60,7 +60,7 @@ class ScheduledEtlSpec extends SparkSpec {
       ticks = Some(tickSrc.toDF()),
       checkpointDir = Some(
         java.nio.file.Files.createTempDirectory("graft-etl-ckpt").toString),
-      onResult = r => results.synchronized { results += r })
+      onResult = (id, r) => results.synchronized { results += (id -> r) })
     tickSrc.addData(1L)
     q.processAllAvailable()
     tickSrc.addData(2L)
@@ -70,9 +70,11 @@ class ScheduledEtlSpec extends SparkSpec {
     // 2 ticks × (1 failed + 1 good) fetch attempts
     assert(calls.get === 4, s"fetch calls: ${calls.get}")
     // per tick: 3 records → 2 unique facts; dims: tick 1 inserts both
-    // s0 and s1, tick 2 must insert ONLY s2 (s0 already known)
+    // s0 and s1, tick 2 must insert ONLY s2 (s0 already known); the
+    // checkpointed batchIds (the idempotency key for replay-safe
+    // sinks) arrive in order
     assert(results.synchronized { results.toSeq } ===
-      Seq(EtlJob.BatchResult(2, 2), EtlJob.BatchResult(2, 1)))
+      Seq(0L -> EtlJob.BatchResult(2, 2), 1L -> EtlJob.BatchResult(2, 1)))
     assert(sink.dims.synchronized { sink.dims.sorted } === Seq("s0", "s1", "s2"))
     assert(sink.facts.synchronized { sink.facts.sorted } === Seq("s0", "s0", "s1", "s2"))
   }
