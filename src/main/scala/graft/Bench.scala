@@ -41,8 +41,8 @@ object Bench {
     * is skipped too). */
   val FitQueries: Set[String] = Set(
     "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring", "dd7_dup_groups",
-    "st1_stream_watermark_dedup", "st2_stream_windowed_agg",
-    "st3_stream_stateful_counts")
+    "dd8_dup_groups_star", "st1_stream_watermark_dedup",
+    "st2_stream_windowed_agg", "st3_stream_stateful_counts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -190,6 +190,106 @@ object Dedup {
     } finally edges.unpersist(blocking = false) // also on throw / job failure
   }
 
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log n)-round upgrade of [[connectedComponents]]
+    * for ADVERSARIAL graphs. Hash-min's round count is the component
+    * DIAMETER: right for LSH dup groups (near-cliques, 2-3 rounds),
+    * wrong for long chains — a diameter-10⁶ path graph would need 10⁶
+    * shuffles. The star operations instead HALVE tree heights every
+    * alternation, so rounds grow with log(diameter):
+    *
+    *  - large-star (per center u over its FULL neighborhood N(u)):
+    *    connect every strictly-larger neighbor v > u to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star (per center u over its smaller neighbors, i.e. the
+    *    parent-pointer orientation hi→lo): connect u and every lo ≠ m
+    *    to m = min of those neighbors.
+    *
+    * Both preserve connectivity and never raise any vertex's minimum
+    * reachable label; the fixpoint is a star forest rooted at each
+    * component's minimum id. Each round = two keyed join+aggregate
+    * shuffles on the edge frame — same building blocks as hash-min,
+    * same storage discipline (per-round localCheckpoint, superseded
+    * rounds released, the returned frame self-contained).
+    *
+    * Convergence detection: a (count, xor-of-hashes) fingerprint of
+    * the oriented edge set per round (xor is order-independent and,
+    * unlike an ANSI sum, cannot overflow; the edge set is distinct so
+    * pair-cancellation can't blind it); on fingerprint equality one
+    * exact `exceptAll` pass confirms the fixpoint — the confirm runs
+    * once, on the final star-sized frame.
+    *
+    * Contract and output are IDENTICAL to [[connectedComponents]]:
+    * (doc, group_id) for every vertex appearing in `pairs`, group_id =
+    * the component's minimum id. `maxRounds` bounds ALTERNATION PAIRS
+    * (large+small); the default 30 covers any graph below 2^30
+    * vertices with wide margin. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxRounds: Int = 30): DataFrame = {
+    // every input vertex (incl. self-loop-only ones, which the star
+    // rounds drop as trivial) must reappear in the output
+    val verts = pairs.select(col(aCol).as("doc"))
+      .unionAll(pairs.select(col(bCol).as("doc")))
+      .distinct()
+      .localCheckpoint(true)
+    // parent-pointer orientation hi→lo; self-loops carry no information
+    var ckpt = pairs
+      .filter(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(ckpt)
+    var round = 0
+    var converged = fp._1 == 0L // an edgeless graph is already a fixpoint
+    try {
+      while (round < maxRounds && !converged) {
+        val sym = ckpt.unionAll(ckpt.select(col("v").as("u"), col("u").as("v")))
+        val lmins = sym.groupBy("u").agg(min("v").as("mn"))
+        // large-star: (v, m) for v > u; v > u ≥ m, so orientation and
+        // no-self-loop both hold by construction
+        val large = sym.join(lmins, Seq("u"))
+          .where(col("v") > col("u"))
+          .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+          .distinct()
+        val smins = large.groupBy("u").agg(min("v").as("mn"))
+        // small-star: siblings re-point to the min child, center keeps it
+        val small = large.join(smins, Seq("u"))
+          .where(col("v") =!= col("mn"))
+          .select(col("v").as("u"), col("mn").as("v"))
+          .unionAll(smins.select(col("u"), col("mn").as("v")))
+          .distinct()
+          .localCheckpoint(true)
+        val fpNext = fingerprint(small)
+        converged = fpNext == fp &&
+          ckpt.exceptAll(small).limit(1).count() == 0L // exact confirm
+        fp = fpNext
+        releaseCheckpoint(ckpt)
+        ckpt = small
+        round += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge in $maxRounds " +
+            "large/small-star rounds — raise maxRounds")
+      // converged star forest: every edge is (child, root)
+      val labeled = ckpt.select(col("u").as("doc"), col("v").as("group_id"))
+        .unionAll(ckpt.select(col("v").as("doc"), col("v").as("group_id")).distinct())
+      val out = verts.join(labeled, Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("group_id"), col("doc")).as("group_id"))
+        .localCheckpoint(true)
+      out
+    } finally {
+      releaseCheckpoint(ckpt)
+      releaseCheckpoint(verts)
+    }
+  }
+
   /** Release the executor storage pinned by a `localCheckpoint`'d frame
     * (e.g. the result of [[connectedComponents]]) once its contents are
     * consumed. Safe on any frame — non-checkpoint plans are a no-op.

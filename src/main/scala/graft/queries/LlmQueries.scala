@@ -117,6 +117,42 @@ object LlmQueries extends Q.Registry {
        |               len(list_distinct(list_concat(set_a, set_b)))) * 1e6 + 1e-6) / 1e6 >= 0.6)
        |""".stripMargin
 
+  /** Shared dd7/dd8 shape: run a connected-components variant over the
+    * dd3-verified pair graph, then group sizes + min-id canonical flag.
+    * The pairs frame is cached: edges reads it through two plan arms
+    * (u→v and v→u) and the LSH pipeline shouldn't run twice. */
+  private def dupGroups(s: SparkSession, d: String,
+                        cc: DataFrame => DataFrame): DataFrame = {
+    val groups = cc(verifiedPairs(s, d).select("doc_a", "doc_b").cache())
+    val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    groups.join(sizes, Seq("group_id"))
+      .select(
+        col("doc"), col("group_id"), col("group_size"),
+        (col("doc") === col("group_id")).as("is_canonical"))
+      .orderBy("doc")
+  }
+
+  /** The transitive closure restated as a DuckDB recursive CTE — one
+    * oracle for BOTH component algorithms (dd7 hash-min, dd8
+    * large/small-star): identical contract, identical hashes. */
+  private def dupGroupsOracleSql: String =
+    verifiedPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM verified
+        |  UNION
+        |  SELECT doc_b, doc_a FROM verified),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS doc, least(u, min(v)) AS group_id
+        |  FROM reach GROUP BY u)
+        |SELECT doc, group_id,
+        |       count(*) OVER (PARTITION BY group_id) AS group_size,
+        |       doc = group_id AS is_canonical
+        |FROM comp ORDER BY doc""".stripMargin
+
   /** tx2's quality/langid formulas as SQL expressions over a `text` +
     * `ws` (lowercased word list) scope — shared VERBATIM by the tx2
     * oracle and llm1's composed pipeline oracle, so the three copies of
@@ -260,34 +296,18 @@ object LlmQueries extends Q.Registry {
         "2-3). The oracle restates the closure as a DuckDB recursive " +
         "CTE — group id, size, and the min-id canonical flag all " +
         "hash-checked.",
-      (s, d) => {
-        // cache the verified pairs: edges reads them through two plan
-        // arms (u→v and v→u), and the LSH pipeline shouldn't run twice
-        val groups = Dedup.connectedComponents(
-          verifiedPairs(s, d).select("doc_a", "doc_b").cache(), "doc_a", "doc_b")
-        val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("group_size"))
-        groups.join(sizes, Seq("group_id"))
-          .select(
-            col("doc"), col("group_id"), col("group_size"),
-            (col("doc") === col("group_id")).as("is_canonical"))
-          .orderBy("doc")
-      },
-      Some(verifiedPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-        """, edges AS (
-          |  SELECT doc_a AS u, doc_b AS v FROM verified
-          |  UNION
-          |  SELECT doc_b, doc_a FROM verified),
-          |reach AS (
-          |  SELECT u, v FROM edges
-          |  UNION
-          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-          |comp AS (
-          |  SELECT u AS doc, least(u, min(v)) AS group_id
-          |  FROM reach GROUP BY u)
-          |SELECT doc, group_id,
-          |       count(*) OVER (PARTITION BY group_id) AS group_size,
-          |       doc = group_id AS is_canonical
-          |FROM comp ORDER BY doc""".stripMargin)),
+      (s, d) => dupGroups(s, d, Dedup.connectedComponents(_, "doc_a", "doc_b")),
+      Some(dupGroupsOracleSql)),
+
+    Q("dd8_dup_groups_star",
+      "Same near-dup grouping contract as dd7 computed by alternating " +
+        "large/small-star (Kiveris et al. 2014) instead of hash-min " +
+        "label propagation: rounds grow with log(diameter), not " +
+        "diameter — the variant an adversarial corpus (long mutation " +
+        "chains) needs at 100 TB. Identical output, same recursive-" +
+        "CTE oracle as dd7.",
+      (s, d) => dupGroups(s, d, Dedup.connectedComponentsStar(_, "doc_a", "doc_b")),
+      Some(dupGroupsOracleSql)),
 
     Q("dd4_simhash_near_dup",
       "SimHash-64 near-dup: per-word bit votes packed to one long, " +

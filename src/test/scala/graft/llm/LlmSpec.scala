@@ -76,6 +76,37 @@ class LlmSpec extends SparkSpec {
     assert(ok.forall(_._2 == 1L) && ok.length === 8)
   }
 
+  test("connectedComponentsStar: diameter-50 chain converges in O(log n) rounds " +
+      "where hash-min's default 25-round bound fails") {
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // hash-min rounds = diameter: the default bound must fail LOUDLY here
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b") // maxRounds = 25
+    }
+    // alternating large/small-star: 8 rounds >= ~log2(50) with margin
+    val got = Dedup.connectedComponentsStar(chain, "doc_a", "doc_b", maxRounds = 8)
+      .as[(Long, Long)].collect()
+    assert(got.length === 51 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponentsStar ≡ connectedComponents on a multi-component graph " +
+      "(chains, cliques, self-loop-only vertex)") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),              // chain component
+      (10L, 11L), (11L, 12L), (10L, 12L),        // triangle
+      (20L, 21L),                                // pair
+      (30L, 30L)                                 // self-loop-only vertex
+    ).toDF("doc_a", "doc_b")
+    val viaStar = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val viaHashMin = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar === viaHashMin)
+    assert(viaStar(30L) === 30L) // self-loop vertex kept, labels itself
+    assert(viaStar === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("stratifiedQuota: respects the quota, invariant to partition layout, no rand()") {
     val df = (1L to 200L).map(i => (s"lang${i % 3}", i)).toDF("lang", "doc_id")
     val a = Sampling.stratifiedQuota(df, "lang", "doc_id", 5)
