@@ -94,10 +94,45 @@ object BenchSkew {
     require(legs.map(_._3).distinct.size == 1,
       s"legs disagree on row count: ${legs.map(l => l._1 -> l._3)}")
 
+    // Leg pair 2 — the LSH band-key self-join (Dedup.lshCandidatePairs)
+    // on a boilerplate-heavy corpus: 90% of docs share ONE band key, so
+    // the plain plan computes that band's ~(0.9n)² pair block on a
+    // single reducer; saltBuckets spreads it. Same query, same output
+    // (row-count asserted), only the salt knob differs.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_LSH_DOCS", "6000").toInt
+    val lshDocs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 9,
+        array(lit("hot"), concat(lit("u"), col("id") % 50)))
+        .otherwise(array(concat(lit("c"), col("id") % 37),
+          concat(lit("u"), col("id") % 50))).as("bands"))
+      .persist()
+    lshDocs.count()
+    def timeLsh(name: String, buckets: Int): (String, Double, Long) = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.llm.Dedup
+          .lshCandidatePairs(lshDocs, "doc_id", "bands", buckets).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      once() // warm-up
+      val runs = Seq.fill(math.max(1, iters))(once())
+      val best = runs.map(_._1).min
+      System.err.println(f"[skewbench] $name%-12s $best%7.3f s  (pairs=${runs.head._2})")
+      (name, best, runs.head._2)
+    }
+    val lshLegs = Seq(timeLsh("lsh_plain", 1), timeLsh("lsh_salted", 32))
+    require(lshLegs.map(_._3).distinct.size == 1,
+      s"LSH legs disagree on candidate count: ${lshLegs.map(l => l._1 -> l._3)}")
+
     val legJson = legs.map { case (n, s, _) => s""""$n":$s""" }.mkString(",")
+    val lshJson = lshLegs.map { case (n, s, _) => s""""$n":$s""" }.mkString(",")
     val json = s"""{"metric":"skew_join_bench","unit":"sec",""" +
       s""""probe_rows":$nRows,"hot_key_share":0.5,"iters":$iters,""" +
-      s""""legs":{$legJson}}"""
+      s""""legs":{$legJson},""" +
+      s""""lsh_docs":$nDocs,"lsh_hot_band_share":0.9,""" +
+      s""""lsh_pairs":${lshLegs.head._3},"lsh_legs":{$lshJson}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     println(json)

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    shuffles on band keys, so only documents agreeing on a full band
   *    ever meet (the LSH guarantee), never the n² cartesian;
   *  - Jaccard verification runs only on LSH candidates.
-  * Skewed band keys (e.g. boilerplate-heavy corpora) would be the one
-  * hazard: the `exploded band key` join is a standard salting target.
+  * Skewed band keys (e.g. boilerplate-heavy corpora) are the one
+  * hazard: [[lshCandidatePairs]] takes an opt-in `saltBuckets` that
+  * spreads a hot band's pair generation via [[graft.ops.Skew
+  * .saltedJoin]] (equality-proven in LlmSpec, measured in BenchSkew).
   */
 object Dedup {
 
@@ -48,12 +50,32 @@ object Dedup {
 
   /** Candidate pairs from banded LSH: explode band keys, self-join on
     * the key, keep each unordered pair once. The join is on band_key —
-    * shuffle-bounded, no cartesian. */
-  def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    * shuffle-bounded, no cartesian.
+    *
+    * `saltBuckets` (opt-in, default 1 = plain plan) is the hot-band-key
+    * defense the scaladoc above names: on a boilerplate-heavy corpus
+    * one band key can collect a large fraction of all documents, and
+    * the plain self-join then computes that band's n² pair block on a
+    * SINGLE reducer. With saltBuckets = s the left side carries a
+    * deterministic doc-hash salt and the right side is replicated s×
+    * ([[graft.ops.Skew.saltedJoin]] — composition, not new machinery),
+    * spreading the hot band's pair generation over s reducers. The
+    * candidate OUTPUT is identical (SkewSpec-style equality in
+    * LlmSpec); the trade is s× replication shuffle volume on the
+    * right side — worth it exactly when one band dominates. AQE's
+    * skew-join split is the zero-code alternative when the join is a
+    * plain SMJ; the explicit salt also covers the forced-aggregate
+    * shapes AQE declines to rewrite (see BenchSkew's measured legs). */
+  def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String,
+                        saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val exploded = df.select(col(idCol).as("doc"), explode(col(bandsCol)).as("band_key"))
     val a = exploded.select(col("doc").as("doc_a"), col("band_key"))
     val b = exploded.select(col("doc").as("doc_b"), col("band_key"))
-    a.join(b, Seq("band_key"))
+    val joined =
+      if (saltBuckets == 1) a.join(b, Seq("band_key"))
+      else graft.ops.Skew.saltedJoin(a, b, "band_key", saltBuckets, col("doc_a"))
+    joined
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()

@@ -56,6 +56,25 @@ class LlmSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("lshCandidatePairs: salted ≡ plain on a boilerplate-heavy fixture (hot band)") {
+    // 90% of docs share one "hot" band (the boilerplate hazard named in
+    // the Dedup scaladoc); the rest scatter. The salted plan must emit
+    // EXACTLY the plain plan's candidate set — salting only respreads
+    // the shuffle, never the semantics.
+    val docs = spark.range(200).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 9,
+        array(lit("hot"), concat(lit("u"), col("id") % 7)))
+        .otherwise(array(concat(lit("c"), col("id") % 5),
+          concat(lit("u"), col("id") % 7))).as("bands"))
+    val plain = Dedup.lshCandidatePairs(docs, "doc_id", "bands")
+      .as[(Long, Long)].collect().toSet
+    val salted = Dedup.lshCandidatePairs(docs, "doc_id", "bands", saltBuckets = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(salted === plain)
+    assert(plain.size > 1000) // the hot band really did fan out
+  }
+
   test("connectedComponents: chains (diameter > 1), separate groups, min-id labels") {
     // component A is a CHAIN 1-2-3-4 (label must propagate 3 hops, the
     // case a single nbr-min pass gets wrong); component B is a pair
@@ -159,6 +178,31 @@ class LlmSpec extends SparkSpec {
     val re = Packing.packBins(docs.repartition(5), "lang", "doc_id", "n_tokens", 512)
       .select("doc_id", "start_tok").as[(Long, Long)].collect().toMap
     assert(Seq(1L, 2L, 3L, 9L).forall(id => re(id) === got(id)._1))
+  }
+
+  test("packBinsSharded: per shard, bookkeeping equals packBins on that shard's subset") {
+    val docs = (1L to 300L)
+      .map(i => (s"s${i % 2}", i, i % 7 + 1)).toDF("lang", "doc_id", "n_tokens")
+    val shards = 4
+    val sharded = Packing
+      .packBinsSharded(docs, "lang", "doc_id", "n_tokens", 16, shards)
+      .select("lang", "shard", "doc_id", "start_tok", "bin_first", "bin_last")
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    assert(sharded.map(_._2).distinct.sorted.toSeq === (0 until shards))
+    // sharding ≡ running the UNSHARDED kernel on each shard's subset:
+    // the shard key only narrows the stream, never changes the layout
+    for (sh <- 0 until shards) {
+      val ids = sharded.filter(_._2 == sh).map(_._3).toSet
+      val expected = Packing
+        .packBins(docs.filter(col("doc_id").isin(ids.toSeq: _*)),
+          "lang", "doc_id", "n_tokens", 16)
+        .select("doc_id", "start_tok", "bin_first", "bin_last")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      sharded.filter(_._2 == sh).foreach { case (_, _, id, st, bf, bl) =>
+        assert((st, bf, bl) === expected(id), s"doc $id shard $sh")
+      }
+    }
   }
 
   test("simhash: identical → hamming 0; one-word change → small; unrelated → large") {
