@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * sum is a single pass per stratum. Strata (languages, sources)
   * bound the window's sort; a single global stream would serialize —
   * at 100 TB you pack within shards exactly like this, never globally.
+  *
+  * Skew: `Window.partitionBy(stratum)` runs each stratum's running sum
+  * on ONE task — a giant stratum (say, 80% of a corpus in English)
+  * serializes its own packing exactly like a hot join key. Past the
+  * row count one task can sort comfortably (~tens of millions), use
+  * [[packBinsSharded]]: a deterministic doc-hash shard key splits the
+  * stratum into independent packing streams (bins never straddle a
+  * shard, so the cost is at most one partially-filled final bin per
+  * shard) — [[LlmSpec]] proves sharded ≡ unsharded per shard subset.
   */
 object Packing {
 
@@ -29,9 +38,31 @@ object Packing {
     * offset). Output adds: start_tok (tokens before this doc in its
     * stratum's stream), bin_first, bin_last, spans_boundary. */
   def packBins(df: DataFrame, stratumCol: String, idCol: String,
-               tokensCol: String, budget: Int): DataFrame = {
+               tokensCol: String, budget: Int): DataFrame =
+    packWithin(df, Seq(col(stratumCol)), idCol, tokensCol, budget)
+
+  /** [[packBins]] for a SKEWED stratum distribution: each stratum is
+    * split into `shards` independent packing streams by a
+    * deterministic doc-hash ([[graft.ops.Skew.salt]] — no rand(), so
+    * the layout stays reproducible and partition-invariant). Adds a
+    * `shard` column; bin ids are per (stratum, shard) — the batch
+    * loader's bin namespace becomes (stratum, shard, bin_first).
+    * Within each shard the bookkeeping is EXACTLY [[packBins]] run on
+    * that shard's subset (LlmSpec proves it); across shards the only
+    * cost is that bins never straddle a shard boundary, i.e. at most
+    * one ragged final bin per shard instead of per stratum. */
+  def packBinsSharded(df: DataFrame, stratumCol: String, idCol: String,
+                      tokensCol: String, budget: Int, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val sharded = df.withColumn("shard",
+      graft.ops.Skew.salt(shards, col(idCol)))
+    packWithin(sharded, Seq(col(stratumCol), col("shard")), idCol, tokensCol, budget)
+  }
+
+  private def packWithin(df: DataFrame, partKeys: Seq[org.apache.spark.sql.Column],
+                         idCol: String, tokensCol: String, budget: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    val w = Window.partitionBy(col(stratumCol))
+    val w = Window.partitionBy(partKeys: _*)
       .orderBy(Sampling.sampleKey(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     // integer `div` via call_function, not expr() string interpolation:
