@@ -809,6 +809,49 @@ object LlmQueries extends Q.Registry {
           |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
           |ORDER BY doc_id""".stripMargin)),
 
+    Q("mm6_real_codec_features",
+      "The REAL image codec under the driver oracle: javax.imageio " +
+        "full-pixel decode + per-channel means over four checked-in " +
+        "PNG fixtures (classpath resources, analytically-known " +
+        "content: a 4x4 checkerboard, a 256-wide linear gradient, a " +
+        "solid-color tile, and a truncated header that must dead-" +
+        "letter, not die). Same mapBatched seam and ImageFeatures " +
+        "schema as mm5; the oracle is the analytic expectation as " +
+        "literal rows — means land on the trunc-6 grid exactly " +
+        "(127.5, 77, 200... are binary-exact), so the hash check is " +
+        "meaningful, not a float coincidence.",
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq("checker.png", "gradient.png", "solid_rgb.png",
+          "truncated.png").zipWithIndex.map { case (f, i) =>
+          val in = getClass.getResourceAsStream(s"/graft/fixtures/$f")
+          require(in != null, s"missing classpath fixture $f")
+          val bytes = try in.readAllBytes() finally in.close()
+          (i + 1L, bytes)
+        }
+        Multimodal.featuresBatched(
+          rows.toDF("doc_id", "payload"), "doc_id", "payload")
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            Fmt.trunc(col("mean_r"), 6).as("mean_r"),
+            Fmt.trunc(col("mean_g"), 6).as("mean_g"),
+            Fmt.trunc(col("mean_b"), 6).as("mean_b"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+          |       CAST(mean_r AS DOUBLE) AS mean_r,
+          |       CAST(mean_g AS DOUBLE) AS mean_g,
+          |       CAST(mean_b AS DOUBLE) AS mean_b
+          |FROM (VALUES
+          |  (1, 4, 4, 127.5, 127.5, 127.5),
+          |  (2, 256, 4, 127.5, 127.5, 77),
+          |  (3, 8, 6, 200, 30, 90),
+          |  (4, -1, -1, -1, -1, -1))
+          |  AS t(doc_id, width, height, mean_r, mean_g, mean_b)
+          |ORDER BY doc_id""".stripMargin)),
+
     Q("dd5_embedding_near_dup",
       "Embedding-cosine near-dup: planted perturbed replays detected " +
         "by pairwise cosine >= 0.99. Candidate pairs come from axis-" +

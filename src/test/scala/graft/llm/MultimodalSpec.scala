@@ -131,6 +131,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).width === -1 && out(3L).mean_r === -1.0)
   }
 
+  test("checked-in PNG fixtures decode to their analytic channel means (the mm6 contract)") {
+    // guards the committed fixture bytes themselves: if one is ever
+    // re-encoded or corrupted, this fails before the driver oracle does
+    val expected = Map(
+      "checker.png" -> (4, 4, 127.5, 127.5, 127.5),
+      "gradient.png" -> (256, 4, 127.5, 127.5, 77.0),
+      "solid_rgb.png" -> (8, 6, 200.0, 30.0, 90.0))
+    for ((name, (w, h, r, g, b)) <- expected) {
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      assert(in != null, s"fixture $name missing from classpath")
+      val bytes = try in.readAllBytes() finally in.close()
+      val Seq(Some(got)) = Multimodal.imageioFeatureBatch(Seq(bytes))
+      assert(got === ((w, h, r, g, b)), name)
+    }
+    // the truncated header: recognized magic, undecodable -> dead-letter
+    val in = getClass.getResourceAsStream("/graft/fixtures/truncated.png")
+    val bytes = try in.readAllBytes() finally in.close()
+    assert(Multimodal.imageioFeatureBatch(Seq(bytes)) === Seq(None))
+  }
+
   test("decodeBatched: codec returning a wrong-arity batch fails loudly") {
     val df = docs(5).coalesce(1)
     val ex = intercept[org.apache.spark.SparkException] {
