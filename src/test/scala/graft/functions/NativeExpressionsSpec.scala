@@ -67,6 +67,50 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(math.abs(ps(0) - 1.0) < 1e-12) // t=0 → p=1
   }
 
+  test("x2/x3/x5/x7 stat-test paths keep every scalar stage inside WholeStageCodegen " +
+      "(p-values via the native expressions, no UDF anywhere)") {
+    import graft.stats.StatTests
+    val df = spark.range(400).select(
+      (col("id") % 4).cast("string").as("grp"),
+      (col("id") % 2).cast("string").as("cvar"),
+      (col("id") % 7).cast("double").as("v"),
+      (col("id") % 3 === 0).as("flag"))
+    val paths = Map(
+      "x2_tCI" -> StatTests.tCIByGroup(df, "v", "grp"),
+      "x3_welch" -> StatTests.welchCohen(df, "v", col("flag")),
+      "x5_anova" -> StatTests.anova(df, "v", "grp"),
+      "x7_chi2" -> StatTests.chi2Summary(
+        StatTests.chi2Cells(df, "grp", "cvar"), "grp", "cvar"))
+    val expectNative = Map(
+      "x3_welch" -> "t_pvalue", "x5_anova" -> "f_pvalue",
+      "x7_chi2" -> "chi2_pvalue")
+    for ((name, q) <- paths) {
+      // materialize THIS dataset's own QueryExecution first (collect,
+      // not count — count builds a separate one): under AQE the
+      // codegen stages only exist in the FINAL adaptive plan
+      assert(q.collect().length >= 1, s"$name must evaluate")
+      // AdaptiveSparkPlan.toString appends the pre-adaptive plan under
+      // an "== Initial Plan ==" header — only the final plan counts
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // no interpreted escape hatch anywhere in the test path
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"),
+        s"$name plan contains a UDF:\n$plan")
+      // every Project (where the scalar distribution math lives) is
+      // inside a WholeStageCodegen stage — "*(n)"-prefixed
+      val bare = plan.linesIterator
+        .filter(l => l.contains("Project [") && !l.contains("*("))
+        .toSeq
+      assert(bare.isEmpty, s"$name has non-codegen Projects: $bare")
+      // and the native p-value expression sits in one of those stages
+      expectNative.get(name).foreach { fn =>
+        val line = plan.linesIterator.find(_.contains(fn))
+        assert(line.exists(_.contains("*(")),
+          s"$name: $fn not inside WholeStageCodegen:\n$plan")
+      }
+    }
+  }
+
   test("GraftExtensions injects the functions into a SparkSessionExtensions hook") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; wiring is what's under test
