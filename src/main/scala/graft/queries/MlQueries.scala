@@ -114,6 +114,16 @@ object MlQueries extends Q.Registry {
   private def oracleCentroids: Option[Array[Array[Double]]] =
     withOracleCtx("x11")(fittedCentroids)
 
+  /** Bench-only hook ([[graft.Bench]]'s fitmed3 mode): drop the
+    * memoized fits so each measured run of a FIT query (x10, x11) pays
+    * the real fitting cost instead of reading this cache. Never called
+    * by Verify — the share-the-fit oracle contract above depends on
+    * one fit living for the whole verification JVM. */
+  def resetFitMemos(): Unit = {
+    fitMemo.clear()
+    kmeansMemo.clear()
+  }
+
   /** DuckDB restatement of [[modelFrame]] as a `mf` CTE: clean + lag1 +
     * hour_str/is_weekend_d derives + the trunc-3 NN distance. Every
     * input column a fitted formula can reference is reproduced
