@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.llm.Dedup
+
+/** Explain-plan capture for the queries [[Bench]] deliberately skips
+  * (building their DataFrame executes the model fit / stream /
+  * iterative fixpoint, so Bench's pre-run explain dump would run them
+  * twice): x10/x11/x15 (fit-based), st1-st3 (streaming), dd7/dd8
+  * (iterative). `runMain graft.ExplainFit` writes one file per query
+  * into `SPARK_GRAFT_EXPLAIN_DIR` (default bench_explain/), completing
+  * the plan record the non-fit queries get from Bench:
+  *
+  *  - fit queries: the final output plan — the fit itself is a
+  *    treeAggregate / ml.fit job chain, not a SQL operator, and the
+  *    plan shows what a 100 TB batch run would actually execute
+  *    (literal-coefficient scoring / restatement arithmetic);
+  *  - streaming queries: the LAST MICRO-BATCH physical plan (where the
+  *    state store and watermark machinery live), captured via
+  *    StreamingQuery.explain after the bounded AvailableNow run, plus
+  *    the trivial memory-sink read the query returns;
+  *  - iterative queries: the per-round join plan from the
+  *    [[Dedup.connectedComponents]]/[[Dedup.connectedComponentsStar]]
+  *    observability hook — FIRST and LAST round side by side, proving
+  *    the localCheckpoint lineage truncation keeps every round's plan
+  *    constant-size — plus the final labels output plan.
+  */
+object ExplainFit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_DIR", "bench_explain")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.prime(spark, sfDir)
+    queries.Warm.prime(spark, sfDir)
+    new java.io.File(outDir).mkdirs()
+
+    def fmt(df: DataFrame): String =
+      df.queryExecution.explainString(FormattedMode)
+    def write(name: String, text: String): Unit = {
+      Files.writeString(Paths.get(s"$outDir/$name.txt"), text)
+      System.err.println(s"[explainfit] wrote $name")
+    }
+
+    // fit queries: construction runs the (memoized) fit; the captured
+    // plan is the query's actual distributed output plan
+    for (name <- Seq("x10_ols_ladder", "x11_kmeans_j6", "x15_scoring")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      write(name,
+        s"== $name: final output plan. The model fit runs during plan\n" +
+          "== construction (RFormula/treeAggregate or Lloyd's over the\n" +
+          "== pivoted frame) and lands in the plan as LITERAL\n" +
+          "== coefficients/centroids — batch scoring is pure map-side\n" +
+          "== arithmetic at any scale.\n" + fmt(df))
+    }
+
+    // streaming queries: the per-batch plan is the interesting one
+    for (name <- Seq("st1_stream_watermark_dedup", "st2_stream_windowed_agg",
+        "st3_stream_stateful_counts")) {
+      val df = SparkEntry.queries(name)(spark, sfDir) // runs the bounded stream
+      val batch = queries.IngestQueries.lastStreamPlan
+        .getOrElse(sys.error(s"$name left no captured micro-batch plan"))
+      write(name,
+        s"== $name: micro-batch physical plan, captured on the first\n" +
+          "== data-carrying batch (state store / watermark machinery —\n" +
+          "== the shape every batch executes) ==\n" +
+          batch +
+          "\n== final result read (memory-sink table) ==\n" + fmt(df))
+    }
+
+    // iterative queries: first + last round from the plan hook over the
+    // REAL dd3-verified pair graph, plus the query's own output plan
+    val pairs = SparkEntry.queries("dd3_lsh_near_dup")(spark, sfDir)
+      .select("doc_a", "doc_b").cache()
+    pairs.count()
+    def withRounds(name: String,
+                   cc: ((Int, DataFrame) => Unit) => DataFrame): Unit = {
+      val rounds = scala.collection.mutable.LinkedHashMap[Int, String]()
+      val labels = cc((r, df) => rounds(r) = fmt(df))
+      val (r0, p0) = rounds.head
+      val (rn, pn) = rounds.last
+      write(name,
+        s"== $name: per-round plan shape (round $r0 vs round $rn of " +
+          s"${rounds.size}).\n" +
+          "== Both rounds read the previous labels as a checkpointed\n" +
+          "== LogicalRDD scan — the localCheckpoint lineage truncation\n" +
+          "== keeps every round's plan CONSTANT-SIZE (no growth, no\n" +
+          "== re-derivation of earlier rounds).\n" +
+          s"== round $r0 ==\n$p0\n== round $rn ==\n$pn" +
+          "\n== final labels output plan ==\n" + fmt(labels))
+    }
+    withRounds("dd7_dup_groups",
+      h => Dedup.connectedComponents(pairs, "doc_a", "doc_b", onRoundPlan = h))
+    withRounds("dd8_dup_groups_star",
+      h => Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b", onRoundPlan = h))
+
+    spark.stop()
+  }
+}

@@ -146,7 +146,8 @@ object Dedup {
     * group_id = min doc id of the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 25,
-                          broadcastVertexMax: Long = 4000000L): DataFrame = {
+                          broadcastVertexMax: Long = 4000000L,
+                          onRoundPlan: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val edges = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -185,12 +186,16 @@ object Dedup {
         // one join carries both the new label and the old one, so the
         // convergence count and the next-round frame come from a single
         // materialization per round (the count is the only driver value)
-        val next = labels
+        val nextPlan = labels
           .join(bc(nbrMin), Seq("doc"), "left")
           .select(col("doc"),
             least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
             col("lbl").as("old"))
-          .localCheckpoint(true)
+        // observability hook (graft.ExplainFit): sees the round's full
+        // UN-checkpointed plan — proves each round's plan is constant-
+        // size (the localCheckpoint lineage-truncation claim)
+        onRoundPlan(round, nextPlan)
+        val next = nextPlan.localCheckpoint(true)
         changed = next.filter(col("lbl") =!= col("old")).count()
         releaseCheckpoint(ckpt) // superseded: next is materialized
         ckpt = next
@@ -248,7 +253,8 @@ object Dedup {
     * (large+small); the default 30 covers any graph below 2^30
     * vertices with wide margin. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-                              maxRounds: Int = 30): DataFrame = {
+                              maxRounds: Int = 30,
+                              onRoundPlan: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     // every input vertex (incl. self-loop-only ones, which the star
     // rounds drop as trivial) must reappear in the output
     val verts = pairs.select(col(aCol).as("doc"))
@@ -281,12 +287,13 @@ object Dedup {
           .distinct()
         val smins = large.groupBy("u").agg(min("v").as("mn"))
         // small-star: siblings re-point to the min child, center keeps it
-        val small = large.join(smins, Seq("u"))
+        val smallPlan = large.join(smins, Seq("u"))
           .where(col("v") =!= col("mn"))
           .select(col("v").as("u"), col("mn").as("v"))
           .unionAll(smins.select(col("u"), col("mn").as("v")))
           .distinct()
-          .localCheckpoint(true)
+        onRoundPlan(round, smallPlan) // same constant-size-plan probe as hash-min
+        val small = smallPlan.localCheckpoint(true)
         val fpNext = fingerprint(small)
         converged = fpNext == fp &&
           ckpt.exceptAll(small).limit(1).count() == 0L // exact confirm

@@ -37,6 +37,13 @@ object IngestQueries extends Q.Registry {
       col("value").as("bikes_available"))
   }
 
+  /** Plan-observability probe: the physical plan of the last micro-
+    * batch the most recent [[runToMemory]] stream executed (what
+    * [[graft.ExplainFit]] commits to bench_explain/ for st1-st3 — the
+    * per-batch plan is where the state store and watermark machinery
+    * live; the memory-table read the query returns is trivial). */
+  @volatile private[graft] var lastStreamPlan: Option[String] = None
+
   /** Run a bounded streaming frame to a uniquely-named memory sink and
     * return the sink table. */
   private def runToMemory(s: org.apache.spark.sql.SparkSession,
@@ -47,7 +54,25 @@ object IngestQueries extends Q.Registry {
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // StreamingQuery.explain prints (Scala Console) — capture the text.
+    // Poll for the first DATA-CARRYING batch while the bounded stream
+    // runs: AvailableNow often ends on an empty commit batch, and
+    // capturing only at termination would record an <empty> source scan
+    // instead of the real file-scan-fed stateful plan.
+    def explainNow(): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
+      buf.toString("UTF-8")
+    }
+    var dataPlan: Option[String] = None
+    while (q.isActive) {
+      if (dataPlan.isEmpty &&
+          Option(q.lastProgress).exists(_.numInputRows > 0))
+        dataPlan = Some(explainNow())
+      Thread.sleep(20)
+    }
+    q.awaitTermination() // surfaces stream errors after the poll loop
+    lastStreamPlan = Some(dataPlan.getOrElse(explainNow()))
     s.table(sink)
   }
 
