@@ -120,10 +120,16 @@ object LlmQueries extends Q.Registry {
   /** Shared dd7/dd8 shape: run a connected-components variant over the
     * dd3-verified pair graph, then group sizes + min-id canonical flag.
     * The pairs frame is cached: edges reads it through two plan arms
-    * (u→v and v→u) and the LSH pipeline shouldn't run twice. */
+    * (u→v and v→u) and the LSH pipeline shouldn't run twice. Both
+    * component algorithms EAGERLY materialize (localCheckpoint per
+    * round), so the cache has served its purpose the moment `cc`
+    * returns and is unpersisted here — the returned frame pins exactly
+    * one small RDD (the label table; `Dedup.releaseCheckpoint` frees it
+    * for long-running sessions; one-shot Verify/Bench JVMs just exit). */
   private def dupGroups(s: SparkSession, d: String,
                         cc: DataFrame => DataFrame): DataFrame = {
-    val groups = cc(verifiedPairs(s, d).select("doc_a", "doc_b").cache())
+    val pairs = verifiedPairs(s, d).select("doc_a", "doc_b").cache()
+    val groups = try cc(pairs) finally pairs.unpersist()
     val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("group_size"))
     groups.join(sizes, Seq("group_id"))
       .select(

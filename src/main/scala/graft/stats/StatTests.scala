@@ -158,7 +158,7 @@ object StatTests {
     val counts = df.groupBy(rowVar, colVar).agg(count(lit(1)).cast("double").as("observed"))
     // complete the grid: absent combinations are observed-0 cells
     val grid = counts.select(rowVar).distinct()
-      .crossJoin(counts.select(colVar).distinct())
+      .crossJoin(broadcast(counts.select(colVar).distinct()))
     val cells = grid.join(counts, Seq(rowVar, colVar), "left").na.fill(0.0, Seq("observed"))
     val wr = Window.partitionBy(rowVar)
     val wc = Window.partitionBy(colVar)
