@@ -130,10 +130,15 @@ object LlmQueries extends Q.Registry {
                         cc: DataFrame => DataFrame): DataFrame = {
     val pairs = verifiedPairs(s, d).select("doc_a", "doc_b").cache()
     val groups = try cc(pairs) finally pairs.unpersist()
-    val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("group_size"))
-    groups.join(sizes, Seq("group_id"))
+    // group_size as a count over a group_id window — same single shuffle
+    // the groupBy needed, with no second join (whose plan degraded to a
+    // sort-merge join under conservative size estimates); matches the
+    // oracle's count(*) OVER (PARTITION BY group_id) shape exactly
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
+    groups
       .select(
-        col("doc"), col("group_id"), col("group_size"),
+        col("doc"), col("group_id"),
+        count(lit(1)).over(wg).as("group_size"),
         (col("doc") === col("group_id")).as("is_canonical"))
       .orderBy("doc")
   }

@@ -139,7 +139,11 @@ object StatTests {
     val a = g.select(col(group).as("group_a"), col("n").as("n_a"), col("mean").as("mean_a"))
     val b = g.select(col(group).as("group_b"), col("n").as("n_b"), col("mean").as("mean_b"))
     val qcrit = udf((k: Int, dfW: Double) => Distributions.tukeyQcrit05(k, dfW))
-    a.join(b, col("group_a") < col("group_b"))
+    // k-row × k-row non-equi pair join (k = group cardinality, bounded):
+    // broadcast one side explicitly or the planner falls back to a
+    // CartesianProduct whenever scan-derived size estimates are
+    // conservative (uncached inputs) — hint, don't rely on luck.
+    a.join(broadcast(b), col("group_a") < col("group_b"))
       .crossJoin(broadcast(stats))
       .withColumn("mean_diff", col("mean_b") - col("mean_a"))
       .withColumn("se_pair",
@@ -159,7 +163,11 @@ object StatTests {
     // complete the grid: absent combinations are observed-0 cells
     val grid = counts.select(rowVar).distinct()
       .crossJoin(broadcast(counts.select(colVar).distinct()))
-    val cells = grid.join(counts, Seq(rowVar, colVar), "left").na.fill(0.0, Seq("observed"))
+    // both sides are ≤ r×c rows (category cardinality, not data size) —
+    // broadcast the aggregated counts so the completion join stays a
+    // BroadcastHashJoin under conservative size estimates too
+    val cells = grid.join(broadcast(counts), Seq(rowVar, colVar), "left")
+      .na.fill(0.0, Seq("observed"))
     val wr = Window.partitionBy(rowVar)
     val wc = Window.partitionBy(colVar)
     val wAll = Window.partitionBy()

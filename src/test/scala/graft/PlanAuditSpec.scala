@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Automated version of the manual bench_explain/ plan audit: the
+  * committed artifacts claim zero SortMergeJoin and zero
+  * CartesianProduct across all registered queries, with
+  * BroadcastNestedLoopJoin only where a provably tiny side is
+  * explicitly broadcast (one-row stat frames, fitted-coefficient
+  * literals, small query sets). This spec makes that claim
+  * self-enforcing: a future query or refactor that regresses a join
+  * into SMJ or an unhinted cartesian fails the build, instead of
+  * waiting for a human to re-read 69 explain dumps.
+  *
+  * Runs against sf0.001. Plan SHAPE (join strategy choice) is driven
+  * by the explicit broadcast hints in the query code, not by
+  * size-estimate thresholds, so the audit result is scale-independent
+  * — the same queries' sf0.1 plans are the committed bench_explain/
+  * artifacts, captured with this same FormattedMode explain.
+  *
+  * Fit/stream/iterative queries (Bench.FitQueries) execute real work
+  * during DataFrame construction (model fits, fixpoint rounds, a
+  * micro-batch stream run); at sf0.001 that costs seconds, and the
+  * audited plan is the final result-stage plan — the per-round
+  * iterative shapes live in bench_explain/ (captured by Bench with
+  * SPARK_GRAFT_EXPLAIN_DIR).
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains a
+    * BroadcastNestedLoopJoin: every one is a crossJoin(broadcast(x))
+    * where x is a one-row aggregate/stat frame, fitted-model literals,
+    * or a bounded distinct-category frame — the audit of WHY each is
+    * safe is in the scaladoc at each call site. Additions to this set
+    * require the same justification. */
+  private val bnljAllowed: Set[String] = Set(
+    "j5_nn_mrt_distance", // every station × 3-row MRT frame (broadcast)
+    "ss1_cosine_topk",    // corpus × broadcast tiny query set (exact baseline)
+    "ss2_ivf_topk",       // cell-pruned scan × broadcast query set
+    "x10_ols_ladder",     // R² restatement × one-row SST/SSE frame
+    "x12_minmax_scale",   // rows × one-row min/max frame
+    "x13_minmax_roundtrip",
+    "x15_scoring",        // rows × one-row fitted-coefficient frame
+    "x5_anova_eta",       // groups × one-row grand-mean frame
+    "x6_tukey",           // pairs × one-row MSW frame
+    "x7_chi2_cramer",     // grid completion: distinct rows × distinct cols
+    "x9_residuals"
+  )
+
+  test("no SortMergeJoin or CartesianProduct in any registered query plan; " +
+    "BroadcastNestedLoopJoin only in the whitelisted tiny-broadcast crosses") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+        val bad = Seq(
+          Some("SortMergeJoin").filter(plan.contains),
+          Some("CartesianProduct").filter(plan.contains),
+          Some("BroadcastNestedLoopJoin")
+            .filter(m => plan.contains(m) && !bnljAllowed(name))
+        ).flatten
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"plan audit failures (see bench_explain/ methodology):\n${offenders.mkString("\n")}")
+  }
+}
