@@ -456,4 +456,67 @@ class LlmSpec extends SparkSpec {
     assert(r.getInt(2) === 40)
     assert(Seq("png", "jpeg", "webp").contains(r.getString(3)))
   }
+
+  test("both component algorithms match a JVM union-find oracle on a seeded " +
+      "random graph (property)") {
+    // independent reference implementation: path-compressed union-find —
+    // catches any systematic error the two Spark variants might share
+    val rnd = new scala.util.Random(20260813)
+    val n = 60
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val parent = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = verts.map(v => v -> {
+      val root = find(v.toInt)
+      // min-id label of v's component, restricted to vertices in the graph
+      verts.filter(u => find(u.toInt) == root).min
+    }).toMap
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val viaHashMin = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaHashMin === want)
+    assert(viaStar === want)
+  }
+
+  test("packBins covers the token stream with disjoint contiguous doc spans " +
+      "on random inputs (property)") {
+    // concat-and-chunk has no per-bin sum bound (docs straddle bins by
+    // design); the structural invariant is the stream layout itself:
+    // within each stratum, [start_tok, start_tok + n_tokens) tile
+    // [0, total) with no gaps and no overlaps — i.e. the windowed
+    // running sum really is a serialization of the stratum
+    val rnd = new scala.util.Random(777)
+    val docs = (1L to 150L)
+      .map(i => (s"s${rnd.nextInt(3)}", i, rnd.nextInt(900).toLong))
+    val got = Packing.packBins(
+        docs.toDF("lang", "doc_id", "n_tokens"), "lang", "doc_id", "n_tokens", 512)
+      .select("lang", "start_tok", "n_tokens")
+      .as[(String, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val spans = rows.map(r => (r._2, r._2 + r._3)).sortBy(_._1)
+      val total = rows.map(_._3).sum
+      // zero-token docs sit AT an offset inside another doc's span —
+      // exclude them from the tiling check (they occupy no tokens)
+      val occupied = spans.filter(s => s._2 > s._1)
+      occupied.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(e1 === s2, s"$lang: gap or overlap at $e1 vs $s2")
+        case _ => ()
+      }
+      assert(occupied.headOption.forall(_._1 === 0L), s"$lang must start at 0")
+      assert(occupied.lastOption.forall(_._2 === total), s"$lang must end at total")
+    }
+  }
 }
