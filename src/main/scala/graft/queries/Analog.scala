@@ -38,6 +38,23 @@ object Analog {
       |       ts AS record_time, event_id, event_type
       |FROM events""".stripMargin
 
+  /** [[status]] restricted to a station-id set, with the membership
+    * filter applied to the TYPED source key (`user_id`) before the
+    * public string cast. `cast(user_id AS string) IN ('2','3',…)` never
+    * reaches the parquet scan — there is no safe unwrap for string
+    * casts (the string '02' would have to match), so the filter
+    * evaluates post-scan and a 100 TB fact table is read in full. On
+    * the source-typed key the scan receives `PushedFilters:
+    * [In(user_id, …)]` and skips row groups by min/max stats
+    * (PlanAuditSpec asserts exactly this on the f6 plan). */
+  def statusForStations(s: SparkSession, d: String, ids: Seq[Long]): DataFrame =
+    Tables.events(s, d).filter(col("user_id").isin(ids: _*)).select(
+      col("user_id").cast("string").as("station_no"),
+      col("value").as("bikes_available"),
+      col("ts").as("record_time"),
+      col("event_id"),
+      col("event_type"))
+
   // ---- station_info (dimension) -----------------------------------------
   /** Capacity and coordinates are key-derived:
     *   total_spaces = 100 + c_custkey % 400

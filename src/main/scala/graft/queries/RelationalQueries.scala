@@ -460,11 +460,12 @@ object RelationalQueries extends Q.Registry {
           |GROUP BY station_no ORDER BY station_no""".stripMargin)),
 
     Q("f6_idset_filter",
-      "Membership filter on a small id set (F5/F6, 05:178) — pushed to the " +
-        "scan as an IN filter.",
+      "Membership filter on a small id set (F5/F6, 05:178) — applied to the " +
+        "typed source key via Analog.statusForStations so it reaches the " +
+        "parquet scan as PushedFilters: [In(user_id, …)] (a filter on the " +
+        "public string-cast column cannot be pushed; see the helper's doc).",
       (s, d) =>
-        Analog.status(s, d)
-          .filter(col("station_no").isin("2", "3", "5", "7", "11"))
+        Analog.statusForStations(s, d, Seq(2L, 3L, 5L, 7L, 11L))
           .groupBy("station_no")
           .agg(count(lit(1)).as("n_obs"),
             Fmt.trunc(avg("bikes_available"), 6).as("avg_bikes"))
@@ -472,7 +473,7 @@ object RelationalQueries extends Q.Registry {
       Some(enrSql +
         """SELECT station_no, count(*) AS n_obs,
           |       floor((avg(bikes_available)) * 1e6 + 1e-6) / 1e6 AS avg_bikes
-          |FROM status WHERE station_no IN ('2','3','5','7','11')
+          |FROM (SELECT * FROM status WHERE CAST(station_no AS BIGINT) IN (2,3,5,7,11))
           |GROUP BY station_no ORDER BY station_no""".stripMargin))
   )
 }

@@ -64,4 +64,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"plan audit failures (see bench_explain/ methodology):\n${offenders.mkString("\n")}")
   }
+
+  test("uncached scans receive pruned schemas and pushed filters through " +
+    "Tables.load's fan-out repartition (the 100 TB read path)") {
+    // The committed bench_explain/ scans show full-width schemas because
+    // Bench/Verify prime() a shared full-width cache across 69 queries
+    // (documented harness choice). At 100 TB the fact table is NOT
+    // cached — this asserts the real read path: Catalyst pushes both the
+    // projection and the predicate through the fan-out Repartition down
+    // to the parquet scan.
+    import org.apache.spark.sql.functions.{avg, col}
+    // the full-suite audit above ran the fit queries, which register
+    // their own cached subtrees — drop them so a matching fragment can't
+    // substitute an InMemoryRelation for the parquet scan under audit
+    // (later suites that want caching call .cache() themselves)
+    spark.catalog.clearCache()
+    val typed = Tables.events(spark, sfDir)
+      .filter(col("user_id").isin(2L, 3L, 5L))
+      .groupBy("user_id").agg(avg("value").as("v"))
+      .queryExecution.explainString(FormattedMode)
+    assert(typed.contains("PushedFilters: [In(user_id, [2,3,5])]"), typed)
+    assert(typed.contains("ReadSchema: struct<user_id:bigint,value:double>"), typed)
+
+    // f6 end-to-end: the registered query's scan must carry the typed IN
+    // filter — the regression this guards is someone "simplifying" f6
+    // back to a filter on the public string-cast column, which silently
+    // un-pushes the predicate (cast(user_id AS string) IN (…) has no
+    // safe unwrap) and full-scans the fact table at scale
+    val f6 = SparkEntry.queries("f6_idset_filter")(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    assert(f6.contains("PushedFilters: [In(user_id"), f6)
+  }
 }
