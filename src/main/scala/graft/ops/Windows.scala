@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   * collection, no cross-partition state. Skewed keys would be the only
   * 100 TB risk; station-grain keys are naturally bounded (rows per
   * station ≪ partition size).
+  *
+  * Frame-complexity rule (BenchScale's w_window leg caught this at
+  * 100×): Spark evaluates `rowsBetween(unboundedPreceding, 0)` frames
+  * with a RUNNING aggregate — O(n) per partition — but
+  * `rowsBetween(0, unboundedFollowing)` frames re-aggregate from each
+  * row to the partition end (UnboundedFollowingWindowFunctionFrame),
+  * O(n²) per partition: invisible at 66 rows/station (sf0.1), a 30×
+  * wall-clock cliff at 6,600, unusable at 100 TB row counts. Every
+  * backward-looking fill here is therefore expressed as a running
+  * frame over the DESCENDING order (the exact reverse total order, so
+  * nulls-first flips to nulls-last and compound ties reverse with it)
+  * — same rows, same answer, linear evaluation. The two orderings
+  * share one Exchange (same partition keys); the second Sort is
+  * n log n, not n².
   */
 object Windows {
 
@@ -35,10 +49,16 @@ object Windows {
     last(c, ignoreNulls = true)
       .over(byKey(key, order).rowsBetween(Window.unboundedPreceding, 0))
 
-  /** W3: backward fill — first non-null value at or after the current row. */
+  private def byKeyDesc(key: Column, order: Seq[Column]): WindowSpec =
+    Window.partitionBy(key).orderBy(order.map(_.desc): _*)
+
+  /** W3: backward fill — first non-null value at or after the current
+    * row, computed as the last non-null at-or-before in DESCENDING
+    * order (running O(n) frame; the naive `(0, unboundedFollowing)`
+    * frame is O(n²) per partition — see the object scaladoc). */
   def bfill(c: Column, key: Column, order: Column*): Column =
-    first(c, ignoreNulls = true)
-      .over(byKey(key, order).rowsBetween(0, Window.unboundedFollowing))
+    last(c, ignoreNulls = true)
+      .over(byKeyDesc(key, order).rowsBetween(Window.unboundedPreceding, 0))
 
   /** W3 composed: pandas `.ffill().bfill()` (04:237) — forward fill, then
     * leading nulls (no predecessor) take the first following value. */
@@ -56,13 +76,15 @@ object Windows {
   def interpolateLinear(c: Column, key: Column, order: Column*): Column = {
     val w = byKey(key, order)
     val before = w.rowsBetween(Window.unboundedPreceding, 0)
-    val after = w.rowsBetween(0, Window.unboundedFollowing)
+    // "first non-null at or after" as a running frame over the reversed
+    // order — O(n), not the O(n²) (0, unboundedFollowing) frame
+    val after = byKeyDesc(key, order).rowsBetween(Window.unboundedPreceding, 0)
     val rn = row_number().over(w)
     val markedRn = when(c.isNotNull, rn)
     val prevVal = last(c, ignoreNulls = true).over(before)
-    val nextVal = first(c, ignoreNulls = true).over(after)
+    val nextVal = last(c, ignoreNulls = true).over(after)
     val prevRn = last(markedRn, ignoreNulls = true).over(before)
-    val nextRn = first(markedRn, ignoreNulls = true).over(after)
+    val nextRn = last(markedRn, ignoreNulls = true).over(after)
     when(c.isNotNull, c)
       .when(prevVal.isNotNull && nextVal.isNotNull,
         prevVal + (nextVal - prevVal) * (rn - prevRn) / (nextRn - prevRn))
