@@ -142,7 +142,16 @@ object Bench {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val s = System.nanoTime()
-        fn(spark, sfDir).count()
+        // Materialize the query's OWN physical plan, every output column
+        // computed (toRdd executes the final project as-is), rows left
+        // on the executors. `df.count()` would instead re-plan an
+        // Aggregate over the child and let Catalyst PRUNE every
+        // unreferenced window/agg/scalar expression — w1's windows,
+        // a2's aggregate arithmetic — timing a skeleton of the query
+        // while the DuckDB side (tools/duckbench.py) pays fetchall()'s
+        // full evaluation. BenchScale caught this: its first w_window
+        // leg "ran" 10M-row windows in 0.2 s.
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - s) / 1e9
       }
       // ML model fits + the streaming pipeline: their cost is iterative
