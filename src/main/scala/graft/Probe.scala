@@ -27,7 +27,9 @@ object Probe {
     println(f"[probe] plan build: ${(System.nanoTime() - tb0) / 1e9}%.3f s")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // same methodology as Bench: execute the query's OWN plan, every
+      // output column evaluated (count() would let Catalyst prune)
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[probe] iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
     println(df.queryExecution.explainString(

@@ -108,7 +108,9 @@ object GraftFunctions {
     ("sqdist_double", classOf[SquaredDistanceD],
       (args: Seq[Expression]) => SquaredDistanceD(args(0), args(1))),
     ("simhash_pack", classOf[SimHashPack],
-      (args: Seq[Expression]) => SimHashPack(args(0))))
+      (args: Seq[Expression]) => SimHashPack(args(0))),
+    ("minhash_sig", classOf[MinHashSig],
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, b) =>

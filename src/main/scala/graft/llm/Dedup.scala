@@ -36,8 +36,19 @@ object Dedup {
   /** MinHash signature: k independent permutations simulated as
     * lexicographic-min of md5("j:" || shingle) — a valid min-hash
     * family, and portable to the SQL oracle (string min is ASCII-
-    * lexicographic in both engines). */
+    * lexicographic in both engines). Runs in the native one-pass
+    * kernel ([[graft.functions.MinHashSig]]): the k-fold HOF
+    * composition ([[minhashSigFold]]) evaluates every md5 through
+    * interpreted lambdas and builds k intermediate arrays per row —
+    * 8× slower at sf0.1 (BENCH r6b dd2). Results are bit-identical
+    * (equality property in ArrayKernelsSpec). */
   def minhashSig(shingles: Column, k: Int): Column =
+    graft.functions.ArrayKernels.minhashSig(shingles, k)
+
+  /** The higher-order-function fold form of [[minhashSig]] — the
+    * executable spec the kernel is equality-tested against. Not for
+    * hot paths. */
+  private[graft] def minhashSigFold(shingles: Column, k: Int): Column =
     array((0 until k).map(j =>
       array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))): _*)
 

@@ -73,18 +73,25 @@ object LlmQueries extends Q.Registry {
     * banded LSH candidates (shuffle on band key, never all-pairs) →
     * exact shingle-Jaccard >= 0.6. */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    // cache: the shingle/md5 signature subtree feeds three plan arms
-    // (band explode + two set-lookup joins) — materialize it once
-    val base = corpus(s, d)
+    val shingled = corpus(s, d)
       .withColumn("ws", TextOps.words(col("text")))
       .withColumn("sh", TextOps.wordShingles(col("ws"), 3))
-      .withColumn("sh_set", array_distinct(col("sh")))
+    // cache ONLY the banded frame (doc_id + 3 hex band keys — a few
+    // dozen bytes/doc): it feeds both sides of the band self-join.
+    // The earlier shape cached sh_set alongside it, and encoding the
+    // per-doc string-array shingle sets into the columnar cache cost
+    // 7-11 s at sf0.1 — more than the whole pipeline. Recomputing the
+    // shingle sets per set-join arm is cheap (words+concat, no md5:
+    // the signature kernel runs once, on the banded side only) and is
+    // the shape that survives 100 TB, where pinning the corpus'
+    // shingle sets in executor memory is not an option.
+    val banded = shingled
       .withColumn("sig", Dedup.minhashSig(col("sh"), MinhashK))
       .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
-      .select("doc_id", "sh_set", "bands")
+      .select("doc_id", "bands")
       .cache()
-    val pairs = Dedup.lshCandidatePairs(base, "doc_id", "bands")
-    val sets = base.select(col("doc_id"), col("sh_set"))
+    val pairs = Dedup.lshCandidatePairs(banded, "doc_id", "bands")
+    val sets = shingled.select(col("doc_id"), array_distinct(col("sh")).as("sh_set"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), Seq("doc_b"))

@@ -96,4 +96,43 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 8.0)
   }
+
+  test("minhashSig kernel: bit-identical to the k-fold HOF form, incl. null/empty shingle arrays") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "pack my box with five dozen liquor jugs",
+      "a b", // < 3 words → empty shingle set
+      "ünïcode shîngles über alles repeated ünïcode shîngles über")
+      .toDF("t")
+      .select(graft.llm.TextOps.wordShingles(split(lower($"t"), "\\s+"), 3).as("sh"))
+      .unionAll(Seq(1).toDF("x").select(lit(null).cast("array<string>").as("sh")))
+    for (k <- Seq(1, 9, 12)) {
+      val rows = docs.select(
+        ArrayKernels.minhashSig($"sh", k).as("kernel"),
+        graft.llm.Dedup.minhashSigFold($"sh", k).as("fold")).collect()
+      rows.foreach { r =>
+        if (r.isNullAt(1)) assert(r.isNullAt(0), s"k=$k: kernel not null on null input")
+        else assert(r.getSeq[String](0) === r.getSeq[String](1), s"k=$k mismatch")
+      }
+    }
+    // null ELEMENTS are skipped exactly like array_min over null hashes
+    val withNullElem = spark.sql(
+      "SELECT array('one two three', cast(null as string), 'four five six') AS sh")
+    val r = withNullElem.select(
+      ArrayKernels.minhashSig($"sh", 4).as("kernel"),
+      graft.llm.Dedup.minhashSigFold($"sh", 4).as("fold")).head()
+    assert(r.getSeq[String](0) === r.getSeq[String](1))
+  }
+
+  test("minhash_sig is SQL-registered and rejects a non-foldable k") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d'), 3) AS s")
+      .head().getSeq[String](0)
+    assert(sig.length === 3)
+    assert(sig.forall(_.matches("[0-9a-f]{32}")))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a'), cast(id AS int)) FROM range(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"))
+  }
 }

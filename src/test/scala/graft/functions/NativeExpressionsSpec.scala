@@ -116,10 +116,10 @@ class NativeExpressionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; wiring is what's under test
   }
 
-  test("register and extensions expose the same six functions (SQL-callable kernels included)") {
+  test("register and extensions expose the same seven functions (SQL-callable kernels included)") {
     GraftFunctions.register(spark)
     for (name <- Seq("t_pvalue", "chi2_pvalue", "f_pvalue",
-        "dot_double", "sqdist_double", "simhash_pack"))
+        "dot_double", "sqdist_double", "simhash_pack", "minhash_sig"))
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name must be registered")
