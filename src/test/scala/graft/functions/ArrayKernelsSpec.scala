@@ -124,6 +124,33 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(r.getSeq[String](0) === r.getSeq[String](1))
   }
 
+  test("minhashSig kernel ≡ fold form over seeded random shingle arrays (property)") {
+    // seeded sample loop in place of scalacheck (FmtSpec convention:
+    // the scalacheck bridge artifact isn't in the offline cache)
+    val rnd = new scala.util.Random(20260813)
+    val alphabets = Array("abcdefgh ", "日本語中文한국어 ", "àéîöü߃€ ", "a\t\"\\|:0123 ")
+    def randString(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      Seq.fill(1 + rnd.nextInt(12))(a(rnd.nextInt(a.length))).mkString
+    }
+    val arrays: Seq[Seq[String]] = Seq.fill(60) {
+      rnd.nextInt(4) match {
+        case 0 => Seq.empty[String]
+        case 1 => Seq.fill(1 + rnd.nextInt(3))(randString())
+        case _ => Seq.fill(rnd.nextInt(40))(
+          if (rnd.nextInt(10) == 0) null else randString())
+      }
+    }
+    val df = arrays.toDF("sh")
+    val rows = df.select(
+      ArrayKernels.minhashSig($"sh", 7).as("kernel"),
+      graft.llm.Dedup.minhashSigFold($"sh", 7).as("fold")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1),
+        s"sample $i: ${arrays(i)}")
+    }
+  }
+
   test("minhash_sig is SQL-registered and rejects a non-foldable k") {
     GraftFunctions.register(spark)
     val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d'), 3) AS s")
