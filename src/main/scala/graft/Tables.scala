@@ -35,6 +35,7 @@ object Tables {
   private val fanOut = Set("orders", "lineitem", "events", "part", "documents", "embeddings")
 
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  private val NtzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
   /** The generated `events.ts` is parquet TIMESTAMP(NANOS), which Spark
     * has no native type for (SPARK-40819). Session builders set this
@@ -45,9 +46,24 @@ object Tables {
     if (!spark.conf.getOption(NanosKey).contains("true"))
       spark.conf.set(NanosKey, "true")
 
+  /** Timestamps written with `isAdjustedToUTC=false` (how the driver's
+    * generator stamps `events.ts` / `l_shipdate` / `o_orderdate`) would
+    * infer as TIMESTAMP_NTZ under Spark 4's default. Read them as
+    * session-local TIMESTAMP instead: under the pinned UTC session the
+    * wall-clock arithmetic (hour(), date_trunc, oracle comparisons
+    * against DuckDB's naive reading) is identical, and the streaming
+    * layer's watermarks — which reject NTZ event-time columns outright
+    * — keep working. Same foreign-session guard rationale as
+    * [[ensureNanosConf]]. */
+  private[graft] def ensureReadConfs(spark: SparkSession): Unit = {
+    ensureNanosConf(spark)
+    if (!spark.conf.getOption(NtzKey).contains("false"))
+      spark.conf.set(NtzKey, "false")
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    ensureNanosConf(spark)
+    ensureReadConfs(spark)
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     // ns → µs truncation — the same truncation DuckDB applies, so oracle
     // comparisons stay exact.

@@ -22,6 +22,7 @@ object IngestQueries extends Q.Registry {
   private def eventsStream(s: org.apache.spark.sql.SparkSession,
                            d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    Tables.ensureReadConfs(s) // the stream's direct reads bypass Tables.load
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     // the file source wants a directory: stream the sf dir, filtered
     // to the events file
