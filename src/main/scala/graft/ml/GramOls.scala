@@ -1,0 +1,148 @@
+package graft.ml
+
+import breeze.linalg.{pinv, DenseMatrix, DenseVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X10's OLS ladder as ONE pass over the data: every nested formula's
+  * normal equations are sub-blocks of a single gram matrix, so fitting
+  * M1/M2/M3 costs one tree-aggregated scan instead of three spark.ml
+  * pipeline fits (each of which pays its own StringIndexer passes, an
+  * RFormula transform, a gram pass and a summary pass — ~9 scans for
+  * the three-model ladder at notebooks/01_youbike_analysis.ipynb:1139-1148).
+  *
+  * Method: accumulate the upper triangle of Gᵀ G where G = [1, y, X_∪]
+  * and X_∪ is the union of every formula's expanded features (one-hot
+  * dummies written out as explicit indicator expressions). For each
+  * formula, the normal-equation system (AᵀA)β = Aᵀy is read off the
+  * shared triangle by index selection, then solved driver-side with a
+  * Moore-Penrose pseudo-inverse — p is tens, so the solve is
+  * microseconds. pinv matches the reference's statsmodels behavior on
+  * the DELIBERATELY rank-deficient M2 (statsmodels pinv-solves it
+  * silently, 01:1147; spark.ml instead fails Cholesky and retries
+  * quasi-Newton): the minimum-norm solution, finite coefficients, and
+  * the unique least-squares fitted values.
+  *
+  * Scale posture: the scan is a map-side kernel over codegen'd
+  * indicator columns + an O(p²)-per-row triangular update (p ≈ 40 →
+  * ~800 FMA/row), tree-combined in O(log partitions); no shuffle, no
+  * row materialization, driver traffic is one p²-sized array per
+  * executor wave. This is exactly spark.ml's WeightedLeastSquares
+  * shape, amortized across all models of the ladder — at 100 TB the
+  * ladder costs one fact-table read instead of nine.
+  *
+  * Encoding note: categoricals expand to (cardinality − 1) dummies with
+  * the lexicographically-last level as the base. RFormula instead drops
+  * the least-frequent level — an equivalent parameterization spanning
+  * the same column space, so fitted values, R², and n_features agree;
+  * only the (reported-with-the-fit) coefficient basis differs.
+  * GramOlsSpec pins prediction equality against spark.ml on full-rank
+  * designs.
+  */
+object GramOls {
+
+  /** `label ~ t1 + t2 + …` (the R-formula subset the reference uses). */
+  private[ml] def parse(formula: String): (String, Seq[String]) = {
+    val sides = formula.split("~")
+    require(sides.length == 2, s"formula must be 'label ~ terms': $formula")
+    val terms = sides(1).split("\\+").map(_.trim).filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"formula has no terms: $formula")
+    (sides(0).trim, terms)
+  }
+
+  /** Fit every formula from one shared gram pass over `df`. All
+    * formulas must share one label. `catCols` names the categorical
+    * columns (expanded to indicator dummies over their observed
+    * domain — one tiny collect_set job — before the pass). Rows with a
+    * null/NaN in any union column are skipped whole, matching the
+    * na.drop'd frames the callers feed in. */
+  def ladder(df: DataFrame, formulas: Seq[String],
+             catCols: Set[String]): Map[String, LinearScore] = {
+    val parsed = formulas.map(f => f -> parse(f))
+    val labels = parsed.map(_._2._1).distinct
+    require(labels.size == 1, s"formulas must share one label, got $labels")
+    val label = labels.head
+
+    val termUnion: Seq[String] = parsed.flatMap(_._2._2).distinct
+    val cats = termUnion.filter(catCols)
+    val domains: Map[String, Seq[String]] =
+      if (cats.isEmpty) Map.empty
+      else {
+        val aggs = cats.map(c => collect_set(col(c)).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        cats.zipWithIndex.map { case (c, i) =>
+          c -> row.getSeq[String](i).sorted
+        }.toMap
+      }
+
+    /** A term expanded to concrete features: (term, Some(level)) is one
+      * dummy of a categorical, (term, None) a numeric column. */
+    def expand(terms: Seq[String]): Seq[(String, Option[String])] =
+      terms.flatMap { t =>
+        if (catCols(t)) domains(t).dropRight(1).map(t -> Option(_))
+        else Seq(t -> None)
+      }
+
+    val unionFeats = expand(termUnion)
+    val featIdx: Map[(String, Option[String]), Int] =
+      unionFeats.zipWithIndex.toMap
+    def featCol(f: (String, Option[String])): Column = f match {
+      case (t, Some(v)) => when(col(t) === lit(v), 1.0).otherwise(0.0)
+      case (t, None)    => col(t).cast("double")
+    }
+
+    // G row = [1, y, f1 … fp]; accumulate the upper triangle of GᵀG.
+    val m = unionFeats.length + 2
+    val cols = (lit(1.0) +: col(label).cast("double") +: unionFeats.map(featCol))
+      .zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+    val triLen = m * (m + 1) / 2
+    val tri = df.select(cols: _*).queryExecution.toRdd.treeAggregate(
+      new Array[Double](triLen))(
+      seqOp = (acc, row) => {
+        val v = new Array[Double](m)
+        var i = 0
+        var ok = true
+        while (ok && i < m) {
+          if (row.isNullAt(i)) ok = false
+          else { v(i) = row.getDouble(i); if (v(i) != v(i)) ok = false }
+          i += 1
+        }
+        if (ok) {
+          var k = 0
+          var a = 0
+          while (a < m) {
+            val va = v(a)
+            var b = a
+            while (b < m) { acc(k) += va * v(b); k += 1; b += 1 }
+            a += 1
+          }
+        }
+        acc
+      },
+      combOp = (x, y) => {
+        var i = 0
+        while (i < triLen) { x(i) += y(i); i += 1 }
+        x
+      },
+      depth = 2)
+    def at(i: Int, j: Int): Double = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      tri(a * m - a * (a - 1) / 2 + (b - a))
+    }
+
+    parsed.map { case (formula, (_, terms)) =>
+      val feats = expand(terms)
+      // gram indices: intercept at 0, label at 1, feature i at 2 + union idx
+      val gi = 0 +: feats.map(f => 2 + featIdx(f))
+      val q = gi.length
+      val a = DenseMatrix.tabulate(q, q)((r, c) => at(gi(r), gi(c)))
+      val b = DenseVector.tabulate(q)(r => at(gi(r), 1))
+      val beta = pinv(a) * b
+      val ts = feats.zipWithIndex.map {
+        case ((t, Some(v)), i) => LinearScore.Cat(t, v, beta(i + 1))
+        case ((t, None), i)    => LinearScore.Num(t, beta(i + 1))
+      }
+      formula -> LinearScore(beta(0), ts)
+    }.toMap
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{LinearScore, Lstm, Models}
+import graft.ml.{GramOls, LinearScore, Lstm, Models}
 import graft.ops.{Derive, Windows}
 
 /** SURVEY §2.10 ML layer (X10-X13, X15) + J6 as registered queries.
@@ -51,19 +51,25 @@ object MlQueries extends Q.Registry {
   private[queries] val M3F = "filling_rate ~ dist_to_mrt + total_spaces + hour_str + filling_rate_lag1"
   private val catCols = Set("district", "hour_str")
 
-  /** Per-(dir, formula) memo of the fitted model unrolled to literal
-    * terms. One fit feeds BOTH the Spark query and the generated DuckDB
-    * oracle in the same JVM (Verify runs queries first, dumps
-    * oracle_sql.json after), so the hash compare is exact no matter how
-    * the fit itself behaves run-to-run. */
+  /** Per-dir memo of ALL THREE fitted models unrolled to literal terms
+    * — [[GramOls.ladder]] solves the whole nested ladder from one
+    * tree-aggregated gram pass (plus one collect_set job for the
+    * categorical domains), so asking for any formula prices the scan
+    * once, not per model. One fit feeds BOTH the Spark query and the
+    * generated DuckDB oracle in the same JVM (Verify runs queries
+    * first, dumps oracle_sql.json after), so the hash compare is exact
+    * no matter how the fit itself behaves run-to-run. */
   private val fitMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), LinearScore]()
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, LinearScore]]()
   private[queries] def fittedScore(s: SparkSession, d: String,
-                                   formula: String): LinearScore =
-    fitMemo.computeIfAbsent((d, formula), _ => {
+                                   formula: String): LinearScore = {
+    val ladder = fitMemo.computeIfAbsent(d, _ => {
       val frame = modelFrame(s, d).cache()
-      LinearScore.fromFit(Models.olsFit(frame, formula), frame, catCols)
+      GramOls.ladder(frame, Seq(M1F, M2F, M3F), catCols)
     })
+    require(ladder.contains(formula), s"formula not in the fitted ladder: $formula")
+    ladder(formula)
+  }
 
   /** Shared (session, dir) resolution for generated-oracle thunks: Q
     * oracles take no arguments, so resolve the session (active-thread
@@ -223,35 +229,47 @@ object MlQueries extends Q.Registry {
   val all: Seq[Q] = Seq(
 
     Q("x10_ols_ladder",
-      "Three OLS models via RFormula (X10, 01:1139-1151): M1 " +
-        "structural, M2 +time dummies, M3 +lag — emits the R-squared " +
-        "ladder. R² is restated as 1 − SSE/SST over the fitted model's " +
-        "unrolled scoring expression (coefficients as literals, the X14 " +
-        "pattern), so the whole row is hash-oracled against DuckDB " +
-        "computing the identical arithmetic (01:1151); the *fit* " +
-        "assertions (ladder ordering, M3 > 0.85) live in MlModelsSpec. " +
-        "Note: M2 is rank-deficient BY CONSTRUCTION (is_weekend over " +
-        "the weekday-filtered frame, faithful to 01: df_analysis is " +
-        "weekday-only and statsmodels pinv-solves it silently) — the " +
-        "normal-solver Cholesky failure + quasi-Newton retry warning is " +
-        "the expected Spark analog, not a bug.",
+      "Three nested OLS models from ONE gram pass (X10, 01:1139-1151): " +
+        "M1 structural, M2 +time dummies, M3 +lag — GramOls reads each " +
+        "model's normal equations off a shared tree-aggregated gram " +
+        "matrix, so the ladder costs one fact scan, and emits the " +
+        "R-squared ladder. R² is restated as 1 − SSE/SST over the " +
+        "fitted model's unrolled scoring expression (coefficients as " +
+        "literals, the X14 pattern), so the whole row is hash-oracled " +
+        "against DuckDB computing the identical arithmetic (01:1151); " +
+        "the *fit* assertions (ladder ordering, M3 > 0.85, spark.ml " +
+        "prediction parity) live in MlModelsSpec/GramOlsSpec. Note: M2 " +
+        "is rank-deficient BY CONSTRUCTION (is_weekend over the " +
+        "weekday-filtered frame, faithful to 01: df_analysis is " +
+        "weekday-only and statsmodels pinv-solves it silently) — " +
+        "GramOls pinv-solves it the same way.",
       (s, d) => {
         // cache() joins the Warm-primed plan-keyed entry; no unpersist —
         // dropping it here would evict the shared session view x15 and
         // later executions reuse
         val frame = modelFrame(s, d).cache()
-        val parts = Seq("M1" -> M1F, "M2" -> M2F, "M3" -> M3F).map {
-          case (name, f) =>
-            val ls = fittedScore(s, d, f)
-            frame.select(col("filling_rate").as("y"), ls.column.as("p"))
-              .agg(Fmt.trunc(
-                lit(1.0) - sum((col("y") - col("p")) * (col("y") - col("p"))) /
-                  (sum(col("y") * col("y")) -
-                    sum(col("y")) * sum(col("y")) / count(lit(1))), 6).as("r2"))
-              .select(lit(name).as("model"), col("r2"),
-                lit(ls.terms.length).as("n_features"))
+        val fitted = Seq("M1" -> M1F, "M2" -> M2F, "M3" -> M3F).map {
+          case (name, f) => (name, fittedScore(s, d, f))
         }
-        parts.reduce(_ unionAll _).orderBy("model")
+        // ONE aggregate pass scores all three models (per-model SSE
+        // columns + the shared SST terms), then explode-stacks the
+        // single row into the 3-row ladder — same per-model arithmetic
+        // as the oracle's UNION ALL restatement, a third of the jobs
+        val y = col("filling_rate")
+        val aggs = fitted.map { case (name, ls) =>
+          sum((y - ls.column) * (y - ls.column)).as(s"sse_$name")
+        } ++ Seq(sum(y * y).as("syy"), sum(y).as("sy"), count(lit(1)).as("n"))
+        val ladderRows = fitted.map { case (name, ls) =>
+          struct(
+            lit(name).as("model"),
+            Fmt.trunc(lit(1.0) - col(s"sse_$name") /
+              (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"),
+            lit(ls.terms.length).as("n_features"))
+        }
+        frame.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(ladderRows: _*)).as("r"))
+          .select(col("r.model"), col("r.r2"), col("r.n_features"))
+          .orderBy("model")
       },
       oracleScore(M1F).flatMap { ls1 =>
         oracleScore(M2F).flatMap { ls2 =>
