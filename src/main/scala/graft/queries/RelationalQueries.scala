@@ -78,22 +78,58 @@ object RelationalQueries extends Q.Registry {
 
     Q("a1_descriptive_stats",
       "Descriptive block (A1, 01:280-296): mean/median/std/CV/P(x<0.1)/" +
-        "P(x>0.9) for all + peak + off-peak slices via ROLLUP grouping sets.",
-      (s, d) =>
-        clean(s, d)
-          .rollup(col("is_peak"))
-          .agg(
-            Fmt.trunc(avg("filling_rate"), 6).as("mean_rate"),
-            Fmt.trunc(median(col("filling_rate")), 6).as("p50_rate"),
-            Fmt.trunc(stddev_samp(col("filling_rate")), 6).as("std_rate"),
-            Fmt.trunc(stddev_samp(col("filling_rate")) / avg("filling_rate"), 6).as("cv"),
-            Fmt.trunc(avg(when(col("filling_rate") < 0.1, 1.0).otherwise(0.0)), 6).as("p_shortage"),
-            Fmt.trunc(avg(when(col("filling_rate") > 0.9, 1.0).otherwise(0.0)), 6).as("p_full"),
-            count(lit(1)).as("n_obs"))
-          .withColumn("slice",
-            when(col("is_peak").isNull, "all").otherwise(col("is_peak").cast("string")))
-          .drop("is_peak")
-          .orderBy("slice"),
+        "P(x>0.9) for all + peak + off-peak slices via ROLLUP grouping " +
+        "sets. The exact median comes from a distinct-value HISTOGRAM " +
+        "(groupBy value, then a cumulative-count window over the few " +
+        "thousand distinct rates) instead of Spark's Percentile " +
+        "aggregate: Percentile buffers a boxed per-group count-map " +
+        "inside a single task — a reducer-memory hazard at 100 TB and " +
+        "an ObjectHashAggregate downgrade for every sibling aggregate " +
+        "in the block — while the histogram shape keeps the heavy " +
+        "aggregation codegen'd, shuffles only (slice × distinct value) " +
+        "rows, and reproduces Percentile's interpolation arithmetic " +
+        "exactly (v_lo + 0.5·(v_hi − v_lo) at the two middle ranks).",
+      (s, d) => {
+        // ONE scan + ONE shuffle: expand each row to (its slice, "all")
+        // — the same Expand a ROLLUP plans — then collapse to a
+        // distinct-value histogram. Every statistic of the block is a
+        // function of (slice, v, c): moments for mean/std/cv, threshold
+        // sums for the tail probabilities, and the two middle ranks of
+        // the cumulative count for the exact median (interpolated with
+        // Percentile's own v_lo + 0.5·(v_hi − v_lo) arithmetic).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("slice").orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val ranked = clean(s, d)
+          .select(explode(array(col("is_peak").cast("string"), lit("all"))).as("slice"),
+            col("filling_rate").as("v"))
+          .groupBy("slice", "v").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(w))
+          .withColumn("n", sum("c").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("slice")))
+        val sv = col("sv"); val svv = col("svv"); val n = col("n")
+        val variance = (svv - sv * sv / n) / (n - 1)
+        ranked.groupBy("slice").agg(
+          sum(col("v") * col("c")).as("sv"),
+          sum(col("v") * col("v") * col("c")).as("svv"),
+          max(col("n")).as("n"),
+          // 0-based middle ranks ⌊(n−1)/2⌋ and ⌊n/2⌋; value at rank k =
+          // first v with cum ≥ k+1
+          min(when(col("cum") >= floor((col("n") - 1) / 2) + 1, col("v"))).as("v_lo"),
+          min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))).as("v_hi"),
+          sum(when(col("v") < 0.1, col("c")).otherwise(0L)).as("c_shortage"),
+          sum(when(col("v") > 0.9, col("c")).otherwise(0L)).as("c_full"))
+          .select(
+            Fmt.trunc(sv / n, 6).as("mean_rate"),
+            Fmt.trunc(col("v_lo") + (col("v_hi") - col("v_lo")) * 0.5, 6).as("p50_rate"),
+            Fmt.trunc(sqrt(variance), 6).as("std_rate"),
+            Fmt.trunc(sqrt(variance) / (sv / n), 6).as("cv"),
+            Fmt.trunc(col("c_shortage") / n, 6).as("p_shortage"),
+            Fmt.trunc(col("c_full") / n, 6).as("p_full"),
+            n.as("n_obs"),
+            col("slice"))
+          .orderBy("slice")
+      },
       Some(enrSql +
         """SELECT floor((avg(filling_rate)) * 1e6 + 1e-6) / 1e6 AS mean_rate,
           |       floor((median(filling_rate)) * 1e6 + 1e-6) / 1e6 AS p50_rate,
