@@ -44,6 +44,9 @@ import graft.ops.Windows
   *                 — per-round keyed join + agg;
   *  - tx_quality:  token/quality/langid/fingerprint (tx1-tx3) — pure
   *                 codegen map, the linear floor the others chase;
+  *  - a_median:    per-slice exact histogram median (a1) — map-side
+  *                 combine collapses repeated values, so the shuffled
+  *                 histogram is constant-size and time grows ≪ f;
   *  - ss_brute:    exact cosine top-k of 25 broadcast queries against
   *                 the inflated corpus (ss1) — rows × queries × dim.
   *
@@ -179,6 +182,32 @@ object BenchScale {
     Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queries, "q_id", "q_vec", k = 10).count()
 
+  /** The a1 exact-median core (histogram + cumulative ranks — see
+    * a1_descriptive_stats): per-slice exact median of `value` over the
+    * inflated fact. The shape's scale claim, measured: replication
+    * repeats the same values, so the map-side partial agg collapses
+    * duplicates and the shuffled histogram stays CONSTANT-size while
+    * the scan grows ×f — time must grow ≪ f (Spark's Percentile
+    * aggregate would instead buffer a per-group count-map in one
+    * reducer task, growing that task's heap with the fact). */
+  private def aMedian(ev: DataFrame): Long = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("slice").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = ev
+      .select(explode(array((col("event_id") % 2 === 0).cast("string"), lit("all"))).as("slice"),
+        col("value").as("v"))
+      .groupBy("slice", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("slice")))
+    ranked.groupBy("slice").agg(
+      min(when(col("cum") >= floor((col("n") - 1) / 2) + 1, col("v"))).as("v_lo"),
+      min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))).as("v_hi"))
+      .agg(count(lit(1)), sum(col("v_lo") + (col("v_hi") - col("v_lo")) * 0.5))
+      .head().getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -256,6 +285,7 @@ object BenchScale {
             sum(length(col("lang"))), sum("fp"))
           .head().getLong(0)
       }, Linear),
+      ("a_median", (f: Int) => aMedian(inflateEvents(events, f)), Constant),
       ("ss_brute", (f: Int) => ssBrute(inflateEmbeddings(embeddings, f), queries25), Constant))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 

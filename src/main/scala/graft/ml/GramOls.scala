@@ -1,6 +1,6 @@
 package graft.ml
 
-import breeze.linalg.{pinv, DenseMatrix, DenseVector}
+import breeze.linalg.{svd, DenseMatrix, DenseVector}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,33 @@ import org.apache.spark.sql.functions._
   */
 object GramOls {
 
+  /** Minimum-norm least-squares solve of the (symmetric PSD) normal
+    * equations A·β = b with a RELIABLE null-space cut. A raw
+    * pseudo-inverse is scale-fragile here: gram diagonals span many
+    * orders of magnitude (a count-scaled dummy next to a squared
+    * physical feature), so a library default tolerance either truncates
+    * genuine directions or — the observed failure — keeps a roundoff
+    * null-direction singular value and explodes the coefficients to
+    * 1e15. Jacobi-equilibrate first (scale to unit diagonal), then cut
+    * singular values below 1e-8·max on the SCALED matrix, where the
+    * intrinsic correlation structure — not the units — decides: an
+    * exactly-collinear direction shows up at ~1e-13 and is cut, a
+    * merely-correlated real design stays well above the line. */
+  private[ml] def solvePsd(a: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] = {
+    val q = a.rows
+    val d = DenseVector.tabulate(q) { i =>
+      val x = a(i, i); if (x > 0.0) 1.0 / math.sqrt(x) else 1.0
+    }
+    val as = DenseMatrix.tabulate(q, q)((i, j) => a(i, j) * d(i) * d(j))
+    val bs = DenseVector.tabulate(q)(i => b(i) * d(i))
+    val svd.SVD(u, s, vt) = svd(as)
+    val cut = (if (s.size > 0) breeze.linalg.max(s) else 0.0) * 1e-8
+    val uTb = u.t * bs
+    val y = DenseVector.tabulate(s.size)(i => if (s(i) > cut) uTb(i) / s(i) else 0.0)
+    val gs = vt.t * y
+    DenseVector.tabulate(q)(i => gs(i) * d(i))
+  }
+
   /** `label ~ t1 + t2 + …` (the R-formula subset the reference uses). */
   private[ml] def parse(formula: String): (String, Seq[String]) = {
     val sides = formula.split("~")
@@ -65,6 +92,11 @@ object GramOls {
 
     val termUnion: Seq[String] = parsed.flatMap(_._2._2).distinct
     val cats = termUnion.filter(catCols)
+    cats.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"categorical column $c must be StringType (cast before the fit), " +
+          s"got ${df.schema(c).dataType}")
+    }
     val domains: Map[String, Seq[String]] =
       if (cats.isEmpty) Map.empty
       else {
@@ -74,6 +106,13 @@ object GramOls {
           c -> row.getSeq[String](i).sorted
         }.toMap
       }
+    // the gram is O(p²) driver-side: an id-like "categorical" would
+    // explode it — fail loudly with the offender, not with an OOM
+    domains.foreach { case (c, vs) =>
+      require(vs.size <= 1000,
+        s"categorical $c has ${vs.size} levels — one-hot would make the " +
+          "gram quadratic in it; bucket or drop the column first")
+    }
 
     /** A term expanded to concrete features: (term, Some(level)) is one
       * dummy of a categorical, (term, None) a numeric column. */
@@ -137,7 +176,7 @@ object GramOls {
       val q = gi.length
       val a = DenseMatrix.tabulate(q, q)((r, c) => at(gi(r), gi(c)))
       val b = DenseVector.tabulate(q)(r => at(gi(r), 1))
-      val beta = pinv(a) * b
+      val beta = solvePsd(a, b)
       val ts = feats.zipWithIndex.map {
         case ((t, Some(v)), i) => LinearScore.Cat(t, v, beta(i + 1))
         case ((t, None), i)    => LinearScore.Num(t, beta(i + 1))
