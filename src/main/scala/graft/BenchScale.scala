@@ -182,8 +182,8 @@ object BenchScale {
     Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queries, "q_id", "q_vec", k = 10).count()
 
-  /** The a1 exact-median core (histogram + cumulative ranks — see
-    * a1_descriptive_stats): per-slice exact median of `value` over the
+  /** The a1 exact-median core (ops/MedianHistogram — the SAME code the
+    * query ships): per-slice exact median of `value` over the
     * inflated fact. The shape's scale claim, measured: replication
     * repeats the same values, so the map-side partial agg collapses
     * duplicates and the shuffled histogram stays CONSTANT-size while
@@ -191,20 +191,15 @@ object BenchScale {
     * aggregate would instead buffer a per-group count-map in one
     * reducer task, growing that task's heap with the fact). */
   private def aMedian(ev: DataFrame): Long = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("slice").orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val ranked = ev
-      .select(explode(array((col("event_id") % 2 === 0).cast("string"), lit("all"))).as("slice"),
-        col("value").as("v"))
-      .groupBy("slice", "v").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(w))
-      .withColumn("n", sum("c").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("slice")))
+    val ranked = graft.ops.MedianHistogram.ranked(
+      ev.select(
+        explode(array((col("event_id") % 2 === 0).cast("string"), lit("all"))).as("slice"),
+        col("value").as("v")))
     ranked.groupBy("slice").agg(
-      min(when(col("cum") >= floor((col("n") - 1) / 2) + 1, col("v"))).as("v_lo"),
-      min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))).as("v_hi"))
-      .agg(count(lit(1)), sum(col("v_lo") + (col("v_hi") - col("v_lo")) * 0.5))
+      graft.ops.MedianHistogram.vLoAgg.as("v_lo"),
+      graft.ops.MedianHistogram.vHiAgg.as("v_hi"))
+      .agg(count(lit(1)),
+        sum(graft.ops.MedianHistogram.interpolate(col("v_lo"), col("v_hi"))))
       .head().getLong(0)
   }
 

@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * formula, the normal-equation system (AᵀA)β = Aᵀy is read off the
   * shared triangle by index selection, then solved driver-side with a
   * Moore-Penrose pseudo-inverse — p is tens, so the solve is
-  * microseconds. pinv matches the reference's statsmodels behavior on
-  * the DELIBERATELY rank-deficient M2 (statsmodels pinv-solves it
-  * silently, 01:1147; spark.ml instead fails Cholesky and retries
-  * quasi-Newton): the minimum-norm solution, finite coefficients, and
-  * the unique least-squares fitted values.
+  * microseconds. The truncated-SVD solve matches the reference's
+  * statsmodels behavior on the DELIBERATELY rank-deficient M2
+  * (statsmodels pinv-solves it silently, 01:1147; spark.ml instead
+  * fails Cholesky and retries quasi-Newton): finite coefficients and
+  * the unique least-squares fitted values (see [[solvePsd]] for the
+  * exact coefficient-basis caveat on deficient systems).
   *
   * Scale posture: the scan is a map-side kernel over codegen'd
   * indicator columns + an O(p²)-per-row triangular update (p ≈ 40 →
@@ -41,8 +42,13 @@ import org.apache.spark.sql.functions._
   */
 object GramOls {
 
-  /** Minimum-norm least-squares solve of the (symmetric PSD) normal
-    * equations A·β = b with a RELIABLE null-space cut. A raw
+  /** Least-squares solve of the (symmetric PSD) normal equations
+    * A·β = b with a RELIABLE null-space cut. On a rank-deficient system
+    * the returned coefficients are the minimum-norm solution IN THE
+    * EQUILIBRATED BASIS (not statsmodels' raw-coordinate minimum norm —
+    * collinear columns of unequal scale split their shared weight
+    * differently); the FITTED VALUES, the unique part of any LS
+    * solution and the only part consumed downstream, agree. A raw
     * pseudo-inverse is scale-fragile here: gram diagonals span many
     * orders of magnitude (a count-scaled dummy next to a squared
     * physical feature), so a library default tolerance either truncates
@@ -126,8 +132,14 @@ object GramOls {
     val featIdx: Map[(String, Option[String]), Int] =
       unionFeats.zipWithIndex.toMap
     def featCol(f: (String, Option[String])): Column = f match {
-      case (t, Some(v)) => when(col(t) === lit(v), 1.0).otherwise(0.0)
-      case (t, None)    => col(t).cast("double")
+      // null-PROPAGATING dummy: a null category must surface as a null
+      // feature so the row-skip below drops the whole row (the
+      // documented contract) — a bare when/otherwise would silently
+      // score it as the base level instead
+      case (t, Some(v)) =>
+        when(col(t).isNull, lit(null).cast("double"))
+          .when(col(t) === lit(v), 1.0).otherwise(0.0)
+      case (t, None) => col(t).cast("double")
     }
 
     // G row = [1, y, f1 … fp]; accumulate the upper triangle of GᵀG.

@@ -91,37 +91,29 @@ object RelationalQueries extends Q.Registry {
         "exactly (v_lo + 0.5·(v_hi − v_lo) at the two middle ranks).",
       (s, d) => {
         // ONE scan + ONE shuffle: expand each row to (its slice, "all")
-        // — the same Expand a ROLLUP plans — then collapse to a
-        // distinct-value histogram. Every statistic of the block is a
-        // function of (slice, v, c): moments for mean/std/cv, threshold
-        // sums for the tail probabilities, and the two middle ranks of
-        // the cumulative count for the exact median (interpolated with
-        // Percentile's own v_lo + 0.5·(v_hi − v_lo) arithmetic).
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("slice").orderBy("v")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val ranked = clean(s, d)
-          .select(explode(array(col("is_peak").cast("string"), lit("all"))).as("slice"),
-            col("filling_rate").as("v"))
-          .groupBy("slice", "v").agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum("c").over(w))
-          .withColumn("n", sum("c").over(
-            org.apache.spark.sql.expressions.Window.partitionBy("slice")))
+        // — the same Expand a ROLLUP plans — then collapse to the
+        // ops/MedianHistogram ranked histogram. Every statistic of the
+        // block is a function of (slice, v, c): moments for mean/std/
+        // cv, threshold sums for the tail probabilities, and the
+        // middle-rank values for the exact median.
+        val ranked = graft.ops.MedianHistogram.ranked(
+          clean(s, d).select(
+            explode(array(col("is_peak").cast("string"), lit("all"))).as("slice"),
+            col("filling_rate").as("v")))
         val sv = col("sv"); val svv = col("svv"); val n = col("n")
         val variance = (svv - sv * sv / n) / (n - 1)
         ranked.groupBy("slice").agg(
           sum(col("v") * col("c")).as("sv"),
           sum(col("v") * col("v") * col("c")).as("svv"),
           max(col("n")).as("n"),
-          // 0-based middle ranks ⌊(n−1)/2⌋ and ⌊n/2⌋; value at rank k =
-          // first v with cum ≥ k+1
-          min(when(col("cum") >= floor((col("n") - 1) / 2) + 1, col("v"))).as("v_lo"),
-          min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))).as("v_hi"),
+          graft.ops.MedianHistogram.vLoAgg.as("v_lo"),
+          graft.ops.MedianHistogram.vHiAgg.as("v_hi"),
           sum(when(col("v") < 0.1, col("c")).otherwise(0L)).as("c_shortage"),
           sum(when(col("v") > 0.9, col("c")).otherwise(0L)).as("c_full"))
           .select(
             Fmt.trunc(sv / n, 6).as("mean_rate"),
-            Fmt.trunc(col("v_lo") + (col("v_hi") - col("v_lo")) * 0.5, 6).as("p50_rate"),
+            Fmt.trunc(graft.ops.MedianHistogram.interpolate(
+              col("v_lo"), col("v_hi")), 6).as("p50_rate"),
             Fmt.trunc(sqrt(variance), 6).as("std_rate"),
             Fmt.trunc(sqrt(variance) / (sv / n), 6).as("cv"),
             Fmt.trunc(col("c_shortage") / n, 6).as("p_shortage"),

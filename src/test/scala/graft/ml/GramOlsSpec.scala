@@ -62,6 +62,22 @@ class GramOlsSpec extends SparkSpec {
     assert(w.length === 2 && math.abs(w(0) - w(1)) < 1e-6, w.toString)
   }
 
+  test("rows with a null categorical are skipped whole, not fitted as base level") {
+    val f = "rate ~ district + rate_lag1"
+    val withNulls = lagData.withColumn("district",
+      when(col("rate_lag1") > 0.8, lit(null)).otherwise(col("district")))
+    val onNulls = GramOls.ladder(withNulls, Seq(f), cats)(f)
+    val onFiltered = GramOls.ladder(
+      withNulls.filter(col("district").isNotNull), Seq(f), cats)(f)
+    assert(math.abs(onNulls.intercept - onFiltered.intercept) < 1e-9)
+    def key(t: LinearScore.Term): (String, String) = t match {
+      case LinearScore.Num(c, _)    => (c, "")
+      case LinearScore.Cat(c, v, _) => (c, v)
+    }
+    val a = onNulls.terms.map(t => key(t) -> t.coef).toMap
+    assert(onFiltered.terms.forall(t => math.abs(a(key(t)) - t.coef) < 1e-9))
+  }
+
   /** Spark jobs launched while `thunk` runs (AQE may split one query
     * into several jobs, so absolute counts are config-dependent — the
     * ladder invariant below compares counts instead). */
@@ -73,8 +89,21 @@ class GramOlsSpec extends SparkSpec {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try { thunk; Thread.sleep(300) } // listener bus posts asynchronously
-    finally spark.sparkContext.removeSparkListener(listener)
+    try {
+      thunk
+      // the listener bus posts asynchronously: wait until the count has
+      // been stable for 500 ms (deadline 5 s) instead of a fixed nap,
+      // so a lagging bus can't undercount one window and not the other
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = -1
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             (starts.get() != last ||
+              System.nanoTime() - stableSince < 500L * 1000 * 1000)) {
+        if (starts.get() != last) { last = starts.get(); stableSince = System.nanoTime() }
+        Thread.sleep(25)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
     starts.get()
   }
 
