@@ -1,0 +1,32 @@
+package graft
+
+/** The driver-contract surfaces run under a FOREIGN SparkSession (the
+  * driver's smoke check builds its own, with stock confs — none of the
+  * pins our mains set). This round's testdata regeneration proved the
+  * hazard class is real: stock Spark 4 infers the generator's
+  * `isAdjustedToUTC=false` timestamps as TIMESTAMP_NTZ, which the
+  * streaming layer rejects. Tables.ensureReadConfs guards that at every
+  * read entry point; this spec pins the guard from a session that
+  * deliberately carries the stock (adverse) conf values. */
+class ForeignSessionSpec extends SparkSpec {
+
+  test("entry() produces rows from a session with stock timestamp confs") {
+    val foreign = spark.newSession()
+    // simulate the driver's defaults, not our mains' pins
+    foreign.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    foreign.conf.set("spark.sql.session.timeZone", "UTC")
+    val out = SparkEntry.entry(foreign)
+    assert(out.count() > 0)
+  }
+
+  test("a streaming query type-checks and runs from a stock-conf session") {
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    foreign.conf.set("spark.sql.session.timeZone", "UTC")
+    // st1 is the watermark-sensitive path: NTZ event time would throw
+    // EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE at analysis
+    val out = SparkEntry.queries("st1_stream_watermark_dedup")(
+      foreign, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+  }
+}
