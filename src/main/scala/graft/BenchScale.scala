@@ -40,8 +40,10 @@ import graft.ops.Windows
   *  - dd_lsh:      shingle → MinHash(9) → 3-band LSH candidates →
   *                 exact-Jaccard ≥ 0.6 verify (dd3) — map-heavy plus
   *                 a band-key equi-join, never all-pairs;
-  *  - dd_groups:   connected components over the verified pairs (dd7)
-  *                 — per-round keyed join + agg;
+  *  - dd_groups:   the dd7 pipeline END-TO-END: LSH verified pairs
+  *                 (re-run, not reused from dd_lsh) + the connected-
+  *                 components rounds — its time is candidates+verify
+  *                 PLUS the per-round keyed joins;
   *  - tx_quality:  token/quality/langid/fingerprint (tx1-tx3) — pure
   *                 codegen map, the linear floor the others chase;
   *  - a_median:    per-slice exact histogram median (a1) — map-side
@@ -154,28 +156,31 @@ object BenchScale {
       .head().getLong(0)
 
   /** The dd3 verified-pairs core (k=9 sigs, 3 bands × 3, Jaccard ≥ 0.6
-    * on distinct 3-shingles) on an arbitrary (doc_id, text) frame.
-    * Returns (cached signature frame, verified pairs); the caller MUST
-    * unpersist the first once the second is consumed — at 100× the
-    * shingle-set cache is ~GB-sized and three factors would otherwise
-    * stack in executor storage. */
+    * on distinct 3-shingles) on an arbitrary (doc_id, text) frame —
+    * the SAME shape LlmQueries.verifiedPairs ships: cache ONLY the
+    * banded frame (doc_id + band keys, a few dozen bytes/doc) and
+    * recompute shingle sets per set-join arm. Caching sh_set alongside
+    * would both diverge from the measured query and pin a ~GB-sized
+    * columnar cache at 100×. Returns (cached banded frame, verified
+    * pairs); the caller MUST unpersist the first once the second is
+    * consumed so three factors don't stack in executor storage. */
   private def ddLshPairs(docs: DataFrame): (DataFrame, DataFrame) = {
-    val base = docs
+    val shingled = docs
       .withColumn("ws", TextOps.words(col("text")))
       .withColumn("sh", TextOps.wordShingles(col("ws"), 3))
-      .withColumn("sh_set", array_distinct(col("sh")))
+    val banded = shingled
       .withColumn("sig", Dedup.minhashSig(col("sh"), 9))
       .withColumn("bands", Dedup.bandKeys(col("sig"), 3, 3))
-      .select("doc_id", "sh_set", "bands")
+      .select("doc_id", "bands")
       .cache()
-    val pairs = Dedup.lshCandidatePairs(base, "doc_id", "bands")
-    val sets = base.select(col("doc_id"), col("sh_set"))
+    val pairs = Dedup.lshCandidatePairs(banded, "doc_id", "bands")
+    val sets = shingled.select(col("doc_id"), array_distinct(col("sh")).as("sh_set"))
     val verified = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), Seq("doc_b"))
       .filter(Dedup.jaccard(col("set_a"), col("set_b")) >= 0.6)
       .select("doc_a", "doc_b")
-    (base, verified)
+    (banded, verified)
   }
 
   private def ssBrute(emb: DataFrame, queries: DataFrame): Long =
@@ -294,7 +299,12 @@ object BenchScale {
       }
       // 1× runs twice (JVM/codegen/page-cache warm-up, min kept); the
       // data-dominated larger factors run once
-      val (t, n) = if (f == 1) { once(); once() } else once()
+      val (t, n) = if (f == 1) {
+        val (t1, n1) = once(); val (t2, n2) = once()
+        require(n1 == n2, s"$name 1×: row count unstable across runs ($n1 vs $n2)")
+        (math.min(t1, t2), n2) // min, as documented — a stall on either
+                               // run must not skew every committed ratio
+      } else once()
       val base = rows.get(name).flatMap(_.get(1))
       growth match {
         case Linear => base.foreach(b => require(n == b * f,

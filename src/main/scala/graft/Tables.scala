@@ -67,28 +67,25 @@ object Tables {
     * below costs a full logical→physical planning pass
     * (.rdd.getNumPartitions), which un-memoized ran again on EVERY
     * load() call of every query (driver-side, ~tens of ms each — a
-    * measurable slice of the per-query floor at toy scale). Sessions
-    * key a WEAK map so a stopped foreign session (the driver's smoke
-    * check) and its plan trees stay collectable; within a session the
-    * inner map holds ten small plan objects. Contract: the memo pins
-    * the frame's resolved file listing like prime()'s cache already
-    * does — if the data directory is regenerated mid-JVM, start a new
-    * session (what every main and the driver do anyway). */
+    * measurable slice of the per-query floor at toy scale). Retention
+    * contract, stated plainly: entries live for the JVM (a weak map
+    * would be a lie — a DataFrame strongly references its session, the
+    * value-refers-to-key cycle that defeats weak keys), bounded by
+    * (sessions used × ten small plan objects); a session-churning host
+    * calls [[clearLoadMemo]]. The memo also pins the frame's resolved
+    * file listing like prime()'s cache already does — if the data
+    * directory is regenerated mid-JVM, start a new session (what every
+    * main and the driver do anyway) or clear the memo. */
   private val loadMemo =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Drop every memoized frame (all sessions): for hosts that churn
+    * sessions in one JVM or regenerate data directories in place. */
+  def clearLoadMemo(): Unit = loadMemo.clear()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    val perSession = loadMemo.synchronized {
-      var m = loadMemo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        loadMemo.put(spark, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent((dir, name), _ => {
+    loadMemo.computeIfAbsent((spark, dir, name), _ => {
       ensureReadConfs(spark)
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       // ns → µs truncation — the same truncation DuckDB applies, so oracle

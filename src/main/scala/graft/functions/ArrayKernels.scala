@@ -198,6 +198,17 @@ object MinHashKernel {
   }
   private val Hex = "0123456789abcdef".toCharArray
 
+  /** Per-k cache of the `"j:"` seed-prefix byte arrays — a pure
+    * function of k, but [[sig]] runs once per ROW from generated code,
+    * so building k strings + byte arrays per call would be tens of
+    * millions of avoidable allocations at corpus scale. Bounded by the
+    * distinct k values used in a JVM (one or two in practice). */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, kk => Array.tabulate(kk)(j =>
+      (j.toString + ":").getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+
   private def hex32(d: Array[Byte]): UTF8String = {
     val cs = new Array[Byte](32)
     var i = 0
@@ -217,13 +228,8 @@ object MinHashKernel {
     * returns NULL). */
   def sig(shingles: ArrayData, k: Int): ArrayData = {
     val md = mdLocal.get()
-    val prefixes = new Array[Array[Byte]](k)
+    val pre = prefixes(k)
     var j = 0
-    while (j < k) {
-      prefixes(j) = (j.toString + ":")
-        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      j += 1
-    }
     val best = new Array[Array[Byte]](k)
     val tmp = new Array[Byte](16)
     val n = if (shingles == null) 0 else shingles.numElements()
@@ -234,7 +240,7 @@ object MinHashKernel {
         j = 0
         while (j < k) {
           md.reset()
-          md.update(prefixes(j))
+          md.update(pre(j))
           md.update(sBytes)
           md.digest(tmp, 0, 16)
           if (best(j) == null) best(j) = java.util.Arrays.copyOf(tmp, 16)

@@ -188,6 +188,7 @@ object Dedup {
       if (nVerts <= broadcastVertexMax) broadcast else identity
     var round = 0
     var changed = 1L
+    var done = false
     try {
       while (round < maxRounds && changed > 0) {
         val nbrMin = edges
@@ -224,8 +225,16 @@ object Dedup {
       val out = labels.select(col("doc"), col("lbl").as("group_id"))
         .localCheckpoint(true)
       releaseCheckpoint(ckpt)
+      done = true
       out
-    } finally edges.unpersist(blocking = false) // also on throw / job failure
+    } finally {
+      // on the throw path (non-convergence or a failed round job) the
+      // last round's checkpoint would otherwise stay pinned — the
+      // documented catch-and-retry-with-connectedComponentsStar flow
+      // must not accumulate one vertex-sized RDD per failed attempt
+      if (!done) releaseCheckpoint(ckpt)
+      edges.unpersist(blocking = false) // also on throw / job failure
+    }
   }
 
   /** Connected components by alternating large-star/small-star

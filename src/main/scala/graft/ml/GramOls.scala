@@ -113,7 +113,11 @@ object GramOls {
         }.toMap
       }
     // the gram is O(p²) driver-side: an id-like "categorical" would
-    // explode it — fail loudly with the offender, not with an OOM
+    // explode it. This guard fires after the (one) domain job, so it
+    // catches the declared-categorical developer error before the
+    // quadratic gram pass — a column with MILLIONS of distinct values
+    // could still stress the collect_set job itself; callers own
+    // declaring sane categoricals (the library's are district/hour)
     domains.foreach { case (c, vs) =>
       require(vs.size <= 1000,
         s"categorical $c has ${vs.size} levels — one-hot would make the " +

@@ -67,9 +67,15 @@ object IngestQueries extends Q.Registry {
     }
     var dataPlan: Option[String] = None
     while (q.isActive) {
-      if (dataPlan.isEmpty &&
-          Option(q.lastProgress).exists(_.numInputRows > 0))
-        dataPlan = Some(explainNow())
+      // explain() renders the most recent IncrementalExecution, which
+      // between polls can ALREADY be the trailing empty commit batch —
+      // so capture on every tick once any data batch has completed and
+      // keep the LARGEST rendering: the data-carrying stateful plan
+      // strictly contains the <empty>-source one
+      if (q.recentProgress.exists(_.numInputRows > 0)) {
+        val p = explainNow()
+        if (dataPlan.forall(_.length < p.length)) dataPlan = Some(p)
+      }
       Thread.sleep(20)
     }
     q.awaitTermination() // surfaces stream errors after the poll loop
