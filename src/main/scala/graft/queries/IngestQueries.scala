@@ -66,13 +66,19 @@ object IngestQueries extends Q.Registry {
       buf.toString("UTF-8")
     }
     var dataPlan: Option[String] = None
+    var lastCapturedBatch = -1L
     while (q.isActive) {
       // explain() renders the most recent IncrementalExecution, which
-      // between polls can ALREADY be the trailing empty commit batch —
-      // so capture on every tick once any data batch has completed and
-      // keep the LARGEST rendering: the data-carrying stateful plan
-      // strictly contains the <empty>-source one
-      if (q.recentProgress.exists(_.numInputRows > 0)) {
+      // by the time a batch's progress lands can ALREADY be the
+      // trailing empty commit batch — so capture once per COMPLETED
+      // batch (not per poll tick: a render costs real ms against the
+      // measured stream) and keep the LARGEST rendering: the
+      // data-carrying stateful plan strictly contains the
+      // <empty>-source one
+      val prog = q.lastProgress
+      if (prog != null && prog.batchId != lastCapturedBatch &&
+          q.recentProgress.exists(_.numInputRows > 0)) {
+        lastCapturedBatch = prog.batchId
         val p = explainNow()
         if (dataPlan.forall(_.length < p.length)) dataPlan = Some(p)
       }
