@@ -86,9 +86,18 @@ class LlmSpec extends SparkSpec {
 
   test("connectedComponents: maxRounds too small for the diameter fails loudly") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, "doc_a", "doc_b", maxRounds = 2)
     }
+    // storage discipline on the throw path: the catch-and-retry-with-
+    // star flow must not leave the last round's checkpoint (or the
+    // edges cache) pinned. unpersist is async — poll briefly.
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def leaked: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- pinnedBefore
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"pinned RDDs leaked past the failure: $leaked")
     // and the honest bound converges
     val ok = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxRounds = 10)
       .as[(Long, Long)].collect()
