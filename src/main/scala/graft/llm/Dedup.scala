@@ -339,6 +339,35 @@ object Dedup {
     }
   }
 
+  /** Benchmark-contamination check — the decontamination step every
+    * serious training-data pipeline runs before training (the C4/GPT-3
+    * recipe: drop training documents that share long word n-grams with
+    * an evaluation set, so benchmark answers don't leak into the
+    * corpus). Returns (idCol, n_shared) for every training doc sharing
+    * at least one distinct word `n`-gram with any benchmark doc.
+    *
+    * Plan shape for 100 TB: both sides explode to DISTINCT n-grams
+    * (array_distinct before the explode keeps per-doc duplicates off
+    * the wire); the benchmark side — tiny next to a training corpus by
+    * definition — deduplicates to a gram set and BROADCASTS, so the
+    * check is one map-side hash join + a groupBy on the already-
+    * filtered collision rows. No shuffle touches the corpus's full
+    * gram stream. If the benchmark outgrows broadcast range, drop the
+    * hint and the same plan degrades gracefully to a keyed shuffle
+    * join. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    def grams(c: Column): Column =
+      array_distinct(graft.llm.TextOps.wordShingles(graft.llm.TextOps.words(c), n))
+    val docGrams = docs.select(col(idCol), explode(grams(col(textCol))).as("gram"))
+    val benchGrams = bench.select(explode(grams(col(benchTextCol))).as("gram")).distinct()
+    docGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
   /** Release the executor storage pinned by a `localCheckpoint`'d frame
     * (e.g. the result of [[connectedComponents]]) once its contents are
     * consumed. Safe on any frame — non-checkpoint plans are a no-op.

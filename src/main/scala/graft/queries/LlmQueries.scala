@@ -327,6 +327,38 @@ object LlmQueries extends Q.Registry {
       (s, d) => dupGroups(s, d, Dedup.connectedComponentsStar(_, "doc_a", "doc_b")),
       Some(dupGroupsOracleSql)),
 
+    Q("dd9_contamination",
+      "Benchmark decontamination (the C4/GPT-3 pre-training step): " +
+        "flag corpus docs sharing any distinct 8-word-gram with a " +
+        "held-out evaluation set (here: every 37th base doc plays the " +
+        "benchmark). Broadcast the benchmark's gram set; one map-side " +
+        "hash join against the corpus gram stream, no corpus-wide " +
+        "shuffle. Planted near-dups of benchmark docs are guaranteed " +
+        "positives.",
+      (s, d) => {
+        val all = corpus(s, d)
+        val isBench = col("doc_id") % 37 === 0 && col("doc_id") < 1000000L
+        Dedup.contamination(
+          all.filter(!isBench), "doc_id", "text",
+          all.filter(isBench), "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some(corpusSql +
+        """g AS (
+          |  SELECT doc_id, unnest(list_distinct(
+          |    CASE WHEN len(ws) >= 8
+          |      THEN list_transform(range(1, len(ws) - 6),
+          |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] ||
+          |             ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])
+          |      ELSE [] END)) AS gram
+          |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+          |        FROM corpus)),
+          |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0 AND doc_id < 1000000)
+          |SELECT doc_id, count(DISTINCT gram) AS n_shared
+          |FROM g JOIN bg USING (gram)
+          |WHERE NOT (doc_id % 37 = 0 AND doc_id < 1000000)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("dd4_simhash_near_dup",
       "SimHash-64 near-dup: per-word bit votes packed to one long, " +
         "planted mutations detected by hamming distance <= 12. The " +

@@ -528,4 +528,28 @@ class LlmSpec extends SparkSpec {
       assert(occupied.lastOption.forall(_._2 === total), s"$lang must end at total")
     }
   }
+
+  test("contamination: flags docs overlapping the benchmark by ≥1 n-gram, counts distinct grams, misses clean docs") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("id", "text")
+    val docs = Seq(
+      // contains the benchmark's first 8-gram verbatim (plus more words)
+      (1L, "prefix words the quick brown fox jumps over the lazy dog and then some"),
+      // shares vocabulary but no 8-gram run
+      (2L, "the quick brown cat naps while the lazy dog jumps around all day"),
+      // entirely disjoint
+      (3L, "completely different content with no overlap whatsoever in any span here at all")
+    ).toDF("id", "text")
+    val out = Dedup.contamination(docs, "id", "text", bench, "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(1L) && out(1L) >= 1L, out.toString)
+    assert(!out.contains(2L) && !out.contains(3L), out.toString)
+    // a doc repeating the same contaminated gram twice still counts it once
+    val rep = Seq((9L, "the quick brown fox jumps over the lazy dog tonight and " +
+      "the quick brown fox jumps over the lazy dog tonight")).toDF("id", "text")
+    val repOut = Dedup.contamination(rep, "id", "text", bench, "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    // every 8-gram of the benchmark sentence appears in the repeat doc;
+    // distinct-counting caps n_shared at the benchmark's own gram count
+    assert(repOut(9L) >= 3L && repOut(9L) <= 20L, repOut.toString)
+  }
 }
