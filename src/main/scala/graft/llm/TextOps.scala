@@ -79,6 +79,32 @@ object TextOps {
     (lenScore + punctScore + stopScore) / lit(3.0)
   }
 
+  /** PII scrubbing (the safety-filter leg of corpus curation): regex
+    * redaction of emails / URLs / dashed phone numbers to typed
+    * placeholder tokens, plus match counts for filter thresholds. The
+    * patterns deliberately stay inside the regex subset Java and RE2
+    * evaluate identically (character classes, bounded counts, \b — no
+    * backreferences or lookaround), so the DuckDB oracle mirrors them
+    * verbatim with the 'g' flag. Pure codegen'd string kernels — a
+    * map-only stage at any scale. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\\b"
+
+  /** Emails → `<EMAIL>`, then URLs → `<URL>`, then phones → `<PHONE>`
+    * (fixed order: an email inside a URL query string is already gone
+    * when the URL pattern runs). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Match count for one PII pattern (pre-redaction). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
   /** Polynomial rolling hash over the document's characters, mod a
     * 31-bit prime: fold(0, chars)((acc, c) => (acc*31 + ascii(c)) mod p).
     * Order-sensitive → a true content fingerprint, and expressible

@@ -695,6 +695,49 @@ object LlmQueries extends Q.Registry {
           |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("tx7_redact_pii",
+      "PII scrubbing (safety-filter curation): plant deterministic " +
+        "emails/URLs/phones into each doc (same concat on both " +
+        "engines), then redact to typed placeholders and count " +
+        "matches — the regex subset Java and RE2 evaluate identically, " +
+        "so the redacted TEXT itself is hash-oracled, not just counts. " +
+        "Map-only codegen stage.",
+      (s, d) => {
+        val planted = Tables.documents(s, d).select(
+          col("doc_id"),
+          concat_ws(" ", col("text"),
+            concat(lit("contact user"), col("doc_id"), lit("@mail.example.org")),
+            concat(lit("see https://data.example.org/d/"), col("doc_id"), lit("?k=v")),
+            concat(lit("tel 02-"), lpad((col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+              lit("-"), lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"))).as("text"))
+        planted.select(
+          col("doc_id"),
+          TextOps.piiCount(col("text"), TextOps.EmailRe).as("n_emails"),
+          TextOps.piiCount(col("text"), TextOps.UrlRe).as("n_urls"),
+          TextOps.piiCount(col("text"), TextOps.PhoneRe).as("n_phones"),
+          TextOps.redactPii(col("text")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+          |  CAST(len(regexp_extract_all(text, '\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\b')) AS INT) AS n_phones,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |      'https?://[^\s]+', '<URL>', 'g'),
+          |    '\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\b', '<PHONE>', 'g') AS redacted
+          |FROM (
+          |  SELECT doc_id,
+          |         concat_ws(' ', text,
+          |           'contact user' || doc_id || '@mail.example.org',
+          |           'see https://data.example.org/d/' || doc_id || '?k=v',
+          |           'tel 02-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') ||
+          |             '-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')) AS text
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
     Q("tx4_stratified_sample",
       "Deterministic stratified quota sample (curation): up to 20 docs " +
         "per language, the hash-smallest ids — md5 order instead of " +

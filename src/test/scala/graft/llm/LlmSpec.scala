@@ -529,6 +529,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("redactPii: emails/URLs/phones become typed placeholders; clean text untouched") {
+    val out = Seq(
+      "mail a.b-c_d@ex-ample.co.uk now",
+      "go to https://x.y/z?a=1&b=2 then stop",
+      "call 02-1234-567 or 886-123-4567 today",
+      "nothing sensitive here at all",
+      "multi x@y.io and u@v.org plus http://p.q/r"
+    ).toDF("t").select(TextOps.redactPii($"t")).as[String].collect()
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "go to <URL> then stop")
+    assert(out(2) === "call <PHONE> or <PHONE> today")
+    assert(out(3) === "nothing sensitive here at all")
+    assert(out(4) === "multi <EMAIL> and <EMAIL> plus <URL>")
+    val counts = Seq("a@b.io c@d.io https://e.f 02-1111-222")
+      .toDF("t").select(
+        TextOps.piiCount($"t", TextOps.EmailRe),
+        TextOps.piiCount($"t", TextOps.UrlRe),
+        TextOps.piiCount($"t", TextOps.PhoneRe)).as[(Int, Int, Int)].head()
+    assert(counts === ((2, 1, 1)))
+  }
+
   test("contamination: flags docs overlapping the benchmark by ≥1 n-gram, counts distinct grams, misses clean docs") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("id", "text")
     val docs = Seq(
