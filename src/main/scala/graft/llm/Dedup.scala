@@ -365,7 +365,11 @@ object Dedup {
     docGrams
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(idCol)
-      .agg(countDistinct(col("gram")).as("n_shared"))
+      // plain count: (id, gram) rows are already unique — grams were
+      // array_distinct'd per doc before the explode and the broadcast
+      // side is a set, so a distinct-aggregate would re-deduplicate
+      // rows that can't repeat, doubling the aggregation state for free
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** Release the executor storage pinned by a `localCheckpoint`'d frame

@@ -83,12 +83,15 @@ object TextOps {
     * redaction of emails / URLs / dashed phone numbers to typed
     * placeholder tokens, plus match counts for filter thresholds. The
     * patterns deliberately stay inside the regex subset Java and RE2
-    * evaluate identically (character classes, bounded counts, \b — no
-    * backreferences or lookaround), so the DuckDB oracle mirrors them
-    * verbatim with the 'g' flag. Pure codegen'd string kernels — a
-    * map-only stage at any scale. */
+    * evaluate identically — explicit character classes, bounded
+    * counts, ASCII \b; no backreferences, lookaround, or \s (whose
+    * class DIFFERS across the engines: Java's includes vertical tab,
+    * RE2's does not — the URL pattern spells the whitespace set out
+    * instead) — so the DuckDB oracle mirrors them verbatim with the
+    * 'g' flag and even the redacted text hash-matches. Pure codegen'd
+    * string kernels — a map-only stage at any scale. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[^\\s]+"
+  val UrlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val PhoneRe = "\\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\\b"
 
   /** Emails → `<EMAIL>`, then URLs → `<URL>`, then phones → `<PHONE>`

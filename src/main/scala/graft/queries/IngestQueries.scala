@@ -66,21 +66,23 @@ object IngestQueries extends Q.Registry {
       buf.toString("UTF-8")
     }
     var dataPlan: Option[String] = None
-    var lastCapturedBatch = -1L
+    // the data batch scans the parquet file; the trailing empty commit
+    // batch plans a local <empty> source — this marker is what decides
+    // when the capture can stop rendering
+    def looksDataCarrying(p: String): Boolean = p.contains("FileScan")
     while (q.isActive) {
       // explain() renders the most recent IncrementalExecution, which
       // by the time a batch's progress lands can ALREADY be the
-      // trailing empty commit batch — so capture once per COMPLETED
-      // batch (not per poll tick: a render costs real ms against the
-      // measured stream) and keep the LARGEST rendering: the
-      // data-carrying stateful plan strictly contains the
-      // <empty>-source one
-      val prog = q.lastProgress
-      if (prog != null && prog.batchId != lastCapturedBatch &&
+      // trailing empty commit batch. Render per tick UNTIL a
+      // data-carrying plan is captured, then stop — bounded cost (a
+      // handful of renders) without the single-attempt-per-batch race
+      // that could permanently record the <empty>-source plan.
+      if (dataPlan.forall(!looksDataCarrying(_)) &&
           q.recentProgress.exists(_.numInputRows > 0)) {
-        lastCapturedBatch = prog.batchId
         val p = explainNow()
-        if (dataPlan.forall(_.length < p.length)) dataPlan = Some(p)
+        if (dataPlan.forall(b =>
+              looksDataCarrying(p) && !looksDataCarrying(b) || p.length > b.length))
+          dataPlan = Some(p)
       }
       Thread.sleep(20)
     }

@@ -721,12 +721,12 @@ object LlmQueries extends Q.Registry {
       Some(
         """SELECT doc_id,
           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-          |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+          |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS INT) AS n_urls,
           |  CAST(len(regexp_extract_all(text, '\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\b')) AS INT) AS n_phones,
           |  regexp_replace(
           |    regexp_replace(
           |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          |      'https?://[^\s]+', '<URL>', 'g'),
+          |      'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
           |    '\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\b', '<PHONE>', 'g') AS redacted
           |FROM (
           |  SELECT doc_id,
