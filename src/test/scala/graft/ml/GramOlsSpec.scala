@@ -62,6 +62,31 @@ class GramOlsSpec extends SparkSpec {
     assert(w.length === 2 && math.abs(w(0) - w(1)) < 1e-6, w.toString)
   }
 
+  test("randomized designs: gram fit ≡ spark.ml predictions over seeded random frames (property)") {
+    val rnd = new scala.util.Random(17)
+    val formulas = Seq(
+      "y ~ x1", "y ~ cat1 + x1", "y ~ cat1 + cat2 + x2",
+      "y ~ cat1 + cat2 + x1 + x2")
+    for (trial <- 0 until 3) {
+      val k1 = 3 + rnd.nextInt(3)
+      val k2 = 2 + rnd.nextInt(4)
+      val rows = Seq.fill(400) {
+        val c1 = rnd.nextInt(k1); val c2 = rnd.nextInt(k2)
+        val x1 = rnd.nextDouble() * 10 - 5; val x2 = rnd.nextGaussian() * 3
+        val y = 0.7 * c1 - 0.4 * c2 + 0.9 * x1 - 1.3 * x2 + rnd.nextGaussian() * 0.5
+        (s"a$c1", s"b$c2", x1, x2, y)
+      }
+      val df = rows.toDF("cat1", "cat2", "x1", "x2", "y")
+      val formula = formulas(trial % formulas.length)
+      val gram = GramOls.ladder(df, Seq(formula), Set("cat1", "cat2"))(formula)
+      val ml = Models.olsFit(df, formula)
+      val maxDiff = ml.transform(df)
+        .withColumn("p", gram.column)
+        .select(max(abs(col("p") - col("prediction")))).as[Double].head()
+      assert(maxDiff < 1e-7, s"trial $trial formula '$formula' maxDiff=$maxDiff")
+    }
+  }
+
   test("rows with a null categorical are skipped whole, not fitted as base level") {
     val f = "rate ~ district + rate_lag1"
     val withNulls = lagData.withColumn("district",
