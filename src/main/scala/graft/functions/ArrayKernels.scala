@@ -318,6 +318,87 @@ case class MinHashSig(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Runtime for [[WordNGrams]]: sliding word n-grams in one generated
+  * call. The `transform(sequence(...), i -> concat_ws(...))` HOF form
+  * it replaces evaluates every window as an interpreted lambda — the
+  * same non-codegen tax [[MinHashKernel]] removed from the signature
+  * path, here removed from shingle GENERATION (paid by every
+  * dd3/dd6/dd7/dd8/dd9 run). Semantics preserved exactly:
+  * `UTF8String.concatWs` skips null tokens like concat_ws does, a
+  * shorter-than-n (or NULL) array yields the empty array. */
+object WordNGramsKernel {
+  private val Space = UTF8String.fromString(" ")
+  private val Empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+  def grams(ws: ArrayData, n: Int): ArrayData = {
+    if (ws == null) return Empty
+    val sz = ws.numElements()
+    if (sz < n) return Empty
+    val toks = new Array[UTF8String](sz)
+    var i = 0
+    while (i < sz) {
+      toks(i) = if (ws.isNullAt(i)) null else ws.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](sz - n + 1)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i <= sz - n) {
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Sliding word n-gram expression — see [[WordNGramsKernel]]. `n` must
+  * be a foldable positive integer. */
+case class WordNGrams(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  // never NULL: short/NULL inputs yield the EMPTY array, exactly like
+  // the when(size >= n, transform(...)).otherwise(array()) composition
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StringType, _) =>
+      if (right.dataType != IntegerType || !right.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs a foldable int n, got ${right.sql}")
+      else right.eval() match {
+        case n: Int if n >= 1 => TypeCheckResult.TypeCheckSuccess
+        case n => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs n >= 1, got $n")
+      }
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> words, got ${t.catalogString}")
+  }
+
+  private lazy val nVal: Int = right.eval().asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    WordNGramsKernel.grams(left.eval(input).asInstanceOf[ArrayData], nVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, FalseLiteral}
+    val c = left.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |final $javaType ${ev.value} = graft.functions.WordNGramsKernel.grams(
+        |  ${c.isNull} ? null : ${c.value}, ${nVal.toString});
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points for the kernels. */
 object ArrayKernels {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -334,4 +415,8 @@ object ArrayKernels {
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ex(shingles),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  def wordNGrams(ws: Column, n: Int): Column =
+    ColumnBridge.column(WordNGrams(ex(ws),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
 }

@@ -17,10 +17,20 @@ object TextOps {
   /** Whitespace tokenization, lower-cased. */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Sliding word n-grams ("shingles") as strings. Empty array when the
-    * document is shorter than n (Spark's sequence() would DESCEND for
-    * stop < start, so the guard is semantic, not cosmetic). */
+  /** Sliding word n-grams ("shingles") as strings, via the native
+    * codegen'd kernel (functions/ArrayKernels.WordNGrams — the HOF
+    * form below ran every window as an interpreted lambda, the same
+    * tax the MinHash kernel removed from signatures). Empty array when
+    * the document is shorter than n. */
   def wordShingles(ws: Column, n: Int): Column =
+    graft.functions.ArrayKernels.wordNGrams(ws, n)
+
+  /** The pre-kernel HOF form — kept as the executable spec
+    * [[wordShingles]] is pinned against (TextOps/LlmSpec property
+    * test), mirroring the minhashSig/minhashSigFold pair. Spark's
+    * sequence() would DESCEND for stop < start, so the size guard is
+    * semantic, not cosmetic. */
+  private[graft] def wordShinglesFold(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       transform(sequence(lit(1), size(ws) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))

@@ -18,6 +18,27 @@ class LlmSpec extends SparkSpec {
     assert(out(2) === Seq.empty)
   }
 
+  test("wordShingles kernel ≡ HOF fold form over seeded random word arrays, incl. nulls (property)") {
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[Seq[String]] = (0 until 60).map { _ =>
+      val n = rnd.nextInt(12)
+      Seq.fill(n) {
+        if (rnd.nextInt(10) == 0) null
+        else ('a' + rnd.nextInt(5)).toChar.toString * (1 + rnd.nextInt(3))
+      }
+    } :+ Seq.empty[String] :+ Seq("only") :+ Seq(null, null, null)
+    val df = rows.toDF("ws")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val both = df.select(
+        TextOps.wordShingles($"ws", n).as("k"),
+        TextOps.wordShinglesFold($"ws", n).as("f"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.zipWithIndex.foreach { case ((k, f), i) =>
+        assert(k === f, s"n=$n row $i (${rows(i)})")
+      }
+    }
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val df = Seq((1L, "xx"), (5L, "xx"), (3L, "yy")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "text", "doc_id")
