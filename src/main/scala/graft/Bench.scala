@@ -40,7 +40,8 @@ object Bench {
     * DataFrame construction already executes jobs, so the explain dump
     * is skipped too). */
   val FitQueries: Set[String] = Set(
-    "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring", "dd7_dup_groups",
+    "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring", "x17_ols_inference",
+    "dd7_dup_groups",
     "dd8_dup_groups_star", "st1_stream_watermark_dedup",
     "st2_stream_windowed_agg", "st3_stream_stateful_counts")
 

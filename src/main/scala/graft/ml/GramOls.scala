@@ -42,6 +42,40 @@ import org.apache.spark.sql.functions._
   */
 object GramOls {
 
+  /** A fitted formula with the coefficient-level inference statsmodels'
+    * `summary()` prints (notebooks/01_youbike_analysis.ipynb:1151): the
+    * unrolled scoring terms plus everything needed for per-coefficient
+    * std errors / t-stats / p-values, all read off the SAME shared gram
+    * pass that produced the coefficients — no extra scan.
+    *
+    * Layout: index 0 of [[covDiag]]/[[wellDetermined]] is the
+    * intercept; index i+1 is `score.terms(i)`. [[covDiag]] holds the
+    * diagonal of (XᵀX)⁺ (pseudo-inverse; exact inverse on full-rank
+    * designs), so `se_j = sqrt(sigma2 * covDiag(j))`.
+    * [[wellDetermined]] is false for a coefficient whose basis
+    * direction fell in the cut null space (an exactly-collinear or
+    * constant column, x10-M2's is_weekend over the weekday-only
+    * frame): its minimum-norm coefficient is well-defined but
+    * variance-based inference is not — consumers should surface NULL,
+    * which is also what statsmodels' NaN rows communicate.
+    *
+    * [[sse]] is gram-derived (yᵀy − 2bᵀβ + βᵀAβ): algebraically equal
+    * to Σ(y−ŷ)² over the data, differing only in float-summation
+    * order. */
+  final case class OlsFit(
+      score: LinearScore,
+      covDiag: IndexedSeq[Double],
+      wellDetermined: IndexedSeq[Boolean],
+      rank: Int,
+      n: Double,
+      sse: Double) {
+    def dfResid: Double = n - rank
+    /** σ̂² = SSE / (n − rank) — statsmodels' `scale` (its df_resid also
+      * subtracts the detected rank, not the column count). */
+    def sigma2: Double = sse / dfResid
+    def stdErr(j: Int): Double = math.sqrt(sigma2 * covDiag(j))
+  }
+
   /** Least-squares solve of the (symmetric PSD) normal equations
     * A·β = b with a RELIABLE null-space cut. On a rank-deficient system
     * the returned coefficients are the minimum-norm solution IN THE
@@ -59,7 +93,19 @@ object GramOls {
     * intrinsic correlation structure — not the units — decides: an
     * exactly-collinear direction shows up at ~1e-13 and is cut, a
     * merely-correlated real design stays well above the line. */
-  private[ml] def solvePsd(a: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] = {
+  private[ml] def solvePsd(a: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] =
+    solvePsdInfer(a, b)._1
+
+  /** [[solvePsd]] plus the inference byproducts of the same SVD:
+    * (β, diag of A⁺ in the ORIGINAL basis, per-coordinate kept-subspace
+    * participation ∈ [0,1], rank). Participation is how much of basis
+    * direction j survives the singular-value cut (Σ over kept
+    * directions of U(j,·)·V(j,·)): ≈1 on a healthy coordinate, ≈0 on
+    * one locked in the null space, where covDiag collapses to ~0 and
+    * any se derived from it would be meaningless — callers gate on it
+    * (see [[OlsFit.wellDetermined]]). */
+  private[ml] def solvePsdInfer(a: DenseMatrix[Double], b: DenseVector[Double])
+      : (DenseVector[Double], DenseVector[Double], DenseVector[Double], Int) = {
     val q = a.rows
     val d = DenseVector.tabulate(q) { i =>
       val x = a(i, i); if (x > 0.0) 1.0 / math.sqrt(x) else 1.0
@@ -71,7 +117,30 @@ object GramOls {
     val uTb = u.t * bs
     val y = DenseVector.tabulate(s.size)(i => if (s(i) > cut) uTb(i) / s(i) else 0.0)
     val gs = vt.t * y
-    DenseVector.tabulate(q)(i => gs(i) * d(i))
+    val beta = DenseVector.tabulate(q)(i => gs(i) * d(i))
+    // pinv(As) = V·S⁺·Uᵀ over the kept directions; undo the Jacobi
+    // equilibration (A = D⁻¹·As·D⁻¹ ⇒ A⁺ = D·As⁺·D, exact at full
+    // rank — the deficient-basis caveat in the class scaladoc applies)
+    val rank = (0 until s.size).count(i => s(i) > cut)
+    val covDiag = DenseVector.tabulate(q) { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < s.size) {
+        if (s(i) > cut) acc += u(j, i) * vt(i, j) / s(i)
+        i += 1
+      }
+      acc * d(j) * d(j)
+    }
+    val part = DenseVector.tabulate(q) { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < s.size) {
+        if (s(i) > cut) acc += u(j, i) * vt(i, j)
+        i += 1
+      }
+      acc
+    }
+    (beta, covDiag, part, rank)
   }
 
   /** `label ~ t1 + t2 + …` (the R-formula subset the reference uses). */
@@ -90,7 +159,15 @@ object GramOls {
     * null/NaN in any union column are skipped whole, matching the
     * na.drop'd frames the callers feed in. */
   def ladder(df: DataFrame, formulas: Seq[String],
-             catCols: Set[String]): Map[String, LinearScore] = {
+             catCols: Set[String]): Map[String, LinearScore] =
+    ladderInfer(df, formulas, catCols).map { case (f, fit) => f -> fit.score }
+
+  /** [[ladder]] with per-coefficient inference ([[OlsFit]]): same one
+    * shared gram pass; the covariance diagonals, ranks and SSEs are
+    * read off each formula's sub-block of the already-accumulated
+    * triangle, so inference costs nothing extra over the data. */
+  def ladderInfer(df: DataFrame, formulas: Seq[String],
+                  catCols: Set[String]): Map[String, OlsFit] = {
     val parsed = formulas.map(f => f -> parse(f))
     val labels = parsed.map(_._2._1).distinct
     require(labels.size == 1, s"formulas must share one label, got $labels")
@@ -102,6 +179,14 @@ object GramOls {
       require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
         s"categorical column $c must be StringType (cast before the fit), " +
           s"got ${df.schema(c).dataType}")
+    }
+    // mirror guard for the numeric side: a StringType term here would
+    // cast to null double, every row would then fail the null skip, and
+    // the fit would return an all-zero gram instead of failing loudly
+    termUnion.filterNot(catCols).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"term $c must be numeric (or declared in catCols), got $dt")
     }
     val domains: Map[String, Seq[String]] =
       if (cats.isEmpty) Map.empty
@@ -192,12 +277,19 @@ object GramOls {
       val q = gi.length
       val a = DenseMatrix.tabulate(q, q)((r, c) => at(gi(r), gi(c)))
       val b = DenseVector.tabulate(q)(r => at(gi(r), 1))
-      val beta = solvePsd(a, b)
+      val (beta, covDiag, part, rank) = solvePsdInfer(a, b)
       val ts = feats.zipWithIndex.map {
         case ((t, Some(v)), i) => LinearScore.Cat(t, v, beta(i + 1))
         case ((t, None), i)    => LinearScore.Num(t, beta(i + 1))
       }
-      formula -> LinearScore(beta(0), ts)
+      // SSE off the same gram block: yᵀy − 2bᵀβ + βᵀAβ
+      val yy = at(1, 1)
+      val sse = yy - 2.0 * (b dot beta) + (beta dot (a * beta))
+      formula -> OlsFit(
+        LinearScore(beta(0), ts),
+        IndexedSeq.tabulate(q)(covDiag(_)),
+        IndexedSeq.tabulate(q)(part(_) > 0.5),
+        rank, at(0, 0), sse)
     }.toMap
   }
 }

@@ -60,16 +60,19 @@ object MlQueries extends Q.Registry {
     * first, dumps oracle_sql.json after), so the hash compare is exact
     * no matter how the fit itself behaves run-to-run. */
   private val fitMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, LinearScore]]()
-  private[queries] def fittedScore(s: SparkSession, d: String,
-                                   formula: String): LinearScore = {
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, GramOls.OlsFit]]()
+  private[queries] def fittedFit(s: SparkSession, d: String,
+                                 formula: String): GramOls.OlsFit = {
     val ladder = fitMemo.computeIfAbsent(d, _ => {
       val frame = modelFrame(s, d).cache()
-      GramOls.ladder(frame, Seq(M1F, M2F, M3F), catCols)
+      GramOls.ladderInfer(frame, Seq(M1F, M2F, M3F), catCols)
     })
     require(ladder.contains(formula), s"formula not in the fitted ladder: $formula")
     ladder(formula)
   }
+  private[queries] def fittedScore(s: SparkSession, d: String,
+                                   formula: String): LinearScore =
+    fittedFit(s, d, formula).score
 
   /** Shared (session, dir) resolution for generated-oracle thunks: Q
     * oracles take no arguments, so resolve the session (active-thread
@@ -92,6 +95,18 @@ object MlQueries extends Q.Registry {
 
   private def oracleScore(formula: String): Option[LinearScore] =
     withOracleCtx(s"'$formula'")(fittedScore(_, _, formula))
+
+  private def oracleFit(formula: String): Option[GramOls.OlsFit] =
+    withOracleCtx(s"'$formula' (inference)")(fittedFit(_, _, formula))
+
+  /** x17's term labels: statsmodels-summary row names, deterministic
+    * and identical between the Spark query and the generated oracle
+    * (`const` first like statsmodels, then `col` / `col[value]`). */
+  private def inferenceLabels(fit: GramOls.OlsFit): Seq[String] =
+    "const" +: fit.score.terms.map {
+      case graft.ml.LinearScore.Num(c, _)    => c
+      case graft.ml.LinearScore.Cat(c, v, _) => s"$c[$v]"
+    }
 
   /** x11's station×hour pivot, trunc-6 + fillna-0 — the SAME cell
     * arithmetic a3's full-oracle row proves bit-identical in DuckDB,
@@ -283,6 +298,110 @@ object MlQueries extends Q.Registry {
                    |FROM (SELECT filling_rate AS y, (${ls.sql}) AS p FROM mf)""".stripMargin
             }
             mfSql + blocks.mkString("", "\nUNION ALL\n", "\nORDER BY model")
+          }
+        }
+      }),
+
+    Q("x17_ols_inference",
+      "Coefficient-level OLS inference for the full M1/M2/M3 ladder " +
+        "(X10, the statsmodels summary() the reference prints at " +
+        "01:1151): per-coefficient std error, t-stat and two-sided " +
+        "p-value from the SAME shared gram pass that fit the ladder — " +
+        "se_j = sqrt(SSE/(n−rank) · (XᵀX)⁺_jj), p via the native " +
+        "codegen'd t_pvalue expression. The (XᵀX)⁺ diagonals and ranks " +
+        "are driver-side O(p²) byproducts of the fit (literals here, " +
+        "the x11-centroid pattern); SSE and n are computed " +
+        "DISTRIBUTED in one agg pass shared across all three models, " +
+        "so the data-dependent part of every statistic is re-derived " +
+        "over mf by both engines. The DuckDB oracle replays the " +
+        "incomplete-beta continued fraction per coefficient (x16's " +
+        "recursive CTE keyed by model|term). M2's null-space-locked " +
+        "coefficient (is_weekend_d, constant on the weekday-only " +
+        "frame) reports NULL inference on both sides — the honest " +
+        "rendering of statsmodels' NaN rows on its deliberately " +
+        "deficient design. GramOlsSpec pins se/t/p against closed-form " +
+        "and numpy-derived fixtures.",
+      (s, d) => {
+        val frame = modelFrame(s, d).cache()
+        val fits = Seq("M1" -> M1F, "M2" -> M2F, "M3" -> M3F).map {
+          case (name, f) => (name, fittedFit(s, d, f))
+        }
+        val y = col("filling_rate")
+        val aggs = fits.map { case (name, fit) =>
+          sum((y - fit.score.column) * (y - fit.score.column)).as(s"sse_$name")
+        } :+ count(lit(1)).cast("double").as("n")
+        val rows = fits.flatMap { case (name, fit) =>
+          val labels = inferenceLabels(fit)
+          val coefs = fit.score.intercept +: fit.score.terms.map(_.coef)
+          labels.indices.map { j =>
+            val dfRes = col("n") - lit(fit.rank.toDouble)
+            val nullD = lit(null).cast("double")
+            val (seC, tC, pC) =
+              if (fit.wellDetermined(j)) {
+                val se = sqrt(col(s"sse_$name") / dfRes * lit(fit.covDiag(j)))
+                val t = lit(coefs(j)) / se
+                (Fmt.t6(se), Fmt.t6(t),
+                  Fmt.t6(graft.functions.PValues.t(t, dfRes)))
+              } else (nullD, nullD, nullD)
+            struct(
+              lit(name).as("model"),
+              lit(labels(j)).as("term"),
+              Fmt.t6(lit(coefs(j))).as("coef"),
+              seC.as("std_err"),
+              tC.as("t_stat"),
+              pC.as("p_value"),
+              dfRes.cast("long").as("df_resid"))
+          }
+        }
+        frame.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rows: _*)).as("r"))
+          .select(col("r.model"), col("r.term"), col("r.coef"),
+            col("r.std_err"), col("r.t_stat"), col("r.p_value"),
+            col("r.df_resid"))
+          .orderBy("model", "term")
+      },
+      oracleFit(M1F).flatMap { f1 =>
+        oracleFit(M2F).flatMap { f2 =>
+          oracleFit(M3F).map { f3 =>
+            val fits = Seq("M1" -> f1, "M2" -> f2, "M3" -> f3)
+            val fitstats = fits.map { case (name, fit) =>
+              s"""SELECT '$name' AS model, sum((y - p)*(y - p)) AS sse,
+                 |       CAST(count(*) AS DOUBLE) AS n
+                 |FROM (SELECT filling_rate AS y, (${fit.score.sql}) AS p FROM mf)""".stripMargin
+            }.mkString("", "\nUNION ALL\n", "")
+            val coefRows = fits.flatMap { case (name, fit) =>
+              val labels = inferenceLabels(fit)
+              val coefs = fit.score.intercept +: fit.score.terms.map(_.coef)
+              labels.indices.map { j =>
+                val cjj =
+                  if (fit.wellDetermined(j)) s"CAST(${fit.covDiag(j)} AS DOUBLE)"
+                  else "CAST(NULL AS DOUBLE)"
+                s"('$name', '${labels(j)}', CAST(${coefs(j)} AS DOUBLE), $cjj, ${fit.rank})"
+              }
+            }.mkString(",\n    ")
+            mfSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+              s""", fitstats AS (
+                 |$fitstats),
+                 |coefs(model, term, coef, cjj, rnk) AS (VALUES
+                 |    $coefRows),
+                 |tst AS (
+                 |  SELECT c.model || '|' || c.term AS kid, c.model, c.term, c.coef,
+                 |         sqrt(f.sse / (f.n - c.rnk) * c.cjj) AS se,
+                 |         CASE WHEN c.cjj IS NULL THEN CAST(0.0 AS DOUBLE)
+                 |              ELSE c.coef / sqrt(f.sse / (f.n - c.rnk) * c.cjj) END AS t_stat,
+                 |         f.n - c.rnk AS df
+                 |  FROM coefs c JOIN fitstats f USING (model)),
+                 |${StatsQueries.tPvalueCfSql("kid")}
+                 |SELECT t.model, t.term,
+                 |       ${Fmt.sql6("t.coef")} AS coef,
+                 |       ${Fmt.sql6("t.se")} AS std_err,
+                 |       CASE WHEN t.se IS NULL THEN NULL
+                 |            ELSE ${Fmt.sql6("t.t_stat")} END AS t_stat,
+                 |       CASE WHEN t.se IS NULL THEN NULL
+                 |            ELSE ${Fmt.sql6("pv.p")} END AS p_value,
+                 |       CAST(t.df AS BIGINT) AS df_resid
+                 |FROM tst t JOIN pv USING (kid)
+                 |ORDER BY model, term""".stripMargin
           }
         }
       }),

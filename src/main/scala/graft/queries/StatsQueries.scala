@@ -54,23 +54,25 @@ object StatsQueries extends Q.Registry {
     * carried `done` flag so converged rows stop updating while the
     * recursion pads to the Scala loop's m < 500 cap). Only `front` (exp/ln/
     * lgamma — DuckDB's libm vs the JVM's, ~1e-13 rel) differs, far
-    * inside the 1e-6 output truncation. Produces `pv(district, p)`.
+    * inside the 1e-6 output truncation. Reads `tst(<key>, t_stat, df)`
+    * and produces `pv(<key>, p)` — `key` names the row-identity column
+    * (x16 keys per district, x17 per model|term coefficient).
     * Prototype validation: 6 (t, df) shapes vs the Scala math at rel
     * ≤ 2.3e-13. */
-  private val tPvalueCfSql: String =
-    """args AS (
-      |  SELECT district, df/(df + t_stat*t_stat) AS x0, df/2.0 AS a0,
+  private[queries] def tPvalueCfSql(key: String): String =
+    s"""args AS (
+      |  SELECT $key, df/(df + t_stat*t_stat) AS x0, df/2.0 AS a0,
       |         CAST(0.5 AS DOUBLE) AS b0
       |  FROM tst),
       |sel AS (
-      |  SELECT district, x0, a0, b0,
+      |  SELECT $key, x0, a0, b0,
       |         x0 < (a0 + 1.0)/(a0 + b0 + 2.0) AS direct,
       |         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN x0 ELSE 1.0 - x0 END AS x,
       |         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN a0 ELSE b0 END AS a,
       |         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN b0 ELSE a0 END AS b
       |  FROM args WHERE x0 > 0.0 AND x0 < 1.0),
       |cf AS (
-      |  SELECT district, x, a, b, 1 AS m, CAST(1.0 AS DOUBLE) AS c,
+      |  SELECT $key, x, a, b, 1 AS m, CAST(1.0 AS DOUBLE) AS c,
       |         1.0 / (CASE WHEN abs(1.0 - (a+b)*x/(a+1.0)) < 1e-300 THEN 1e-300
       |                     ELSE 1.0 - (a+b)*x/(a+1.0) END) AS d,
       |         1.0 / (CASE WHEN abs(1.0 - (a+b)*x/(a+1.0)) < 1e-300 THEN 1e-300
@@ -78,7 +80,7 @@ object StatsQueries extends Q.Registry {
       |         FALSE AS done
       |  FROM sel
       |  UNION ALL
-      |  SELECT district, x, a, b, m + 1,
+      |  SELECT $key, x, a, b, m + 1,
       |         CASE WHEN done THEN c ELSE cB END,
       |         CASE WHEN done THEN d ELSE dBi END,
       |         CASE WHEN done THEN h ELSE hB END,
@@ -97,9 +99,9 @@ object StatsQueries extends Q.Registry {
       |      dBi*cB AS delB,
       |      hA * delB AS hB
       |    FROM cf WHERE m < 500)),
-      |cffinal AS (SELECT district, h FROM cf WHERE m = 500),
+      |cffinal AS (SELECT $key, h FROM cf WHERE m = 500),
       |pv AS (
-      |  SELECT t.district,
+      |  SELECT t.$key,
       |         COALESCE(
       |           CASE WHEN s.direct
       |                THEN exp(s.a0*ln(s.x0) + s.b0*ln(1.0 - s.x0)
@@ -111,8 +113,8 @@ object StatsQueries extends Q.Registry {
       |           CASE WHEN t.df/(t.df + t.t_stat*t.t_stat) >= 1.0 THEN 1.0
       |                WHEN t.df/(t.df + t.t_stat*t.t_stat) <= 0.0 THEN 0.0 END) AS p
       |  FROM tst t
-      |  LEFT JOIN sel s ON t.district = s.district
-      |  LEFT JOIN cffinal f ON t.district = f.district)
+      |  LEFT JOIN sel s ON t.$key = s.$key
+      |  LEFT JOIN cffinal f ON t.$key = f.$key)
       |""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -273,7 +275,7 @@ object StatsQueries extends Q.Registry {
           |  SELECT district, n, (mean - 0.3) / sem AS t_stat,
           |         CAST(n AS DOUBLE) - 1.0 AS df
           |  FROM gstats),
-          |""".stripMargin + tPvalueCfSql +
+          |""".stripMargin + tPvalueCfSql("district") +
         """SELECT t.district, t.n,
           |       floor(t.t_stat * 1e6 + 1e-6) / 1e6 AS t_stat,
           |       floor(pv.p * 1e6 + 1e-6) / 1e6 AS p_value

@@ -87,6 +87,101 @@ class GramOlsSpec extends SparkSpec {
     }
   }
 
+  test("coefficient inference matches an independent numpy fixture (se/t) and the closed-form t3 CDF (p)") {
+    // fixture: numpy lstsq + analytic sigma2·inv(XᵀX) diagonals on this
+    // exact 6-row frame (statsmodels' summary runs the same arithmetic);
+    // p re-derived IN THIS TEST from the closed-form Student-t CDF at
+    // df=3 — F(t) = 1/2 + (atan(x) + x/(1+x²))/π with x = t/√3 — so the
+    // p chain is pinned against something other than our own regBeta
+    val df = Seq(
+      (1.0, 2.0, 1.2), (2.0, 1.0, 1.9), (3.0, 4.0, 3.2),
+      (4.0, 3.0, 3.9), (5.0, 6.0, 5.3), (6.0, 5.0, 5.9))
+      .toDF("x1", "x2", "y")
+    val f = "y ~ x1 + x2"
+    val fit = GramOls.ladderInfer(df, Seq(f), Set.empty)(f)
+    assert(fit.rank === 3)
+    assert(fit.n === 6.0)
+    assert(math.abs(fit.sse - 0.004166666666666629) < 1e-12)
+    val expected = Seq( // (coef, se, t) per numpy; row 0 = intercept
+      (0.022916666666667473, 0.03598401780008766, 0.6368568066518587),
+      (0.8395833333333337, 0.015911721163041043, 52.765085859063205),
+      (0.17291666666666677, 0.015911721163041046, 10.867250933752471))
+    val coefs = fit.score.intercept +: fit.score.terms.map(_.coef)
+    expected.zipWithIndex.foreach { case ((b, se, t), j) =>
+      assert(fit.wellDetermined(j), s"coef $j")
+      assert(math.abs(coefs(j) - b) < 1e-9, s"coef $j")
+      assert(math.abs(fit.stdErr(j) - se) < 1e-9, s"se $j")
+      val tj = coefs(j) / fit.stdErr(j)
+      assert(math.abs(tj - t) < 1e-6, s"t $j")
+      val x = math.abs(tj) / math.sqrt(3.0)
+      val pClosed = 2.0 * (1.0 - (0.5 + (math.atan(x) + x / (1 + x * x)) / math.Pi))
+      val pEngine = graft.stats.Distributions.tTwoSidedP(tj, fit.dfResid)
+      assert(math.abs(pEngine - pClosed) < 1e-12, s"p $j: $pEngine vs $pClosed")
+    }
+  }
+
+  test("coefficient inference matches spark.ml's normal-solver summary (numeric design)") {
+    // numeric-only formula: the dummy BASIS differs for categoricals
+    // (documented), but on a pure-numeric design every per-coefficient
+    // quantity is basis-free and must agree with spark.ml's
+    // LinearRegressionTrainingSummary (which wraps the same WLS math
+    // statsmodels runs)
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(300) {
+      val x1 = rnd.nextDouble() * 4 - 2
+      val x2 = rnd.nextGaussian()
+      (x1, x2, 1.5 + 0.8 * x1 - 0.6 * x2 + rnd.nextGaussian() * 0.7)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val f = "y ~ x1 + x2"
+    val fit = GramOls.ladderInfer(df, Seq(f), Set.empty)(f)
+    val summary = Models.lrStage(Models.olsFit(df, f)).summary
+    // spark.ml order: coefficients first, intercept LAST
+    val mlSe = summary.coefficientStandardErrors
+    val mlT = summary.tValues
+    val mlP = summary.pValues
+    val gramSe = (1 to 2).map(fit.stdErr) :+ fit.stdErr(0)
+    val gramCoef = fit.score.terms.map(_.coef) :+ fit.score.intercept
+    gramSe.zipWithIndex.foreach { case (se, i) =>
+      assert(math.abs(se - mlSe(i)) < 1e-8, s"se $i: $se vs ${mlSe(i)}")
+      val t = gramCoef(i) / se
+      assert(math.abs(t - mlT(i)) < 1e-6, s"t $i")
+      val p = graft.stats.Distributions.tTwoSidedP(t, fit.dfResid)
+      assert(math.abs(p - mlP(i)) < 1e-8, s"p $i")
+    }
+  }
+
+  test("null-space-locked coefficient: wellDetermined=false, healthy coefficients unaffected") {
+    // the x10-M2 shape: a constant-zero column contributes nothing —
+    // its direction is cut, rank drops by one, inference on it is
+    // undefined; everything else matches the fit without the column
+    val df = lagData.withColumn("dead", lit(0.0))
+    val fDead = "rate ~ district + rate_lag1 + dead"
+    val fBase = "rate ~ district + rate_lag1"
+    val dead = GramOls.ladderInfer(df, Seq(fDead), cats)(fDead)
+    val base = GramOls.ladderInfer(df, Seq(fBase), cats)(fBase)
+    assert(dead.rank === base.rank)
+    assert(dead.dfResid === base.dfResid)
+    val deadIdx = dead.score.terms.indexWhere {
+      case LinearScore.Num("dead", _) => true; case _ => false
+    } + 1
+    assert(!dead.wellDetermined(deadIdx))
+    assert(dead.wellDetermined.zipWithIndex.forall {
+      case (ok, j) => ok || j == deadIdx
+    })
+    // healthy coefficients and their ses agree with the reduced fit
+    assert(math.abs(dead.stdErr(0) - base.stdErr(0)) < 1e-9)
+    assert(math.abs(dead.score.intercept - base.score.intercept) < 1e-9)
+    assert(math.abs(dead.sse - base.sse) < 1e-9)
+  }
+
+  test("a StringType term outside catCols fails loudly, not as an all-null fit") {
+    val e = intercept[IllegalArgumentException] {
+      GramOls.ladder(lagData, Seq("rate ~ district + station"), Set("district"))
+    }
+    assert(e.getMessage.contains("station"))
+  }
+
   test("rows with a null categorical are skipped whole, not fitted as base level") {
     val f = "rate ~ district + rate_lag1"
     val withNulls = lagData.withColumn("district",
