@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     "x12_minmax_scale",   // rows × one-row min/max frame
     "x13_minmax_roundtrip",
     "x15_scoring",        // rows × one-row fitted-coefficient frame
+    "x17_ols_inference",  // same model frame as x10/x15 (station × 3-row MRT cross)
     "x5_anova_eta",       // groups × one-row grand-mean frame
     "x6_tukey",           // pairs × one-row MSW frame
     "x7_chi2_cramer",     // grid completion: distinct rows × distinct cols

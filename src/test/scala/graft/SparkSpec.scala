@@ -21,6 +21,13 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // fail tests on ANY encoder/expression codegen compile failure
+    // instead of Spark's default silent interpreted fallback — a
+    // Janino error in a native expression or encoder would otherwise
+    // hide in megabytes of log while quietly dropping the codegen
+    // path the library's performance claims rest on (production
+    // sessions keep the default FALLBACK behavior)
+    .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

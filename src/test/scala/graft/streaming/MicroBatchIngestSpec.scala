@@ -14,9 +14,8 @@ import graft.SparkSpec
   * equals the batch-mode semantics (DISTINCT on the unique key;
   * insert-only dims). */
 class MicroBatchIngestSpec extends SparkSpec {
+  import MicroBatchIngestSpec.Fact
   import spark.implicits._
-
-  private case class Fact(station_no: String, record_time: Timestamp, bikes: Int)
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
@@ -126,4 +125,14 @@ class MicroBatchIngestSpec extends SparkSpec {
     val finalCounts = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     assert(finalCounts === Map("s1" -> 3L, "s2" -> 1L))
   }
+}
+
+object MicroBatchIngestSpec {
+  /** Top-level on purpose: nested in the suite class, Spark's encoder
+    * codegen cannot invoke the accessors (Janino `No applicable
+    * constructor/method found ... Fact.station_no()`) and silently
+    * falls back to interpreted mode — noise that would mask a real
+    * codegen regression, and a hard failure now that SparkSpec runs
+    * CODEGEN_ONLY. */
+  final case class Fact(station_no: String, record_time: Timestamp, bikes: Int)
 }
