@@ -84,6 +84,14 @@ object Bench {
     // "fit" (fit query under budget pressure: one run), "degraded"
     // (budget spent: one cold run)
     val modes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // every MEASURED execution's seconds per query (warm-ups excluded),
+    // emitted as "iters_s" in the rich artifact: the committed number is
+    // the mode's aggregate (min/median), and without the raw samples a
+    // host-steal spike inside one run is indistinguishable from a
+    // structural regression when rounds are compared (the r6 a1
+    // 3.56-vs-1.23 s driver/local split was diagnosable only from
+    // separately-committed local history)
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
 
     def js(s: String): String =
       "\"" + s.flatMap {
@@ -118,7 +126,13 @@ object Bench {
         else "\"modes\":" + rs.map { case (k, _) =>
           s"${js(k)}:${js(modes.getOrDefault(k, "unknown"))}"
         }.mkString("{", ",", "},")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":${js(sfDir)},"iters":$iters,"partial":$partial,$modeJson"errors":$errJson}"""
+      val itersJson =
+        if (!rich) ""
+        else "\"iters_s\":" + rs.map { case (k, _) =>
+          val ss = samples.getOrDefault(k, Seq.empty)
+          s"${js(k)}:${ss.map(_.toString).mkString("[", ",", "]")}"
+        }.mkString("{", ",", "},")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":${js(sfDir)},"iters":$iters,"partial":$partial,$modeJson$itersJson"errors":$errJson}"""
     }
 
     // The JSON line on stdout gets interleaved with sbt log noise on
@@ -177,19 +191,25 @@ object Bench {
           }
           if (isFit && !degraded) {
             modes.put(name, "fitmed3")
-            Seq.fill(3) {
+            val runs = Seq.fill(3) {
               if (RefitQueries(name)) queries.MlQueries.resetFitMemos()
               once()
-            }.sorted.apply(1)
+            }
+            samples.put(name, runs)
+            runs.sorted.apply(1)
           } else if (isFit || degraded) {
             modes.put(name, if (isFit) "fit" else "degraded")
-            once()
+            val run = once()
+            samples.put(name, Seq(run))
+            run
           } else {
             val warm = once() // warm-up: codegen + JIT + cache fill
             // a slow warm-up means iterations are expensive — cap at one
             val n = if (warm > 5.0) 1 else math.max(1, iters)
             modes.put(name, if (n == 1) "single" else s"min$n")
-            Seq.fill(n)(once()).min
+            val runs = Seq.fill(n)(once())
+            samples.put(name, runs)
+            runs.min
           }
         } catch {
           case e: Throwable =>

@@ -75,9 +75,21 @@ object Tables {
     * calls [[clearLoadMemo]]. The memo also pins the frame's resolved
     * file listing like prime()'s cache already does — if the data
     * directory is regenerated mid-JVM, start a new session (what every
-    * main and the driver do anyway) or clear the memo. */
+    * main and the driver do anyway) or clear the memo. The retention
+    * bound is additionally self-enforcing for DEAD sessions: every
+    * [[load]] sweeps entries whose SparkContext has stopped (a few map
+    * probes over tens of entries), so a host that churns per-test
+    * sessions (ForeignSessionSpec's newSession pattern) cannot
+    * accumulate frames for sessions that can no longer run them. */
   private val loadMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Drop memo entries owned by stopped sessions (see retention note
+    * above). A stopped context can never execute its frames again, so
+    * eviction is always safe; `removeIf` on the concurrent view is
+    * atomic per entry. */
+  private def sweepStoppedSessions(): Unit =
+    loadMemo.keySet.removeIf { case (s, _, _) => s.sparkContext.isStopped }
 
   /** Drop every memoized frame (all sessions): for hosts that churn
     * sessions in one JVM or regenerate data directories in place. */
@@ -85,6 +97,7 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
+    sweepStoppedSessions()
     loadMemo.computeIfAbsent((spark, dir, name), _ => {
       ensureReadConfs(spark)
       val raw = spark.read.parquet(s"$dir/$name.parquet")

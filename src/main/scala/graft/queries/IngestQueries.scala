@@ -80,14 +80,27 @@ object IngestQueries extends Q.Registry {
       if (dataPlan.forall(!looksDataCarrying(_)) &&
           q.recentProgress.exists(_.numInputRows > 0)) {
         val p = explainNow()
+        // prefer data-carrying over not; between two plans of the same
+        // kind keep the longer (more complete) render — spelled out so
+        // the length arm can't read as accidentally preferring a long
+        // <empty>-source render over a short data-carrying one
         if (dataPlan.forall(b =>
-              looksDataCarrying(p) && !looksDataCarrying(b) || p.length > b.length))
+              (looksDataCarrying(p) && !looksDataCarrying(b)) ||
+                (looksDataCarrying(p) == looksDataCarrying(b) && p.length > b.length)))
           dataPlan = Some(p)
       }
       Thread.sleep(20)
     }
     q.awaitTermination() // surfaces stream errors after the poll loop
-    lastStreamPlan = Some(dataPlan.getOrElse(explainNow()))
+    val captured = dataPlan.getOrElse(explainNow())
+    // a silent <empty>-source capture would hand plan-audit consumers a
+    // plan with no FileScan and no hint anything went wrong — say so
+    if (!looksDataCarrying(captured))
+      System.err.println(
+        "[IngestQueries] captured stream plan is NOT data-carrying (no " +
+          "FileScan): the stream terminated before a data batch rendered; " +
+          "lastStreamPlan holds the trailing <empty>-source batch")
+    lastStreamPlan = Some(captured)
     s.table(sink)
   }
 

@@ -88,7 +88,13 @@ object RelationalQueries extends Q.Registry {
         "in the block — while the histogram shape keeps the heavy " +
         "aggregation codegen'd, shuffles only (slice × distinct value) " +
         "rows, and reproduces Percentile's interpolation arithmetic " +
-        "exactly (v_lo + 0.5·(v_hi − v_lo) at the two middle ranks).",
+        "exactly (v_lo + 0.5·(v_hi − v_lo) at the two middle ranks). " +
+        "Skewness/excess kurtosis (imported-but-unused in the " +
+        "reference, 01:264 — SURVEY §2.5 note) use the POPULATION " +
+        "definitions (Spark's skewness/kurtosis builtins), computed " +
+        "from explicit power sums on both sides: the builtins " +
+        "themselves disagree cross-engine (DuckDB's are " +
+        "bias-adjusted sample estimators, ~1e-4 off at n=10k).",
       (s, d) => {
         // ONE scan + ONE shuffle: expand each row to (its slice, "all")
         // — the same Expand a ROLLUP plans — then collapse to the
@@ -102,9 +108,19 @@ object RelationalQueries extends Q.Registry {
             col("filling_rate").as("v")))
         val sv = col("sv"); val svv = col("svv"); val n = col("n")
         val variance = (svv - sv * sv / n) / (n - 1)
+        // population central moments from the power sums, the identical
+        // expression tree the oracle spells out over raw rows
+        val mu = sv / n
+        val m2 = svv / n - mu * mu
+        val m3 = col("svvv") / n - lit(3.0) * mu * (svv / n) +
+          lit(2.0) * mu * mu * mu
+        val m4 = col("svvvv") / n - lit(4.0) * mu * (col("svvv") / n) +
+          lit(6.0) * mu * mu * (svv / n) - lit(3.0) * mu * mu * mu * mu
         ranked.groupBy("slice").agg(
           sum(col("v") * col("c")).as("sv"),
           sum(col("v") * col("v") * col("c")).as("svv"),
+          sum(col("v") * col("v") * col("v") * col("c")).as("svvv"),
+          sum(col("v") * col("v") * col("v") * col("v") * col("c")).as("svvvv"),
           max(col("n")).as("n"),
           graft.ops.MedianHistogram.vLoAgg.as("v_lo"),
           graft.ops.MedianHistogram.vHiAgg.as("v_hi"),
@@ -116,6 +132,8 @@ object RelationalQueries extends Q.Registry {
               col("v_lo"), col("v_hi")), 6).as("p50_rate"),
             Fmt.trunc(sqrt(variance), 6).as("std_rate"),
             Fmt.trunc(sqrt(variance) / (sv / n), 6).as("cv"),
+            Fmt.trunc(m3 / sqrt(m2 * m2 * m2), 6).as("skew_rate"),
+            Fmt.trunc(m4 / (m2 * m2) - 3.0, 6).as("kurt_rate"),
             Fmt.trunc(col("c_shortage") / n, 6).as("p_shortage"),
             Fmt.trunc(col("c_full") / n, 6).as("p_full"),
             n.as("n_obs"),
@@ -123,16 +141,34 @@ object RelationalQueries extends Q.Registry {
           .orderBy("slice")
       },
       Some(enrSql +
-        """SELECT floor((avg(filling_rate)) * 1e6 + 1e-6) / 1e6 AS mean_rate,
-          |       floor((median(filling_rate)) * 1e6 + 1e-6) / 1e6 AS p50_rate,
-          |       floor((stddev_samp(filling_rate)) * 1e6 + 1e-6) / 1e6 AS std_rate,
-          |       floor((stddev_samp(filling_rate) / avg(filling_rate)) * 1e6 + 1e-6) / 1e6 AS cv,
-          |       floor((avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END)) * 1e6 + 1e-6) / 1e6 AS p_shortage,
-          |       floor((avg(CASE WHEN filling_rate > 0.9 THEN 1.0 ELSE 0.0 END)) * 1e6 + 1e-6) / 1e6 AS p_full,
-          |       count(*) AS n_obs,
-          |       CASE WHEN GROUPING(is_peak) = 1 THEN 'all'
-          |            ELSE CAST(is_peak AS VARCHAR) END AS slice
-          |FROM clean GROUP BY ROLLUP(is_peak)
+        """SELECT floor((mean) * 1e6 + 1e-6) / 1e6 AS mean_rate,
+          |       floor((med) * 1e6 + 1e-6) / 1e6 AS p50_rate,
+          |       floor((sd) * 1e6 + 1e-6) / 1e6 AS std_rate,
+          |       floor((sd / mean) * 1e6 + 1e-6) / 1e6 AS cv,
+          |       floor((m3 / sqrt(m2*m2*m2)) * 1e6 + 1e-6) / 1e6 AS skew_rate,
+          |       floor((m4 / (m2*m2) - 3.0) * 1e6 + 1e-6) / 1e6 AS kurt_rate,
+          |       floor((p_sh) * 1e6 + 1e-6) / 1e6 AS p_shortage,
+          |       floor((p_fu) * 1e6 + 1e-6) / 1e6 AS p_full,
+          |       n_obs, slice
+          |FROM (
+          |  SELECT *,
+          |         s2/n0 - mu*mu AS m2,
+          |         s3/n0 - 3.0*mu*(s2/n0) + 2.0*mu*mu*mu AS m3,
+          |         s4/n0 - 4.0*mu*(s3/n0) + 6.0*mu*mu*(s2/n0) - 3.0*mu*mu*mu*mu AS m4
+          |  FROM (
+          |    SELECT avg(filling_rate) AS mean, median(filling_rate) AS med,
+          |           stddev_samp(filling_rate) AS sd,
+          |           avg(CASE WHEN filling_rate < 0.1 THEN 1.0 ELSE 0.0 END) AS p_sh,
+          |           avg(CASE WHEN filling_rate > 0.9 THEN 1.0 ELSE 0.0 END) AS p_fu,
+          |           count(*) AS n_obs,
+          |           CAST(count(*) AS DOUBLE) AS n0,
+          |           sum(filling_rate) / CAST(count(*) AS DOUBLE) AS mu,
+          |           sum(filling_rate*filling_rate) AS s2,
+          |           sum(filling_rate*filling_rate*filling_rate) AS s3,
+          |           sum(filling_rate*filling_rate*filling_rate*filling_rate) AS s4,
+          |           CASE WHEN GROUPING(is_peak) = 1 THEN 'all'
+          |                ELSE CAST(is_peak AS VARCHAR) END AS slice
+          |    FROM clean GROUP BY ROLLUP(is_peak)))
           |ORDER BY slice""".stripMargin)),
 
     Q("a2_lineitem_group_stats",
