@@ -79,6 +79,69 @@ class ScheduledEtlSpec extends SparkSpec {
     assert(sink.facts.synchronized { sink.facts.sorted } === Seq("s0", "s0", "s1", "s2"))
   }
 
+  /** Scaffold for the restart-replay pair below: file-source ticks (a
+    * MemoryStream purges committed batches, so it cannot re-serve a
+    * replayed batch after restart — files can), one fixed record per
+    * fetch, and a simulated crash in the documented at-least-once
+    * window: offsets/0 written, the ENGINE's commits/0 removed, so the
+    * restarted query must re-fire batch 0. Returns the fact sink after
+    * [run tick 0 → stop → crash-window → restart → drain]. */
+  private def replayScenario(
+      tag: String,
+      commitLog: Option[ScheduledEtl.BatchCommitLog],
+      ckpt: java.nio.file.Path): MemSink = {
+    val tickDir = java.nio.file.Files.createTempDirectory(s"graft-ticks-$tag")
+    def addTick(n: Int): Unit =
+      java.nio.file.Files.writeString(tickDir.resolve(s"t$n.txt"), s"$n\n")
+    def ticks = spark.readStream.format("text").load(tickDir.toString)
+    val sink = new MemSink
+    def fetch(): Dataset[String] =
+      Seq(record("s0", "2025-12-10 15:01:00")).toDS()
+    def startQuery() = ScheduledEtl.start(spark, () => fetch(), sink.sinks,
+      interval = "0 seconds", attempts = 1, backoffMs = 1,
+      ticks = Some(ticks), checkpointDir = Some(ckpt.toString),
+      commitLog = commitLog)
+
+    val q1 = startQuery()
+    addTick(1)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(sink.facts.synchronized(sink.facts.toSeq) === Seq("s0"), tag)
+
+    // crash window: the engine logged the batch's offsets but died
+    // before its commit marker — restart recovery re-runs batch 0.
+    // Hadoop's checksummed local FS shadows every log file with a
+    // .N.crc; leave it behind and the replay's commit re-add fails its
+    // atomic rename (FileAlreadyExists on the crc), so a faithful
+    // crash simulation removes both
+    assert(java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("0")),
+      s"$tag: engine commit file for batch 0 expected")
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc"))
+    val q2 = startQuery()
+    q2.processAllAvailable() // drains the replayed batch 0
+    q2.stop()
+    sink
+  }
+
+  test("restart replay WITH the batchId commit log: the replayed tick is a no-op (exactly-once)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-etl-ckpt-eo")
+    val log = new ScheduledEtl.FileBatchCommitLog(ckpt.resolve("tick-commits"))
+    val sink = replayScenario("eo", Some(log), ckpt)
+    assert(log.isCommitted(0L))
+    // batch 0 re-fired after restart, the adapter skipped it whole
+    assert(sink.facts.synchronized(sink.facts.toSeq) === Seq("s0"),
+      "replayed tick must not append twice")
+  }
+
+  test("restart replay WITHOUT a commit log duplicates the tick (the documented at-least-once baseline)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-etl-ckpt-alo")
+    val sink = replayScenario("alo", None, ckpt)
+    // same scenario, no adapter: the replay re-runs runOnce and the
+    // facts append duplicates — the exact gap the commit log closes
+    assert(sink.facts.synchronized(sink.facts.toSeq) === Seq("s0", "s0"),
+      "expected the at-least-once duplicate")
+  }
+
   test("a tick that exhausts retries fails the query loudly, not a silent skip") {
     implicit val sqlCtx = spark.sqlContext
     val tickSrc = MemoryStream[Long]
