@@ -50,7 +50,20 @@ import graft.ops.Windows
   *                 combine collapses repeated values, so the shuffled
   *                 histogram is constant-size and time grows ≪ f;
   *  - ss_brute:    exact cosine top-k of 25 broadcast queries against
-  *                 the inflated corpus (ss1) — rows × queries × dim.
+  *                 the inflated corpus (ss1) — rows × queries × dim;
+  *  - dd_contam:   dd9's benchmark decontamination — the corpus gram
+  *                 stream grows ×f against a FIXED broadcast benchmark
+  *                 gram set (the replica-0 every-37th-doc slice), so
+  *                 time is honestly ~linear (it is a pure map + gram
+  *                 explode + broadcast semi-join, like tx_quality with
+  *                 a join) and the flagged-doc rows must stay CONSTANT:
+  *                 replica prefixes make a cross-replica gram collision
+  *                 impossible, so any row growth IS an interaction;
+  *  - dd_star:     dd8's large/small-star connected components on the
+  *                 same re-run LSH pairs as dd_groups — the
+  *                 O(log n)-round alternative's scale behavior measured
+  *                 against hash-min's on identical input (≈2× constant
+  *                 factor expected, same sublinear shape).
   *
   * Row-count invariants, REQUIREd at every factor: w_window/dd_exact/
   * tx_quality output exactly f × their 1× rows; j_hourly/a_pivot/
@@ -286,7 +299,34 @@ object BenchScale {
           .head().getLong(0)
       }, Linear),
       ("a_median", (f: Int) => aMedian(inflateEvents(events, f)), Constant),
-      ("ss_brute", (f: Int) => ssBrute(inflateEmbeddings(embeddings, f), queries25), Constant))
+      ("ss_brute", (f: Int) => ssBrute(inflateEmbeddings(embeddings, f), queries25), Constant),
+      ("dd_contam", (f: Int) => {
+        val d = inflateDocuments(documents, f)
+        // the dd9 shape with the benchmark pinned to the replica-0
+        // every-37th-doc slice: doc_id = orig·f + rep, so rep 0 AND
+        // orig % 37 == 0 ⟺ doc_id % (37·f) == 0. Replicas > 0 carry
+        // r{rep}_-prefixed words, so their grams CANNOT collide with
+        // the replica-0 benchmark — flagged rows must not move with f
+        val isBench = col("doc_id") % lit(37L * f) === 0
+        Dedup.contamination(
+          d.filter(!isBench), "doc_id", "text",
+          d.filter(isBench), "text", n = 8)
+          .agg(count(lit(1)), sum("n_shared"))
+          .head().getLong(0)
+      }, Constant),
+      ("dd_star", (f: Int) => {
+        val (base, verified) = ddLshPairs(inflateDocuments(documents, f))
+        val pairs = verified.cache()
+        try {
+          val out = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+          val n = out.count()
+          Dedup.releaseCheckpoint(out)
+          n
+        } finally {
+          pairs.unpersist(blocking = false)
+          base.unpersist(blocking = false)
+        }
+      }, Approx(0.05)))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 
     val times = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()

@@ -66,13 +66,37 @@ object TextOps {
 
   /** Language ID: stopword-hit counts per language, deterministic
     * argmax with fixed priority (en > es > de > fr > zh) on ties. */
+  /** Script-evidence character classes for languages whose writing
+    * system alone identifies them (no stopword list needed): a word
+    * containing any character in the range is a script hit. Kept as
+    * LITERAL character-range regexes (no \p{...} property classes,
+    * whose tables differ between Java's regex and RE2) so the DuckDB
+    * oracle mirrors the exact pattern text. */
+  val CyrillicRe = "[Ѐ-ӿ]"
+  val ArabicRe = "[؀-ۿ]"
+  val DevanagariRe = "[ऀ-ॿ]"
+
+  private def scriptHits(ws: Column, re: String): Column =
+    size(filter(ws, w => w.rlike(re)))
+
+  /** Two-tier language ID: script evidence first (Cyrillic → ru,
+    * Arabic → ar, Devanagari → hi — plurality among the script tiers,
+    * zero script hits falls through), then the Latin/CJK stopword
+    * argmax with the original tie-break order. Latin-script corpora
+    * hit no script arm, so the pre-r7 labels are unchanged on them. */
   def langId(ws: Column): Column = {
+    val ru = scriptHits(ws, CyrillicRe)
+    val ar = scriptHits(ws, ArabicRe)
+    val hi = scriptHits(ws, DevanagariRe)
     val en = size(filter(ws, w => w.isInCollection(StopEn)))
     val es = size(filter(ws, w => w.isInCollection(StopEs)))
     val de = size(filter(ws, w => w.isInCollection(StopDe)))
     val fr = size(filter(ws, w => w.isInCollection(StopFr)))
     val zh = size(filter(ws, w => w.isInCollection(StopZh)))
-    when(en >= es && en >= de && en >= fr && en >= zh, "en")
+    when(ru > 0 && ru >= ar && ru >= hi, "ru")
+      .when(ar > 0 && ar >= hi, "ar")
+      .when(hi > 0, "hi")
+      .when(en >= es && en >= de && en >= fr && en >= zh, "en")
       .when(es >= de && es >= fr && es >= zh, "es")
       .when(de >= fr && de >= zh, "de")
       .when(fr >= zh, "fr")

@@ -184,10 +184,19 @@ object LlmQueries extends Q.Registry {
        |          (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6 + 1e-6) / 1e6""".stripMargin
   }
   private def langPredSqlExpr: String = {
+    // script hits mirror TextOps.scriptHits: same literal character-
+    // range pattern text, evaluated by RE2 over the same word array
+    def script(re: String): String =
+      s"len(list_filter(ws, w -> regexp_matches(w, '$re')))"
+    val ru = script(TextOps.CyrillicRe); val ar = script(TextOps.ArabicRe)
+    val hi = script(TextOps.DevanagariRe)
     val en = stopHitsSql(TextOps.StopEn); val es = stopHitsSql(TextOps.StopEs)
     val de = stopHitsSql(TextOps.StopDe); val fr = stopHitsSql(TextOps.StopFr)
     val zh = stopHitsSql(TextOps.StopZh)
-    s"""CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
+    s"""CASE WHEN $ru > 0 AND $ru >= $ar AND $ru >= $hi THEN 'ru'
+       |       WHEN $ar > 0 AND $ar >= $hi THEN 'ar'
+       |       WHEN $hi > 0 THEN 'hi'
+       |       WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
        |       WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
        |       WHEN $de >= $fr AND $de >= $zh THEN 'de'
        |       WHEN $fr >= $zh THEN 'fr'

@@ -466,6 +466,21 @@ class LlmSpec extends SparkSpec {
     assert(out === Seq("en", "es", "de", "fr", "zh"))
   }
 
+  test("langId script tier: Cyrillic/Arabic/Devanagari sentences; Latin rows keep their pre-script labels") {
+    val out = Seq(
+      "привет как дела сегодня у тебя всё хорошо",          // Russian
+      "мачка седи на прозору и гледа улицу",                // Serbian (Cyrillic → ru tier)
+      "مرحبا كيف حالك اليوم هل كل شيء بخير",                // Arabic
+      "नमस्ते आप कैसे हैं आज का दिन अच्छा है",                    // Hindi
+      // mixed: a couple of English words must not outvote the script
+      "привет world как дела the сегодня",
+      // control group: the stopword tier must be untouched
+      "the cat sat on the mat and it is a good day",
+      "el perro y la casa de los vecinos que viven en un pueblo"
+    ).toDF("t").select(TextOps.langId(TextOps.words($"t"))).as[String].collect().toSeq
+    assert(out === Seq("ru", "ru", "ar", "hi", "ru", "en", "es"))
+  }
+
   test("fingerprint is order-sensitive (reordered words differ) and deterministic") {
     val out = Seq("a b c", "c b a", "a b c").toDF("t")
       .select(TextOps.fingerprint($"t")).as[Long].collect()
