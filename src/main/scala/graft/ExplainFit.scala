@@ -10,7 +10,7 @@ import graft.llm.Dedup
 /** Explain-plan capture for the queries [[Bench]] deliberately skips
   * (building their DataFrame executes the model fit / stream /
   * iterative fixpoint, so Bench's pre-run explain dump would run them
-  * twice): x10/x11/x15 (fit-based), st1-st3 (streaming), dd7/dd8
+  * twice): x10/x11/x15/x17 (fit-based), st1-st3 (streaming), dd7/dd8
   * (iterative). `runMain graft.ExplainFit` writes one file per query
   * into `SPARK_GRAFT_EXPLAIN_DIR` (default bench_explain/), completing
   * the plan record the non-fit queries get from Bench:
@@ -56,7 +56,8 @@ object ExplainFit {
 
     // fit queries: construction runs the (memoized) fit; the captured
     // plan is the query's actual distributed output plan
-    for (name <- Seq("x10_ols_ladder", "x11_kmeans_j6", "x15_scoring")) {
+    for (name <- Seq("x10_ols_ladder", "x11_kmeans_j6", "x15_scoring",
+        "x17_ols_inference")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       write(name,
         s"== $name: final output plan. The model fit runs during plan\n" +
