@@ -182,11 +182,14 @@ object GramOls {
     }
     // mirror guard for the numeric side: a StringType term here would
     // cast to null double, every row would then fail the null skip, and
-    // the fit would return an all-zero gram instead of failing loudly
+    // the fit would return an all-zero gram instead of failing loudly.
+    // BooleanType stays admissible — it casts to a clean 0/1 regressor
+    // (callers have always been able to fit flag columns directly)
     termUnion.filterNot(catCols).foreach { c =>
       val dt = df.schema(c).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"term $c must be numeric (or declared in catCols), got $dt")
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          dt == org.apache.spark.sql.types.BooleanType,
+        s"term $c must be numeric or boolean (or declared in catCols), got $dt")
     }
     val domains: Map[String, Seq[String]] =
       if (cats.isEmpty) Map.empty

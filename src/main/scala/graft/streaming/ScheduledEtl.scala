@@ -28,7 +28,8 @@ import graft.ingest.EtlJob
   *
   * **Exactly-once**: pass a [[BatchCommitLog]]. Each tick then runs
   * only if the log has no commit marker for its checkpointed batchId;
-  * the marker is written after the tick's sinks return, so an engine
+  * the marker is written after EVERY effect of the tick — the sinks
+  * and the `onResult` callback — has returned, so an engine
   * replay of an already-committed batch is a no-op
   * (ScheduledEtlSpec proves this through a real
   * offset-written/commit-missing restart). Residual window, stated
@@ -74,9 +75,30 @@ object ScheduledEtl {
       try java.nio.file.Files.move(tmp, marker(batchId),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp); ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      } finally {
+        // no-op when the move consumed it; cleans the orphan on ANY
+        // failed move (permission/IO errors included), not just the
+        // benign already-exists race
+        java.nio.file.Files.deleteIfExists(tmp)
+        ()
       }
+    }
+
+    /** Retention: drop markers below `minBatchId`. The log otherwise
+      * grows one file per tick for the query's lifetime (Spark's own
+      * offset/commit logs compact; a 1-second trigger would mint ~86k
+      * files/day). Replay only ever targets the LAST uncommitted
+      * batch, so a caller can safely purge everything below the most
+      * recent marker on whatever cadence suits the storage. */
+    def purgeBelow(minBatchId: Long): Unit = {
+      val stream = java.nio.file.Files.newDirectoryStream(dir, "batch-*")
+      try stream.forEach { p =>
+        val id = p.getFileName.toString.stripPrefix("batch-")
+        if (id.forall(_.isDigit) && id.nonEmpty && id.toLong < minBatchId)
+          java.nio.file.Files.deleteIfExists(p)
+        ()
+      } finally stream.close()
     }
   }
 
@@ -113,8 +135,14 @@ object ScheduledEtl {
           ()
         } else {
           val result = EtlJob.runOnce(spark, fetch, sinks, attempts, backoffMs)
-          commitLog.foreach(_.commit(batchId))
+          // marker LAST: everything before it (sinks AND the onResult
+          // callback) is at-least-once — a crash anywhere before the
+          // marker replays the whole tick, so a keyed onResult effect
+          // is retried, never silently lost. Only after every effect
+          // of the tick has returned does the batch become a no-op on
+          // replay.
           onResult(batchId, result)
+          commitLog.foreach(_.commit(batchId))
         }
         ()
       }

@@ -182,6 +182,18 @@ class GramOlsSpec extends SparkSpec {
     assert(e.getMessage.contains("station"))
   }
 
+  test("a BooleanType term stays admissible (casts to a clean 0/1 regressor)") {
+    val df = lagData.withColumn("is_high", col("rate_lag1") > 0.5)
+    val f = "rate ~ is_high + rate_lag1"
+    val viaBool = GramOls.ladder(df, Seq(f), Set.empty)(f)
+    val viaDouble = GramOls.ladder(
+      df.withColumn("is_high", col("is_high").cast("double")), Seq(f), Set.empty)(f)
+    assert(math.abs(viaBool.intercept - viaDouble.intercept) < 1e-12)
+    viaBool.terms.zip(viaDouble.terms).foreach { case (a, b) =>
+      assert(math.abs(a.coef - b.coef) < 1e-12, s"$a vs $b")
+    }
+  }
+
   test("rows with a null categorical are skipped whole, not fitted as base level") {
     val f = "rate ~ district + rate_lag1"
     val withNulls = lagData.withColumn("district",

@@ -133,6 +133,24 @@ class ScheduledEtlSpec extends SparkSpec {
       "replayed tick must not append twice")
   }
 
+  test("FileBatchCommitLog: durable across instances, idempotent commit, purgeBelow retention") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-commitlog")
+    val log = new ScheduledEtl.FileBatchCommitLog(dir)
+    (0L to 5L).foreach(log.commit)
+    log.commit(3L) // duplicate commit is benign
+    assert((0L to 5L).forall(log.isCommitted))
+    // a fresh instance over the same dir sees the same markers (the
+    // restart-durability the adapter depends on)
+    val reopened = new ScheduledEtl.FileBatchCommitLog(dir)
+    assert(reopened.isCommitted(5L) && !reopened.isCommitted(6L))
+    reopened.purgeBelow(4L)
+    assert(!log.isCommitted(3L) && log.isCommitted(4L) && log.isCommitted(5L))
+    // no orphan tmp files accumulate from commits
+    val stream = java.nio.file.Files.newDirectoryStream(dir, "*.tmp")
+    try assert(!stream.iterator().hasNext, "orphan tmp files left behind")
+    finally stream.close()
+  }
+
   test("restart replay WITHOUT a commit log duplicates the tick (the documented at-least-once baseline)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-etl-ckpt-alo")
     val sink = replayScenario("alo", None, ckpt)
