@@ -40,7 +40,11 @@ final case class LinearScore(intercept: Double, terms: Seq[LinearScore.Term]) {
     * dot-then-intercept order of LinearRegressionModel.predict). */
   def column: Column = {
     val prods = terms.map {
-      case LinearScore.Num(c, w) => lit(w) * col(c)
+      // explicit cast: a no-op on double features (Catalyst elides it),
+      // and it makes boolean flag terms — admissible in GramOls — score
+      // as 0/1 instead of failing analysis on double×boolean. Mirrored
+      // in [[sql]] so the engines keep computing the identical tree.
+      case LinearScore.Num(c, w) => lit(w) * col(c).cast("double")
       case LinearScore.Cat(c, v, w) =>
         lit(w) * when(col(c) === lit(v), 1.0).otherwise(0.0)
     }
@@ -54,7 +58,7 @@ final case class LinearScore(intercept: Double, terms: Seq[LinearScore.Term]) {
     def esc(v: String): String = v.replace("'", "''")
     def qid(c: String): String = "\"" + c.replace("\"", "\"\"") + "\""
     val prods = terms.map {
-      case LinearScore.Num(c, w) => s"$w*${qid(c)}"
+      case LinearScore.Num(c, w) => s"$w*CAST(${qid(c)} AS DOUBLE)"
       case LinearScore.Cat(c, v, w) =>
         s"$w*(CASE WHEN ${qid(c)} = '${esc(v)}' THEN 1.0 ELSE 0.0 END)"
     }

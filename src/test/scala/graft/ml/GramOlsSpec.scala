@@ -192,6 +192,13 @@ class GramOlsSpec extends SparkSpec {
     viaBool.terms.zip(viaDouble.terms).foreach { case (a, b) =>
       assert(math.abs(a.coef - b.coef) < 1e-12, s"$a vs $b")
     }
+    // the fitted model must also SCORE over the boolean frame (the
+    // .column cast makes double×boolean analyze as 0/1)
+    val maxDiff = df
+      .withColumn("p_bool", viaBool.column)
+      .withColumn("p_dbl", viaDouble.column)
+      .select(max(abs(col("p_bool") - col("p_dbl")))).as[Double].head()
+    assert(maxDiff < 1e-12, s"maxDiff=$maxDiff")
   }
 
   test("rows with a null categorical are skipped whole, not fitted as base level") {
