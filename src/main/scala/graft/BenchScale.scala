@@ -63,7 +63,14 @@ import graft.ops.Windows
   *                 same re-run LSH pairs as dd_groups — the
   *                 O(log n)-round alternative's scale behavior measured
   *                 against hash-min's on identical input (≈2× constant
-  *                 factor expected, same sublinear shape).
+  *                 factor expected, same sublinear shape);
+  *  - x_gram:      the x10/x17 one-pass OLS ladder (GramOls) over the
+  *                 inflated fact — a ~26-coefficient design (numeric +
+  *                 hour dummies), so the treeAggregate pays ~700
+  *                 FMA/row with NO shuffle; the fit count and
+  *                 coefficient layout are factor-invariant (REQUIREd)
+  *                 and time must grow ≲ linearly, closing the "would
+  *                 the ladder survive 100×?" claim with wall-clock.
   *
   * Row-count invariants, REQUIREd at every factor: w_window/dd_exact/
   * tx_quality output exactly f × their 1× rows; j_hourly/a_pivot/
@@ -221,6 +228,28 @@ object BenchScale {
       .head().getLong(0)
   }
 
+  /** The x10/x17 gram-ladder core (ml/GramOls — the SAME code the
+    * queries ship) on the inflated fact: one shared treeAggregate scan
+    * builds the full-design gram, two nested formulas read their
+    * sub-blocks off it. Derived features are deterministic functions of
+    * the replicated columns, so every replica contributes identical
+    * gram mass and the fitted coefficient VALUES are factor-invariant
+    * (a per-coordinate average does not move under exact replication) —
+    * the returned count anchors the coefficient layout. */
+  private def xGram(ev: DataFrame): Long = {
+    val frame = ev.select(
+      col("value").as("y"),
+      (col("value") * col("value")).as("x1"),
+      sin(col("value") * 5.0).as("x2"),
+      hour(col("ts")).cast("string").as("h"))
+    val fits = graft.ml.GramOls.ladderInfer(
+      frame, Seq("y ~ x1 + h", "y ~ x1 + x2 + h"), Set("h"))
+    require(fits.values.forall(f =>
+        f.score.terms.forall(t => java.lang.Double.isFinite(t.coef))),
+      "x_gram: non-finite coefficient")
+    fits.values.map(_.score.terms.length.toLong).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -326,7 +355,8 @@ object BenchScale {
           pairs.unpersist(blocking = false)
           base.unpersist(blocking = false)
         }
-      }, Approx(0.05)))
+      }, Approx(0.05)),
+      ("x_gram", (f: Int) => xGram(inflateEvents(events, f)), Constant))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 
     val times = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
