@@ -747,6 +747,81 @@ object LlmQueries extends Q.Registry {
           |  FROM documents)
           |ORDER BY doc_id""".stripMargin)),
 
+    Q("tx8_repetition_filter",
+      "Gopher-style repetition quality rules (Rae et al. 2021 §A1.1 — " +
+        "the C4/web-corpus filter family beyond simple length bands): " +
+        "per-doc duplicate-word fraction, most-frequent-word fraction " +
+        "and most-frequent-2-gram fraction, plus the keep decision at " +
+        "thresholds (0.55 / 0.11 / 0.06) that split this corpus ~24% " +
+        "keep. The keep comparison runs on the UNtruncated fractions — " +
+        "pure integer-ratio doubles, bit-identical cross-engine. Scale " +
+        "shape: explode + two-level keyed aggregation per token class " +
+        "(the dd9 pattern) — shuffles keyed on (doc_id, token), no " +
+        "per-doc state, no collect; the line-level Gopher rules are " +
+        "structurally identical and omitted only because the corpus " +
+        "is single-line.",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+          .withColumn("n_words", size(col("ws")))
+          .withColumn("n_distinct", size(array_distinct(col("ws"))))
+        val topw = base.select(col("doc_id"), explode(col("ws")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_w"))
+        val topg = base.select(col("doc_id"),
+            explode(TextOps.wordShingles(col("ws"), 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_g"))
+        val nW = col("n_words").cast("double")
+        val dup = (nW - col("n_distinct")) / nW
+        val topWF = col("top_w") / nW
+        val topGF = coalesce(col("top_g") / (nW - 1.0), lit(0.0))
+        base.join(topw, Seq("doc_id"))
+          .join(topg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_words").cast("long").as("n_words"),
+            Fmt.t6(dup).as("dup_word_frac"),
+            Fmt.t6(topWF).as("top_word_frac"),
+            Fmt.t6(topGF).as("top_2gram_frac"),
+            (dup <= 0.55 && topWF <= 0.11 && topGF <= 0.06).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH rbase AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+          |rstats AS (
+          |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+          |  FROM rbase),
+          |rtopw AS (
+          |  SELECT doc_id, max(c) AS top_w FROM (
+          |    SELECT doc_id, w, count(*) AS c
+          |    FROM (SELECT doc_id, unnest(ws) AS w FROM rbase)
+          |    GROUP BY doc_id, w)
+          |  GROUP BY doc_id),
+          |rtopg AS (
+          |  SELECT doc_id, max(c) AS top_g FROM (
+          |    SELECT doc_id, g, count(*) AS c
+          |    FROM (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+          |        THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+          |        ELSE [] END) AS g FROM rbase)
+          |    GROUP BY doc_id, g)
+          |  GROUP BY doc_id),
+          |rfracs AS (
+          |  SELECT s.doc_id, s.n_words,
+          |         (CAST(s.n_words AS DOUBLE) - s.n_distinct) / CAST(s.n_words AS DOUBLE) AS dup_f,
+          |         CAST(w.top_w AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS topw_f,
+          |         coalesce(CAST(g.top_g AS DOUBLE) / (CAST(s.n_words AS DOUBLE) - 1.0), 0.0) AS topg_f
+          |  FROM rstats s
+          |  JOIN rtopw w USING (doc_id)
+          |  LEFT JOIN rtopg g USING (doc_id))
+          |SELECT doc_id, n_words,
+          |       floor((dup_f) * 1e6 + 1e-6) / 1e6 AS dup_word_frac,
+          |       floor((topw_f) * 1e6 + 1e-6) / 1e6 AS top_word_frac,
+          |       floor((topg_f) * 1e6 + 1e-6) / 1e6 AS top_2gram_frac,
+          |       (dup_f <= 0.55 AND topw_f <= 0.11 AND topg_f <= 0.06) AS keep
+          |FROM rfracs ORDER BY doc_id""".stripMargin)),
+
     Q("tx4_stratified_sample",
       "Deterministic stratified quota sample (curation): up to 20 docs " +
         "per language, the hash-smallest ids — md5 order instead of " +
