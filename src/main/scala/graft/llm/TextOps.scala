@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokenization, lower-cased. */
+  /** Tokenizer contract with the oracles: Java's `\s` class is
+    * `[ \t\n\x0B\f\r]` — RE2's `\s` LACKS vertical tab (\x0B), so the
+    * DuckDB mirrors spell the Java class out explicitly instead of
+    * using `\s` (the same Java-vs-RE2 divergence the PII regexes below
+    * already design around). A document containing \x0B would
+    * otherwise tokenize differently per engine. */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
   /** Sliding word n-grams ("shingles") as strings, via the native

@@ -64,7 +64,7 @@ object LlmQueries extends Q.Registry {
       |           THEN list_transform(range(1, len(ws) - 1),
       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
       |           ELSE [] END AS sh
-      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
       |        FROM corpus)),
       |""".stripMargin
 
@@ -360,7 +360,7 @@ object LlmQueries extends Q.Registry {
           |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] ||
           |             ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])
           |      ELSE [] END)) AS gram
-          |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+          |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
           |        FROM corpus)),
           |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0 AND doc_id < 1000000)
           |SELECT doc_id, count(DISTINCT gram) AS n_shared
@@ -389,7 +389,7 @@ object LlmQueries extends Q.Registry {
       },
       Some(corpusSql +
         """hashes AS (
-          |  SELECT doc_id, list_transform(string_split_regex(lower(text), '\s+'),
+          |  SELECT doc_id, list_transform(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
           |    w -> CAST(('0x' || substring(md5(w), 1, 16)) AS UBIGINT)) AS hs
           |  FROM corpus),
           |sims AS (
@@ -441,7 +441,7 @@ object LlmQueries extends Q.Registry {
           |         list_distinct(CASE WHEN len(ws) >= 2
           |           THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
           |           ELSE [] END) AS g
-          |  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS ws
+          |  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
           |        FROM corpus)),
           |gnz AS (SELECT * FROM grams WHERE len(g) > 0)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -600,7 +600,7 @@ object LlmQueries extends Q.Registry {
           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_tokens,
           |  floor((CAST(list_sum(list_transform(ws, w -> CAST(len(w) AS BIGINT))) AS DOUBLE) / len(ws)) * 1e6 + 1e-6) / 1e6 AS mean_word_len,
           |  floor((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text)) * 1e6 + 1e-6) / 1e6 AS punct_ratio
-          |FROM (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS ws
+          |FROM (SELECT doc_id, text, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin)),
 
@@ -626,7 +626,7 @@ object LlmQueries extends Q.Registry {
            |  $qualitySqlExpr AS quality,
            |  $langPredSqlExpr AS lang_pred,
            |  lang AS lang_labeled
-           |FROM (SELECT doc_id, text, lang, string_split_regex(lower(text), '\\s+') AS ws
+           |FROM (SELECT doc_id, text, lang, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
            |      FROM documents)
            |ORDER BY doc_id""".stripMargin
       }),
@@ -669,7 +669,7 @@ object LlmQueries extends Q.Registry {
            |  SELECT doc_id, text, lang,
            |    $qualitySqlExpr AS quality,
            |    $langPredSqlExpr AS lang_pred
-           |  FROM (SELECT doc_id, text, lang, string_split_regex(lower(text), '\\s+') AS ws
+           |  FROM (SELECT doc_id, text, lang, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
            |        FROM documents)),
            |deduped AS (
            |  SELECT * FROM (
@@ -764,10 +764,13 @@ object LlmQueries extends Q.Registry {
         val base = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
           .withColumn("n_words", size(col("ws")))
-          .withColumn("n_distinct", size(array_distinct(col("ws"))))
+        // the (doc_id, w) count groups ARE the distinct words — read
+        // n_distinct off the same aggregation instead of a second
+        // array_distinct pass over every document
         val topw = base.select(col("doc_id"), explode(col("ws")).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max("c").as("top_w"))
+          .groupBy("doc_id").agg(max("c").as("top_w"),
+            count(lit(1)).as("n_distinct"))
         val topg = base.select(col("doc_id"),
             explode(TextOps.wordShingles(col("ws"), 2)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
@@ -789,12 +792,11 @@ object LlmQueries extends Q.Registry {
       },
       Some(
         """WITH rbase AS (
-          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+          |  SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
           |rstats AS (
-          |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
-          |  FROM rbase),
+          |  SELECT doc_id, len(ws) AS n_words FROM rbase),
           |rtopw AS (
-          |  SELECT doc_id, max(c) AS top_w FROM (
+          |  SELECT doc_id, max(c) AS top_w, count(*) AS n_distinct FROM (
           |    SELECT doc_id, w, count(*) AS c
           |    FROM (SELECT doc_id, unnest(ws) AS w FROM rbase)
           |    GROUP BY doc_id, w)
@@ -809,7 +811,7 @@ object LlmQueries extends Q.Registry {
           |  GROUP BY doc_id),
           |rfracs AS (
           |  SELECT s.doc_id, s.n_words,
-          |         (CAST(s.n_words AS DOUBLE) - s.n_distinct) / CAST(s.n_words AS DOUBLE) AS dup_f,
+          |         (CAST(s.n_words AS DOUBLE) - w.n_distinct) / CAST(s.n_words AS DOUBLE) AS dup_f,
           |         CAST(w.top_w AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS topw_f,
           |         coalesce(CAST(g.top_g AS DOUBLE) / (CAST(s.n_words AS DOUBLE) - 1.0), 0.0) AS topg_f
           |  FROM rstats s
