@@ -339,6 +339,115 @@ object Dedup {
     }
   }
 
+  /** Semantic (embedding-space) dedup — the SemDeDup recipe (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the corpus embeddings, compare
+    * COSINE SIMILARITY ONLY WITHIN A CLUSTER, and flag any row whose
+    * similarity to a lower-id cluster-mate reaches `tau` as a semantic
+    * duplicate of the minimum such mate. Catches paraphrases and
+    * near-identical passages that share no n-grams — the gap the
+    * MinHash/SimHash family above cannot see.
+    *
+    * Scale posture: `cellCorpus` arrives pre-bucketed (compose with
+    * [[Similarity.assignCells]] — k-means cells, exactly SemDeDup's
+    * clustering stage). The pair generation is a self-equi-join on the
+    * cell id: one keyed shuffle, never the corpus-wide n² cartesian,
+    * and the per-reducer work is bounded by the cell size — at 100 TB
+    * the cluster count k scales with the corpus so cells stay
+    * constant-sized (the paper runs k=50,000 on LAION). A degenerate
+    * hot cell is the same hazard as a hot LSH band; the same
+    * [[graft.ops.Skew.saltedJoin]] applies if one cell dominates.
+    *
+    * `simTrunc` is applied to each pairwise similarity BEFORE the
+    * max/threshold aggregation (pass e.g. a 6-decimal truncation to
+    * make the emitted maxima and the tau comparison reproducible
+    * across engines/runs; identity for Spark-only pipelines).
+    *
+    * Returns one row per input row: (idCol, cellCol, max_sim_lower —
+    * null when the row has no lower-id cell-mate, is_semantic_dup,
+    * dup_of — the MINIMUM lower id with similarity ≥ tau, null when
+    * none). Keeping `is_semantic_dup = false` rows is the dedup
+    * decision: every cluster's minimum id survives by construction. */
+  def semanticDups(cellCorpus: DataFrame, idCol: String, vecCol: String,
+                   cellCol: String, tau: Double,
+                   simTrunc: Column => Column = identity): DataFrame = {
+    val n = cellCorpus
+      .select(col(cellCol), col(idCol), col(vecCol))
+      .withColumn("__norm", Similarity.norm(col(vecCol)))
+    val lo = n.select(col(cellCol), col(idCol).as("__id_lo"),
+      col(vecCol).as("__v_lo"), col("__norm").as("__n_lo"))
+    val hi = n.select(col(cellCol), col(idCol).as("__id_hi"),
+      col(vecCol).as("__v_hi"), col("__norm").as("__n_hi"))
+    // shuffle HASH join on the cell id, not sort-merge: both sides are
+    // corpus-sized (nothing to broadcast), and per-cell pair generation
+    // needs no sort order — the build side of each shuffle partition is
+    // that partition's share of cells, bounded because SemDeDup sizes
+    // k so cells stay small (and tunable via shuffle partitions)
+    val sims = hi.join(lo.hint("shuffle_hash"), Seq(cellCol))
+      .filter(col("__id_lo") < col("__id_hi"))
+      .withColumn("__sim", simTrunc(
+        Similarity.dotD(col("__v_hi"), col("__v_lo")) /
+          (col("__n_hi") * col("__n_lo"))))
+      .groupBy(col("__id_hi"))
+      .agg(
+        max(col("__sim")).as("max_sim_lower"),
+        min(when(col("__sim") >= tau, col("__id_lo"))).as("dup_of"))
+    // the rejoin keys on the row id — same shuffle-hash reasoning (the
+    // aggregated sims side is at most one row per corpus row, no order
+    // needed, and neither side is broadcastable at scale)
+    cellCorpus.select(col(idCol), col(cellCol))
+      .join(sims.hint("shuffle_hash"), col(idCol) === col("__id_hi"), "left")
+      .select(col(idCol), col(cellCol), col("max_sim_lower"),
+        col("dup_of").isNotNull.as("is_semantic_dup"), col("dup_of"))
+  }
+
+  /** Line-level exact dedup across the corpus — the C4/RefinedWeb
+    * boilerplate-removal recipe (Raffel et al. 2020 §2.2; Penedo et
+    * al. 2023 §4.2): a LINE that recurs in at least `minDocs` distinct
+    * documents (navigation chrome, cookie banners, "all rights
+    * reserved") is removed from EVERY document, and each document's
+    * text is reassembled from its surviving lines in original order.
+    *
+    * Plan shape for 100 TB: one shuffle counts distinct documents per
+    * line hash; the lines that cross the threshold are a vanishing
+    * fraction of the corpus by construction (a line must repeat
+    * `minDocs`× to qualify), so the common-line set BROADCASTS and the
+    * removal itself is a map-side hash anti-lookup — the corpus's full
+    * line stream is never shuffled a second time. The reassembly
+    * groups by document id: one bounded-width shuffle keyed on the
+    * natural partition key. If a pathological corpus made the
+    * common-line set outgrow broadcast range, dropping the hint
+    * degrades the same plan to a keyed shuffle join.
+    *
+    * Returns (idCol, n_lines, n_removed, clean_text); `clean_text` is
+    * NULL when every line was removed (the all-boilerplate document —
+    * downstream filters drop it). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val common = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__line"), lit(true).as("__common"))
+    val kept = struct(col("__pos"), col("__line").as("l"))
+    lines.join(broadcast(common), Seq("__line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("__common")).as("n_removed"),
+        // collect_list skips the null the `when` leaves on removed
+        // lines; array_sort on the (pos, line) structs restores the
+        // original order before the join
+        array_sort(collect_list(when(col("__common").isNull, kept)))
+          .as("__kept"))
+      .select(col(idCol), col("n_lines"), col("n_removed"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), x => x.getField("l")), "\n"))
+          .as("clean_text"))
+  }
+
   /** Benchmark-contamination check — the decontamination step every
     * serious training-data pipeline runs before training (the C4/GPT-3
     * recipe: drop training documents that share long word n-grams with

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, Importance, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** LLM training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text
@@ -1137,6 +1137,170 @@ object LlmQueries extends Q.Registry {
           |    SELECT doc_id, octet_length(encode(text)) AS len,
           |           CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_chunks
           |    FROM documents))
-          |WHERE j % 4 = 0""".stripMargin))
+          |WHERE j % 4 = 0""".stripMargin)),
+
+    Q("dd10_semantic_dedup",
+      "SemDeDup (Abbas et al. 2023): semantic dedup via embedding " +
+        "clustering — cosine compared ONLY within a k-means cell " +
+        "(label-centroid cells, the ss2 'trained' pattern), a row with " +
+        "sim >= 0.9 to a lower-id cell-mate is a semantic duplicate of " +
+        "the minimum such mate. Planted replays (every 25th vector, " +
+        "last component zeroed — pure slice+pad, no float arithmetic) " +
+        "give deterministic positives; natural within-cell cosine " +
+        "maxes out at ~0.48 so the threshold separates cleanly.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val planted = emb.filter(col("vec_id") % 25 === 0)
+          .select(
+            (col("vec_id") + 1000000L).as("vec_id"),
+            concat(slice(col("embedding"), 1, 63), array(lit(0.0f)))
+              .as("embedding"),
+            col("label"))
+        val corpus = emb.select("vec_id", "embedding", "label")
+          .unionAll(planted)
+        // 'trained' centroids, truncated per element exactly as ss2:
+        // a float avg's summation order is scheduler-dependent and an
+        // ulp wobble at an argmin boundary would flip a cell
+        val centroids = corpus
+          .select(col("label").as("cell"), col("embedding"))
+          .groupBy("cell")
+          .agg(array((0 until 64).map(i =>
+            Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*)
+            .as("cent_vec"))
+        val assigned = Similarity.assignCells(
+          corpus.select("vec_id", "embedding"),
+          "vec_id", "embedding", centroids, "cell", "cent_vec")
+        Dedup.semanticDups(assigned, "vec_id", "embedding", "cell",
+          tau = 0.9, simTrunc = Fmt.t6)
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH scorpus AS (
+          |  SELECT vec_id, embedding, label FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |         list_concat(embedding[1:63], [CAST(0 AS FLOAT)]), label
+          |  FROM embeddings WHERE vec_id % 25 = 0),
+          |cent0 AS (
+          |  SELECT label AS cell, idx.i AS i,
+          |         floor(avg(CAST(embedding[idx.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
+          |  FROM scorpus, (SELECT unnest(range(1, 65)) AS i) idx
+          |  GROUP BY label, idx.i),
+          |cent AS (SELECT cell, list(c ORDER BY i) AS cent_vec FROM cent0 GROUP BY cell),
+          |assign AS (
+          |  SELECT vec_id, embedding, cell FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell,
+          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |             list_sum(list_transform(range(1, 65),
+          |               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]) *
+          |                    (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))), c.cell) AS rn
+          |    FROM scorpus e CROSS JOIN cent c)
+          |  WHERE rn = 1),
+          |pairs AS (
+          |  SELECT hi.vec_id AS id_hi, lo.vec_id AS id_lo,
+          |    floor((
+          |      list_sum(list_transform(range(1, 65),
+          |        i -> CAST(hi.embedding[i] AS DOUBLE) * CAST(lo.embedding[i] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(range(1, 65),
+          |        i -> CAST(hi.embedding[i] AS DOUBLE) * CAST(hi.embedding[i] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(1, 65),
+          |        i -> CAST(lo.embedding[i] AS DOUBLE) * CAST(lo.embedding[i] AS DOUBLE)))))) * 1e6 + 1e-6) / 1e6 AS sim
+          |  FROM assign hi JOIN assign lo
+          |    ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id),
+          |agg AS (
+          |  SELECT id_hi, max(sim) AS max_sim_lower,
+          |         min(CASE WHEN sim >= 0.9 THEN id_lo END) AS dup_of
+          |  FROM pairs GROUP BY id_hi)
+          |SELECT a.vec_id, a.cell, g.max_sim_lower,
+          |       g.dup_of IS NOT NULL AS is_semantic_dup, g.dup_of
+          |FROM assign a LEFT JOIN agg g ON a.vec_id = g.id_hi
+          |ORDER BY a.vec_id""".stripMargin)),
+
+    Q("tx9_line_dedup",
+      "Line-level exact dedup across the corpus (the C4/RefinedWeb " +
+        "boilerplate-removal recipe): lines recurring in >= 5 distinct " +
+        "documents are removed everywhere, documents reassembled from " +
+        "surviving lines in original order. Planted boilerplate " +
+        "(social-media line on every 3rd doc, rights line on every " +
+        "5th) gives deterministic removals; the reassembled text " +
+        "itself is hash-checked.",
+      (s, d) => {
+        val lined = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\nfollow us on social media for updates")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit("\nall rights reserved worldwide")).otherwise(lit("")))
+            .as("text"))
+        Dedup.lineDedup(lined, "doc_id", "text", minDocs = 5)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH lined AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 3 = 0
+          |         THEN chr(10) || 'follow us on social media for updates' ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 0
+          |         THEN chr(10) || 'all rights reserved worldwide' ELSE '' END AS text
+          |  FROM documents),
+          |lines AS (
+          |  SELECT doc_id,
+          |         unnest(string_split(text, chr(10))) AS line,
+          |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+          |  FROM lined),
+          |common AS (
+          |  SELECT line AS cline FROM lines
+          |  GROUP BY line HAVING count(DISTINCT doc_id) >= 5)
+          |SELECT doc_id, count(*) AS n_lines,
+          |       count(cline) AS n_removed,
+          |       string_agg(CASE WHEN cline IS NULL THEN line END,
+          |                  chr(10) ORDER BY pos) AS clean_text
+          |FROM lines l LEFT JOIN common c ON l.line = c.cline
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("tx10_importance_weights",
+      "DSIR-style data selection (Xie et al. 2023): hashed-unigram " +
+        "importance weights — 256 md5 buckets, Lidstone-smoothed " +
+        "target (curated sources src0-src3) vs raw log-likelihood " +
+        "ratios, per-doc weight = sum of its tokens' bucket ratios. " +
+        "The bucket table is fixed-size -> broadcast; scoring is " +
+        "map-side + one doc-keyed aggregation.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val target = col("source").isin("src0", "src1", "src2", "src3")
+        val ratios = Importance.bucketLogRatios(
+          docs, "text", target, buckets = 256, alpha = 1.0, ratioTrunc = Fmt.t6)
+        Importance.docLogWeights(docs, "doc_id", "text", ratios, buckets = 256)
+          .select(col("doc_id"), col("n_words"),
+            Fmt.t6(col("log_weight_raw")).as("log_weight"),
+            (Fmt.t6(col("log_weight_raw")) > 0).as("is_target_like"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, source, unnest(ws) AS w FROM (
+          |    SELECT doc_id, source,
+          |           string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
+          |    FROM documents)),
+          |b AS (
+          |  SELECT doc_id, source,
+          |         CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS bucket
+          |  FROM w),
+          |counts AS (
+          |  SELECT bucket,
+          |         sum(CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END) AS ct,
+          |         sum(CASE WHEN source IN ('src0','src1','src2','src3') THEN 0 ELSE 1 END) AS cr
+          |  FROM b GROUP BY bucket),
+          |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+          |ratios AS (
+          |  SELECT bucket,
+          |         floor((ln((ct + 1.0) / (nt + 256.0)) -
+          |                ln((cr + 1.0) / (nr + 256.0))) * 1e6 + 1e-6) / 1e6 AS lr
+          |  FROM counts, tot)
+          |SELECT doc_id, count(*) AS n_words,
+          |       floor((sum(lr)) * 1e6 + 1e-6) / 1e6 AS log_weight,
+          |       floor((sum(lr)) * 1e6 + 1e-6) / 1e6 > 0 AS is_target_like
+          |FROM b JOIN ratios USING (bucket)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

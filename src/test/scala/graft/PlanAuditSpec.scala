@@ -46,7 +46,9 @@ class PlanAuditSpec extends SparkSpec {
     "x5_anova_eta",       // groups × one-row grand-mean frame
     "x6_tukey",           // pairs × one-row MSW frame
     "x7_chi2_cramer",     // grid completion: distinct rows × distinct cols
-    "x9_residuals"
+    "x9_residuals",
+    "dd10_semantic_dedup",     // assignCells: corpus × broadcast centroid table (ss2's pattern)
+    "tx10_importance_weights"  // bucket table × one-row side-totals frame
   )
 
   test("no SortMergeJoin or CartesianProduct in any registered query plan; " +

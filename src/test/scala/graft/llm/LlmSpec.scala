@@ -609,4 +609,83 @@ class LlmSpec extends SparkSpec {
     // distinct-counting caps n_shared at the benchmark's own gram count
     assert(repOut(9L) >= 3L && repOut(9L) <= 20L, repOut.toString)
   }
+
+  test("semanticDups: within-cell duplicates flagged to the MIN lower id, " +
+    "orthogonal mates and cross-cell copies untouched") {
+    val rows = Seq(
+      // cell 0: ids 1,2,3 identical (a dup triple), id 4 orthogonal
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f), 0),
+      (3L, Seq(1f, 0f, 0f), 0),
+      (4L, Seq(0f, 1f, 0f), 0),
+      // cell 1: the SAME vector as cell 0's triple — never compared
+      (5L, Seq(1f, 0f, 0f), 1)
+    ).toDF("id", "vec", "cell")
+    val out = Dedup.semanticDups(rows, "id", "vec", "cell", tau = 0.9)
+      .as[(Long, Int, Option[Double], Boolean, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size === 5)
+    assert(out(1L)._4 === false && out(1L)._3.isEmpty && out(1L)._5.isEmpty)
+    // both copies point at the component minimum, not a chain
+    assert(out(2L)._4 === true && out(2L)._5 === Some(1L))
+    assert(out(3L)._4 === true && out(3L)._5 === Some(1L))
+    assert(math.abs(out(2L)._3.get - 1.0) < 1e-12)
+    // orthogonal: max similarity to lower mates is 0, below tau
+    assert(out(4L)._4 === false && math.abs(out(4L)._3.get) < 1e-12)
+    // different cell: no comparison happens at all
+    assert(out(5L)._4 === false && out(5L)._3.isEmpty)
+  }
+
+  test("lineDedup: corpus-common lines removed in order-preserving reassembly; " +
+    "within-doc repeats don't count toward the doc threshold") {
+    val docs = Seq(
+      (1L, "unique one\nboilerplate\nunique two"),
+      (2L, "another\nboilerplate"),
+      (3L, "boilerplate"),
+      (4L, "boilerplate\nboilerplate\nsolo"),
+      (5L, "dup\ndup\nx")
+    ).toDF("id", "text")
+    val out = Dedup.lineDedup(docs, "id", "text", minDocs = 3)
+      .as[(Long, Long, Long, Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size === 5)
+    // 'boilerplate' is in 4 distinct docs >= 3 -> removed everywhere
+    assert(out(1L) === ((1L, 3L, 1L, Some("unique one\nunique two"))))
+    assert(out(2L) === ((2L, 2L, 1L, Some("another"))))
+    // the all-boilerplate document empties to NULL
+    assert(out(3L) === ((3L, 1L, 1L, None)))
+    // BOTH copies removed from d4, but they counted as one distinct doc
+    assert(out(4L) === ((4L, 3L, 2L, Some("solo"))))
+    // 'dup' repeats only within ONE doc -> 1 distinct doc < 3 -> kept
+    assert(out(5L) === ((5L, 3L, 0L, Some("dup\ndup\nx"))))
+  }
+
+  test("Importance: DSIR weights separate target-vocabulary docs from raw, " +
+    "bucket table stays bounded, hash buckets in range") {
+    val docs = Seq(
+      (1L, "apple banana cherry apple banana", true),
+      (2L, "banana cherry apple cherry", true),
+      (3L, "dog cat mouse dog cat mouse", false),
+      (4L, "cat mouse dog cat", false),
+      // mixed doc, raw side: scores between the two poles
+      (5L, "apple dog banana cat", false)
+    ).toDF("id", "text", "is_t")
+    val B = 64
+    val ratios = Importance.bucketLogRatios(docs, "text", $"is_t", B)
+    val rtab = ratios.as[(Long, Double)].collect()
+    assert(rtab.length <= 6, s"at most one bucket per distinct word: ${rtab.length}")
+    assert(rtab.forall { case (b, r) => b >= 0 && b < B && r.isFinite })
+    val w = Importance.docLogWeights(docs, "id", "text", ratios, B)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(w(1L)._2 === 5L && w(3L)._2 === 6L)
+    // target-vocab docs score strictly positive, raw strictly negative,
+    // the mixed doc strictly between
+    assert(w(1L)._3 > 0 && w(2L)._3 > 0, w.toString)
+    assert(w(3L)._3 < 0 && w(4L)._3 < 0, w.toString)
+    assert(w(5L)._3 > w(3L)._3 && w(5L)._3 < w(1L)._3, w.toString)
+    // determinism: same inputs, same table, same weights
+    val w2 = Importance.docLogWeights(docs, "id", "text", ratios, B)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(w === w2)
+  }
 }
