@@ -64,7 +64,24 @@ import graft.ops.Windows
   *                 O(log n)-round alternative's scale behavior measured
   *                 against hash-min's on identical input (≈2× constant
   *                 factor expected, same sublinear shape);
-  *  - x_gram:      the x10/x17 one-pass OLS ladder (GramOls) over the
+  *  - dd_semantic: dd10's SemDeDup core — within-cell pairwise cosine
+ *                 over the inflated embeddings, with the cell id made
+ *                 replica-aware (cell = label·f + rep): exactly the
+ *                 paper's scale contract ("k grows with the corpus so
+ *                 cells stay constant-sized"), so pair work grows ×f,
+ *                 never ×f²; a dup_of pointing across replicas would
+ *                 be an interaction and is REQUIREd absent;
+ *  - tx_linededup: tx9's line-level dedup — replica-prefixed
+ *                 boilerplate planted post-inflation, so each
+ *                 replica's common-line set crosses the threshold
+ *                 independently and total removals must scale ×f
+ *                 exactly (the returned count IS sum(n_removed));
+ *  - tx_dsir:     tx10's DSIR scoring — the hashed-bucket LLR table
+ *                 must stay ≤ its FIXED 256 rows while the corpus
+ *                 grows ×f (REQUIREd), which is the broadcast-always
+ *                 claim; scoring time is two corpus scans + a
+ *                 broadcast join, honestly ~linear;
+ *  - x_gram:      the x10/x17 one-pass OLS ladder (GramOls) over the
   *                 inflated fact — a ~26-coefficient design (numeric +
   *                 hour dummies), so the treeAggregate pays ~700
   *                 FMA/row with NO shuffle; the fit count and
@@ -250,6 +267,68 @@ object BenchScale {
     fits.values.map(_.score.terms.length.toLong).sum
   }
 
+  /** The dd10 SemDeDup core (llm/Dedup.semanticDups — the SAME code
+    * the query ships) with replica-aware cells (cell = label·f + rep):
+    * the cluster count scales with the corpus, cells stay ~50 rows, so
+    * within-cell pair generation grows ×f. The sum anchors both the
+    * similarity fold and the dup decision; any dup_of crossing a
+    * replica boundary would be a cross-replica interaction. */
+  private def ddSemantic(emb: DataFrame, f: Int): Long = {
+    val cellCorpus = emb.withColumn("cell",
+      (col("label").cast("long") * f + pmod(col("vec_id"), lit(f))).cast("long"))
+    val out = Dedup.semanticDups(cellCorpus, "vec_id", "embedding", "cell", tau = 0.9)
+    val r = out.agg(
+      count(lit(1)),
+      sum(when(col("is_semantic_dup"), 1L).otherwise(0L)),
+      sum("max_sim_lower"),
+      sum(when(col("dup_of").isNotNull &&
+        pmod(col("dup_of"), lit(f)) =!= pmod(col("vec_id"), lit(f)), 1L)
+        .otherwise(0L))).head()
+    require(r.getLong(3) == 0L,
+      s"dd_semantic at $f×: ${r.getLong(3)} cross-replica dup links")
+    r.getLong(0)
+  }
+
+  /** The tx9 line-dedup core (llm/Dedup.lineDedup — the SAME code the
+    * query ships): boilerplate planted AFTER inflation with an r{rep}_
+    * prefix, so each replica's common lines cross the minDocs
+    * threshold independently and total removals are exactly ×f. The
+    * returned count IS sum(n_removed) — a stronger linearity witness
+    * than the (trivially ×f) doc count. */
+  private def txLineDedup(docs: DataFrame, f: Int): Long = {
+    val orig = expr(s"doc_id div $f")
+    val rep = pmod(col("doc_id"), lit(f)).cast("string")
+    val lined = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(orig % 3 === 0,
+          concat(lit("\nr"), rep, lit("_follow us on social media for updates"))).otherwise(lit("")),
+        when(orig % 5 === 0,
+          concat(lit("\nr"), rep, lit("_all rights reserved worldwide"))).otherwise(lit("")))
+        .as("text"))
+    Dedup.lineDedup(lined, "doc_id", "text", minDocs = 5)
+      .agg(count(lit(1)), sum("n_removed"), sum(length(col("clean_text"))))
+      .head().getLong(1)
+  }
+
+  /** The tx10 DSIR core (llm/Importance — the SAME code the query
+    * ships): the hashed-unigram LLR table must stay within its FIXED
+    * 256 buckets no matter the corpus factor (the broadcast-always
+    * claim), REQUIREd; per-doc scoring rows grow ×f. */
+  private def txDsir(docs: DataFrame, f: Int): Long = {
+    val target = expr(s"doc_id div $f") % 5 === 0
+    val ratios = graft.llm.Importance
+      .bucketLogRatios(docs, "text", target, buckets = 256).cache()
+    try {
+      val nBuckets = ratios.count()
+      require(nBuckets <= 256L,
+        s"tx_dsir at $f×: bucket table grew past its bound ($nBuckets > 256)")
+      graft.llm.Importance
+        .docLogWeights(docs, "doc_id", "text", ratios, buckets = 256)
+        .agg(count(lit(1)), sum("log_weight_raw"), sum("n_words"))
+        .head().getLong(0)
+    } finally ratios.unpersist(blocking = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -273,6 +352,8 @@ object BenchScale {
     val events = Tables.events(session, sfDir)
     val documents = Tables.documents(session, sfDir).select("doc_id", "text")
     val embeddings = Tables.embeddings(session, sfDir).select("vec_id", "embedding")
+    val embeddingsL = Tables.embeddings(session, sfDir)
+      .select("vec_id", "embedding", "label")
     // fixed 25-query probe set, independent of the corpus factor
     val queries25 = embeddings.filter(col("vec_id") < 25)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -356,7 +437,10 @@ object BenchScale {
           base.unpersist(blocking = false)
         }
       }, Approx(0.05)),
-      ("x_gram", (f: Int) => xGram(inflateEvents(events, f)), Constant))
+      ("x_gram", (f: Int) => xGram(inflateEvents(events, f)), Constant),
+      ("dd_semantic", (f: Int) => ddSemantic(inflateEmbeddings(embeddingsL, f), f), Linear),
+      ("tx_linededup", (f: Int) => txLineDedup(inflateDocuments(documents, f), f), Linear),
+      ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 
     val times = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
