@@ -43,7 +43,8 @@ object Bench {
     "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring", "x17_ols_inference",
     "dd7_dup_groups",
     "dd8_dup_groups_star", "st1_stream_watermark_dedup",
-    "st2_stream_windowed_agg", "st3_stream_stateful_counts")
+    "st2_stream_windowed_agg", "st3_stream_stateful_counts",
+    "tx11_bpe_tokenize") // BPE merge learning runs at plan build
 
   /** Fit queries whose MEASURED SEMANTIC is the model fit itself: the
     * per-dir fit memos are cleared before every run so the median-of-3

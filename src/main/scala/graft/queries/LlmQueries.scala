@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Importance, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.llm.{Bpe, Dedup, Importance, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** LLM training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text
@@ -265,6 +265,46 @@ object LlmQueries extends Q.Registry {
        |  FROM scored)
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Per-dir memo of learned BPE merges (top-2000 word histogram, 24
+    * merges) — the MlQueries share-the-fit contract: Verify runs the
+    * Spark query and generates the oracle in the same JVM, so both
+    * read the identical merge table no matter how ties fell. */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private[queries] def learnedMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    bpeMemo.computeIfAbsent(d, _ =>
+      Bpe.learn(
+        Bpe.wordHistogram(Tables.documents(s, d).select(lower(col("text")).as("text")),
+          "text", topK = 2000),
+        numMerges = 24))
+  private def oracleMerges: Option[Seq[Bpe.Merge]] = {
+    val r = for {
+      s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      d <- graft.Tables.primedDir
+    } yield learnedMerges(s, d)
+    if (r.isEmpty)
+      System.err.println("[LlmQueries] no session/primed dir when generating " +
+        "the tx11 oracle — rows-only driver check for this JVM")
+    r
+  }
+
+  private def tx11OracleSql(merges: Seq[Bpe.Merge]): String = {
+    val symE = Bpe.symSqlExpr("t", Nil)
+    val tokE = Bpe.symSqlExpr("t", merges)
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len(sym) - len(replace(sym, '|', '')) - 1 AS INT) AS n_base_symbols,
+       |  CAST(len(tok) - len(replace(tok, '|', '')) - 1 AS INT) AS n_tokens,
+       |  floor((CAST(len(sym) - len(replace(sym, '|', '')) - 1 AS DOUBLE) /
+       |         (len(tok) - len(replace(tok, '|', '')) - 1)) * 1e6 + 1e-6) / 1e6 AS compression,
+       |  md5(tok) AS token_fingerprint
+       |FROM (
+       |  SELECT doc_id, n_chars, $symE AS sym, $tokE AS tok
+       |  FROM (SELECT doc_id, CAST(len(text) AS INT) AS n_chars,
+       |               replace(lower(text), '|', '') AS t
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -1301,6 +1341,31 @@ object LlmQueries extends Q.Registry {
           |       floor((sum(lr)) * 1e6 + 1e-6) / 1e6 AS log_weight,
           |       floor((sum(lr)) * 1e6 + 1e-6) / 1e6 > 0 AS is_target_like
           |FROM b JOIN ratios USING (bucket)
-          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("tx11_bpe_tokenize",
+      "BPE tokenizer (Sennrich et al. 2016): merge rules learned " +
+        "count-weighted on the corpus word histogram (aggregate-" +
+        "before-ML — one shuffle to the bounded top-K table, driver " +
+        "merge loop), then applied corpus-wide as a literal chain of " +
+        "plain replace calls: a pure codegen'd map stage, zero " +
+        "shuffle. Token counts, compression, and the md5 of the " +
+        "tokenized symbol string itself are hash-checked against an " +
+        "oracle replaying the identical replace chain.",
+      (s, d) => {
+        val merges = learnedMerges(s, d)
+        val sym = Bpe.symbolize(Bpe.stripSep(lower(col("text"))))
+        val toked = Bpe.applyMerges(sym, merges)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          Bpe.tokenCount(sym).as("n_base_symbols"),
+          Bpe.tokenCount(toked).as("n_tokens"),
+          Fmt.trunc(Bpe.tokenCount(sym).cast("double") / Bpe.tokenCount(toked), 6)
+            .as("compression"),
+          md5(toked).as("token_fingerprint"))
+          .orderBy("doc_id")
+      },
+      oracleMerges.map(tx11OracleSql))
   )
 }

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BPE merge learning + application: the learn loop against the
+  * classic hand-checkable corpus, the Column replace-chain against the
+  * Scala executable spec, and the documented two-pass semantics on
+  * degenerate runs. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learn: classic corpus learns (e,s)->(es,t)->(est) style merges, " +
+    "count-weighted with deterministic tie-breaks") {
+    // the Sennrich walkthrough shape: 'est' dominates via newest/widest
+    val hist = Array[(String, Long)](
+      ("newest", 6L), ("widest", 3L), ("low", 5L), ("lower", 2L))
+    val merges = Bpe.learn(hist, numMerges = 3)
+    // (e,s) appears 9x (newest+widest) — the top pair; then (es,t) 9x
+    assert(merges.take(2) === Seq(Bpe.Merge("e", "s"), Bpe.Merge("es", "t")))
+    // third round: 'lo' appears in low+lower = 7, beats remaining pairs
+    assert(merges(2) === Bpe.Merge("l", "o"))
+  }
+
+  test("learn: stops early when no pair repeats; single-char words learn nothing") {
+    assert(Bpe.learn(Array(("ab", 1L), ("cd", 1L)), 5) === Seq.empty)
+    assert(Bpe.learn(Array(("a", 100L), ("b", 50L)), 5) === Seq.empty)
+  }
+
+  test("applyMerges (Column) ≡ applyOne (Scala) on random strings — the " +
+    "SQL replace chain and the executable spec can never disagree") {
+    val merges = Seq(Bpe.Merge("a", "b"), Bpe.Merge("ab", "c"), Bpe.Merge("d", "d"))
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 80).map(_ =>
+      (0 until rnd.nextInt(20)).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString) :+
+      "" :+ "abcabc" :+ "dddddd" :+ "ababab"
+    val fromCol = texts.toDF("t")
+      .select(Bpe.applyMerges(Bpe.symbolize(col("t")), merges).as("s"))
+      .as[String].collect()
+    val fromScala = texts.map { t =>
+      val sym = if (t.isEmpty) "|" else "|" + t.toCharArray.mkString("|") + "|"
+      merges.foldLeft(sym)(Bpe.applyOne)
+    }
+    assert(fromCol.toSeq === fromScala)
+  }
+
+  test("two-pass semantics: '|a|b|a|b|' fully merges (pass 2 catches the " +
+    "boundary-shared pair); runs of a repeated symbol pair maximally") {
+    val m = Bpe.Merge("a", "b")
+    assert(Bpe.applyOne("|a|b|a|b|", m) === "|ab|ab|")
+    // degenerate run: maximal but not leftmost-first (documented)
+    val r = Bpe.applyOne("|a|a|a|a|a|", Bpe.Merge("a", "a"))
+    assert(r === "|aa|a|aa|")
+    // no mergeable adjacent pair remains — the pairing is maximal
+    assert(!r.contains("|a|a|"))
+    // a merge never fires inside a longer symbol (delimiter anchoring)
+    assert(Bpe.applyOne("|a|bc|", m) === "|a|bc|")
+  }
+
+  test("tokenCount counts symbols; symbolize delimits every character") {
+    val out = Seq("the", "a", "").toDF("t")
+      .select(Bpe.symbolize(col("t")).as("s"), Bpe.tokenCount(Bpe.symbolize(col("t"))).as("n"))
+      .as[(String, Int)].collect()
+    assert(out(0) === (("|t|h|e|", 3)))
+    assert(out(1) === (("|a|", 1)))
+    assert(out(2) === (("|", 0)))
+  }
+
+  test("wordHistogram: top-K by (count desc, word asc), separator-bearing " +
+    "tokens excluded") {
+    val docs = Seq("b b b a a c", "a |x| a").toDF("text")
+    val h = Bpe.wordHistogram(docs, "text", topK = 2)
+    assert(h.toSeq === Seq(("a", 4L), ("b", 3L)))
+  }
+
+  test("learning is deterministic: same histogram, same merge sequence") {
+    val hist = Array(("seed", 5L), ("seen", 4L), ("tree", 3L), ("free", 2L))
+    val a = Bpe.learn(hist, 6)
+    val b = Bpe.learn(hist.reverse, 6) // input order must not matter
+    assert(a === b && a.nonEmpty)
+  }
+}
