@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Bpe, Dedup, Importance, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.llm.{Bpe, Dedup, Importance, LangModel, Multimodal, Packing, Sampling, Search, Similarity, TextOps}
 
 /** LLM training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text
@@ -618,6 +618,53 @@ object LlmQueries extends Q.Registry {
       },
       Some(ss3OracleSql)),
 
+    Q("ss4_bm25_topk",
+      "Okapi BM25 keyword search top-10 (Robertson & Zaragoza 2009) — " +
+        "the lexical-retrieval counterpart to the ss1-ss3 embedding " +
+        "family: query terms of mixed rarity (hash/join common, dup " +
+        "rare), Lucene idf, k1=1.2 b=0.75. The posting fragment is " +
+        "filtered to the query terms before any shuffle; doc lengths " +
+        "join shuffle-hash; stats/df broadcast; top-k is a TakeOrdered.",
+      (s, d) => {
+        Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          queryTerms = Seq("hash", "join", "dup"), k = 10,
+          scoreTrunc = Fmt.t6, avglenTrunc = Fmt.t6)
+          .orderBy("rank")
+      },
+      Some(
+        """WITH ws AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
+          |  FROM documents),
+          |lens AS (SELECT doc_id, len(ws) AS l FROM ws),
+          |stats AS (
+          |  SELECT count(*) AS n,
+          |         floor((avg(l)) * 1e6 + 1e-6) / 1e6 AS avglen
+          |  FROM lens),
+          |tf AS (
+          |  SELECT doc_id, w, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(ws) AS w FROM ws)
+          |  WHERE w IN ('hash', 'join', 'dup')
+          |  GROUP BY doc_id, w),
+          |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |         floor((sum(
+          |           ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+          |           (tf * (1.2 + 1.0)) /
+          |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * l / avglen))
+          |         )) * 1e6 + 1e-6) / 1e6 AS score,
+          |         count(*) AS n_terms_matched
+          |  FROM tf
+          |  JOIN dfreq USING (w)
+          |  JOIN lens ON lens.doc_id = tf.doc_id
+          |  CROSS JOIN stats
+          |  GROUP BY tf.doc_id)
+          |SELECT rank, doc_id, score, n_terms_matched FROM (
+          |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, *
+          |  FROM scored)
+          |WHERE rank <= 10
+          |ORDER BY rank""".stripMargin)),
+
     Q("tx1_token_stats",
       "Per-document token statistics: whitespace words, BPE-ish regex " +
         "tokens, mean word length, punctuation ratio — the map-stage " +
@@ -1207,9 +1254,15 @@ object LlmQueries extends Q.Registry {
           .agg(array((0 until 64).map(i =>
             Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*)
             .as("cent_vec"))
+        // cache the assignment: semanticDups reads it through three
+        // plan arms (hi side, lo side, final rejoin), and each arm
+        // would otherwise re-run the centroid aggregate + cross join +
+        // argmin window. (vec_id, embedding, cell) is corpus-row-sized
+        // but narrow — the dd3 cache-the-banded-frame precedent.
         val assigned = Similarity.assignCells(
           corpus.select("vec_id", "embedding"),
           "vec_id", "embedding", centroids, "cell", "cent_vec")
+          .cache()
         Dedup.semanticDups(assigned, "vec_id", "embedding", "cell",
           tau = 0.9, simTrunc = Fmt.t6)
           .orderBy("vec_id")
@@ -1366,6 +1419,65 @@ object LlmQueries extends Q.Registry {
           md5(toked).as("token_fingerprint"))
           .orderBy("doc_id")
       },
-      oracleMerges.map(tx11OracleSql))
+      oracleMerges.map(tx11OracleSql)),
+
+    Q("tx12_lm_perplexity",
+      "LM-perplexity quality scoring (the CCNet recipe, Wenzek et al. " +
+        "2020): a hashed-bigram Lidstone LM (256 buckets, proper " +
+        "conditional over the hashed vocab) trained on the curated " +
+        "sources src0-src3, every document scored by mean bigram " +
+        "log-prob + perplexity. The pair table is bounded by the " +
+        "bucket space -> always broadcast; scoring is map-side + one " +
+        "doc-keyed aggregation.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val B = 256
+        val target = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+        val (pairLogp, ctxBackoff) =
+          LangModel.train(target, "doc_id", "text", B, alpha = 1.0, logpTrunc = Fmt.t6)
+        LangModel.scoreDocs(docs, "doc_id", "text", pairLogp, ctxBackoff,
+          B, floorLogp = math.log(1.0 / B))
+          .select(col("doc_id"), col("n_bigrams"),
+            Fmt.t6(col("avg_logp_raw")).as("avg_logp"),
+            Fmt.trunc(exp(-Fmt.t6(col("avg_logp_raw"))), 3).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH gs AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN len(ws) >= 2
+           |           THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           |           ELSE [] END AS gl
+           |  FROM (SELECT doc_id, source,
+           |               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |        FROM documents)),
+           |bg AS (
+           |  SELECT doc_id, source,
+           |         CAST(CAST(('0x' || substring(md5(string_split(g, ' ')[1]), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS b1,
+           |         CAST(CAST(('0x' || substring(md5(string_split(g, ' ')[2]), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS b2
+           |  FROM (SELECT doc_id, source, unnest(gl) AS g FROM gs)),
+           |c2 AS (
+           |  SELECT b1, b2, count(*) AS c2 FROM bg
+           |  WHERE source IN ('src0','src1','src2','src3')
+           |  GROUP BY b1, b2),
+           |c1 AS (SELECT b1, sum(c2) AS c1 FROM c2 GROUP BY b1),
+           |plp AS (
+           |  SELECT b1, b2,
+           |         floor((ln((c2 + 1.0) / (c1 + 256.0))) * 1e6 + 1e-6) / 1e6 AS logp
+           |  FROM c2 JOIN c1 USING (b1)),
+           |bo AS (
+           |  SELECT b1,
+           |         floor((ln(1.0 / (c1 + 256.0))) * 1e6 + 1e-6) / 1e6 AS backoff
+           |  FROM c1),
+           |scored AS (
+           |  SELECT doc_id, count(*) AS n_bigrams,
+           |         floor((avg(coalesce(logp, backoff, ${math.log(1.0 / 256)}))) * 1e6 + 1e-6) / 1e6 AS avg_logp
+           |  FROM bg
+           |  LEFT JOIN plp USING (b1, b2)
+           |  LEFT JOIN bo USING (b1)
+           |  GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, avg_logp,
+           |       floor((exp(-avg_logp)) * 1e3 + 1e-6) / 1e3 AS ppl
+           |FROM scored ORDER BY doc_id""".stripMargin))
   )
 }

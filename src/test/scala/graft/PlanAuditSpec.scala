@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     "x7_chi2_cramer",     // grid completion: distinct rows × distinct cols
     "x9_residuals",
     "dd10_semantic_dedup",     // assignCells: corpus × broadcast centroid table (ss2's pattern)
-    "tx10_importance_weights"  // bucket table × one-row side-totals frame
+    "tx10_importance_weights", // bucket table × one-row side-totals frame
+    "ss4_bm25_topk"            // posting fragment × one-row corpus-stats frame
   )
 
   test("no SortMergeJoin or CartesianProduct in any registered query plan; " +
