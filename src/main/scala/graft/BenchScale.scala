@@ -81,6 +81,21 @@ import graft.ops.Windows
  *                 grows ×f (REQUIREd), which is the broadcast-always
  *                 claim; scoring time is two corpus scans + a
  *                 broadcast join, honestly ~linear;
+ *  - tx_bpe:      tx11's BPE pipeline end-to-end — histogram (top-K
+ *                 BOUNDED regardless of factor) + driver merge learn +
+ *                 the replace-chain tokenization map stage; output
+ *                 rows ×f, the learn stage's input capped by topK;
+ *  - ss_bm25:     ss4's BM25 with a FIXED replica-0 query — the
+ *                 corpus token stream grows ×f but the posting
+ *                 fragment stays replica-0-sized (prefixed tokens
+ *                 cannot match), so hits are CONSTANT and the measured
+ *                 growth is the pre-shuffle filter scan, honestly
+ *                 ~linear;
+ *  - tx_lm:       tx12's hashed-bigram LM — train on the inflated
+ *                 target slice + score the inflated corpus; both LM
+ *                 tables must stay within their bucket-space bounds
+ *                 (REQUIREd ≤ B² / ≤ B rows — the broadcast-always
+ *                 claim), scored rows ×f;
  *  - x_gram:      the x10/x17 one-pass OLS ladder (GramOls) over the
   *                 inflated fact — a ~26-coefficient design (numeric +
   *                 hour dummies), so the treeAggregate pays ~700
@@ -329,6 +344,59 @@ object BenchScale {
     } finally ratios.unpersist(blocking = false)
   }
 
+  /** The tx11 BPE core (llm/Bpe — the SAME code the query ships):
+    * histogram → learn → replace-chain tokenize. The learn input is
+    * capped by topK no matter the corpus factor (the aggregate-
+    * before-ML bound), so only the histogram aggregation and the
+    * tokenization map stage grow with f. */
+  private def txBpe(docs: DataFrame, f: Int): Long = {
+    val merges = graft.llm.Bpe.learn(
+      graft.llm.Bpe.wordHistogram(docs, "text", topK = 2000), numMerges = 12)
+    val sym = graft.llm.Bpe.symbolize(graft.llm.Bpe.stripSep(lower(col("text"))))
+    val toked = graft.llm.Bpe.applyMerges(sym, merges)
+    docs.select(graft.llm.Bpe.tokenCount(toked).as("nt"))
+      .agg(count(lit(1)), sum("nt")).head().getLong(0)
+  }
+
+  /** The ss4 BM25 core (llm/Search — the SAME code the query ships)
+    * with a replica-0 query: inflation prefixes every token, so the
+    * posting fragment (and the hit set) stays replica-0-sized while
+    * the scanned token stream grows ×f — the leg measures the
+    * pre-shuffle filter, which is the design's whole point. Returns
+    * the hit count (constant across factors). */
+  private def ssBm25(docs: DataFrame, f: Int): Long = {
+    val terms = Seq("r0_hash", "r0_join", "r0_dup")
+    val hits = graft.llm.Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+    val r = hits.agg(count(lit(1)), sum("score"), sum("n_terms_matched")).head()
+    // every hit must come from replica 0 — a prefixed token matching a
+    // foreign replica's query would be a tokenizer interaction
+    val foreign = hits.filter(pmod(col("doc_id"), lit(f)) =!= 0).count()
+    require(foreign == 0L, s"ss_bm25 at $f×: $foreign non-replica-0 hits")
+    r.getLong(0)
+  }
+
+  /** The tx12 LM core (llm/LangModel — the SAME code the query
+    * ships): train on the inflated target slice, score the inflated
+    * corpus. The LM tables must stay within their bucket-space bounds
+    * regardless of factor — the broadcast-always claim, REQUIREd. */
+  private def txLm(docs: DataFrame, f: Int): Long = {
+    val B = 256
+    val target = docs.filter(expr(s"doc_id div $f") % 5 === 0)
+    val (plp, bo) = graft.llm.LangModel.train(target, "doc_id", "text", B)
+    val plpC = plp.cache(); val boC = bo.cache()
+    try {
+      val nPairs = plpC.count(); val nCtx = boC.count()
+      require(nPairs <= B.toLong * B && nCtx <= B.toLong,
+        s"tx_lm at $f×: LM tables outgrew the bucket space ($nPairs pairs, $nCtx contexts)")
+      graft.llm.LangModel.scoreDocs(docs, "doc_id", "text", plpC, boC, B,
+        floorLogp = math.log(1.0 / B))
+        .agg(count(lit(1)), sum("avg_logp_raw"), sum("n_bigrams"))
+        .head().getLong(0)
+    } finally {
+      plpC.unpersist(blocking = false); boC.unpersist(blocking = false)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -440,7 +508,10 @@ object BenchScale {
       ("x_gram", (f: Int) => xGram(inflateEvents(events, f)), Constant),
       ("dd_semantic", (f: Int) => ddSemantic(inflateEmbeddings(embeddingsL, f), f), Linear),
       ("tx_linededup", (f: Int) => txLineDedup(inflateDocuments(documents, f), f), Linear),
-      ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear))
+      ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear),
+      ("tx_bpe", (f: Int) => txBpe(inflateDocuments(documents, f), f), Linear),
+      ("ss_bm25", (f: Int) => ssBm25(inflateDocuments(documents, f), f), Constant),
+      ("tx_lm", (f: Int) => txLm(inflateDocuments(documents, f), f), Linear))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 
     val times = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
