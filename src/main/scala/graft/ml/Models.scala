@@ -99,6 +99,93 @@ object Models {
     centers
   }
 
+  /** Driver-side deterministic K-Means fit on an AGGREGATED frame —
+    * the aggregate-before-ML endgame (GramOls's statsmodels move
+    * applied to X11): the station×hour pivot is dimension-sized
+    * (~1.5k×24, bounded at ANY fact scale — stations don't grow with
+    * events), so launching one distributed job per Lloyd's iteration
+    * is pure scheduler overhead; the reference itself fits sklearn on
+    * exactly this driver-local matrix (01:659-661). Rows are
+    * collected in featureCols sort order, so the accumulation order —
+    * and therefore every float mean — is partition-layout-invariant;
+    * k-means++ seeding off a seeded RNG plus Lloyd's to assignment
+    * fixpoint, with the SAME first-min tie rule [[kmeansAssignExpr]]
+    * mirrors, makes the whole fit bit-deterministic. MlModelsSpec
+    * pins structure recovery and WCSS parity vs the spark.ml fit. */
+  def kmeansCentersLocal(pivot: DataFrame, featureCols: Seq[String],
+                         k: Int = 4, seed: Long = 42L,
+                         maxIter: Int = 50): Array[Array[Double]] = {
+    val cols = featureCols.map(col)
+    val rows: Array[Array[Double]] = pivot.select(cols: _*)
+      .orderBy(cols: _*)
+      .collect().map(r => Array.tabulate(featureCols.length)(r.getDouble))
+    require(rows.length >= k, s"k-means needs >= $k rows, got ${rows.length}")
+    val dim = featureCols.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new java.util.Random(seed)
+    // k-means++ (D²-weighted) seeding
+    val centers = Array.fill(k)(new Array[Double](dim))
+    rows(rnd.nextInt(rows.length)).copyToArray(centers(0))
+    var c = 1
+    while (c < k) {
+      val dists = rows.map(r => (0 until c).map(j => d2(r, centers(j))).min)
+      val total = dists.sum
+      if (total <= 0) rows(rnd.nextInt(rows.length)).copyToArray(centers(c))
+      else {
+        var t = rnd.nextDouble() * total
+        var i = 0
+        while (i < rows.length - 1 && t > dists(i)) { t -= dists(i); i += 1 }
+        rows(i).copyToArray(centers(c))
+      }
+      c += 1
+    }
+    // Lloyd's to assignment fixpoint (first-min tie rule)
+    val assign = Array.fill(rows.length)(-1)
+    var changed = true
+    var it = 0
+    while (changed && it < maxIter) {
+      changed = false
+      var r = 0
+      while (r < rows.length) {
+        var best = 0; var bestD = d2(rows(r), centers(0))
+        var j = 1
+        while (j < k) {
+          val d = d2(rows(r), centers(j))
+          if (d < bestD) { best = j; bestD = d }
+          j += 1
+        }
+        if (assign(r) != best) { assign(r) = best; changed = true }
+        r += 1
+      }
+      if (changed) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        var i = 0
+        while (i < rows.length) {
+          val a = assign(i); counts(a) += 1
+          var j = 0
+          while (j < dim) { sums(a)(j) += rows(i)(j); j += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < k) {
+          // an emptied cluster keeps its previous center (spark.ml's rule)
+          if (counts(j) > 0) {
+            var x = 0
+            while (x < dim) { centers(j)(x) = sums(j)(x) / counts(j); x += 1 }
+          }
+          j += 1
+        }
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** K-Means ASSIGNMENT unrolled to column arithmetic: squared
     * euclidean distance to each literal centroid (left-assoc sum of
     * squares in feature order), then a first-min argmin CASE — the

@@ -130,7 +130,11 @@ object MlQueries extends Q.Registry {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
   private[queries] def fittedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     kmeansMemo.computeIfAbsent(d, _ =>
-      Models.kmeansCenters(kmeansPivot(s, d).cache(), pivotCols))
+      // driver-side Lloyd's on the cached dimension-sized pivot (the
+      // aggregate-before-ML shape — see kmeansCentersLocal's scaladoc;
+      // r7: replaces the spark.ml fit whose per-iteration job launches
+      // dominated x11's measured time)
+      Models.kmeansCentersLocal(kmeansPivot(s, d).cache(), pivotCols))
 
   private def oracleCentroids: Option[Array[Array[Double]]] =
     withOracleCtx("x11")(fittedCentroids)

@@ -144,4 +144,44 @@ class MlModelsSpec extends SparkSpec {
     val sql = Models.kmeansAssignSql(centers, cols)
     assert(sql.startsWith("CASE WHEN") && sql.contains("h23") && sql.endsWith("ELSE 3 END"))
   }
+
+  test("kmeansCentersLocal (the x11 fit since r7): recovers the 4-shape " +
+    "structure, WCSS on par with spark.ml, partition-layout-invariant") {
+    val rnd = new scala.util.Random(11)
+    def curve(kind: Int, h: Int): Double = kind match {
+      case 0 => if (h >= 10 && h <= 17) 0.9 else 0.1
+      case 1 => if (h >= 6 && h <= 9) 0.9 else 0.1
+      case 2 => if (h >= 18 && h <= 22) 0.9 else 0.1
+      case _ => 0.5
+    }
+    val rows = for (k <- 0 until 4; s <- 0 until 10) yield {
+      val vals = (0 until 24).map(h => curve(k, h) + rnd.nextDouble() * 0.02)
+      (s"st_${k}_$s", k, vals)
+    }
+    val cols = (0 until 24).map(_.toString)
+    val df = rows.toDF("station_no", "true_kind", "vals")
+      .select(col("station_no") +: col("true_kind") +:
+        (0 until 24).map(h => element_at(col("vals"), h + 1).as(h.toString)): _*)
+    val centers = Models.kmeansCentersLocal(df, cols)
+    val out = df
+      .withColumn("cluster", Models.kmeansAssignExpr(centers, cols))
+      .select("true_kind", "cluster").as[(Int, Int)].collect()
+    val kindToClusters = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSet).toMap
+    assert(kindToClusters.values.forall(_.size === 1), s"$kindToClusters")
+    assert(kindToClusters.values.reduce(_ ++ _).size === 4)
+    // WCSS no worse than the spark.ml fit's on the same frame (both
+    // are local optima of the same objective; parity is the contract)
+    def wcss(cs: Array[Array[Double]]): Double = {
+      val data = df.select(cols.map(col): _*).collect()
+        .map(r => Array.tabulate(24)(r.getDouble))
+      data.map(p => cs.map(c =>
+        c.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum).min).sum
+    }
+    val sparkMl = Models.kmeansCenters(df, cols)
+    assert(wcss(centers) <= wcss(sparkMl) * 1.05,
+      s"local WCSS ${wcss(centers)} vs spark.ml ${wcss(sparkMl)}")
+    // determinism under a different partition layout
+    val centers2 = Models.kmeansCentersLocal(df.repartition(7), cols)
+    assert(centers.map(_.toSeq).toSeq === centers2.map(_.toSeq).toSeq)
+  }
 }
