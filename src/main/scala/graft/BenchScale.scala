@@ -351,7 +351,7 @@ object BenchScale {
     * tokenization map stage grow with f. */
   private def txBpe(docs: DataFrame, f: Int): Long = {
     val merges = graft.llm.Bpe.learn(
-      graft.llm.Bpe.wordHistogram(docs, "text", topK = 2000), numMerges = 12)
+      graft.llm.Bpe.wordHistogram(docs, "text", topK = 2000), numMerges = 24)
     val sym = graft.llm.Bpe.symbolize(graft.llm.Bpe.stripSep(lower(col("text"))))
     val toked = graft.llm.Bpe.applyMerges(sym, merges)
     docs.select(graft.llm.Bpe.tokenCount(toked).as("nt"))
@@ -366,13 +366,18 @@ object BenchScale {
     * the hit count (constant across factors). */
   private def ssBm25(docs: DataFrame, f: Int): Long = {
     val terms = Seq("r0_hash", "r0_join", "r0_dup")
-    val hits = graft.llm.Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
-    val r = hits.agg(count(lit(1)), sum("score"), sum("n_terms_matched")).head()
-    // every hit must come from replica 0 — a prefixed token matching a
-    // foreign replica's query would be a tokenizer interaction
-    val foreign = hits.filter(pmod(col("doc_id"), lit(f)) =!= 0).count()
-    require(foreign == 0L, s"ss_bm25 at $f×: $foreign non-replica-0 hits")
-    r.getLong(0)
+    // cache: the timed pipeline must run ONCE — the stat row and the
+    // cross-replica check below are two actions over the same 10 rows
+    val hits = graft.llm.Search
+      .bm25TopK(docs, "doc_id", "text", terms, k = 10).cache()
+    try {
+      val r = hits.agg(count(lit(1)), sum("score"), sum("n_terms_matched")).head()
+      // every hit must come from replica 0 — a prefixed token matching a
+      // foreign replica's query would be a tokenizer interaction
+      val foreign = hits.filter(pmod(col("doc_id"), lit(f)) =!= 0).count()
+      require(foreign == 0L, s"ss_bm25 at $f×: $foreign non-replica-0 hits")
+      r.getLong(0)
+    } finally hits.unpersist(blocking = false)
   }
 
   /** The tx12 LM core (llm/LangModel — the SAME code the query

@@ -112,12 +112,32 @@ object Bpe {
     merges.result()
   }
 
-  /** Remove the delimiter from raw text (operator precondition). */
-  def stripSep(text: Column): Column = replace(text, lit(Sep), lit(""))
+  /** Characters [[symbolize]]'s `(.)` regex treats differently across
+    * engines: Java's `.` excludes ALL its line terminators (\r, NEL
+    * U+0085, U+2028, U+2029 — and \n), RE2's excludes only \n. A
+    * \n survives sanitization because both engines skip it
+    * identically; the four Java-only terminators would de-sync the
+    * symbol stream and are stripped. */
+  private[llm] val JavaOnlyLineTerminators = Seq("\r", "\u0085", "\u2028", "\u2029")
+
+  /** Remove the delimiter and the cross-engine-divergent line
+    * terminators from raw text (operator precondition — mirrored in
+    * SQL by [[sanitizeSqlExpr]]). */
+  def stripSep(text: Column): Column =
+    (Sep +: JavaOnlyLineTerminators).foldLeft(text)((c, s) =>
+      replace(c, lit(s), lit("")))
+
+  /** DuckDB mirror of [[stripSep]] over `textExpr`. */
+  def sanitizeSqlExpr(textExpr: String): String = {
+    val codes = Sep.codePointAt(0) +: JavaOnlyLineTerminators.map(_.codePointAt(0))
+    codes.foldLeft(textExpr)((e, cp) => s"replace($e, chr($cp), '')")
+  }
 
   /** Character-level symbol string of a text: every character becomes
     * a delimited symbol (`"the"` → `"|t|h|e|"`). Mirrored in SQL as
-    * `'|' || regexp_replace(text, '(.)', '\1|', 'g')`. */
+    * `'|' || regexp_replace(text, '(.)', '\1|', 'g')` — which is only
+    * bit-identical after [[stripSep]] (see
+    * [[JavaOnlyLineTerminators]]). */
   def symbolize(text: Column): Column =
     concat(lit(Sep), regexp_replace(text, "(.)", "$1" + Sep))
 

@@ -38,6 +38,10 @@ object Search {
                avglenTrunc: Column => Column = identity): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be positive, got $k")
+    // the corpus token stream is lowercased (TextOps.words), so terms
+    // are matched case-insensitively — a raw "Spark" must not silently
+    // match nothing
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
     val ws = docs.select(col(idCol), TextOps.words(col(textCol)).as("__ws"))
     val lens = ws.select(col(idCol), size(col("__ws")).as("__len"))
     val stats = lens.agg(
@@ -45,7 +49,7 @@ object Search {
       avglenTrunc(avg("__len")).as("__avglen"))
     // the posting fragment: query terms only, BEFORE the shuffle
     val tf = ws.select(col(idCol), explode(col("__ws")).as("__w"))
-      .filter(col("__w").isInCollection(queryTerms))
+      .filter(col("__w").isInCollection(terms))
       .groupBy(col(idCol), col("__w"))
       .agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))

@@ -302,7 +302,7 @@ object LlmQueries extends Q.Registry {
        |FROM (
        |  SELECT doc_id, n_chars, $symE AS sym, $tokE AS tok
        |  FROM (SELECT doc_id, CAST(len(text) AS INT) AS n_chars,
-       |               replace(lower(text), '|', '') AS t
+       |               ${Bpe.sanitizeSqlExpr("lower(text)")} AS t
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
   }

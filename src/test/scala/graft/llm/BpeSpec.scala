@@ -74,6 +74,17 @@ class BpeSpec extends SparkSpec {
     assert(h.toSeq === Seq(("a", 4L), ("b", 3L)))
   }
 
+  test("stripSep removes the delimiter AND the Java-only line terminators " +
+    "(the (.) class divergence vs RE2), leaving \\n alone") {
+    val dirty = "a|b\rc\u0085d\u2028e\u2029f\ng"
+    val out = Seq(dirty).toDF("t")
+      .select(Bpe.stripSep(col("t"))).as[String].head()
+    assert(out === "abcdef\ng")
+    // the SQL mirror names the same code points
+    val sql = Bpe.sanitizeSqlExpr("t")
+    for (cp <- Seq(124, 13, 133, 8232, 8233)) assert(sql.contains(s"chr($cp)"), sql)
+  }
+
   test("learning is deterministic: same histogram, same merge sequence") {
     val hist = Array(("seed", 5L), ("seen", 4L), ("tree", 3L), ("free", 2L))
     val a = Bpe.learn(hist, 6)

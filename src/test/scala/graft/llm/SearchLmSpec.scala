@@ -20,8 +20,9 @@ class SearchLmSpec extends SparkSpec {
 
   test("bm25TopK: doc with both terms wins via the rare term's idf; " +
     "higher tf beats lower tf at similar length; non-matching docs absent") {
+    // mixed-case terms must match the lowercased token stream
     val out = Search.bm25TopK(corpus, "id", "text",
-      queryTerms = Seq("spark", "rare"), k = 10)
+      queryTerms = Seq("Spark", "RARE"), k = 10)
       .as[(Int, Long, Double, Long)].collect()
     val byRank = out.sortBy(_._1).map(_._2)
     // 5 matches both terms (rare idf dominates), 3 matches rare only,
