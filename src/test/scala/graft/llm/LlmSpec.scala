@@ -660,6 +660,30 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) === ((5L, 3L, 0L, Some("dup\ndup\nx"))))
   }
 
+  test("lineDedup matches a plain-Scala reference on seeded random corpora " +
+    "(property: counts, removals, and reassembled text)") {
+    val rnd = new scala.util.Random(41)
+    val lines = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(5)
+      (id, (0 until n).map(_ => lines(rnd.nextInt(lines.length))).mkString("\n"))
+    }
+    val minDocs = 6
+    // reference: count distinct docs per line, filter, reassemble
+    val docCount = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = docs.map { case (id, t) =>
+      val ls = t.split("\n", -1)
+      val kept = ls.filter(l => docCount(l) < minDocs)
+      id -> ((id, ls.length.toLong, (ls.length - kept.length).toLong,
+        if (kept.isEmpty) None else Some(kept.mkString("\n"))))
+    }.toMap
+    val out = Dedup.lineDedup(docs.toDF("id", "text"), "id", "text", minDocs)
+      .as[(Long, Long, Long, Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(out.size === docs.size)
+    docs.foreach { case (id, _) => assert(out(id) === expected(id), s"doc $id") }
+  }
+
   test("Importance: DSIR weights separate target-vocabulary docs from raw, " +
     "bucket table stays bounded, hash buckets in range") {
     val docs = Seq(
