@@ -33,6 +33,80 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Token-budget mixture sampling — the data-mixing step that builds
+    * a training corpus to a TARGET TOKEN COMPOSITION (the Pile /
+    * LLaMA-style recipe: each domain/language contributes a fixed
+    * token share, not a fixed document share, because training cost
+    * and mixture proportions are measured in tokens). Within each
+    * group, documents are taken in md5-of-id order (reproducible,
+    * content-independent — the same audit property as
+    * [[stratifiedQuota]]) until the group's token budget is filled:
+    * a document is selected iff the EXCLUSIVE running token sum
+    * before it is still under the budget, so the boundary document
+    * may overshoot (greedy fill — deterministic, and the overshoot is
+    * bounded by one document).
+    *
+    * One window shuffle on the group key (per-group sort + running
+    * frame, spill-safe); groups absent from `budgets` select nothing.
+    * Returns every input row with (n_tokens, cum_before, selected) so
+    * both the kept corpus and the audit trail come out of one pass. */
+  def tokenBudgetMixture(df: DataFrame, groupCol: String, idCol: String,
+                         tokenCount: Column,
+                         budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldRight(lit(null).cast("long")) {
+      case ((g, b), rest) => when(col(groupCol) === g, b).otherwise(rest)
+    }
+    df.withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("selected",
+        coalesce(col("cum_before") < budget, lit(false)))
+  }
+
+  /** Sharded [[tokenBudgetMixture]] — the scale path for huge groups
+    * (the [[Packing.packBinsSharded]] move): a per-group running sum
+    * serializes the whole group through one window partition, which
+    * is fine for bounded group counts at toy scale but caps
+    * parallelism at the group count. Each group is split into
+    * `shards` deterministic doc-hash shards (an INDEPENDENT md5 slice
+    * from the ordering key, so shard membership doesn't bias the
+    * within-shard order), each filling budget/shards — the window key
+    * becomes (group, shard) and parallelism scales with shards. The
+    * SELECTION differs from the unsharded pick (equally deterministic,
+    * equally budget-respecting: per-shard overshoot is one document,
+    * so the group total lands within `shards` boundary documents of
+    * the budget); shards = 1 reproduces [[tokenBudgetMixture]]
+    * exactly. Residual budget (budget mod shards) goes to shard 0. */
+  def tokenBudgetMixtureSharded(df: DataFrame, groupCol: String, idCol: String,
+                                tokenCount: Column, budgets: Map[String, Long],
+                                shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
+    val shard =
+      conv(substring(sampleKey(col(idCol)), 9, 8), 16, 10).cast("long") % shards
+    val w = Window.partitionBy(col(groupCol), col("shard"))
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardBudget = budgets.foldRight(lit(null).cast("long")) {
+      case ((g, b), rest) =>
+        when(col(groupCol) === g,
+          lit(b / shards) + when(col("shard") === 0, b % shards).otherwise(0L))
+          .otherwise(rest)
+    }
+    df.withColumn("shard", shard)
+      .withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("selected",
+        coalesce(col("cum_before") < shardBudget, lit(false)))
+  }
+
   /** Deterministic train/val/test split: the id hashes into one of 100
     * buckets (first 8 md5 hex chars mod 100); cumulative `weights`
     * cut-points map buckets to the labeled splits. Map-side only.

@@ -1478,6 +1478,40 @@ object LlmQueries extends Q.Registry {
            |  GROUP BY doc_id)
            |SELECT doc_id, n_bigrams, avg_logp,
            |       floor((exp(-avg_logp)) * 1e3 + 1e-6) / 1e3 AS ppl
-           |FROM scored ORDER BY doc_id""".stripMargin))
+           |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    Q("tx13_token_budget_mixture",
+      "Token-budget mixture sampling (the Pile/LLaMA data-mixing " +
+        "recipe): each language contributes a fixed TOKEN share, not a " +
+        "document share — greedy fill in reproducible md5-of-id order " +
+        "until the group budget (en 6000, others 2000) is reached. One " +
+        "window shuffle; every row keeps its audit trail (n_tokens, " +
+        "exclusive running sum, selected).",
+      (s, d) => {
+        Sampling.tokenBudgetMixture(
+          Tables.documents(s, d), "lang", "doc_id",
+          TextOps.tokenCount(col("text")),
+          Map("en" -> 6000L, "de" -> 2000L, "es" -> 2000L,
+            "fr" -> 2000L, "zh" -> 2000L))
+          .select("doc_id", "lang", "n_tokens", "cum_before", "selected")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+          |         md5(CAST(doc_id AS VARCHAR)) AS sk
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |         CAST(coalesce(sum(n_tokens) OVER (
+          |           PARTITION BY lang ORDER BY sk, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          |  FROM t)
+          |SELECT doc_id, lang, n_tokens, cum_before,
+          |       cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
+          |                              WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000
+          |                              WHEN 'zh' THEN 2000 END AS selected
+          |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

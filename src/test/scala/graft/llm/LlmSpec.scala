@@ -684,6 +684,70 @@ class LlmSpec extends SparkSpec {
     docs.foreach { case (id, _) => assert(out(id) === expected(id), s"doc $id") }
   }
 
+  test("tokenBudgetMixture: greedy prefix fill in hash order, boundary doc " +
+    "may overshoot, unknown groups select nothing, layout-invariant") {
+    val docs = (1L to 30L).map(id =>
+      (id, if (id % 3 == 0) "g2" else "g1", 10L + id % 4)).toDF("id", "g", "nt")
+    val out = Sampling.tokenBudgetMixture(docs, "g", "id", col("nt"),
+      Map("g1" -> 60L, "g2" -> 25L))
+      .select("id", "g", "n_tokens", "cum_before", "selected")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    assert(out.length === 30)
+    for ((_, g, _, cb, sel) <- out)
+      assert(sel === (cb < (if (g == "g1") 60L else 25L)))
+    // per group: selected set is a PREFIX in (md5, id) order and the
+    // selected token sum overshoots the budget by at most one doc
+    for ((g, budget) <- Seq("g1" -> 60L, "g2" -> 25L)) {
+      val grp = out.filter(_._2 == g).sortBy(r => (md5hex(r._1), r._1))
+      val sel = grp.takeWhile(_._5)
+      assert(grp.drop(sel.length).forall(!_._5), s"$g selection is not a prefix")
+      val tok = sel.map(_._3).sum
+      assert(tok >= budget || sel.length == grp.length, s"$g underfilled: $tok")
+      assert(tok - sel.lastOption.map(_._3).getOrElse(0L) < budget, s"$g overshot by >1 doc")
+    }
+    // a group with no budget entry selects nothing
+    val out2 = Sampling.tokenBudgetMixture(docs, "g", "id", col("nt"),
+      Map("g1" -> 60L)).filter(col("g") === "g2")
+      .select("selected").as[Boolean].collect()
+    assert(out2.nonEmpty && out2.forall(_ == false))
+    // partition-layout invariance
+    val out3 = Sampling.tokenBudgetMixture(docs.repartition(7), "g", "id",
+      col("nt"), Map("g1" -> 60L, "g2" -> 25L))
+      .select("id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(out.map(r => r._1 -> r._5).toMap === out3)
+  }
+
+  private def md5hex(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("tokenBudgetMixtureSharded: shards=1 reproduces the unsharded pick " +
+    "exactly; shards>1 keeps per-shard prefix + bounded group overshoot") {
+    val docs = (1L to 200L).map(id => (id, "g", 5L + id % 7)).toDF("id", "g", "nt")
+    val budgets = Map("g" -> 300L)
+    val plain = Sampling.tokenBudgetMixture(docs, "g", "id", col("nt"), budgets)
+      .select("id", "selected").as[(Long, Boolean)].collect().toMap
+    val one = Sampling.tokenBudgetMixtureSharded(docs, "g", "id", col("nt"), budgets, 1)
+      .select("id", "selected").as[(Long, Boolean)].collect().toMap
+    assert(one === plain)
+    val four = Sampling.tokenBudgetMixtureSharded(docs, "g", "id", col("nt"), budgets, 4)
+      .select("id", "shard", "n_tokens", "cum_before", "selected")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(four.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    // per shard: selection is a prefix in (md5, id) order
+    for (s <- 0L until 4L) {
+      val grp = four.filter(_._2 == s).sortBy(r => (md5hex(r._1), r._1))
+      val sel = grp.takeWhile(_._5)
+      assert(grp.drop(sel.length).forall(!_._5), s"shard $s not a prefix")
+    }
+    // group total lands within `shards` boundary docs of the budget
+    val selTok = four.filter(_._5).map(_._3).sum
+    val maxDoc = four.map(_._3).max
+    assert(selTok >= 300L - 4 * maxDoc && selTok <= 300L + 4 * maxDoc, selTok.toString)
+  }
+
   test("Importance: DSIR weights separate target-vocabulary docs from raw, " +
     "bucket table stays bounded, hash buckets in range") {
     val docs = Seq(
