@@ -339,6 +339,71 @@ object Dedup {
     }
   }
 
+  /** Sign a corpus for incremental dedup: (idCol, sig, bands) — the
+    * persisted signature table an incremental pipeline keeps instead
+    * of re-reading corpus text. A few dozen bytes per document
+    * regardless of document size. */
+  def signDocs(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sh = TextOps.wordShingles(TextOps.words(col(textCol)), 3)
+    docs.select(col(idCol),
+      minhashSig(sh, k).as("sig"))
+      .withColumn("bands", bandKeys(col("sig"), bands, rowsPerBand))
+  }
+
+  /** Signature-agreement similarity estimate: the fraction of MinHash
+    * components two documents share is an unbiased estimator of their
+    * shingle-set Jaccard — the verify step an incremental pipeline
+    * runs INSTEAD of exact set intersection, because the sets would
+    * require the corpus text it deliberately no longer reads. */
+  def sigSimilarity(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x <=> y), p => p)).cast("double") /
+      size(a)
+
+  /** Incremental near-dup check — the PRODUCTION dedup shape: a new
+    * batch arrives and must be deduplicated against the EXISTING
+    * corpus and against itself, without touching the existing corpus's
+    * text. Both sides arrive as [[signDocs]] signature tables; the
+    * existing side is the table a production pipeline persists and
+    * appends to batch over batch.
+    *
+    * Plan shape for 100 TB: the new batch (small by definition) pays
+    * the only text work (its own signing, done by the caller); the
+    * candidate joins are band-key equi-joins of the NEW batch's
+    * exploded bands against the existing signature table — shuffle
+    * keyed on band keys, proportional to the batch, never a corpus
+    * scan — plus the batch's tiny self-join. Verification is pure
+    * signature agreement ([[sigSimilarity]]) on the already-joined
+    * rows. At steady state the existing banded table is bucketed by
+    * band_key so the per-batch join is map-side.
+    *
+    * Returns (new_doc, matched_doc, matched_side ∈ {existing, new},
+    * sig_sim) for every candidate pair at or above `simThreshold`;
+    * `simTrunc` fixes the emitted estimate to a decimal grid. */
+  def incrementalNearDups(existing: DataFrame, exIdCol: String,
+                          newBatch: DataFrame, nwIdCol: String,
+                          simThreshold: Double,
+                          simTrunc: Column => Column = identity): DataFrame = {
+    def exploded(df: DataFrame, idCol: String, idAs: String, sigAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col("sig").as(sigAs),
+        explode(col("bands")).as("band_key"))
+    val ex = exploded(existing, exIdCol, "matched_doc", "old_sig")
+    val nw = exploded(newBatch, nwIdCol, "new_doc", "new_sig")
+    val vsExisting = nw.join(ex, Seq("band_key"))
+      .select(col("new_doc"), col("matched_doc"),
+        lit("existing").as("matched_side"), col("new_sig"), col("old_sig"))
+    val nwB = exploded(newBatch, nwIdCol, "doc_b", "sig_b")
+    val vsNew = nw.join(nwB, Seq("band_key"))
+      .filter(col("new_doc") < col("doc_b"))
+      .select(col("new_doc"), col("doc_b").as("matched_doc"),
+        lit("new").as("matched_side"), col("new_sig"), col("sig_b").as("old_sig"))
+    vsExisting.unionAll(vsNew)
+      .dropDuplicates("new_doc", "matched_doc", "matched_side")
+      .withColumn("sig_sim", simTrunc(sigSimilarity(col("new_sig"), col("old_sig"))))
+      .filter(col("sig_sim") >= simThreshold)
+      .select("new_doc", "matched_doc", "matched_side", "sig_sim")
+  }
+
   /** Semantic (embedding-space) dedup — the SemDeDup recipe (Abbas et
     * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication"): cluster the corpus embeddings, compare

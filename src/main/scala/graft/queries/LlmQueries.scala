@@ -267,6 +267,28 @@ object LlmQueries extends Q.Registry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** dd11's oracle building block: shingles → MinHash sig (as a LIST)
+    * → exploded band keys for one side, as `<alias>_b`. Mirrors
+    * [[graft.llm.Dedup.signDocs]] over an arbitrary source CTE. */
+  private def signSqlFor(src: String, alias: String): String =
+    s"""${alias}_sh AS (
+       |  SELECT doc_id, CASE WHEN len(ws) >= 3
+       |           THEN list_transform(range(1, len(ws) - 1),
+       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |           ELSE [] END AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+       |        FROM $src)),
+       |${alias}_sig AS (
+       |  SELECT doc_id, $sigSqlExprs FROM ${alias}_sh),
+       |${alias}_b AS (
+       |  SELECT doc_id,
+       |         [${(0 until MinhashK).map(j => s"sig$j").mkString(", ")}] AS sig,
+       |         unnest([${(0 until Bands).map(b => s"band$b").mkString(", ")}]) AS band_key
+       |  FROM (SELECT doc_id, ${(0 until MinhashK).map(j => s"sig$j").mkString(", ")},
+       |               $bandSqlExprs
+       |        FROM ${alias}_sig)),
+       |""".stripMargin
+
   /** Per-dir memo of learned BPE merges (top-2000 word histogram, 24
     * merges) — the MlQueries share-the-fit contract: Verify runs the
     * Spark query and generates the oracle in the same JVM, so both
@@ -1512,6 +1534,56 @@ object LlmQueries extends Q.Registry {
           |       cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
           |                              WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000
           |                              WHEN 'zh' THEN 2000 END AS selected
-          |FROM c ORDER BY doc_id""".stripMargin))
+          |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Q("dd11_incremental_dedup",
+      "Incremental near-dup check — the PRODUCTION dedup shape: a new " +
+        "batch (planted truncated replays: every 50th doc as id+1M, " +
+        "every 100th ALSO as id+2M, giving both new-vs-existing and " +
+        "new-vs-new positives) is checked against the existing " +
+        "corpus's persisted SIGNATURE table and itself. The existing " +
+        "text is never re-read; verification is MinHash signature " +
+        "agreement (an unbiased Jaccard estimator), candidates come " +
+        "from band-key equi-joins proportional to the batch.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def replay(mod: Int, offset: Long) =
+          docs.filter(col("doc_id") % mod === 0)
+            .select((col("doc_id") + offset).as("doc_id"),
+              regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+        val newBatch = replay(50, 1000000L).unionAll(replay(100, 2000000L))
+        val ex = Dedup.signDocs(docs, "doc_id", "text", MinhashK, Bands, RowsPerBand)
+        val nw = Dedup.signDocs(newBatch, "doc_id", "text", MinhashK, Bands, RowsPerBand)
+        Dedup.incrementalNearDups(ex, "doc_id", nw, "doc_id",
+          simThreshold = 0.5, simTrunc = Fmt.t6)
+          .orderBy("new_doc", "matched_doc", "matched_side")
+      },
+      Some(
+        """WITH newb AS (
+          |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '\s+\S+$', '') AS text
+          |  FROM documents WHERE doc_id % 50 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, regexp_replace(text, '\s+\S+$', '')
+          |  FROM documents WHERE doc_id % 100 = 0),
+          |""".stripMargin +
+        signSqlFor("documents", "ex") +
+        signSqlFor("newb", "nw") +
+        s"""cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS matched_doc,
+           |         'existing' AS matched_side, n.sig AS new_sig, e.sig AS old_sig
+           |  FROM nw_b n JOIN ex_b e USING (band_key)
+           |  UNION
+           |  SELECT DISTINCT a.doc_id, b.doc_id, 'new', a.sig, b.sig
+           |  FROM nw_b a JOIN nw_b b USING (band_key)
+           |  WHERE a.doc_id < b.doc_id),
+           |scored AS (
+           |  SELECT new_doc, matched_doc, matched_side,
+           |         floor((CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+           |           i -> CASE WHEN new_sig[i] = old_sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+           |           / $MinhashK) * 1e6 + 1e-6) / 1e6 AS sig_sim
+           |  FROM cand)
+           |SELECT new_doc, matched_doc, matched_side, sig_sim
+           |FROM scored WHERE sig_sim >= 0.5
+           |ORDER BY new_doc, matched_doc, matched_side""".stripMargin))
   )
 }

@@ -610,6 +610,43 @@ class LlmSpec extends SparkSpec {
     assert(repOut(9L) >= 3L && repOut(9L) <= 20L, repOut.toString)
   }
 
+  test("incrementalNearDups: new batch checked against the persisted " +
+    "signature table (existing + self), clean docs silent") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about database engines and queries here")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // copy of 1
+      (11L, "the quick brown fox jumps over the lazy dog today"), // copy of 1 AND of 10
+      (12L, "entirely novel text with no overlap to anything else at all")
+    ).toDF("id", "text")
+    val ex = Dedup.signDocs(existing, "id", "text", 9, 3, 3)
+    val nw = Dedup.signDocs(batch, "id", "text", 9, 3, 3)
+    val out = Dedup.incrementalNearDups(ex, "id", nw, "id", simThreshold = 0.5)
+      .as[(Long, Long, String, Double)].collect().toSet
+    // both copies match existing doc 1 with full signature agreement
+    assert(out.contains((10L, 1L, "existing", 1.0)), out.toString)
+    assert(out.contains((11L, 1L, "existing", 1.0)), out.toString)
+    // and each other within the batch
+    assert(out.contains((10L, 11L, "new", 1.0)), out.toString)
+    // the novel doc matches nothing on either side
+    assert(!out.exists(r => r._1 == 12L || r._2 == 12L), out.toString)
+    // nothing matches the unrelated existing doc
+    assert(!out.exists(_._2 == 2L), out.toString)
+  }
+
+  test("sigSimilarity estimates Jaccard from signature agreement: " +
+    "identical -> 1, disjoint -> 0, half-overlap in between") {
+    val rows = Seq(
+      (Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d")),
+      (Seq("a", "b", "c", "d"), Seq("w", "x", "y", "z")),
+      (Seq("a", "b", "c", "d"), Seq("a", "b", "y", "z"))
+    ).toDF("sa", "sb")
+    val sims = rows.select(Dedup.sigSimilarity($"sa", $"sb")).as[Double].collect()
+    assert(sims.toSeq === Seq(1.0, 0.0, 0.5))
+  }
+
   test("semanticDups: within-cell duplicates flagged to the MIN lower id, " +
     "orthogonal mates and cross-cell copies untouched") {
     val rows = Seq(
