@@ -44,7 +44,8 @@ object Bench {
     "dd7_dup_groups",
     "dd8_dup_groups_star", "st1_stream_watermark_dedup",
     "st2_stream_windowed_agg", "st3_stream_stateful_counts",
-    "tx11_bpe_tokenize") // BPE merge learning runs at plan build
+    "tx11_bpe_tokenize", // BPE merge learning runs at plan build
+    "tx14_quality_classifier") // IRLS fit runs at plan build
 
   /** Fit queries whose MEASURED SEMANTIC is the model fit itself: the
     * per-dir fit memos are cleared before every run so the median-of-3

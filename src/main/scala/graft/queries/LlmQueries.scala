@@ -289,6 +289,63 @@ object LlmQueries extends Q.Registry {
        |        FROM ${alias}_sig)),
        |""".stripMargin
 
+  /** The curated-source predicate shared by tx10 (DSIR target), tx12
+    * (LM training slice) and tx14 (classifier labels). */
+  private val CuratedSources = Seq("src0", "src1", "src2", "src3")
+
+  /** Per-dir memo of the fitted quality classifier (64 hashed buckets,
+    * 4 IRLS iterations) — the share-the-fit contract: the Spark query
+    * and the generated oracle read the same coefficients in the same
+    * JVM. */
+  private val logitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ml.Logistic.LogitFit]()
+  private val LogitBuckets = 64
+  private[queries] def fittedQualityModel(s: SparkSession, d: String): graft.ml.Logistic.LogitFit =
+    logitMemo.computeIfAbsent(d, _ => {
+      val docs = Tables.documents(s, d)
+      val labeled = graft.ml.Logistic
+        .hashedFeatures(docs, "doc_id", "text", LogitBuckets)
+        .join(docs.select(col("doc_id"),
+          col("source").isin(CuratedSources: _*).cast("double").as("__y")),
+          Seq("doc_id"))
+      graft.ml.Logistic.fitIrls(labeled, "feats", "__y", p = LogitBuckets)
+    })
+  private def oracleLogit: Option[graft.ml.Logistic.LogitFit] = {
+    val r = for {
+      s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      d <- graft.Tables.primedDir
+    } yield fittedQualityModel(s, d)
+    if (r.isEmpty)
+      System.err.println("[LlmQueries] no session/primed dir when generating " +
+        "the tx14 oracle — rows-only driver check for this JVM")
+    r
+  }
+
+  private def tx14OracleSql(fit: graft.ml.Logistic.LogitFit): String = {
+    val wtRows = (0 until LogitBuckets)
+      .map(b => s"($b, ${fit.bucketWeight(b)})").mkString(",\n  ")
+    val srcs = CuratedSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH wt(b, w) AS (VALUES
+       |  $wtRows),
+       |bc AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % $LogitBuckets AS BIGINT) AS b,
+       |         count(*) AS c
+       |  FROM (SELECT doc_id,
+       |               unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, sum(c) AS n_words, sum(w * c) AS dot
+       |  FROM bc JOIN wt USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(sc.n_words AS BIGINT) AS n_words,
+       |       floor((1.0 / (1.0 + exp(-(${fit.intercept} + sc.dot / sc.n_words)))) * 1e6 + 1e-6) / 1e6 AS quality_prob,
+       |       floor((1.0 / (1.0 + exp(-(${fit.intercept} + sc.dot / sc.n_words)))) * 1e6 + 1e-6) / 1e6 >= 0.25 AS keep,
+       |       d.source IN ($srcs) AS is_curated
+       |FROM sc JOIN documents d USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Per-dir memo of learned BPE merges (top-2000 word histogram, 24
     * merges) — the MlQueries share-the-fit contract: Verify runs the
     * Spark query and generates the oracle in the same JVM, so both
@@ -1584,6 +1641,32 @@ object LlmQueries extends Q.Registry {
            |  FROM cand)
            |SELECT new_doc, matched_doc, matched_side, sig_sim
            |FROM scored WHERE sig_sim >= 0.5
-           |ORDER BY new_doc, matched_doc, matched_side""".stripMargin))
+           |ORDER BY new_doc, matched_doc, matched_side""".stripMargin)),
+
+    Q("tx14_quality_classifier",
+      "Model-based quality filtering (the GPT-3/LLaMA recipe): " +
+        "logistic regression over 64 hashed token-frequency buckets, " +
+        "trained by distributed IRLS (one treeAggregate gram per " +
+        "iteration, fixed-size payload — the GramOls shape with " +
+        "working weights) to separate curated sources from raw; every " +
+        "document scored via the broadcast fitted-coefficient table. " +
+        "Generated oracle replays the literal coefficients + sigmoid.",
+      (s, d) => {
+        val fit = fittedQualityModel(s, d)
+        val docs = Tables.documents(s, d)
+        graft.ml.Logistic.scoreDocs(docs, "doc_id", "text", fit, LogitBuckets)
+          .join(docs.select(col("doc_id"),
+            col("source").isin(CuratedSources: _*).as("is_curated")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_words"),
+            Fmt.t6(col("quality_prob_raw")).as("quality_prob"),
+            // keep-cut at the curated BASE RATE (100/500): the GPT-3
+            // recipe thresholds/samples relative to the score
+            // distribution, not at 0.5 — with a 20% prior a 0.5 cut
+            // would keep almost nothing even for a good classifier
+            (Fmt.t6(col("quality_prob_raw")) >= 0.25).as("keep"),
+            col("is_curated"))
+          .orderBy("doc_id")
+      },
+      oracleLogit.map(tx14OracleSql))
   )
 }
