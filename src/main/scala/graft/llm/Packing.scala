@@ -59,6 +59,43 @@ object Packing {
     packWithin(sharded, Seq(col(stratumCol), col("shard")), idCol, tokensCol, budget)
   }
 
+  /** Sliding-window document chunking with overlap — the
+    * context-window prep both RAG indexing and long-context training
+    * run on documents too long for one sequence: token windows of
+    * `chunkTokens`, each retaining `overlap` tokens of its
+    * predecessor (stride = chunkTokens − overlap), so no boundary
+    * loses context. Chunk i covers tokens [i·stride, i·stride +
+    * chunkTokens); the chunk count is 1 for short documents and
+    * ceil((n − chunk)/stride) + 1 otherwise — the final chunk may be
+    * ragged but is never empty and never a strict suffix of its
+    * predecessor.
+    *
+    * A pure map + explode over the token array — no shuffle, no
+    * state; scan-throughput at any corpus size, and every expression
+    * (size/sequence/slice/array_join) restates verbatim in SQL.
+    * Returns one row per chunk: the input row's idCol + (chunk_idx,
+    * chunk_tokens, chunk_text). */
+  def chunkWithOverlap(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val ws = TextOps.words(col(textCol))
+    val n = size(ws)
+    val k = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - lit(chunkTokens)).cast("double") / stride).cast("int") + 1)
+    df.withColumn("__ws", ws)
+      .withColumn("__k", k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__k") - 1), i =>
+          slice(col("__ws"), i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   private def packWithin(df: DataFrame, partKeys: Seq[org.apache.spark.sql.Column],
                          idCol: String, tokensCol: String, budget: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")

@@ -1667,6 +1667,31 @@ object LlmQueries extends Q.Registry {
             col("is_curated"))
           .orderBy("doc_id")
       },
-      oracleLogit.map(tx14OracleSql))
+      oracleLogit.map(tx14OracleSql)),
+
+    Q("tx15_chunk_overlap",
+      "Sliding-window chunking with overlap (the RAG-indexing / " +
+        "long-context prep op): 64-token windows retaining 16 tokens " +
+        "of context (stride 48), one row per chunk with the chunk " +
+        "TEXT itself hash-checked. Pure map + explode — no shuffle, " +
+        "scan throughput at any scale.",
+      (s, d) =>
+        Packing.chunkWithOverlap(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+          .orderBy("doc_id", "chunk_idx"),
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
+          |  FROM documents),
+          |k AS (
+          |  SELECT doc_id, ws,
+          |         CASE WHEN len(ws) <= 64 THEN 1
+          |              ELSE CAST(ceil((len(ws) - 64) / 48.0) AS INT) + 1 END AS k
+          |  FROM w)
+          |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          |       CAST(len(ws[i*48 + 1 : i*48 + 64]) AS INT) AS chunk_tokens,
+          |       array_to_string(ws[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+          |FROM (SELECT doc_id, ws, unnest(range(0, k)) AS i FROM k)
+          |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -610,6 +610,39 @@ class LlmSpec extends SparkSpec {
     assert(repOut(9L) >= 3L && repOut(9L) <= 20L, repOut.toString)
   }
 
+  test("chunkWithOverlap: exact boundaries, overlap retained, short docs " +
+    "one chunk, ragged final chunk, full coverage (property)") {
+    val words = (1 to 25).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b c")).toDF("id", "text")
+    val out = Packing.chunkWithOverlap(docs, "id", "text", chunkTokens = 10, overlap = 4)
+      .as[(Long, Int, Int, String)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // stride 6: starts 0,6,12,18 -> k = ceil((25-10)/6)+1 = 4
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(d1(0)._4 === words.slice(0, 10).mkString(" "))
+    assert(d1(1)._4 === words.slice(6, 16).mkString(" "))
+    // overlap: chunk 1 repeats chunk 0's last 4 tokens
+    assert(d1(0)._4.split(" ").takeRight(4).toSeq === d1(1)._4.split(" ").take(4).toSeq)
+    // ragged final chunk: [18, 25) = 7 tokens
+    assert(d1(3)._3 === 7 && d1(3)._4 === words.slice(18, 25).mkString(" "))
+    // every token position is covered by at least one chunk
+    val covered = d1.flatMap(c => c._4.split(" ")).toSet
+    assert(covered === words.toSet)
+    // short doc: exactly one whole-document chunk
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 3, "a b c")))
+    // random-length property: coverage + chunk sizes for n in 1..40
+    val rnd = new scala.util.Random(5)
+    val many = (10L until 40L).map(id =>
+      (id, (1 to (1 + rnd.nextInt(40))).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val chunks = Packing.chunkWithOverlap(many, "id", "text", 10, 4)
+      .as[(Long, Int, Int, String)].collect().groupBy(_._1)
+    for ((_, cs) <- chunks; c <- cs) assert(c._3 >= 1 && c._3 <= 10)
+    chunks.foreach { case (id, cs) =>
+      val n = cs.maxBy(_._2)._2 * 6 + cs.maxBy(_._2)._3
+      assert(cs.flatMap(_._4.split(" ")).distinct.length === n, s"doc $id coverage")
+    }
+  }
+
   test("incrementalNearDups: new batch checked against the persisted " +
     "signature table (existing + self), clean docs silent") {
     val existing = Seq(
