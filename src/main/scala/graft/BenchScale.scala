@@ -96,6 +96,19 @@ import graft.ops.Windows
  *                 tables must stay within their bucket-space bounds
  *                 (REQUIREd ≤ B² / ≤ B rows — the broadcast-always
  *                 claim), scored rows ×f;
+ *  - dd_incr:     dd11's incremental dedup — a FIXED new batch
+ *                 (replica-0 truncated replays) checked against the
+ *                 signature table of the ×f corpus: matches must stay
+ *                 CONSTANT (replica prefixes make cross-replica
+ *                 signature agreement impossible) while the existing
+ *                 side of the band join grows — the claim that a
+ *                 batch's dedup cost scales with the batch plus a
+ *                 keyed join, not a corpus re-scan;
+ *  - x_logit:     tx14's IRLS fit over the ×f featurized corpus —
+ *                 the gram payload is a fixed (p+1)² no matter the
+ *                 factor, so time must grow ≲ linearly with rows and
+ *                 the coefficient layout is REQUIREd finite/stable in
+ *                 width;
  *  - x_gram:      the x10/x17 one-pass OLS ladder (GramOls) over the
   *                 inflated fact — a ~26-coefficient design (numeric +
   *                 hour dummies), so the treeAggregate pays ~700
@@ -402,6 +415,52 @@ object BenchScale {
     }
   }
 
+  /** The dd11 incremental-dedup core (llm/Dedup.signDocs +
+    * incrementalNearDups — the SAME code the query ships): a FIXED
+    * batch of replica-0 truncated replays against the inflated
+    * corpus's signature table. Replica prefixes make a cross-replica
+    * signature collision impossible, so the match count must not move
+    * with f; the growing cost is signing the corpus + the band join's
+    * existing side. */
+  private def ddIncr(docs: DataFrame, f: Int): Long = {
+    val batch = docs
+      .filter(pmod(col("doc_id"), lit(f)) === 0 && expr(s"doc_id div $f") % 50 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]+$", "").as("text"))
+    val ex = Dedup.signDocs(docs, "doc_id", "text", 9, 3, 3)
+    // cache: three plan arms read the signed batch (see the library doc)
+    val nw = Dedup.signDocs(batch, "doc_id", "text", 9, 3, 3).cache()
+    val out = Dedup.incrementalNearDups(ex, "doc_id", nw, "doc_id", 0.5).cache()
+    try {
+      val n = out.agg(count(lit(1)), sum("sig_sim")).head().getLong(0)
+      val foreign = out
+        .filter(col("matched_side") === "existing" &&
+          pmod(col("matched_doc"), lit(f)) =!= 0).count()
+      require(foreign == 0L, s"dd_incr at $f×: $foreign cross-replica matches")
+      n
+    } finally {
+      out.unpersist(blocking = false)
+      nw.unpersist(blocking = false)
+    }
+  }
+
+  /** The tx14 IRLS core (ml/Logistic — the SAME code the query
+    * ships): featurize the inflated corpus (64 hashed buckets) and run
+    * the 4-iteration fit; the gram payload is fixed-size, so only the
+    * per-row work grows. The returned count anchors the coefficient
+    * width; finiteness is REQUIREd. */
+  private def xLogit(docs: DataFrame, f: Int): Long = {
+    val labeled = graft.ml.Logistic
+      .hashedFeatures(docs, "doc_id", "text", 64)
+      .withColumn("__y", (pmod(col("doc_id"), lit(5L)) === 0).cast("double"))
+    val fit = graft.ml.Logistic.fitIrls(labeled, "feats", "__y", p = 64)
+    require(fit.coefs.forall(java.lang.Double.isFinite),
+      s"x_logit at $f×: non-finite coefficient")
+    require(fit.deviances.zip(fit.deviances.tail).forall { case (a, b) => b <= a + 1e-6 },
+      s"x_logit at $f×: deviance not decreasing (${fit.deviances})")
+    fit.coefs.length.toLong
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -516,7 +575,9 @@ object BenchScale {
       ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe", (f: Int) => txBpe(inflateDocuments(documents, f), f), Linear),
       ("ss_bm25", (f: Int) => ssBm25(inflateDocuments(documents, f), f), Constant),
-      ("tx_lm", (f: Int) => txLm(inflateDocuments(documents, f), f), Linear))
+      ("tx_lm", (f: Int) => txLm(inflateDocuments(documents, f), f), Linear),
+      ("dd_incr", (f: Int) => ddIncr(inflateDocuments(documents, f), f), Constant),
+      ("x_logit", (f: Int) => xLogit(inflateDocuments(documents, f), f), Constant))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 
     val times = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()

@@ -346,8 +346,16 @@ object Dedup {
   def signDocs(docs: DataFrame, idCol: String, textCol: String,
                k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sh = TextOps.wordShingles(TextOps.words(col(textCol)), 3)
-    docs.select(col(idCol),
-      minhashSig(sh, k).as("sig"))
+    // sub-shingle documents (<3 words) have no MinHash signature — the
+    // sig slots would be null and every such doc would share the
+    // degenerate md5('') band key, banding them all together and (with
+    // a null-tolerant comparator) reporting unrelated two-word docs as
+    // perfect duplicates. Excluding them here matches the SQL oracle,
+    // where the null sig slots propagate into a NULL band key that the
+    // equi-join drops.
+    docs.select(col(idCol), sh.as("__sh"))
+      .filter(size(col("__sh")) >= 1)
+      .select(col(idCol), minhashSig(col("__sh"), k).as("sig"))
       .withColumn("bands", bandKeys(col("sig"), bands, rowsPerBand))
   }
 
@@ -357,7 +365,10 @@ object Dedup {
     * runs INSTEAD of exact set intersection, because the sets would
     * require the corpus text it deliberately no longer reads. */
   def sigSimilarity(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x <=> y), p => p)).cast("double") /
+    // plain === (not the null-safe <=>): a null signature slot means NO
+    // shingle was hashed, and two absences must not count as agreement
+    // — defense in depth behind signDocs' sub-shingle filter
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") /
       size(a)
 
   /** Incremental near-dup check — the PRODUCTION dedup shape: a new
@@ -379,7 +390,12 @@ object Dedup {
     *
     * Returns (new_doc, matched_doc, matched_side ∈ {existing, new},
     * sig_sim) for every candidate pair at or above `simThreshold`;
-    * `simTrunc` fixes the emitted estimate to a decimal grid. */
+    * `simTrunc` fixes the emitted estimate to a decimal grid.
+    *
+    * The new batch's frame is read through THREE plan arms (the
+    * vs-existing join and both sides of the self-join) — callers
+    * should `.cache()` the signed batch so its signing lineage (the
+    * only text work in the design) runs once, not three times. */
   def incrementalNearDups(existing: DataFrame, exIdCol: String,
                           newBatch: DataFrame, nwIdCol: String,
                           simThreshold: Double,

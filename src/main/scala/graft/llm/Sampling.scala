@@ -52,21 +52,11 @@ object Sampling {
     * both the kept corpus and the audit trail come out of one pass. */
   def tokenBudgetMixture(df: DataFrame, groupCol: String, idCol: String,
                          tokenCount: Column,
-                         budgets: Map[String, Long]): DataFrame = {
-    require(budgets.nonEmpty, "budgets must be non-empty")
-    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(sampleKey(col(idCol)), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val budget = budgets.foldRight(lit(null).cast("long")) {
-      case ((g, b), rest) => when(col(groupCol) === g, b).otherwise(rest)
-    }
-    df.withColumn("n_tokens", tokenCount.cast("long"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("selected",
-        coalesce(col("cum_before") < budget, lit(false)))
-  }
+                         budgets: Map[String, Long]): DataFrame =
+    // the sharded variant at shards = 1 IS the unsharded semantics
+    // (spec-pinned) — one implementation, two entry points
+    tokenBudgetMixtureSharded(df, groupCol, idCol, tokenCount, budgets, 1)
+      .drop("shard")
 
   /** Sharded [[tokenBudgetMixture]] — the scale path for huge groups
     * (the [[Packing.packBinsSharded]] move): a per-group running sum

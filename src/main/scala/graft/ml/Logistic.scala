@@ -33,16 +33,25 @@ object Logistic {
     def bucketWeight(b: Int): Double = coefs(b + 1)
   }
 
+  /** Shared featurization prefix: per-(doc, bucket) token counts —
+    * the ONE definition both [[hashedFeatures]] (training) and
+    * [[scoreDocs]] (inference) consume, so the fit/score contract
+    * cannot drift if the tokenizer or hash changes. */
+  private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
+                           buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    docs.select(col(idCol), explode(TextOps.words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), Importance.hashBucket(col("__w"), buckets).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
   /** Hashed token-frequency features: (idCol, n_words, feats) where
     * feats(b) = count of tokens hashing to bucket b / n_words — the
     * fixed-width dense vector the IRLS scan consumes. One explode +
     * per-(doc, bucket) count + per-doc map assembly. */
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
                      buckets: Int): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    docs.select(col(idCol), explode(TextOps.words(col(textCol))).as("__w"))
-      .groupBy(col(idCol), Importance.hashBucket(col("__w"), buckets).as("__b"))
-      .agg(count(lit(1)).as("__c"))
+    bucketCounts(docs, idCol, textCol, buckets)
       .groupBy(col(idCol))
       .agg(
         sum("__c").as("n_words"),
@@ -61,9 +70,14 @@ object Logistic {
     * `labelCol`. Runs `iters` full IRLS iterations (fixed count — a
     * data-dependent stopping rule would make the scan count
     * nondeterministic); `ridge` stabilizes separable data, where the
-    * unpenalized MLE diverges. Returns the coefficient vector plus the
-    * per-iteration deviance trace (each costs one lightweight pass —
-    * asserting it decreases is the convergence diagnostic). */
+    * unpenalized MLE diverges. Returns the coefficient vector plus a
+    * deviance trace of `iters + 1` entries: the deviance at the
+    * initial zero vector and after EVERY update including the final
+    * one (the returned model is therefore validated, not just its
+    * predecessors). The per-update deviances ride in the same
+    * treeAggregate as the gram; only the last entry costs one extra
+    * lightweight pass. Asserting the trace decreases is the
+    * convergence diagnostic. */
   def fitIrls(featured: DataFrame, featsCol: String, labelCol: String,
               p: Int, iters: Int = 4, ridge: Double = 1e-4): LogitFit = {
     require(p >= 1 && iters >= 1 && ridge >= 0)
@@ -120,6 +134,19 @@ object Logistic {
         while (i < q) { aMat(i, i) += ridge; i += 1 }
         beta = GramOls.solvePsd(aMat, new DenseVector(bv)).toArray
       }
+      // one deviance-only pass at the FINAL coefficients — without it
+      // the last update would never be validated and an oscillating
+      // terminal step could hide behind a decreasing prefix
+      val bF = beta
+      deviances += rows.treeAggregate(0.0)(
+        seqOp = { case (dAcc, (f, y)) =>
+          var eta = bF(0)
+          var j = 0
+          while (j < p) { eta += bF(j + 1) * f(j); j += 1 }
+          val mu = math.min(math.max(sigmoid(eta), 1e-10), 1 - 1e-10)
+          dAcc - 2.0 * (y * math.log(mu) + (1 - y) * math.log(1 - mu))
+        },
+        combOp = _ + _)
       LogitFit(beta, deviances.result())
     } finally rows.unpersist(blocking = false)
   }
@@ -136,9 +163,7 @@ object Logistic {
     val weights = (0 until buckets)
       .map(b => (b.toLong, fit.bucketWeight(b)))
       .toDF("__b", "__wt")
-    docs.select(col(idCol), explode(TextOps.words(col(textCol))).as("__w"))
-      .groupBy(col(idCol), Importance.hashBucket(col("__w"), buckets).as("__b"))
-      .agg(count(lit(1)).as("__c"))
+    bucketCounts(docs, idCol, textCol, buckets)
       .join(broadcast(weights), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum("__c").as("n_words"),

@@ -31,7 +31,7 @@ object LlmQueries extends Q.Registry {
     val mutated = docs.filter(col("doc_id") % 50 === 0)
       .select(
         (col("doc_id") + 1000000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+        regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]+$", "").as("text"),
         col("lang"), col("source"), col("n_chars"))
     docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(mutated)
   }
@@ -40,7 +40,7 @@ object LlmQueries extends Q.Registry {
     """WITH corpus AS (
       |  SELECT doc_id, text, lang, source, n_chars FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', ''),
+      |  SELECT doc_id + 1000000, regexp_replace(text, '[ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]+$', ''),
       |         lang, source, n_chars
       |  FROM documents WHERE doc_id % 50 = 0),
       |""".stripMargin
@@ -1588,9 +1588,9 @@ object LlmQueries extends Q.Registry {
           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
           |  FROM t)
           |SELECT doc_id, lang, n_tokens, cum_before,
-          |       cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
-          |                              WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000
-          |                              WHEN 'zh' THEN 2000 END AS selected
+          |       coalesce(cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
+          |                                       WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000
+          |                                       WHEN 'zh' THEN 2000 END, false) AS selected
           |FROM c ORDER BY doc_id""".stripMargin)),
 
     Q("dd11_incremental_dedup",
@@ -1607,20 +1607,23 @@ object LlmQueries extends Q.Registry {
         def replay(mod: Int, offset: Long) =
           docs.filter(col("doc_id") % mod === 0)
             .select((col("doc_id") + offset).as("doc_id"),
-              regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+              regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]+$", "").as("text"))
         val newBatch = replay(50, 1000000L).unionAll(replay(100, 2000000L))
         val ex = Dedup.signDocs(docs, "doc_id", "text", MinhashK, Bands, RowsPerBand)
+        // cache: incrementalNearDups reads the signed batch through
+        // three plan arms (vs-existing + both sides of the self-join)
         val nw = Dedup.signDocs(newBatch, "doc_id", "text", MinhashK, Bands, RowsPerBand)
+          .cache()
         Dedup.incrementalNearDups(ex, "doc_id", nw, "doc_id",
           simThreshold = 0.5, simTrunc = Fmt.t6)
           .orderBy("new_doc", "matched_doc", "matched_side")
       },
       Some(
         """WITH newb AS (
-          |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '\s+\S+$', '') AS text
+          |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '[ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]+$', '') AS text
           |  FROM documents WHERE doc_id % 50 = 0
           |  UNION ALL
-          |  SELECT doc_id + 2000000, regexp_replace(text, '\s+\S+$', '')
+          |  SELECT doc_id + 2000000, regexp_replace(text, '[ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]+$', '')
           |  FROM documents WHERE doc_id % 100 = 0),
           |""".stripMargin +
         signSqlFor("documents", "ex") +
@@ -1659,10 +1662,11 @@ object LlmQueries extends Q.Registry {
             col("source").isin(CuratedSources: _*).as("is_curated")), Seq("doc_id"))
           .select(col("doc_id"), col("n_words"),
             Fmt.t6(col("quality_prob_raw")).as("quality_prob"),
-            // keep-cut at the curated BASE RATE (100/500): the GPT-3
+            // keep-cut ABOVE the curated base rate (0.2): the GPT-3
             // recipe thresholds/samples relative to the score
             // distribution, not at 0.5 — with a 20% prior a 0.5 cut
-            // would keep almost nothing even for a good classifier
+            // would keep almost nothing even for a good classifier;
+            // 0.25 keeps documents scoring clearly above the prior
             (Fmt.t6(col("quality_prob_raw")) >= 0.25).as("keep"),
             col("is_curated"))
           .orderBy("doc_id")

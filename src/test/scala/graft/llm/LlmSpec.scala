@@ -667,6 +667,15 @@ class LlmSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 12L || r._2 == 12L), out.toString)
     // nothing matches the unrelated existing doc
     assert(!out.exists(_._2 == 2L), out.toString)
+    // sub-shingle (<3-word) docs are EXCLUDED from signing entirely:
+    // two unrelated two-word docs must not band together on the
+    // degenerate empty-shingle signature and report sig_sim 1.0
+    val shorts = Seq((20L, "hi there"), (21L, "ok bye")).toDF("id", "text")
+    val shortSigned = Dedup.signDocs(shorts, "id", "text", 9, 3, 3)
+    assert(shortSigned.count() === 0L)
+    val out2 = Dedup.incrementalNearDups(ex, "id",
+      shortSigned, "id", simThreshold = 0.5)
+    assert(out2.count() === 0L)
   }
 
   test("sigSimilarity estimates Jaccard from signature agreement: " +
