@@ -29,4 +29,19 @@ class ForeignSessionSpec extends SparkSpec {
       foreign, "/root/testdata/sf0.001")
     assert(out.count() > 0)
   }
+
+  test("fit-bearing r7 queries run from a stock-conf session (memoized " +
+    "fits must not capture the wrong session)") {
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    foreign.conf.set("spark.sql.session.timeZone", "UTC")
+    // tx14 fits IRLS during plan construction, tx11 learns BPE merges,
+    // dd10 fits cells — each through a per-dir memo that must work
+    // when FIRST touched from a foreign session
+    for (q <- Seq("tx14_quality_classifier", "tx11_bpe_tokenize",
+        "dd10_semantic_dedup", "tx15_chunk_overlap")) {
+      val out = SparkEntry.queries(q)(foreign, "/root/testdata/sf0.001")
+      assert(out.count() > 0, q)
+    }
+  }
 }
