@@ -346,6 +346,106 @@ object LlmQueries extends Q.Registry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** llm2's oracle: the tx9 → tx7 → tx12 → tx13 chain restated as one
+    * CTE pipeline — each fragment is the SAME SQL its standalone
+    * query's oracle ships (line dedup reassembly, the redact regex
+    * chain, the hashed-bigram LM with backoff/floor, the exclusive
+    * running-sum budget window). */
+  private def llm2OracleSql: String =
+    s"""WITH lined AS (
+       |  SELECT doc_id,
+       |    concat_ws(' ', text, 'reach user' || doc_id || '@corpus.example.net') ||
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN chr(10) || 'follow us on social media for updates' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN chr(10) || 'all rights reserved worldwide' ELSE '' END AS text
+       |  FROM documents),
+       |llines AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(text, chr(10))) AS line,
+       |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+       |  FROM lined),
+       |common AS (
+       |  SELECT line AS cline FROM llines
+       |  GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+       |cleaned0 AS (
+       |  SELECT doc_id,
+       |         string_agg(CASE WHEN cline IS NULL THEN line END,
+       |                    chr(10) ORDER BY pos) AS text
+       |  FROM llines l LEFT JOIN common c ON l.line = c.cline
+       |  GROUP BY doc_id),
+       |cleaned AS (
+       |  SELECT c.doc_id, c.text, d.lang, d.source
+       |  FROM cleaned0 c JOIN documents d USING (doc_id)
+       |  WHERE c.text IS NOT NULL),
+       |safe AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |        'https?://[^ \\t\\n\\x0B\\f\\r]+', '<URL>', 'g'),
+       |      '\\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\\b', '<PHONE>', 'g') AS text,
+       |    lang, source
+       |  FROM cleaned),
+       |gs AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN len(ws) >= 2
+       |           THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+       |           ELSE [] END AS gl
+       |  FROM (SELECT doc_id, source,
+       |               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+       |        FROM safe)),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |         CAST(CAST(('0x' || substring(md5(string_split(g, ' ')[1]), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS b1,
+       |         CAST(CAST(('0x' || substring(md5(string_split(g, ' ')[2]), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS b2
+       |  FROM (SELECT doc_id, source, unnest(gl) AS g FROM gs)),
+       |c2 AS (
+       |  SELECT b1, b2, count(*) AS c2 FROM bg
+       |  WHERE source IN ('src0','src1','src2','src3')
+       |  GROUP BY b1, b2),
+       |c1 AS (SELECT b1, sum(c2) AS c1 FROM c2 GROUP BY b1),
+       |plp AS (
+       |  SELECT b1, b2,
+       |         floor((ln((c2 + 1.0) / (c1 + 256.0))) * 1e6 + 1e-6) / 1e6 AS logp
+       |  FROM c2 JOIN c1 USING (b1)),
+       |bo AS (
+       |  SELECT b1,
+       |         floor((ln(1.0 / (c1 + 256.0))) * 1e6 + 1e-6) / 1e6 AS backoff
+       |  FROM c1),
+       |scored AS (
+       |  SELECT doc_id,
+       |         floor((avg(coalesce(logp, backoff, ${math.log(1.0 / 256)}))) * 1e6 + 1e-6) / 1e6 AS avg_logp
+       |  FROM bg
+       |  LEFT JOIN plp USING (b1, b2)
+       |  LEFT JOIN bo USING (b1)
+       |  GROUP BY doc_id),
+       |kept AS (
+       |  SELECT s.doc_id, s.text, s.lang,
+       |         floor((exp(-sc.avg_logp)) * 1e3 + 1e-6) / 1e3 AS ppl
+       |  FROM safe s JOIN scored sc USING (doc_id)
+       |  WHERE floor((exp(-sc.avg_logp)) * 1e3 + 1e-6) / 1e3 <= 60.0),
+       |tt AS (
+       |  SELECT doc_id, lang, ppl,
+       |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS sk
+       |  FROM kept),
+       |cum AS (
+       |  SELECT doc_id, lang, ppl, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (
+       |           PARTITION BY lang ORDER BY sk, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM tt),
+       |sel AS (
+       |  SELECT * FROM cum
+       |  WHERE coalesce(cum_before < CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
+       |                                        WHEN 'es' THEN 1500 WHEN 'fr' THEN 1500
+       |                                        WHEN 'zh' THEN 1500 END, false))
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       floor((avg(ppl)) * 1e6 + 1e-6) / 1e6 AS avg_ppl
+       |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-dir memo of learned BPE merges (top-2000 word histogram, 24
     * merges) — the MlQueries share-the-fit contract: Verify runs the
     * Spark query and generates the oracle in the same JVM, so both
@@ -1672,6 +1772,58 @@ object LlmQueries extends Q.Registry {
           .orderBy("doc_id")
       },
       oracleLogit.map(tx14OracleSql)),
+
+    Q("llm2_training_prep",
+      "Second flagship pipeline — the r7 curation operators composed " +
+        "END-TO-END and hash-checked as one chain: planted boilerplate " +
+        "+ PII -> line-level dedup (tx9) -> PII redaction (tx7) -> " +
+        "hashed-bigram LM perplexity filter trained on the curated " +
+        "slice of the CLEANED corpus (tx12) -> token-budget mixture by " +
+        "language (tx13) -> per-language corpus stats. Every stage's " +
+        "scale shape is the one its standalone query ships.",
+      (s, d) => {
+        val B = 256
+        val base = Tables.documents(s, d)
+        // plant one deterministic email per doc + the tx9 boilerplate
+        val lined = base.select(col("doc_id"),
+          concat(
+            concat_ws(" ", col("text"),
+              concat(lit("reach user"), col("doc_id"), lit("@corpus.example.net"))),
+            when(col("doc_id") % 3 === 0,
+              lit("\nfollow us on social media for updates")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit("\nall rights reserved worldwide")).otherwise(lit("")))
+            .as("text"))
+        val cleaned = Dedup.lineDedup(lined, "doc_id", "text", minDocs = 5)
+          .filter(col("clean_text").isNotNull)
+          .select(col("doc_id"), col("clean_text").as("text"))
+          .join(base.select("doc_id", "lang", "source"), Seq("doc_id"))
+        val safe = cleaned
+          .withColumn("text", TextOps.redactPii(col("text")))
+          .cache() // feeds LM training, scoring, and the mixture
+        val (plp, bo) = LangModel.train(
+          safe.filter(col("source").isin(CuratedSources: _*)),
+          "doc_id", "text", B, alpha = 1.0, logpTrunc = Fmt.t6)
+        val scored = LangModel
+          .scoreDocs(safe, "doc_id", "text", plp, bo, B, math.log(1.0 / B))
+          .withColumn("ppl",
+            Fmt.trunc(exp(-Fmt.t6(col("avg_logp_raw"))), 3))
+          .filter(col("ppl") <= 60.0)
+          .select("doc_id", "ppl")
+        val kept = safe.join(scored, Seq("doc_id"))
+        val mixed = Sampling.tokenBudgetMixture(kept, "lang", "doc_id",
+          TextOps.tokenCount(col("text")),
+          Map("en" -> 4000L, "de" -> 1500L, "es" -> 1500L,
+            "fr" -> 1500L, "zh" -> 1500L))
+          .filter(col("selected"))
+        mixed.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            Fmt.trunc(avg("ppl"), 6).as("avg_ppl"))
+          .orderBy("lang")
+      },
+      Some(llm2OracleSql)),
 
     Q("tx15_chunk_overlap",
       "Sliding-window chunking with overlap (the RAG-indexing / " +
