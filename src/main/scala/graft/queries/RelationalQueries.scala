@@ -538,6 +538,41 @@ object RelationalQueries extends Q.Registry {
         """SELECT station_no, count(*) AS n_obs,
           |       floor((avg(bikes_available)) * 1e6 + 1e-6) / 1e6 AS avg_bikes
           |FROM (SELECT * FROM status WHERE CAST(station_no AS BIGINT) IN (2,3,5,7,11))
+          |GROUP BY station_no ORDER BY station_no""".stripMargin)),
+
+    Q("j8_asof_checkpoint",
+      "TRUE backward as-of join (the operator J2's hour-bucketing only " +
+        "approximates): every status event attaches the latest per-" +
+        "station checkpoint at or before its timestamp (checkpoints = " +
+        "every 41st event), then per-station drift stats. Spark side " +
+        "is the union-tag + running-last recipe (one keyed shuffle, no " +
+        "range explosion); the oracle uses DuckDB's NATIVE ASOF JOIN — " +
+        "two independent as-of implementations hash-agreeing.",
+      (s, d) => {
+        val status = Analog.status(s, d)
+        val cp = status.filter(col("event_id") % 41 === 0)
+          .select(col("station_no"), col("record_time"),
+            col("bikes_available").as("cp_bikes"))
+        graft.ops.AsOf.asofBackward(status, cp, Seq("station_no"),
+          "record_time", "record_time", Seq("cp_bikes"))
+          .groupBy("station_no")
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(col("asof_cp_bikes")).as("n_with_checkpoint"),
+            Fmt.trunc(avg(col("bikes_available") - col("asof_cp_bikes")), 6)
+              .as("avg_drift"))
+          .orderBy("station_no")
+      },
+      Some(enrSql +
+        """SELECT station_no, count(*) AS n_events,
+          |       count(cp_bikes) AS n_with_checkpoint,
+          |       floor((avg(bikes_available - cp_bikes)) * 1e6 + 1e-6) / 1e6 AS avg_drift
+          |FROM (
+          |  SELECT s.station_no, s.bikes_available, c.cp_bikes
+          |  FROM status s ASOF LEFT JOIN (
+          |    SELECT station_no, record_time AS cts, bikes_available AS cp_bikes
+          |    FROM status WHERE event_id % 41 = 0) c
+          |    ON s.station_no = c.station_no AND s.record_time >= c.cts)
           |GROUP BY station_no ORDER BY station_no""".stripMargin))
   )
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Backward as-of join on crafted fixtures: boundary semantics (≥),
+  * per-key isolation, leading-null contract, and the fail-fast
+  * guards. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    ("a", 5L, "l1"), ("a", 15L, "l2"), ("a", 20L, "l3"), ("a", 25L, "l4"),
+    ("b", 15L, "l5")
+  ).toDF("k", "t", "tag")
+
+  private def right = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0),
+    ("b", 30L, 9.0)
+  ).toDF("k", "t", "v")
+
+  test("backward semantics: latest right at or BEFORE each left time; " +
+    "equal timestamps apply; no earlier row -> null; keys isolated") {
+    val out = AsOf.asofBackward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out("l1") === None)          // before any right row
+    assert(out("l2") === Some(1.0))     // 10 <= 15 < 20
+    assert(out("l3") === Some(2.0))     // equal timestamp applies (>=)
+    assert(out("l4") === Some(2.0))     // carried forward
+    assert(out("l5") === None)          // key b's only right row is later
+  }
+
+  test("left columns survive untouched; multiple value columns carry together") {
+    val r2 = Seq(("a", 10L, 1.0, "x")).toDF("k", "t", "v", "w")
+    val out = AsOf.asofBackward(left, r2, Seq("k"), "t", "t", Seq("v", "w"))
+    assert(out.columns.toSeq === Seq("k", "t", "tag", "asof_v", "asof_w"))
+    val row = out.filter($"tag" === "l2")
+      .select("k", "t", "asof_v", "asof_w")
+      .as[(String, Long, Option[Double], Option[String])].head()
+    assert(row === (("a", 15L, Some(1.0), Some("x"))))
+    assert(out.count() === left.count()) // one row per left row, always
+  }
+
+  test("fail-fast guards: empty keys, empty vals, colliding output name") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left, right, Seq.empty, "t", "t", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left, right, Seq("k"), "t", "t", Seq.empty)
+    }
+    val clash = left.withColumn("asof_v", lit(0))
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(clash, right, Seq("k"), "t", "t", Seq("v"))
+    }
+  }
+
+  test("property: matches a per-key scan reference on seeded random series") {
+    val rnd = new scala.util.Random(17)
+    val l = (0 until 300).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i.toLong))
+    val rRows = (0 until 80).map(i =>
+      (s"k${rnd.nextInt(5)}", i * 7L % 100, i.toDouble)) // unique (k,t) by construction?
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq   // enforce the uniqueness contract
+    val out = AsOf.asofBackward(l.toDF("k", "t", "id"), rRows.toDF("k", "t", "v"),
+      Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    val byKey = rRows.groupBy(_._1)
+    l.foreach { case (k, t, id) =>
+      val expect = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(out(id) === expect, s"row $id ($k, $t)")
+    }
+  }
+}
