@@ -76,6 +76,13 @@ object Sampling {
                                 tokenCount: Column, budgets: Map[String, Long],
                                 shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    // withColumn silently OVERWRITES a same-named input column — a frame
+    // that already carries e.g. n_tokens would lose it without error
+    // (r7 ADVICE item; mirrors AsOf's outPrefix collision guard)
+    val outNames = Seq("shard", "n_tokens", "cum_before", "selected")
+    val clash = df.columns.filter(outNames.contains)
+    require(clash.isEmpty,
+      s"input already has output column(s) ${clash.mkString(", ")} — rename them first")
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
     val shard =

@@ -41,22 +41,32 @@ object AsOf {
     val outCols = valCols.map(outPrefix + _)
     require(!lCols.exists(outCols.contains),
       s"left already has ${outCols.filter(lCols.contains)} — pick another outPrefix")
+    // Carry ONE struct of all valCols, not each column independently:
+    // the struct is non-null whenever a right row matched, even if some
+    // (or all) of its FIELDS are null, so a matched row's null value is
+    // returned as-is — per-column last(ignoreNulls) would instead skip
+    // it and stitch in an OLDER row's value (and with several valCols
+    // could mix values from different right rows), diverging from the
+    // "latest right row at or before t" contract and from DuckDB's
+    // native ASOF JOIN. (r7 ADVICE item, spec-pinned in AsOfSpec.)
+    val valsType = org.apache.spark.sql.types.StructType(
+      valCols.map(v => right.schema(v).copy(name = v)))
     val lTagged = left.select(
-      (lCols.map(col) :+ col(leftTime).as("__t") :+ lit(0).as("__is_r")) ++
-        valCols.map(v =>
-          lit(null).cast(right.schema(v).dataType).as(outPrefix + v)): _*)
+      lCols.map(col) :+ col(leftTime).as("__t") :+ lit(0).as("__is_r") :+
+        lit(null).cast(valsType).as("__vals"): _*)
     val rTagged = right.select(
       (lCols.map(c =>
         if (keyCols.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col(rightTime).as("__t") :+ lit(1).as("__is_r")) ++
-        valCols.map(v => col(v).as(outPrefix + v)): _*)
+        col(rightTime).as("__t") :+ lit(1).as("__is_r")) :+
+        struct(valCols.map(col): _*).as("__vals"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").asc, col("__is_r").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = outCols.foldLeft(lTagged.unionByName(rTagged)) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__is_r") === 0).drop("__t", "__is_r")
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+    carried.filter(col("__is_r") === 0)
+      .select(lCols.map(col) ++
+        valCols.map(v => col("__vals").getField(v).as(outPrefix + v)): _*)
   }
 }

@@ -827,6 +827,18 @@ class LlmSpec extends SparkSpec {
     assert(selTok >= 300L - 4 * maxDoc && selTok <= 300L + 4 * maxDoc, selTok.toString)
   }
 
+  test("tokenBudgetMixture: rejects input frames already carrying an " +
+    "output column (would be silently overwritten otherwise)") {
+    val budgets = Map("g" -> 300L)
+    for (clash <- Seq("shard", "n_tokens", "cum_before", "selected")) {
+      val docs = (1L to 5L).map(id => (id, "g", 5L)).toDF("id", "g", clash)
+      val e = intercept[IllegalArgumentException] {
+        Sampling.tokenBudgetMixture(docs, "g", "id", lit(5L), budgets)
+      }
+      assert(e.getMessage.contains(clash))
+    }
+  }
+
   test("Importance: DSIR weights separate target-vocabulary docs from raw, " +
     "bucket table stays bounded, hash buckets in range") {
     val docs = Seq(

@@ -42,6 +42,24 @@ class AsOfSpec extends SparkSpec {
     assert(out.count() === left.count()) // one row per left row, always
   }
 
+  test("a matched right row's NULL value is returned as-is, not skipped " +
+    "for an older non-null row; multi-col carry never stitches rows") {
+    // right rows: t=10 (v=1.0, w="x"), t=20 (v=null, w="y") — the latest
+    // match at t>=20 must yield (null, "y"), never the stitched (1.0, "y")
+    // that per-column last(ignoreNulls) produced (r7 ADVICE item).
+    val r = Seq(
+      ("a", 10L, Some(1.0), Some("x")),
+      ("a", 20L, None: Option[Double], Some("y"))
+    ).toDF("k", "t", "v", "w")
+    val out = AsOf.asofBackward(left, r, Seq("k"), "t", "t", Seq("v", "w"))
+      .select("tag", "asof_v", "asof_w")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("l2") === ((Some(1.0), Some("x")))) // t=15: row@10 whole
+    assert(out("l3") === ((None, Some("y"))))      // t=20: row@20 whole, null v kept
+    assert(out("l4") === ((None, Some("y"))))      // carried as the whole row
+  }
+
   test("fail-fast guards: empty keys, empty vals, colliding output name") {
     intercept[IllegalArgumentException] {
       AsOf.asofBackward(left, right, Seq.empty, "t", "t", Seq("v"))
