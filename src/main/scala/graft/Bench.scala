@@ -54,6 +54,42 @@ object Bench {
     * batches, so the memoized steady state IS its honest number. */
   val RefitQueries: Set[String] = Set("x10_ols_ladder", "x11_kmeans_j6")
 
+  /** Quiet-host reference for [[spinProbe]] (seconds) — measured on this
+    * host across a quiet phase (150M xorshift64 steps: 0.31 s ± 3%; see
+    * BASELINE.md "Self-calibration probe"). The emitted `calib.ratio` is
+    * median(spin_s)/this; a ratio ≥ [[StealRatio]] classifies the run as
+    * steal-degraded WITHOUT needing a judge re-run — the r7 driver
+    * artifact read 4.7x DuckDB when the engine's truth was 0.70x, and
+    * nothing in the JSON could prove it was the host. */
+  val QuietSpinS = 0.31
+
+  /** calib.ratio at or above this ⇒ `"class":"degraded"`; ≥ [[SevereRatio]]
+    * ⇒ `"class":"severe"` (the r7-driver-phase mode: trivial one-scan
+    * queries inflated 30-50x). Below ⇒ `"quiet"`. */
+  val StealRatio = 1.5
+  val SevereRatio = 4.0
+
+  /** Fixed-work single-threaded CPU probe: 150M xorshift64 steps, no
+    * allocation, no memory traffic beyond three registers — wall time is
+    * pure cycles, so on this single-JVM host any inflation over
+    * [[QuietSpinS]] is hypervisor steal (or a severely oversubscribed
+    * CPU), never Spark state. Interleaved through the suite and emitted
+    * with per-probe suite-clock offsets, it localizes a steal phase in
+    * TIME, which per-query seconds alone cannot (a slow query is
+    * indistinguishable from a slow host until you know what the host was
+    * doing at that moment). */
+  def spinProbe(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 10_000_000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 } // JIT warm
+    val t = System.nanoTime()
+    i = 0
+    while (i < 150_000_000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val s = (System.nanoTime() - t) / 1e9
+    if (x == 42) System.err.println("") // keep the loop live under JIT
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,8 +105,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- self-calibration (steal-proofing the artifact) -------------
+    // (suite-clock for probe offsets starts HERE, before priming, so a
+    // steal phase during cache warm-up is also on the record)
+    val probeClock = System.nanoTime()
+    def probeOffsetS: Double = (System.nanoTime() - probeClock) / 1e9
+    val spins = scala.collection.mutable.ArrayBuffer[(Double, Double)]() // (at_s, spin_s)
+    val sparkProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    var lastProbeAt = -1e9
+    def maybeSpinProbe(force: Boolean): Unit =
+      if (force || probeOffsetS - lastProbeAt >= 20.0) {
+        val off = probeOffsetS
+        val s = spinProbe()
+        spins += ((off, s))
+        lastProbeAt = probeOffsetS
+        System.err.println(f"[bench] calib spin @${off}%6.1f s: $s%.3f s (quiet ref $QuietSpinS)")
+      }
+    // fixed parallel Spark job (32 tasks over a synthetic range): the
+    // scheduler+executor analog of the spin probe — steal inflates it
+    // the same way but through the task path the queries actually use
+    def sparkJobProbe(): Unit = {
+      val t = System.nanoTime()
+      spark.range(0L, 32L << 20, 1L, 32).selectExpr("sum(id * 3 + 1)").collect()
+      sparkProbes += (System.nanoTime() - t) / 1e9
+    }
+    def spinMedian: Double = {
+      val v = spins.map(_._2).sorted
+      if (v.isEmpty) QuietSpinS else v(v.size / 2)
+    }
+
+    maybeSpinProbe(force = true)
     Tables.prime(spark, sfDir)
     queries.Warm.prime(spark, sfDir)
+    sparkJobProbe()
+    maybeSpinProbe(force = true)
 
     val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
     explainDir.foreach(d => new java.io.File(d).mkdirs())
@@ -101,23 +169,30 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     // Two renderings of the same result: `rich` (full precision + per-query
-    // methodology modes) goes to the bench_out.json file; the stdout line is
-    // compact (3-decimal seconds, no modes) so the whole line fits inside the
-    // driver's ~4 KB stdout-tail capture — the r3/r4 artifacts lost the line's
-    // head to that window and arrived unparseable.
+    // methodology modes + full iteration samples + probe offsets) goes to the
+    // bench_out.json file; the stdout line is compact (3-decimal seconds).
+    // KEY ORDER IS THE ARTIFACT'S SURVIVAL STRATEGY: the driver's BENCH_r0N
+    // wrapper stores only the stdout TAIL (~2 KB — r7's line lost its head,
+    // "parsed": null), so the big queries map goes FIRST and everything a
+    // reader needs to classify the run — calibration, iteration spread,
+    // errors, the headline total — rides at the END of the line, inside any
+    // tail window. A steal-degraded run (r7's driver phase read 4.7x DuckDB;
+    // the truth was 0.70x) is now self-evident from the artifact alone:
+    // calib.ratio >= 1.5 says the HOST was degraded, per-probe offsets say
+    // WHEN, and the spread map shows which queries took the hit.
     def jsonLine(partial: Boolean, rich: Boolean): String = {
       val rs = done.toArray(Array.empty[(String, Double)]).toSeq
       // Locale.ROOT: a JVM under e.g. de_DE renders f"%.3f" with a decimal
       // COMMA, which would make the stdout line invalid JSON — the very
       // failure class this emitter exists to end.
-      def sec(v: Double): String =
-        if (rich) v.toString
-        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def fmt(v: Double, dp: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      def sec(v: Double): String = if (rich) v.toString else fmt(v, 3)
       val qs = rs.map { case (k, v) => s"${js(k)}:${sec(v)}" }.mkString("{", ",", "}")
       val errJson = errors.synchronized {
         // compact rendering truncates error text hard: a degraded run with
-        // several 300-char errors would otherwise push the single stdout
-        // line past the driver's ~4 KB tail window again
+        // several 300-char errors would otherwise push the whole summary
+        // block past the driver's stdout-tail window again
         errors.map { case (k, v) =>
           s"${js(k)}:${js(if (rich) v else v.take(60))}"
         }.mkString("{", ",", "}")
@@ -134,7 +209,29 @@ object Bench {
           val ss = samples.getOrDefault(k, Seq.empty)
           s"${js(k)}:${ss.map(_.toString).mkString("[", ",", "]")}"
         }.mkString("{", ",", "},")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":${js(sfDir)},"iters":$iters,"partial":$partial,$modeJson$itersJson"errors":$errJson}"""
+      // compact line carries the spread ONLY where it is steal evidence
+      // (max/min > 2 across a query's measured runs): empty on a quiet
+      // host, and on a degraded one it lists exactly the queries whose
+      // committed number a reader should distrust
+      val spiky = rs.flatMap { case (k, _) =>
+        val ss = samples.getOrDefault(k, Seq.empty)
+        if (ss.size >= 2 && ss.min > 0 && ss.max / ss.min > 2.0)
+          Some(s"${js(k)}:${ss.map(fmt(_, 2)).mkString("[", ",", "]")}")
+        else None
+      }
+      val spreadJson =
+        if (rich) "" // rich has every sample in iters_s already
+        else "\"spread\":" + spiky.mkString("{", ",", "},")
+      val ratio = spinMedian / QuietSpinS
+      val klass =
+        if (ratio >= SevereRatio) "severe"
+        else if (ratio >= StealRatio) "degraded" else "quiet"
+      val calibJson =
+        s""""calib":{"spin_s":${spins.map(p => fmt(p._2, 3)).mkString("[", ",", "]")},""" +
+          s""""spin_at_s":${spins.map(p => fmt(p._1, 1)).mkString("[", ",", "]")},""" +
+          s""""spark_s":${sparkProbes.map(fmt(_, 3)).mkString("[", ",", "]")},""" +
+          s""""quiet_s":$QuietSpinS,"ratio":${fmt(ratio, 2)},"class":${js(klass)}},"""
+      s"""{"metric":"total","unit":"sec","sf":${js(sfDir)},"iters":$iters,"queries":$qs,$modeJson$itersJson$spreadJson$calibJson"partial":$partial,"errors":$errJson,"value":${sec(total)}}"""
     }
 
     // The JSON line on stdout gets interleaved with sbt log noise on
@@ -223,8 +320,13 @@ object Bench {
         }
       done.add(name -> sec)
       System.err.println(f"[bench] $name%-28s $sec%8.2f s${if (degraded) " (degraded: single run)" else ""}")
+      // ~every 20 s of suite time: a host-steal phase that starts mid-run
+      // lands between two probes and is visible in calib.spin_at_s
+      maybeSpinProbe(force = false)
     }
 
+    sparkJobProbe()
+    maybeSpinProbe(force = true)
     finished = true
     emit(partial = false)
     spark.stop()
