@@ -492,6 +492,40 @@ object BenchScale {
       .cache()
     require(queries25.count() == 25, "expected vec_id 0..24 in embeddings")
 
+    // tx_bpe_vocab fixtures: the real corpus has ~31 distinct words, so
+    // merge learning exhausts at ~90 rules — far too shallow to stress a
+    // production-depth vocabulary. Re-express each document as 40
+    // nine-hex-char pseudo-words derived from its doc_id (the byte-level
+    // BPE regime: a 16-symbol alphabet with uniform digram statistics,
+    // where merges go thousands deep and every one of them genuinely
+    // applies to the corpus). The leg reuses the harness factor as the
+    // MERGE-COUNT multiplier (20·f = 20 → 200 → 2000 rules) on this
+    // FIXED corpus: rows must stay constant, and the time ratio is the
+    // flat-per-row-cost claim of llm/BpeKernel — the replace chain this
+    // kernel replaces is O(#merges) per row by construction, so its
+    // ratio at 100× would be ~100, while the kernel's merge events are
+    // bounded by document length no matter how deep the vocabulary.
+    lazy val bpeHexCorpus: DataFrame = {
+      val c = documents.select(col("doc_id"),
+        array_join(transform(sequence(lit(1), lit(40)), i =>
+          substring(md5(concat(col("doc_id").cast("string"), lit("_"), i.cast("string"))),
+            1, 9)), " ").as("text")).cache()
+      c.count() // materialize once, outside any timed leg
+      c
+    }
+    lazy val bpeMergeLadder: Seq[graft.llm.Bpe.Merge] = {
+      val hist = bpeHexCorpus
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w")).limit(6000)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val t0 = System.nanoTime()
+      val m = graft.llm.Bpe.learn(hist, 2000)
+      System.err.println(f"[scalebench] tx_bpe_vocab ladder: ${m.size} merges " +
+        f"learned in ${(System.nanoTime() - t0) / 1e9}%.1f s (outside timed legs)")
+      m
+    }
+
     // legName -> (runner, expectation): Linear outputs scale ×f,
     // Constant outputs are dimension-sized and must not move, Approx
     // tolerates per-replica LSH recall wobble around the ×f line
@@ -574,6 +608,15 @@ object BenchScale {
       ("tx_linededup", (f: Int) => txLineDedup(inflateDocuments(documents, f), f), Linear),
       ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe", (f: Int) => txBpe(inflateDocuments(documents, f), f), Linear),
+      ("tx_bpe_vocab", (f: Int) => {
+        val m = bpeMergeLadder.take(20 * f)
+        require(m.size == 20 * f,
+          s"tx_bpe_vocab at $f×: ladder exhausted at ${m.size} merges (need ${20 * f})")
+        val toked = graft.functions.BpeTokenize.tokenize(col("text"), m)
+        bpeHexCorpus
+          .select(graft.llm.Bpe.tokenCount(toked).as("nt"))
+          .agg(count(lit(1)), sum("nt")).head().getLong(0)
+      }, Constant),
       ("ss_bm25", (f: Int) => ssBm25(inflateDocuments(documents, f), f), Constant),
       ("tx_lm", (f: Int) => txLm(inflateDocuments(documents, f), f), Linear),
       ("dd_incr", (f: Int) => ddIncr(inflateDocuments(documents, f), f), Constant),

@@ -1601,7 +1601,12 @@ object LlmQueries extends Q.Registry {
       (s, d) => {
         val merges = learnedMerges(s, d)
         val sym = Bpe.symbolize(Bpe.stripSep(lower(col("text"))))
-        val toked = Bpe.applyMerges(sym, merges)
+        // r8: the Spark side runs the merge-count-independent kernel
+        // (ONE expression node, llm/BpeKernel.scala); the oracle below
+        // still replays the literal replace chain — the hash match IS
+        // the corpus-scale byte-identity proof of kernel ≡ chain
+        val toked = graft.functions.BpeTokenize.tokenize(
+          Bpe.stripSep(lower(col("text"))), merges)
         Tables.documents(s, d).select(
           col("doc_id"),
           length(col("text")).as("n_chars"),

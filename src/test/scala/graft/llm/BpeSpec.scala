@@ -91,4 +91,87 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.learn(hist.reverse, 6) // input order must not matter
     assert(a === b && a.nonEmpty)
   }
+
+  /** The chain reference the fast kernel is pinned against: symbolize
+    * then sequential two-pass [[Bpe.applyOne]] per merge. */
+  private def chainRef(t: String, merges: Seq[Bpe.Merge]): String = {
+    val sym = new java.lang.StringBuilder("|")
+    var i = 0
+    while (i < t.length) {
+      val cc = Character.charCount(t.codePointAt(i))
+      sym.append(t, i, i + cc).append('|')
+      i += cc
+    }
+    merges.foldLeft(sym.toString)(Bpe.applyOne)
+  }
+
+  test("BpeKernel ≡ replace chain: crafted degenerate runs, overlapping " +
+    "and nested merges, multi-char symbols") {
+    val merges = Seq(
+      Bpe.Merge("a", "b"), Bpe.Merge("ab", "ab"), Bpe.Merge("a", "a"),
+      Bpe.Merge("c", "ab"), Bpe.Merge("aa", "a"), Bpe.Merge("abab", "c"))
+    val vocab = new BpeVocab(merges)
+    val texts = Seq("", "a", "ab", "abab", "ababab", "abababab",
+      "aaaaa", "aaaaaaaaa", "cabcab", "cababc", "aacaab", "abcabab",
+      "aaabab aab caa", "babababa", "xyzzy", "a b ab ba")
+    for (t <- texts)
+      assert(BpeKernel.tokenizeString(t, vocab) === chainRef(t, merges), s"text <$t>")
+  }
+
+  test("BpeKernel ≡ replace chain: 300 random strings under a LEARNED " +
+    "merge list (the only list shape the kernel accepts)") {
+    val rnd = new scala.util.Random(41)
+    val words = (0 until 60).map(_ =>
+      (1 to 1 + rnd.nextInt(7)).map(_ => "aabbcde".charAt(rnd.nextInt(7))).mkString)
+    val hist = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong * 3) }.toArray
+    val merges = Bpe.learn(hist, 40)
+    assert(merges.size >= 10, s"fixture too thin: ${merges.size} merges")
+    val vocab = new BpeVocab(merges)
+    val texts = (0 until 300).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => "aabbcde ".charAt(rnd.nextInt(8))).mkString)
+    for (t <- texts)
+      assert(BpeKernel.tokenizeString(t, vocab) === chainRef(t, merges), s"text <$t>")
+  }
+
+  test("BpeKernel: surrogate pairs stay whole code points, like both " +
+    "engines' (.) regex") {
+    val t = "a😀b😀😀c"
+    val vocab = new BpeVocab(Seq(Bpe.Merge("😀", "😀")))
+    assert(BpeKernel.tokenizeString(t, vocab) ===
+      chainRef(t, vocab.merges.toSeq))
+    assert(BpeKernel.tokenizeString(t, new BpeVocab(Nil)) === chainRef(t, Nil))
+  }
+
+  test("BpeTokenize expression ≡ applyMerges Column under codegen, " +
+    "NULL passthrough included") {
+    val merges = Seq(Bpe.Merge("a", "b"), Bpe.Merge("ab", "c"), Bpe.Merge("d", "d"))
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 80).map(_ =>
+      (0 until rnd.nextInt(20)).map(_ => "abcd ".charAt(rnd.nextInt(5))).mkString) :+
+      "" :+ "abcabc" :+ "dddddd" :+ "ababab"
+    val df = texts.toDF("t")
+    val chain = df.select(Bpe.applyMerges(Bpe.symbolize(col("t")), merges).as("s"))
+      .as[String].collect()
+    val fast = df.select(graft.functions.BpeTokenize.tokenize(col("t"), merges).as("s"))
+      .as[String].collect()
+    assert(fast.toSeq === chain.toSeq)
+    val withNull = Seq(Some("ab"), None).toDF("t")
+      .select(graft.functions.BpeTokenize.tokenize(col("t"), merges))
+      .as[Option[String]].collect()
+    assert(withNull.toSeq === Seq(Some("|ab|"), None))
+  }
+
+  test("BpeVocab rejects non-well-formed merge lists (a symbol no earlier " +
+    "merge produces) and delimiter-bearing symbols") {
+    intercept[IllegalArgumentException] {
+      new BpeVocab(Seq(Bpe.Merge("ab", "c"))) // 'ab' never produced
+    }
+    intercept[IllegalArgumentException] {
+      new BpeVocab(Seq(Bpe.Merge("a", "b"), Bpe.Merge("ab", "cd")))
+    }
+    intercept[IllegalArgumentException] {
+      new BpeVocab(Seq(Bpe.Merge("|", "a")))
+    }
+    new BpeVocab(Seq(Bpe.Merge("a", "b"), Bpe.Merge("ab", "c"))) // well-formed
+  }
 }
