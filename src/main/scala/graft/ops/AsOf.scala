@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   * right rows at the same instant would make the carried value
   * order-dependent. Left rows with no earlier right row get NULLs.
   * At 100 TB the shuffle is keyed like any windowed op; a KEYLESS
-  * as-of (one global series) must instead range-partition the time
-  * axis and carry boundary values across partitions — out of scope
-  * here, keep a key.
+  * as-of (one global series) instead range-partitions the time axis
+  * and carries boundary values across partitions —
+  * [[asofBackwardGlobal]].
   */
 object AsOf {
 
@@ -65,6 +65,91 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+    carried.filter(col("__is_r") === 0)
+      .select(lCols.map(col) ++
+        valCols.map(v => col("__vals").getField(v).as(outPrefix + v)): _*)
+  }
+
+  /** KEYLESS backward as-of join — one global right-hand series (a
+    * checkpoint stream, a reference curve), every left row attaching
+    * the latest right row at or before its time. [[asofBackward]]'s
+    * keyed shuffle degenerates here (a single window partition would
+    * serialize the whole dataset through one task), so this variant
+    * range-partitions the TIME AXIS instead (the r7 verdict's recipe):
+    *
+    *  1. one column-pruned pass sketches the union's time axis into
+    *     `buckets` approximate-quantile cut points (balanced buckets
+    *     whatever the time distribution — skew lands in the sketch,
+    *     not the shuffle);
+    *  2. the right side aggregates to one latest-value row PER BUCKET
+    *     (tiny), which a B-row running window turns into each bucket's
+    *     carry-in — the latest right value of ALL earlier buckets;
+    *  3. the union shuffles ONCE on the bucket id; an in-bucket
+    *     running `last(ignoreNulls)` over (time, right-first) carries
+    *     values forward, and bucket-leading left rows fall back to the
+    *     broadcast carry-in.
+    *
+    * No global sort, no range explosion; parallelism = `buckets`
+    * (size it ~2-4x the cluster's cores at scale). Same null-value
+    * contract as the keyed form: the whole right-row struct is
+    * carried, so a matched row's NULL field comes through as NULL.
+    * `right` must be unique per `rightTime`; times must be non-null.
+    * Bucket boundaries cannot split equal times (bucketing is by
+    * value), so the >= tie semantics survive partitioning; the cut
+    * points only steer balance — ANY bucketing yields the same rows,
+    * which is why the approximate sketch is safe. */
+  def asofBackwardGlobal(left: DataFrame, right: DataFrame,
+                         leftTime: String, rightTime: String,
+                         valCols: Seq[String], outPrefix: String = "asof_",
+                         buckets: Int = 64): DataFrame = {
+    require(valCols.nonEmpty, "valCols must be non-empty")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val lCols = left.columns.toSeq
+    val outCols = valCols.map(outPrefix + _)
+    require(!lCols.exists(outCols.contains),
+      s"left already has ${outCols.filter(lCols.contains)} — pick another outPrefix")
+    val spark = left.sparkSession
+    val valsType = org.apache.spark.sql.types.StructType(
+      valCols.map(v => right.schema(v).copy(name = v)))
+    val lTagged = left.select(
+      lCols.map(col) :+ col(leftTime).as("__t") :+ lit(0).as("__is_r") :+
+        lit(null).cast(valsType).as("__vals"): _*)
+    val rTagged = right.select(
+      lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col(rightTime).as("__t") :+ lit(1).as("__is_r") :+
+        struct(valCols.map(col): _*).as("__vals"): _*)
+    val union = lTagged.unionByName(rTagged)
+    val cuts: Array[Double] =
+      if (buckets == 1) Array.empty
+      else union.select(col("__t").cast("double").as("__td"))
+        .stat.approxQuantile("__td",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+    val bucketOf: Column = {
+      val td = col("__t").cast("double")
+      cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+        case ((c, i), rest) => when(td < c, i).otherwise(rest)
+      }
+    }
+    val b = union.withColumn("__bucket", bucketOf)
+    // per-bucket latest right value -> exclusive running carry over the
+    // COMPLETE bucket spine (so right-empty buckets inherit too); the
+    // single-partition window is over at most `buckets` rows
+    val bounds = b.filter(col("__is_r") === 1)
+      .groupBy("__bucket").agg(max_by(col("__vals"), col("__t")).as("__bval"))
+    val spine = spark.range(cuts.length + 1)
+      .select(col("id").cast("int").as("__bucket"))
+    val wSpine = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.join(bounds, Seq("__bucket"), "left")
+      .withColumn("__carry_in", last(col("__bval"), ignoreNulls = true).over(wSpine))
+      .select("__bucket", "__carry_in")
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__t").asc, col("__is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = b.join(broadcast(carry), Seq("__bucket"))
+      .withColumn("__vals",
+        coalesce(last(col("__vals"), ignoreNulls = true).over(w), col("__carry_in")))
     carried.filter(col("__is_r") === 0)
       .select(lCols.map(col) ++
         valCols.map(v => col("__vals").getField(v).as(outPrefix + v)): _*)

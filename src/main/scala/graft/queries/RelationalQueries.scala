@@ -573,6 +573,44 @@ object RelationalQueries extends Q.Registry {
           |    SELECT station_no, record_time AS cts, bikes_available AS cp_bikes
           |    FROM status WHERE event_id % 41 = 0) c
           |    ON s.station_no = c.station_no AND s.record_time >= c.cts)
+          |GROUP BY station_no ORDER BY station_no""".stripMargin)),
+
+    Q("j9_asof_global",
+      "KEYLESS backward as-of join (r7 verdict gap #2): one GLOBAL " +
+        "checkpoint series (fleet-total bikes at every 97th event's " +
+        "tick) attached to every status event by time alone. A keyed " +
+        "window would serialize the dataset through one partition; " +
+        "the operator range-partitions the time axis via an " +
+        "approximate-quantile sketch, carries each bucket's boundary " +
+        "value through a broadcast spine, and runs the in-bucket " +
+        "running-last — one data-sized shuffle, no global sort. " +
+        "Oracle: DuckDB's NATIVE keyless ASOF JOIN.",
+      (s, d) => {
+        val status = Analog.status(s, d)
+        val cp = status.filter(col("event_id") % 97 === 0)
+          .groupBy(col("record_time").as("cts"))
+          .agg(Fmt.trunc(sum(col("bikes_available")), 6).as("cp_total"))
+        graft.ops.AsOf.asofBackwardGlobal(status, cp, "record_time", "cts",
+          Seq("cp_total"), buckets = 32)
+          .groupBy("station_no")
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(col("asof_cp_total")).as("n_with_checkpoint"),
+            Fmt.trunc(avg(col("asof_cp_total")), 6).as("avg_cp_total"))
+          .orderBy("station_no")
+      },
+      Some(enrSql +
+        """SELECT station_no, count(*) AS n_events,
+          |       count(cp_total) AS n_with_checkpoint,
+          |       floor((avg(cp_total)) * 1e6 + 1e-6) / 1e6 AS avg_cp_total
+          |FROM (
+          |  SELECT s.station_no, c.cp_total
+          |  FROM status s ASOF LEFT JOIN (
+          |    SELECT record_time AS cts,
+          |           floor((sum(bikes_available)) * 1e6 + 1e-6) / 1e6 AS cp_total
+          |    FROM status WHERE event_id % 97 = 0
+          |    GROUP BY record_time) c
+          |    ON s.record_time >= c.cts)
           |GROUP BY station_no ORDER BY station_no""".stripMargin))
   )
 }

@@ -91,4 +91,69 @@ class AsOfSpec extends SparkSpec {
       assert(out(id) === expect, s"row $id ($k, $t)")
     }
   }
+
+  // ---- keyless/global variant --------------------------------------
+
+  test("global: boundary carry across buckets — left rows in a bucket " +
+    "with no earlier in-bucket right row inherit the previous buckets' " +
+    "latest value; empty prefix stays null; >= ties apply") {
+    val l = (0L until 40L).map(t => (t, s"l$t")).toDF("t", "tag")
+    val r = Seq((5L, 1.0), (6L, 2.0), (25L, 3.0)).toDF("t", "v")
+    // buckets = 8 over times 0..39 — right-empty buckets exist by
+    // construction, so the spine carry path is genuinely exercised
+    val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v"), buckets = 8)
+      .select("t", "asof_v").as[(Long, Option[Double])].collect().toMap
+    (0L until 40L).foreach { t =>
+      val expect =
+        if (t < 5) None
+        else if (t < 6) Some(1.0) // t=5: equal timestamp applies
+        else if (t < 25) Some(2.0)
+        else Some(3.0)
+      assert(out(t) === expect, s"t=$t")
+    }
+  }
+
+  test("global: buckets=1 (single partition) and buckets=16 agree with " +
+    "a scan reference on seeded random series; empty right -> all null") {
+    val rnd = new scala.util.Random(23)
+    val l = (0 until 400).map(i => (rnd.nextInt(1000).toLong, i.toLong))
+    val rRows = (0 until 60).map(i => (i * 17L % 1000, i.toDouble))
+      .groupBy(_._1).map(_._2.head).toSeq // unique times (the contract)
+    val lDf = l.toDF("t", "id")
+    val rDf = rRows.toDF("t", "v")
+    for (b <- Seq(1, 16)) {
+      val out = AsOf.asofBackwardGlobal(lDf, rDf, "t", "t", Seq("v"), buckets = b)
+        .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+      l.foreach { case (t, id) =>
+        val expect = rRows.filter(_._1 <= t).sortBy(_._1).lastOption.map(_._2)
+        assert(out(id) === expect, s"buckets=$b row $id t=$t")
+      }
+    }
+    val empty = AsOf.asofBackwardGlobal(lDf, rDf.filter($"t" < -1), "t", "t",
+      Seq("v"), buckets = 4)
+      .select("asof_v").as[Option[Double]].collect()
+    assert(empty.length === 400 && empty.forall(_.isEmpty))
+  }
+
+  test("global: a matched right row's NULL field comes through as NULL " +
+    "(struct carry, same contract as the keyed form); guards fire") {
+    val l = Seq((10L, "x"), (30L, "y")).toDF("t", "tag")
+    val r = Seq((5L, Some(1.0), "a"), (20L, None: Option[Double], "b"))
+      .toDF("t", "v", "w")
+    val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v", "w"), buckets = 4)
+      .select("tag", "asof_v", "asof_w")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(row => row._1 -> ((row._2, row._3))).toMap
+    assert(out("x") === ((Some(1.0), Some("a"))))
+    assert(out("y") === ((None, Some("b")))) // row@20 whole, null v kept
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackwardGlobal(l, r, "t", "t", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v"), buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackwardGlobal(l.withColumn("asof_v", lit(0)), r, "t", "t", Seq("v"))
+    }
+  }
 }
