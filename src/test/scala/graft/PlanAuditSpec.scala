@@ -69,6 +69,22 @@ class PlanAuditSpec extends SparkSpec {
       s"plan audit failures (see bench_explain/ methodology):\n${offenders.mkString("\n")}")
   }
 
+  test("every registered query has a committed bench_explain/ plan file — " +
+    "the zero-SMJ sweep provably covers the whole registry") {
+    // Bench (SPARK_GRAFT_EXPLAIN_DIR) writes the non-fit plans;
+    // ExplainFit writes the fit/stream/iterative ones. tx11/tx14 fell
+    // between the two paths in r7 (83 files for 85 queries) and the
+    // committed sweep silently excluded them — this pins the full set.
+    val dir = new java.io.File("bench_explain")
+    assert(dir.isDirectory, s"missing ${dir.getAbsolutePath}")
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => new java.io.File(dir, s"$n.txt").isFile)
+    assert(missing.isEmpty,
+      s"queries with no committed plan dump: ${missing.mkString(", ")} — " +
+        "run graft.Bench with SPARK_GRAFT_EXPLAIN_DIR=bench_explain then " +
+        "graft.ExplainFit")
+  }
+
   test("uncached scans receive pruned schemas and pushed filters through " +
     "Tables.load's fan-out repartition (the 100 TB read path)") {
     // The committed bench_explain/ scans show full-width schemas because

@@ -763,6 +763,26 @@ class LlmSpec extends SparkSpec {
     docs.foreach { case (id, _) => assert(out(id) === expected(id), s"doc $id") }
   }
 
+  test("lineDedup: maxBroadcastLines=0 forces the shuffle-hash fallback " +
+    "with IDENTICAL output, and the plan really drops the broadcast") {
+    val docs = Seq(
+      (1L, "common\nunique1\ncommon2"),
+      (2L, "common\nunique2\ncommon2"),
+      (3L, "common\nunique3\ncommon2"),
+      (4L, "solo")).toDF("id", "text")
+    val viaBroadcast = Dedup.lineDedup(docs, "id", "text", minDocs = 3)
+    val viaShuffle = Dedup.lineDedup(docs, "id", "text", minDocs = 3,
+      maxBroadcastLines = 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows(viaShuffle) === rows(viaBroadcast))
+    val bPlan = viaBroadcast.queryExecution.executedPlan.toString
+    val sPlan = viaShuffle.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan.take(500))
+    assert(!sPlan.contains("BroadcastHashJoin") &&
+      sPlan.contains("ShuffledHashJoin"), sPlan.take(500))
+  }
+
   test("tokenBudgetMixture: greedy prefix fill in hash order, boundary doc " +
     "may overshoot, unknown groups select nothing, layout-invariant") {
     val docs = (1L to 30L).map(id =>
