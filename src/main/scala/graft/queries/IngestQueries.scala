@@ -38,6 +38,26 @@ object IngestQueries extends Q.Registry {
       col("value").as("bikes_available"))
   }
 
+  /** Second unbounded source for the st4 stream-stream join: every
+    * 83rd event's value read as that tick's weather observation — an
+    * INDEPENDENT readStream over the same file, so the join really
+    * coordinates two sources. */
+  private def readingsStream(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    Tables.ensureReadConfs(s)
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val tsCol =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
+    raw.filter(col("event_id") % 83 === 0).select(
+      tsCol.as("obs_time"),
+      col("value").as("temperature"))
+  }
+
   /** Plan-observability probe: the physical plan of the last micro-
     * batch the most recent [[runToMemory]] stream executed (what
     * [[graft.ExplainFit]] commits to bench_explain/ for st1-st3 — the
@@ -258,6 +278,40 @@ object IngestQueries extends Q.Registry {
       Some(enrSql +
         """SELECT station_no, count(*) AS n_events
           |FROM status GROUP BY station_no ORDER BY station_no""".stripMargin)),
+
+    Q("st4_stream_stream_join",
+      "Watermarked STREAM-STREAM equi-join (2.9, r7 verdict #6): the " +
+        "reference's status-weather hourly merge with BOTH sides " +
+        "unbounded streams, joined on their 1-hour event-time window " +
+        "(the state-cleanup-eligible shape — join state is bounded by " +
+        "the watermark horizon per side). Readings = every 83rd " +
+        "event's value as that tick's observation. Oracle: the batch " +
+        "restatement of the identical hour-bucket inner join.",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{avg, col, count, lit}
+        val status = eventsStream(s, d)
+        val readings = readingsStream(s, d)
+        val joined = graft.streaming.MicroBatchIngest
+          .hourlyStreamJoin(status, readings)
+          .select(col("hour_window.start").as("hour_start"),
+            col("bikes_available"), col("temperature"))
+        runToMemory(s, joined, "st4_out_", "append")
+          .groupBy("hour_start")
+          .agg(count(lit(1)).as("n_pairs"),
+            Fmt.trunc(avg(col("bikes_available")), 6).as("avg_bikes"),
+            Fmt.trunc(avg(col("temperature")), 6).as("avg_temp"))
+          .orderBy("hour_start")
+      },
+      Some(enrSql +
+        """SELECT date_trunc('hour', s.record_time) AS hour_start,
+          |       count(*) AS n_pairs,
+          |       floor((avg(s.bikes_available)) * 1e6 + 1e-6) / 1e6 AS avg_bikes,
+          |       floor((avg(r.temperature)) * 1e6 + 1e-6) / 1e6 AS avg_temp
+          |FROM status s JOIN (
+          |  SELECT record_time AS obs_time, bikes_available AS temperature
+          |  FROM status WHERE event_id % 83 = 0) r
+          |  ON date_trunc('hour', s.record_time) = date_trunc('hour', r.obs_time)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("a9_table_counts",
       "A9 count/emptiness checkpoints, explicit: row counts of the " +

@@ -59,6 +59,29 @@ object MicroBatchIngest {
         })
   }
 
+  /** §2.9 watermarked STREAM-STREAM equi-join — the reference's
+    * status⋈weather hourly merge (notebooks/03_data_merge.ipynb:79-87)
+    * with BOTH sides unbounded: facts and weather readings join on
+    * their 1-hour event-time window. Joining on equal `window()`
+    * structs is the documented state-cleanup-eligible shape: with a
+    * watermark on each side, Spark buffers only rows whose window can
+    * still find partners inside the horizon and evicts everything
+    * older, so join state is (rows per watermark window) per side —
+    * bounded at any throughput, same topology at 1000 executors (the
+    * shuffle is keyed on the window like any stream-stream join).
+    * Inner join: a late reading (arriving past the watermark) simply
+    * produces no pairs — the spec pins that drop. */
+  def hourlyStreamJoin(facts: DataFrame, readings: DataFrame,
+                       factTime: String = "record_time",
+                       readingTime: String = "obs_time",
+                       watermark: String = "1 hour"): DataFrame = {
+    val l = facts.withWatermark(factTime, watermark)
+      .withColumn("hour_window", window(col(factTime), "1 hour"))
+    val r = readings.withWatermark(readingTime, watermark)
+      .withColumn("hour_window", window(col(readingTime), "1 hour"))
+    l.join(r, Seq("hour_window"))
+  }
+
   /** Full sink wiring: watermark dedup, then per-micro-batch dim
     * upsert + fact append through user callbacks (the JDBC/parquet
     * writes stay pluggable — tests use in-memory collectors). */

@@ -96,6 +96,48 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(got === expected, s"got $got")
   }
 
+  test("hourlyStreamJoin: two unbounded sides join on the hourly window " +
+    "across batches; a reading arriving PAST the watermark is dropped") {
+    import MicroBatchIngestSpec.Reading
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[Fact]
+    val readings = MemoryStream[Reading]
+    val joined = MicroBatchIngest.hourlyStreamJoin(facts.toDF(), readings.toDF())
+      .select(col("hour_window.start").as("w"), col("station_no"),
+        col("temperature"))
+    val q = joined.writeStream.format("memory").queryName("st4_spec")
+      .outputMode("append").trigger(Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-st4-ckpt").toString)
+      .start()
+    // batch 1: facts in hours 05, 08, 09; one reading in hour 08.
+    // max event time 09:50 / 08:30 -> global watermark after the batch
+    // is 07:30 (min across inputs, 1h horizon): hour-05 state evicted
+    facts.addData(
+      Fact("s0", ts("2024-03-01 05:30:00"), 2),
+      Fact("s1", ts("2024-03-01 08:10:00"), 5),
+      Fact("s2", ts("2024-03-01 08:40:00"), 7),
+      Fact("s3", ts("2024-03-01 09:50:00"), 9))
+    readings.addData(Reading(ts("2024-03-01 08:30:00"), 21.5))
+    q.processAllAvailable()
+    // batch 2: an in-watermark reading for hour 09 (must join batch 1's
+    // buffered s3 fact — the cross-batch case) and a LATE reading for
+    // hour 05, behind the watermark (must produce NO pair with s0)
+    readings.addData(
+      Reading(ts("2024-03-01 09:15:00"), 23.0),
+      Reading(ts("2024-03-01 05:00:00"), 11.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st4_spec")
+      .as[(Timestamp, String, Double)].collect().toSet
+    val expected = Set(
+      (ts("2024-03-01 08:00:00"), "s1", 21.5),
+      (ts("2024-03-01 08:00:00"), "s2", 21.5),
+      (ts("2024-03-01 09:00:00"), "s3", 23.0)) // joined ACROSS batches
+    assert(got === expected, s"got $got") // no (05:00, s0, 11.0): late drop
+  }
+
   test("runningCounts: GroupState accumulates across micro-batches (emit-per-batch totals)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Fact]
@@ -135,4 +177,5 @@ object MicroBatchIngestSpec {
     * codegen regression, and a hard failure now that SparkSpec runs
     * CODEGEN_ONLY. */
   final case class Fact(station_no: String, record_time: Timestamp, bikes: Int)
+  final case class Reading(obs_time: Timestamp, temperature: Double)
 }
