@@ -17,6 +17,14 @@ case class ResizedImage(doc_id: Long, width: Int, height: Int,
 case class ImageFeatures(doc_id: Long, width: Int, height: Int,
                          mean_r: Double, mean_g: Double, mean_b: Double)
 
+/** Typed output row of the batched audio feature stage: stream
+  * metadata + per-channel RMS in [0, 1] (samples normalized by 2^15).
+  * Dead-letter rows (undecodable / non-PCM-16) get channels = -1 and
+  * an empty rms. */
+case class AudioFeatures(doc_id: Long, channels: Int, sample_rate: Int,
+                         n_frames: Long, duration_s: Double,
+                         rms: Seq[Double])
+
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, the full decode / feature-extract / resize / frame-sample
   * quartet, and one shared batched-codec seam ([[mapBatched]]).
@@ -293,6 +301,99 @@ object Multimodal {
     mapBatched(df, idCol, payloadCol, batchSize)(codec) {
       case (id, _, Some((w, h, r, g, b))) => ImageFeatures(id, w, h, r, g, b)
       case (id, _, None) => ImageFeatures(id, -1, -1, -1.0, -1.0, -1.0)
+    }
+  }
+
+  // ======== audio (the second real modality through the same seam) ===
+
+  /** Minimal PCM-16 WAV encoder over interleaved samples —
+    * deterministic fixture synthesis for the audio path (the write
+    * half of the codec seam; javax.sound renders the RIFF container).
+    * Little-endian 16-bit signed, `interleaved.length / channels`
+    * frames. */
+  def pcm16Wav(rate: Int, channels: Int, interleaved: Array[Short]): Array[Byte] = {
+    require(channels >= 1 && interleaved.length % channels == 0,
+      s"${interleaved.length} samples don't tile $channels channels")
+    val bytes = new Array[Byte](interleaved.length * 2)
+    var i = 0
+    while (i < interleaved.length) {
+      bytes(2 * i) = (interleaved(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((interleaved(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt,
+      (interleaved.length / channels).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real JDK audio codec (javax.sound.sampled — public JDK, the audio
+    * analog of [[imageioFeatureBatch]]): WAV/AIFF/AU header parse +
+    * full PCM-16 sample read → (channels, rate, frames, duration,
+    * per-channel RMS). RMS accumulates integer sample squares in a
+    * long (exact) and normalizes by 2^15 at the end, so analytically
+    * chosen fixtures land on exact doubles and the mm7 hash oracle is
+    * meaningful. Undecodable bytes or non-PCM-16 encodings → None
+    * (dead-letter, never a task failure). */
+  def javaSoundAudioBatch(payloads: Seq[Array[Byte]])
+      : Seq[Option[(Int, Int, Long, Double, Seq[Double])]] =
+    payloads.map { bytes =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val ch = fmt.getChannels
+            val rate = fmt.getSampleRate.toInt
+            val data = in.readAllBytes()
+            val frameSize = fmt.getFrameSize // = 2 * ch for PCM-16
+            val frames = data.length / frameSize
+            val sumSq = new Array[Long](ch)
+            val le = !fmt.isBigEndian
+            var f = 0
+            while (f < frames) {
+              var c = 0
+              while (c < ch) {
+                val o = f * frameSize + c * 2
+                val s =
+                  (if (le) ((data(o + 1) & 0xff) << 8) | (data(o) & 0xff)
+                   else ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)).toShort
+                sumSq(c) += s.toLong * s
+                c += 1
+              }
+              f += 1
+            }
+            val rms = sumSq.toSeq.map(q =>
+              if (frames == 0) 0.0 else math.sqrt(q.toDouble / frames) / 32768.0)
+            Some((ch, rate, frames.toLong, frames.toDouble / rate, rms))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Batched audio feature stage through the SAME [[mapBatched]] seam
+    * as the image quartet — schema, batching, dead-letter contract and
+    * scale posture identical (map-side, scan parallelism, no shuffle).
+    * A production pipeline swaps ffmpeg in behind the same codec
+    * signature. */
+  def audioFeaturesBatched(df: DataFrame, idCol: String, payloadCol: String,
+                           batchSize: Int = 64,
+                           codec: Seq[Array[Byte]] => Seq[Option[(Int, Int, Long, Double, Seq[Double])]] =
+                             javaSoundAudioBatch): Dataset[AudioFeatures] = {
+    val session = df.sparkSession
+    import session.implicits._
+    mapBatched(df, idCol, payloadCol, batchSize)(codec) {
+      case (id, _, Some((ch, rate, fr, dur, rms))) =>
+        AudioFeatures(id, ch, rate, fr, dur, rms)
+      case (id, _, None) => AudioFeatures(id, -1, -1, -1L, -1.0, Seq.empty)
     }
   }
 }

@@ -160,4 +160,33 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("codec returned") ||
       Option(ex.getCause).exists(_.getMessage.contains("codec returned")))
   }
+
+  test("audioFeaturesBatched with the REAL javax.sound codec: synthesized " +
+    "WAVs round-trip to exact analytic RMS/duration; dead-letters marked; " +
+    "results independent of batch size") {
+    import spark.implicits._
+    def square(n: Int, amp: Short): Array[Short] =
+      Array.tabulate(n)(i => if (i % 2 == 0) amp else (-amp).toShort)
+    // stereo: ch0 square at 2^13 (RMS 0.25 exactly), ch1 silent
+    val stereo = {
+      val ch0 = square(1000, 8192)
+      Array.tabulate(2000)(i => if (i % 2 == 0) ch0(i / 2) else 0: Short)
+    }
+    val rows = Seq(
+      (1L, Multimodal.pcm16Wav(8000, 1, square(4000, 16384))),
+      (2L, Multimodal.pcm16Wav(44100, 2, stereo)),
+      (3L, Multimodal.pcm16Wav(16000, 1, Array.empty[Short])), // zero frames
+      (4L, Array[Byte](1, 2, 3))) // not audio -> dead-letter
+    def run(batchSize: Int) = Multimodal.audioFeaturesBatched(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload", batchSize)
+      .collect().map(a => a.doc_id -> a).toMap
+    val out = run(64)
+    assert(out(1L) === AudioFeatures(1L, 1, 8000, 4000L, 0.5, Seq(0.5)))
+    assert(out(2L) === AudioFeatures(2L, 2, 44100, 1000L, 1000.0 / 44100,
+      Seq(0.25, 0.0)))
+    assert(out(3L) === AudioFeatures(3L, 1, 16000, 0L, 0.0, Seq(0.0)))
+    assert(out(4L) === AudioFeatures(4L, -1, -1, -1L, -1.0, Seq.empty))
+    // seam contract: batch boundaries never change a row's result
+    for (bs <- Seq(1, 3)) assert(run(bs) === out, s"batchSize=$bs")
+  }
 }
