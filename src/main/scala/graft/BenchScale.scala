@@ -667,8 +667,85 @@ object BenchScale {
         .map(f => s""""x$f":${fmt(t(f) / t(1))}""").mkString(",")
       s""""$name":{"sec":{$ts},"rows":{$rs},"ratio_vs_1x":{$ratios}}"""
     }.mkString(",")
+    // ---- ANN recall-vs-cost curve (r7 verdict #8) --------------------
+    // ss2/ss3's recall contracts are asserted at fixture scale; here the
+    // accuracy-cost trade is MEASURED on the max-factor corpus: recall@10
+    // against the brute-force ground truth as the probe budget grows
+    // (IVF probed cells / LSH table count). Skippable via the leg filter
+    // under the pseudo-leg name "ann_recall".
+    val annJson: String =
+      if (!legFilter.forall(_.contains("ann_recall"))) ""
+      else {
+        val maxF = factors.max
+        val annK = 10
+        // EXACT-copy replicas would make the task trivial (every config
+        // finds the query's own bucket full of cos=1 copies — recall
+        // pins at 1.0 and measures nothing). Deterministically jitter
+        // each replica's direction by ~0.1-relative per-component
+        // sinusoidal noise instead: the true top-10 become tight-but-
+        // distinct angular neighbors, exactly the regime where probe
+        // budget buys recall.
+        val corpusL = inflateEmbeddings(embeddingsL, maxF)
+          .withColumn("embedding",
+            transform(col("embedding"), (x, i) =>
+              (x * (lit(1.0) + lit(0.1) *
+                sin((pmod(col("vec_id"), lit(maxF)) * 64 + i + 1).cast("double"))))
+                .cast("float")))
+          .cache()
+        corpusL.count()
+        val truth: Map[Long, Set[Long]] = Similarity
+          .bruteForceTopK(corpusL, "vec_id", "embedding",
+            queries25, "q_id", "q_vec", annK)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+        def timedRecall(build: => DataFrame): (Double, Double) = {
+          val t0 = System.nanoTime()
+          val got = build.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rs = truth.toSeq.map { case (q, ts) =>
+            got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+          }
+          (sec, rs.sum / rs.size)
+        }
+        // IVF side: label-mean centroids (the dd10/ss2 shape), then the
+        // probe budget sweeps 1 -> all cells
+        val centroids = corpusL.groupBy(col("label").as("cell"))
+          .agg(array((0 until 64).map(i =>
+            avg(element_at(col("embedding"), i + 1))): _*).as("cent_vec"))
+        val assigned = Similarity.assignCells(
+          corpusL.select("vec_id", "embedding"),
+          "vec_id", "embedding", centroids, "cell", "cent_vec").cache()
+        assigned.count()
+        val nCells = centroids.count().toInt
+        val ivfEntries = Seq(1, 2, 4, 8).filter(_ <= nCells).map { nProbe =>
+          val (sec, rec) = timedRecall(Similarity.ivfTopK(
+            assigned, "vec_id", "embedding", "cell",
+            centroids, "cent_vec", queries25, "q_id", "q_vec", nProbe, annK))
+          System.err.println(f"[scalebench] ann_recall ivf nProbe=$nProbe%-2d " +
+            f"recall=$rec%.3f  $sec%6.2f s")
+          s""""nprobe_$nProbe":{"sec":${fmt(sec)},"recall":${fmt(rec)}}"""
+        }
+        val lshEntries = Seq(1, 2, 4, 8).map { tables =>
+          val (sec, rec) = timedRecall(Similarity.hyperplaneTopK(
+            corpusL.select("vec_id", "embedding"), "vec_id", "embedding",
+            queries25, "q_id", "q_vec", dim = 64, tables = tables, bits = 10,
+            k = annK))
+          System.err.println(f"[scalebench] ann_recall lsh tables=$tables%-2d " +
+            f"recall=$rec%.3f  $sec%6.2f s")
+          s""""tables_$tables":{"sec":${fmt(sec)},"recall":${fmt(rec)}}"""
+        }
+        assigned.unpersist(blocking = false)
+        corpusL.unpersist(blocking = false)
+        s""","ann_recall":{"factor":$maxF,"k":$annK,"cells":$nCells,"bits":10,""" +
+          s""""ivf":{${ivfEntries.mkString(",")}},""" +
+          s""""lsh":{${lshEntries.mkString(",")}}}"""
+      }
+
     val json = s"""{"metric":"scale_bench","unit":"sec","sf_dir":"$sfDir",""" +
-      s""""factors":[${factors.mkString(",")}],"legs":{$legJson}}"""
+      s""""factors":[${factors.mkString(",")}],"legs":{$legJson}$annJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), json.getBytes("UTF-8"))
     println(json)
     session.stop()

@@ -399,6 +399,96 @@ case class WordNGrams(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Interpreted core of [[HyperplaneBuckets]] — the multi-table
+  * sign-bucket computation as tight JVM loops over a plane matrix held
+  * as DATA. The literal-expression form
+  * ([[graft.llm.Similarity.hyperplaneBucket]]) inlines tables × bits ×
+  * dim literal terms into generated code; past ~1 table of 10×64
+  * planes the generated method blows HotSpot's JIT size limit and runs
+  * INTERPRETED — the r8 ANN recall curve measured a 10x cliff from 1
+  * table to 2. This kernel is one small JIT-friendly loop whatever the
+  * table count, bit-identical to the literal form (same per-plane
+  * sequential dot fold, same NaN-as-set-bit and null contracts —
+  * spec-pinned in LlmSpec). */
+object HyperplaneBucketsKernel {
+  def buckets(vec: ArrayData, isFloat: Boolean, planes: Array[Array[Double]],
+              tables: Int, bits: Int): ArrayData = {
+    val dim = if (planes.nonEmpty) planes(0).length else 0
+    val n = vec.numElements()
+    var anyNull = n != dim
+    var i = 0
+    while (!anyNull && i < n) {
+      if (vec.isNullAt(i)) anyNull = true
+      i += 1
+    }
+    // dotD yields null on length mismatch or any null element, and all
+    // planes share dim — so every table's bucket goes null together
+    if (anyNull)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](tables))
+    val v = new Array[Double](dim)
+    i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      var j = 0
+      while (j < bits) {
+        val p = planes(t * bits + j)
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += p(k) * v(k); k += 1 }
+        if (d >= 0 || java.lang.Double.isNaN(d)) b |= (1 << j)
+        j += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** All `tables` hyperplane sign-buckets of a vector as one expression
+  * node: array<int> indexed by table, null elements under the dotD
+  * null contract — see [[HyperplaneBucketsKernel]]. `planes` is the
+  * flattened (tables × bits) plane matrix, a codegen reference
+  * object. */
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
+                             tables: Int, bits: Int) extends UnaryExpression {
+  override def prettyName: String = "hyperplane_buckets"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (planes.length == tables * bits) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName got ${planes.length} planes for $tables tables x $bits bits")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double>, got ${t.catalogString}")
+  }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneBucketsKernel.buckets(v.asInstanceOf[ArrayData], isFloat,
+      planes, tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hpPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HyperplaneBucketsKernel.buckets(" +
+        s"$v, $isFloat, $planesRef, $tables, $bits);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-API entry points for the kernels. */
 object ArrayKernels {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -419,4 +509,14 @@ object ArrayKernels {
   def wordNGrams(ws: Column, n: Int): Column =
     ColumnBridge.column(WordNGrams(ex(ws),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** All tables' hyperplane sign-buckets of `v` as array<int> (index =
+    * table). `planes` in [[graft.llm.Similarity.hyperplaneTables]]'
+    * (tables, bits, dim) nesting. */
+  def hyperplaneBuckets(v: Column, planes: Seq[Seq[Array[Double]]]): Column = {
+    val tables = planes.length
+    val bits = if (planes.isEmpty) 0 else planes.head.length
+    ColumnBridge.column(HyperplaneBuckets(ex(v),
+      planes.flatten.toArray, tables, bits))
+  }
 }

@@ -156,28 +156,36 @@ object Similarity {
     require(dim >= 1 && tables >= 1 && k >= 1,
       s"dim/tables/k must be positive, got dim=$dim tables=$tables k=$k")
     val planes = hyperplaneTables(dim, tables, bits, seed)
-    def buckets(vec: Column): Column = array(planes.zipWithIndex.map {
-      case (ps, t) => struct(lit(t).as("t"), hyperplaneBucket(vec, ps).as("b"))
-    }: _*)
-    // join on the SCALAR (table, bucket) columns, not the struct: a
-    // struct key compares as raw bytes (null fields match!), while
-    // scalar equi-join keys give null buckets SQL null semantics —
-    // they match nothing
-    val cB = corpus
-      .withColumn("__c_norm", norm(col(vecCol)))
-      .withColumn("tb", explode(buckets(col(vecCol))))
-      .withColumn("__t", col("tb.t")).withColumn("__b", col("tb.b"))
-      .drop("tb")
-    val qB = queries
-      .withColumn("__q_norm", norm(col(qVecCol)))
-      .withColumn("tb", explode(buckets(col(qVecCol))))
-      .withColumn("__t", col("tb.t")).withColumn("__b", col("tb.b"))
-      .drop("tb")
+    // bucket computation runs as ONE kernel expression with the plane
+    // matrix as data ([[graft.functions.HyperplaneBuckets]]): the
+    // literal-inlined form ([[hyperplaneBucket]], kept as the
+    // executable spec the ss3 oracle replays in SQL) blows HotSpot's
+    // JIT method limit past ~1 table of planes and ran INTERPRETED —
+    // a measured 10x cliff at 2 tables on the r8 recall curve.
+    // posexplode emits (table = position, bucket); null buckets (dim
+    // mismatch / null element) join nothing — scalar equi-join keys
+    // keep SQL null semantics, unlike a struct key whose null fields
+    // would match as raw bytes
+    def withBuckets(df: DataFrame, vec: Column, normName: String): DataFrame =
+      df.withColumn(normName, norm(vec))
+        .select(col("*"),
+          posexplode(graft.functions.ArrayKernels.hyperplaneBuckets(vec, planes))
+            .as(Seq("__t", "__b")))
+    val cB = withBuckets(corpus, col(vecCol), "__c_norm")
+    val qB = withBuckets(queries, col(qVecCol), "__q_norm")
+    // score BEFORE deduplicating: the broadcast join leaves scoring
+    // map-side, so the only shuffle (the dedup of pairs colliding in
+    // several tables) carries three scalar columns instead of two
+    // attached vectors — at a 100x corpus with clustered buckets the
+    // wide-row dedup shuffled gigabytes (the r8 recall-curve run
+    // measured 196 s -> ~2 s from this reorder). cos_sim is a pure
+    // function of the pair, so dedup-after-score is value-identical.
     val candidates = cB.join(broadcast(qB), Seq("__t", "__b"))
       .filter(col(idCol) =!= col(qIdCol))
-      .dropDuplicates(qIdCol, idCol) // same pair can collide in several tables
       .withColumn("cos_sim",
         dotD(col(qVecCol), col(vecCol)) / (col("__q_norm") * col("__c_norm")))
+      .select(col(qIdCol), col(idCol), col("cos_sim"))
+      .dropDuplicates(qIdCol, idCol) // same pair can collide in several tables
     val w = Window.partitionBy(qIdCol).orderBy(desc("cos_sim"), col(idCol))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

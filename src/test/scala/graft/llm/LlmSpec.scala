@@ -440,6 +440,34 @@ class LlmSpec extends SparkSpec {
     assert(hb === Some(3))
   }
 
+  test("HyperplaneBuckets kernel ≡ the literal hyperplaneBucket spec per " +
+    "table: random vectors, NaN components, null elements, dim mismatch") {
+    val tables = 3; val bits = 7; val dim = 5
+    val planes = Similarity.hyperplaneTables(dim, tables, bits, seed = 9L)
+    val rnd = new scala.util.Random(31)
+    val vecs: Seq[(Long, Seq[Option[Float]])] =
+      (0L until 40L).map(i => i -> Seq.fill(dim)(Some(rnd.nextGaussian().toFloat))) ++
+        Seq(
+          40L -> Seq(Some(Float.NaN), Some(1f), Some(2f), Some(-1f), Some(0f)),
+          41L -> Seq(Some(1f), None, Some(2f), Some(-1f), Some(0f)), // null elem
+          42L -> Seq(Some(1f), Some(2f))) // dim mismatch
+    val df = vecs.toDF("vec_id", "embedding")
+    val viaKernel = df.select(col("vec_id"),
+      graft.functions.ArrayKernels.hyperplaneBuckets(col("embedding"), planes).as("bs"))
+      .as[(Long, Seq[Option[Int]])].collect().toMap
+    val viaLiteral = df.select(col("vec_id") +:
+        planes.zipWithIndex.map { case (ps, t) =>
+          Similarity.hyperplaneBucket(col("embedding"), ps).as(s"b$t")
+        }: _*)
+      .as[(Long, Option[Int], Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    vecs.foreach { case (id, _) =>
+      assert(viaKernel(id) === viaLiteral(id), s"vec $id")
+    }
+    assert(viaKernel(41L) === Seq(None, None, None)) // null element -> all null
+    assert(viaKernel(42L) === Seq(None, None, None)) // dim mismatch -> all null
+  }
+
   test("dd5 finds exactly the planted pairs with NO cartesian in the physical plan") {
     val dir = java.nio.file.Files.createTempDirectory("dd5spec").toString
     val rnd = new scala.util.Random(11)
