@@ -489,6 +489,52 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
     copy(child = c)
 }
 
+/** Largest index i with `times(i) <= key` (classic binary search over a
+  * strictly-increasing double axis), −1 when every entry is later. The
+  * backbone of the broadcast as-of fast path
+  * ([[graft.ops.AsOf.asofBackwardGlobal]]): both sides map their time
+  * to an index against the SAME reference array, turning the as-of
+  * range match into a plain broadcast hash equi-join — zero shuffle of
+  * the probe side. NaN keys compare false everywhere → −1 → the left
+  * row gets nulls, the same contract as a null time. */
+case class BinarySearchLE(child: Expression, times: Array[Double])
+    extends UnaryExpression {
+  override def prettyName: String = "binary_search_le"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a double key, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(key: Any): Any =
+    BinarySearchLE.le(key.asInstanceOf[Double], times)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("asofTimes", times, "double[]")
+    nullSafeCodeGen(ctx, ev, k =>
+      s"${ev.value} = graft.functions.BinarySearchLE.le($k, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BinarySearchLE {
+  def le(key: Double, times: Array[Double]): Int = {
+    var lo = 0
+    var hi = times.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) <= key) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+}
+
 /** Column-API entry points for the kernels. */
 object ArrayKernels {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)

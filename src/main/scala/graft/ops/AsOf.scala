@@ -74,8 +74,15 @@ object AsOf {
     * checkpoint stream, a reference curve), every left row attaching
     * the latest right row at or before its time. [[asofBackward]]'s
     * keyed shuffle degenerates here (a single window partition would
-    * serialize the whole dataset through one task), so this variant
-    * range-partitions the TIME AXIS instead (the r7 verdict's recipe):
+    * serialize the whole dataset through one task). Two plans behind
+    * one API, chosen by an ENFORCED right-side count:
+    *
+    *  - right ≤ `maxBroadcastRows` (the common checkpoint-series
+    *    shape): [[asofGlobalBroadcast]] — binary-search both sides'
+    *    times against the collected right axis and broadcast-join on
+    *    the index; the left side is never shuffled at all;
+    *  - otherwise, range-partition the TIME AXIS (the r7 verdict's
+    *    recipe):
     *
     *  1. one column-pruned pass sketches the union's time axis into
     *     `buckets` approximate-quantile cut points (balanced buckets
@@ -101,13 +108,53 @@ object AsOf {
   def asofBackwardGlobal(left: DataFrame, right: DataFrame,
                          leftTime: String, rightTime: String,
                          valCols: Seq[String], outPrefix: String = "asof_",
-                         buckets: Int = 64): DataFrame = {
+                         buckets: Int = 64,
+                         maxBroadcastRows: Long = 1000000L): DataFrame = {
     require(valCols.nonEmpty, "valCols must be non-empty")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(maxBroadcastRows >= 0, s"maxBroadcastRows: $maxBroadcastRows")
     val lCols = left.columns.toSeq
     val outCols = valCols.map(outPrefix + _)
     require(!lCols.exists(outCols.contains),
       s"left already has ${outCols.filter(lCols.contains)} — pick another outPrefix")
+    // Fast path for the COMMON keyless shape — a right series small
+    // enough to broadcast (checkpoint streams, reference curves): both
+    // sides map their time onto an index in the collected, sorted right
+    // time axis (one codegen'd binary search per row), and the as-of
+    // becomes a broadcast hash equi-join on that index. The big left
+    // side is NEVER shuffled — zero exchanges touch it at any scale.
+    // The guard is the same enforced-bound move as lineDedup's
+    // broadcast guard, folded into the collect itself: fetch at most
+    // bound+1 time keys in ONE job — overflow proves the right side is
+    // too big and the range-partitioned path below takes over.
+    if (maxBroadcastRows > 0) {
+      val cap = math.min(maxBroadcastRows, (Int.MaxValue - 2).toLong).toInt
+      val lt = left.schema(leftTime).dataType
+      val rt = right.schema(rightTime).dataType
+      require(lt == rt,
+        s"leftTime ($lt) and rightTime ($rt) must share a type for the time-key mapping")
+      // ONE pass collects time keys AND payloads together — the right
+      // plan never executes again, so a nondeterministic right side
+      // (float-sum aggregates) cannot diverge between the axis and the
+      // joined values
+      val probeDf = right.select(timeKey(col(rightTime), rt).as("__tk"),
+        struct(valCols.map(col): _*).as("__vals"))
+      val probed = probeDf.limit(cap + 1).collect()
+      if (probed.length <= cap) {
+        probed.foreach(r =>
+          require(!r.isNullAt(0), "right times must be non-null"))
+        val sorted = probed.sortBy(_.getDouble(0))
+        val times = sorted.map(_.getDouble(0))
+        times.sliding(2).foreach(p => require(p.length < 2 || p(0) < p(1),
+          "right must be unique per rightTime (two rows share an instant)"))
+        return asofGlobalBroadcast(left, leftTime, lt, valCols, outPrefix,
+          lCols, times,
+          sorted.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row(i, r.get(1))
+          },
+          probeDf.schema("__vals").dataType)
+      }
+    }
     val spark = left.sparkSession
     val valsType = org.apache.spark.sql.types.StructType(
       valCols.map(v => right.schema(v).copy(name = v)))
@@ -151,6 +198,52 @@ object AsOf {
       .withColumn("__vals",
         coalesce(last(col("__vals"), ignoreNulls = true).over(w), col("__carry_in")))
     carried.filter(col("__is_r") === 0)
+      .select(lCols.map(col) ++
+        valCols.map(v => col("__vals").getField(v).as(outPrefix + v)): _*)
+  }
+
+  /** Order-preserving double key for a time column: exact micros for
+    * timestamps (1.7e15 ≪ 2^53, so the double is exact), days for
+    * dates, plain cast for numerics. Both sides run the SAME mapping,
+    * so equal times produce identical doubles and the >= tie semantics
+    * survive the translation. */
+  private def timeKey(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c).cast("double")
+      case DateType => unix_date(c).cast("double")
+      case _ => c.cast("double")
+    }
+  }
+
+  /** The broadcast fast path of [[asofBackwardGlobal]]: `times` is the
+    * collected, sorted, uniqueness-checked right time axis and
+    * `indexedRows` the matching (index, payload struct) rows — a local
+    * relation, so the right plan is never executed again. Every left
+    * row binary-searches its time against the axis
+    * ([[graft.functions.BinarySearchLE]]) and broadcast-joins on the
+    * index. Null/NaN left times search to −1, match nothing, and come
+    * out null — the same contract as the partitioned path. */
+  private def asofGlobalBroadcast(left: DataFrame, leftTime: String,
+                                  lt: org.apache.spark.sql.types.DataType,
+                                  valCols: Seq[String], outPrefix: String,
+                                  lCols: Seq[String],
+                                  times: Array[Double],
+                                  indexedRows: Seq[org.apache.spark.sql.Row],
+                                  valsType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    def idxOf(c: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BinarySearchLE(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), times))
+    val rIndexed = left.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(indexedRows).asJava,
+      StructType(Seq(StructField("__idx", IntegerType, nullable = false),
+        StructField("__vals", valsType, nullable = true))))
+    left
+      .withColumn("__idx", idxOf(timeKey(col(leftTime), lt)))
+      .join(broadcast(rIndexed), Seq("__idx"), "left")
       .select(lCols.map(col) ++
         valCols.map(v => col("__vals").getField(v).as(outPrefix + v)): _*)
   }

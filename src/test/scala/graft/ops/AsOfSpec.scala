@@ -99,17 +99,22 @@ class AsOfSpec extends SparkSpec {
     "latest value; empty prefix stays null; >= ties apply") {
     val l = (0L until 40L).map(t => (t, s"l$t")).toDF("t", "tag")
     val r = Seq((5L, 1.0), (6L, 2.0), (25L, 3.0)).toDF("t", "v")
-    // buckets = 8 over times 0..39 — right-empty buckets exist by
-    // construction, so the spine carry path is genuinely exercised
-    val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v"), buckets = 8)
-      .select("t", "asof_v").as[(Long, Option[Double])].collect().toMap
-    (0L until 40L).foreach { t =>
-      val expect =
-        if (t < 5) None
-        else if (t < 6) Some(1.0) // t=5: equal timestamp applies
-        else if (t < 25) Some(2.0)
-        else Some(3.0)
-      assert(out(t) === expect, s"t=$t")
+    // maxBroadcastRows = 0 forces the range-partitioned path; buckets =
+    // 8 over times 0..39 — right-empty buckets exist by construction,
+    // so the spine carry path is genuinely exercised. The default runs
+    // the broadcast binary-search path; both must agree.
+    for (mbr <- Seq(0L, 1000000L)) {
+      val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v"), buckets = 8,
+        maxBroadcastRows = mbr)
+        .select("t", "asof_v").as[(Long, Option[Double])].collect().toMap
+      (0L until 40L).foreach { t =>
+        val expect =
+          if (t < 5) None
+          else if (t < 6) Some(1.0) // t=5: equal timestamp applies
+          else if (t < 25) Some(2.0)
+          else Some(3.0)
+        assert(out(t) === expect, s"t=$t (maxBroadcastRows=$mbr)")
+      }
     }
   }
 
@@ -121,12 +126,13 @@ class AsOfSpec extends SparkSpec {
       .groupBy(_._1).map(_._2.head).toSeq // unique times (the contract)
     val lDf = l.toDF("t", "id")
     val rDf = rRows.toDF("t", "v")
-    for (b <- Seq(1, 16)) {
-      val out = AsOf.asofBackwardGlobal(lDf, rDf, "t", "t", Seq("v"), buckets = b)
+    for (b <- Seq(1, 16); mbr <- Seq(0L, 1000000L)) {
+      val out = AsOf.asofBackwardGlobal(lDf, rDf, "t", "t", Seq("v"), buckets = b,
+        maxBroadcastRows = mbr)
         .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
       l.foreach { case (t, id) =>
         val expect = rRows.filter(_._1 <= t).sortBy(_._1).lastOption.map(_._2)
-        assert(out(id) === expect, s"buckets=$b row $id t=$t")
+        assert(out(id) === expect, s"buckets=$b mbr=$mbr row $id t=$t")
       }
     }
     val empty = AsOf.asofBackwardGlobal(lDf, rDf.filter($"t" < -1), "t", "t",
@@ -140,12 +146,21 @@ class AsOfSpec extends SparkSpec {
     val l = Seq((10L, "x"), (30L, "y")).toDF("t", "tag")
     val r = Seq((5L, Some(1.0), "a"), (20L, None: Option[Double], "b"))
       .toDF("t", "v", "w")
-    val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v", "w"), buckets = 4)
-      .select("tag", "asof_v", "asof_w")
-      .as[(String, Option[Double], Option[String])].collect()
-      .map(row => row._1 -> ((row._2, row._3))).toMap
-    assert(out("x") === ((Some(1.0), Some("a"))))
-    assert(out("y") === ((None, Some("b")))) // row@20 whole, null v kept
+    for (mbr <- Seq(0L, 1000000L)) {
+      val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v", "w"),
+        buckets = 4, maxBroadcastRows = mbr)
+        .select("tag", "asof_v", "asof_w")
+        .as[(String, Option[Double], Option[String])].collect()
+        .map(row => row._1 -> ((row._2, row._3))).toMap
+      assert(out("x") === ((Some(1.0), Some("a"))), s"mbr=$mbr")
+      assert(out("y") === ((None, Some("b"))), s"mbr=$mbr") // row@20 whole, null v kept
+    }
+    // the broadcast path ENFORCES right-time uniqueness at collect time
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackwardGlobal(l,
+        Seq((5L, 1.0), (5L, 2.0)).toDF("t", "v"), "t", "t", Seq("v"))
+        .collect()
+    }
     intercept[IllegalArgumentException] {
       AsOf.asofBackwardGlobal(l, r, "t", "t", Seq.empty)
     }
