@@ -111,6 +111,11 @@ object Bench {
     // steal phase during cache warm-up is also on the record)
     val probeClock = System.nanoTime()
     def probeOffsetS: Double = (System.nanoTime() - probeClock) / 1e9
+    // both buffers are read by the SIGTERM shutdown-hook emit while the
+    // main thread may be mid-append — synchronize on the buffer itself
+    // (everything else shared with the hook is already a concurrent map
+    // or synchronized); a torn read here would crash the hook and lose
+    // the partial artifact, the exact scenario the hook exists for
     val spins = scala.collection.mutable.ArrayBuffer[(Double, Double)]() // (at_s, spin_s)
     val sparkProbes = scala.collection.mutable.ArrayBuffer[Double]()
     var lastProbeAt = -1e9
@@ -118,7 +123,7 @@ object Bench {
       if (force || probeOffsetS - lastProbeAt >= 20.0) {
         val off = probeOffsetS
         val s = spinProbe()
-        spins += ((off, s))
+        spins.synchronized { spins += ((off, s)) }
         lastProbeAt = probeOffsetS
         System.err.println(f"[bench] calib spin @${off}%6.1f s: $s%.3f s (quiet ref $QuietSpinS)")
       }
@@ -128,11 +133,8 @@ object Bench {
     def sparkJobProbe(): Unit = {
       val t = System.nanoTime()
       spark.range(0L, 32L << 20, 1L, 32).selectExpr("sum(id * 3 + 1)").collect()
-      sparkProbes += (System.nanoTime() - t) / 1e9
-    }
-    def spinMedian: Double = {
-      val v = spins.map(_._2).sorted
-      if (v.isEmpty) QuietSpinS else v(v.size / 2)
+      val s = (System.nanoTime() - t) / 1e9
+      sparkProbes.synchronized { sparkProbes += s }
     }
 
     maybeSpinProbe(force = true)
@@ -223,14 +225,20 @@ object Bench {
       val spreadJson =
         if (rich) "" // rich has every sample in iters_s already
         else "\"spread\":" + spiky.mkString("{", ",", "},")
+      val spinsSnap = spins.synchronized { spins.toSeq }
+      val sparkSnap = sparkProbes.synchronized { sparkProbes.toSeq }
+      val spinMedian = {
+        val v = spinsSnap.map(_._2).sorted
+        if (v.isEmpty) QuietSpinS else v(v.size / 2)
+      }
       val ratio = spinMedian / QuietSpinS
       val klass =
         if (ratio >= SevereRatio) "severe"
         else if (ratio >= StealRatio) "degraded" else "quiet"
       val calibJson =
-        s""""calib":{"spin_s":${spins.map(p => fmt(p._2, 3)).mkString("[", ",", "]")},""" +
-          s""""spin_at_s":${spins.map(p => fmt(p._1, 1)).mkString("[", ",", "]")},""" +
-          s""""spark_s":${sparkProbes.map(fmt(_, 3)).mkString("[", ",", "]")},""" +
+        s""""calib":{"spin_s":${spinsSnap.map(p => fmt(p._2, 3)).mkString("[", ",", "]")},""" +
+          s""""spin_at_s":${spinsSnap.map(p => fmt(p._1, 1)).mkString("[", ",", "]")},""" +
+          s""""spark_s":${sparkSnap.map(fmt(_, 3)).mkString("[", ",", "]")},""" +
           s""""quiet_s":$QuietSpinS,"ratio":${fmt(ratio, 2)},"class":${js(klass)}},"""
       s"""{"metric":"total","unit":"sec","sf":${js(sfDir)},"iters":$iters,"queries":$qs,$modeJson$itersJson$spreadJson$calibJson"partial":$partial,"errors":$errJson,"value":${sec(total)}}"""
     }

@@ -495,8 +495,12 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
   * ([[graft.ops.AsOf.asofBackwardGlobal]]): both sides map their time
   * to an index against the SAME reference array, turning the as-of
   * range match into a plain broadcast hash equi-join — zero shuffle of
-  * the probe side. NaN keys compare false everywhere → −1 → the left
-  * row gets nulls, the same contract as a null time. */
+  * the probe side. A NaN key matches the LAST entry: both engines
+  * order NaN above every value (Spark sort, DuckDB comparison), so the
+  * keyed window recipe and DuckDB's native ASOF both hand a NaN-timed
+  * left row the latest right row — this kernel must agree. Integral
+  * time axes use [[BinarySearchLELong]] instead (a long beyond 2^53
+  * would collapse distinct doubles). */
 case class BinarySearchLE(child: Expression, times: Array[Double])
     extends UnaryExpression {
   override def prettyName: String = "binary_search_le"
@@ -523,6 +527,49 @@ case class BinarySearchLE(child: Expression, times: Array[Double])
 
 object BinarySearchLE {
   def le(key: Double, times: Array[Double]): Int = {
+    if (java.lang.Double.isNaN(key)) return times.length - 1 // NaN sorts last
+    var lo = 0
+    var hi = times.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) <= key) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+}
+
+/** [[BinarySearchLE]] over an exact long axis — timestamps (micros),
+  * dates (days), and integral numeric time columns, where a cast to
+  * double would lose precision beyond 2^53 and could match the wrong
+  * right row or spuriously collapse genuinely distinct times. */
+case class BinarySearchLELong(child: Expression, times: Array[Long])
+    extends UnaryExpression {
+  override def prettyName: String = "binary_search_le_long"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a long key, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(key: Any): Any =
+    BinarySearchLELong.le(key.asInstanceOf[Long], times)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("asofTimesL", times, "long[]")
+    nullSafeCodeGen(ctx, ev, k =>
+      s"${ev.value} = graft.functions.BinarySearchLELong.le($k, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BinarySearchLELong {
+  def le(key: Long, times: Array[Long]): Int = {
     var lo = 0
     var hi = times.length - 1
     var ans = -1

@@ -143,12 +143,27 @@ object AsOf {
       if (probed.length <= cap) {
         probed.foreach(r =>
           require(!r.isNullAt(0), "right times must be non-null"))
-        val sorted = probed.sortBy(_.getDouble(0))
-        val times = sorted.map(_.getDouble(0))
-        times.sliding(2).foreach(p => require(p.length < 2 || p(0) < p(1),
-          "right must be unique per rightTime (two rows share an instant)"))
+        val integral = integralTime(rt)
+        val sorted =
+          if (integral) probed.sortBy(_.getLong(0))
+          else probed.sortBy(_.getDouble(0))
+        val dup = "right must be unique per rightTime (two rows share an instant)"
+        val idxExpr: Column => Column =
+          if (integral) {
+            val times = sorted.map(_.getLong(0))
+            times.sliding(2).foreach(p => require(p.length < 2 || p(0) < p(1), dup))
+            c => org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              graft.functions.BinarySearchLELong(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), times))
+          } else {
+            val times = sorted.map(_.getDouble(0))
+            times.sliding(2).foreach(p => require(p.length < 2 || p(0) < p(1), dup))
+            c => org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              graft.functions.BinarySearchLE(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), times))
+          }
         return asofGlobalBroadcast(left, leftTime, lt, valCols, outPrefix,
-          lCols, times,
+          lCols, idxExpr,
           sorted.zipWithIndex.map { case (r, i) =>
             org.apache.spark.sql.Row(i, r.get(1))
           },
@@ -197,46 +212,64 @@ object AsOf {
     val carried = b.join(broadcast(carry), Seq("__bucket"))
       .withColumn("__vals",
         coalesce(last(col("__vals"), ignoreNulls = true).over(w), col("__carry_in")))
+    // a NULL left time must come out null (the keyed recipe's contract:
+    // nulls sort first and see no right row) — unmasked, the null lands
+    // in the last bucket and would pick up that bucket's carry-in. A NaN
+    // time needs no mask: it sorts last and takes the latest right row,
+    // which is what the keyed recipe, DuckDB ASOF, and the broadcast
+    // path's NaN kernel rule all produce.
     carried.filter(col("__is_r") === 0)
       .select(lCols.map(col) ++
-        valCols.map(v => col("__vals").getField(v).as(outPrefix + v)): _*)
+        valCols.map(v =>
+          when(col("__t").isNotNull, col("__vals").getField(v))
+            .as(outPrefix + v)): _*)
   }
 
-  /** Order-preserving double key for a time column: exact micros for
-    * timestamps (1.7e15 ≪ 2^53, so the double is exact), days for
-    * dates, plain cast for numerics. Both sides run the SAME mapping,
-    * so equal times produce identical doubles and the >= tie semantics
-    * survive the translation. */
+  /** Timestamp/date/integral axes search as EXACT longs (a double
+    * collapses distinct values beyond 2^53); only float/double time
+    * columns take the double kernel. */
+  private def integralTime(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  /** Order-preserving search key for a time column: micros for
+    * timestamps, days for dates, long for integral numerics (all
+    * exact), double for floating columns. Both sides run the SAME
+    * mapping, so equal times produce identical keys and the >= tie
+    * semantics survive the translation. */
   private def timeKey(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types._
     dt match {
-      case TimestampType | TimestampNTZType => unix_micros(c).cast("double")
-      case DateType => unix_date(c).cast("double")
+      case TimestampType | TimestampNTZType => unix_micros(c)
+      case DateType => unix_date(c).cast("long")
+      case _ if integralTime(dt) => c.cast("long")
       case _ => c.cast("double")
     }
   }
 
-  /** The broadcast fast path of [[asofBackwardGlobal]]: `times` is the
-    * collected, sorted, uniqueness-checked right time axis and
-    * `indexedRows` the matching (index, payload struct) rows — a local
-    * relation, so the right plan is never executed again. Every left
-    * row binary-searches its time against the axis
-    * ([[graft.functions.BinarySearchLE]]) and broadcast-joins on the
-    * index. Null/NaN left times search to −1, match nothing, and come
-    * out null — the same contract as the partitioned path. */
+  /** The broadcast fast path of [[asofBackwardGlobal]]: `idxOf` binary-
+    * searches a time key against the collected, sorted, uniqueness-
+    * checked right axis (long or double kernel per the time type) and
+    * `indexedRows` carry the matching (index, payload struct) rows as a
+    * local relation — the right plan is never executed again. A null
+    * left time searches to null → matches nothing → null output; a NaN
+    * time (floating axes) matches the LAST right row — both identical
+    * to the partitioned path, the keyed recipe, and DuckDB ASOF
+    * (AsOfSpec pins all three behaviors on both paths). */
   private def asofGlobalBroadcast(left: DataFrame, leftTime: String,
                                   lt: org.apache.spark.sql.types.DataType,
                                   valCols: Seq[String], outPrefix: String,
                                   lCols: Seq[String],
-                                  times: Array[Double],
+                                  idxOf: Column => Column,
                                   indexedRows: Seq[org.apache.spark.sql.Row],
                                   valsType: org.apache.spark.sql.types.DataType)
       : DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-    def idxOf(c: Column): Column =
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.BinarySearchLE(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), times))
     val rIndexed = left.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(indexedRows).asJava,
       StructType(Seq(StructField("__idx", IntegerType, nullable = false),

@@ -19,8 +19,13 @@ object IngestQueries extends Q.Registry {
   /** Bounded file-source stream over the events table (the micro-batch
     * analog of the reference's 10-min poll): station_no, record_time,
     * bikes_available. */
-  private def eventsStream(s: org.apache.spark.sql.SparkSession,
-                           d: String): org.apache.spark.sql.DataFrame = {
+  /** Shared raw-source plumbing for every events file stream: schema
+    * probe, the pathGlobFilter'd directory readStream, and the
+    * LongType-ts normalization — in ONE place so the st4 join's two
+    * sides (and any future stream) can never desynchronize on ts-unit
+    * or read-conf handling. Returns (raw stream, event-time column). */
+  private def rawEventsStream(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     Tables.ensureReadConfs(s) // the stream's direct reads bypass Tables.load
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
@@ -32,6 +37,13 @@ object IngestQueries extends Q.Registry {
       if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts")
+    (raw, tsCol)
+  }
+
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (raw, tsCol) = rawEventsStream(s, d)
     raw.select(
       col("user_id").cast("string").as("station_no"),
       tsCol.as("record_time"),
@@ -44,15 +56,8 @@ object IngestQueries extends Q.Registry {
     * coordinates two sources. */
   private def readingsStream(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    Tables.ensureReadConfs(s)
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    val tsCol =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        timestamp_micros(expr("ts div 1000"))
-      else col("ts")
+    import org.apache.spark.sql.functions.col
+    val (raw, tsCol) = rawEventsStream(s, d)
     raw.filter(col("event_id") % 83 === 0).select(
       tsCol.as("obs_time"),
       col("value").as("temperature"))

@@ -298,14 +298,29 @@ object LlmQueries extends Q.Registry {
     * arms share; a bare `.cache()` in the query builder pinned ANOTHER
     * copy on every bench iteration for the session lifetime (r7 ADVICE
     * item). The memo hands repeated runs the SAME cached plan — the
-    * x15 fit-once-score-many steady state. Keyed on session identity
-    * so a frame never outlives its SparkSession into a test session. */
+    * x15 fit-once-score-many steady state. The outer map is WEAK on
+    * the session: a stopped session's entries (and the frames pinning
+    * it through their queryExecution) drop with the session itself, so
+    * a long-lived JVM cycling sessions doesn't retain one cached
+    * corpus-sized frame set per dead session (r8 review finding). */
   private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.mutable.Map[(String, String), DataFrame]]())
   private def cachedFrame(s: SparkSession, site: String, d: String)
                          (build: => DataFrame): DataFrame =
-    frameMemo.computeIfAbsent((System.identityHashCode(s), site, d),
-      _ => build.cache())
+    frameMemo.synchronized {
+      val perSession = {
+        val m = frameMemo.get(s)
+        if (m != null) m
+        else {
+          val fresh = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+          frameMemo.put(s, fresh)
+          fresh
+        }
+      }
+      perSession.getOrElseUpdate((site, d), build.cache())
+    }
 
   /** Per-dir memo of the fitted quality classifier (64 hashed buckets,
     * 4 IRLS iterations) — the share-the-fit contract: the Spark query

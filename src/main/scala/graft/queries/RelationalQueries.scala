@@ -580,10 +580,12 @@ object RelationalQueries extends Q.Registry {
         "checkpoint series (fleet-total bikes at every 97th event's " +
         "tick) attached to every status event by time alone. A keyed " +
         "window would serialize the dataset through one partition; " +
-        "the operator range-partitions the time axis via an " +
-        "approximate-quantile sketch, carries each bucket's boundary " +
-        "value through a broadcast spine, and runs the in-bucket " +
-        "running-last — one data-sized shuffle, no global sort. " +
+        "the operator picks its plan by an enforced right-side bound: " +
+        "here the ~1k-row series takes the BROADCAST fast path (one " +
+        "collect, codegen'd binary search per event, broadcast hash " +
+        "join on the index — the status stream is never shuffled); " +
+        "past the bound it range-partitions the time axis via an " +
+        "approximate-quantile sketch with per-bucket boundary carry. " +
         "Oracle: DuckDB's NATIVE keyless ASOF JOIN.",
       (s, d) => {
         val status = Analog.status(s, d)

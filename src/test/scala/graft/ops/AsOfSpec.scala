@@ -141,6 +141,39 @@ class AsOfSpec extends SparkSpec {
     assert(empty.length === 400 && empty.forall(_.isEmpty))
   }
 
+  test("null left time -> NULL result; NaN left time (floating axis) -> " +
+    "LATEST right row — identical across keyed, range, and broadcast paths") {
+    val l = Seq((Option(10.0), "a"), (None: Option[Double], "n"),
+      (Option(Double.NaN), "x")).toDF("t", "tag")
+    val r = Seq((5.0, 1.0), (20.0, 2.0)).toDF("t", "v")
+    val expect = Map("a" -> Some(1.0), "n" -> None, "x" -> Some(2.0))
+    for (mbr <- Seq(0L, 1000000L)) { // range and broadcast paths
+      val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v"),
+        buckets = 4, maxBroadcastRows = mbr)
+        .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+      assert(out === expect, s"global path mbr=$mbr")
+    }
+    val keyed = AsOf.asofBackward(
+      l.withColumn("k", lit("g")), r.withColumn("k", lit("g")),
+      Seq("k"), "t", "t", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(keyed === expect, "keyed path")
+  }
+
+  test("broadcast path searches integral axes as exact longs: adjacent " +
+    "times beyond 2^53 (double-indistinguishable) still resolve correctly") {
+    val base = 1L << 60 // (base|1).toDouble == base.toDouble — cast is lossy
+    val l = Seq((base, "lo"), (base | 1, "hi"), (base + 2, "later"))
+      .toDF("t", "tag")
+    val r = Seq((base, 1.0), (base | 1, 2.0)).toDF("t", "v")
+    val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out === Map("lo" -> Some(1.0), "hi" -> Some(2.0),
+      "later" -> Some(2.0)))
+    // under a double key the two right times would collide and the
+    // uniqueness require would reject a perfectly valid series
+  }
+
   test("global: a matched right row's NULL field comes through as NULL " +
     "(struct carry, same contract as the keyed form); guards fire") {
     val l = Seq((10L, "x"), (30L, "y")).toDF("t", "tag")
