@@ -541,6 +541,68 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Duplicated-substring removal — the EXACT-SUBSTRING dedup recipe
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr tool): any word span of length
+    * >= `k` that occurs MORE THAN ONCE anywhere in the corpus
+    * (including inside the same document) is removed from every
+    * document, and each document is reassembled from its surviving
+    * tokens. The reference implementation builds a corpus suffix
+    * array; the distributed restatement marks every k-gram whose
+    * occurrence count is >= 2 — a token is covered exactly when some
+    * duplicated k-gram starts within the previous k positions, which
+    * is precisely membership in a duplicated >= k-token span.
+    *
+    * Plan shape for 100 TB: positioned k-grams explode linearly (one
+    * row per token); one shuffle counts gram occurrences; a LEFT SEMI
+    * shuffle-hash join (the duplicated-gram set is corpus-scale in the
+    * worst case — never broadcast) flags start positions; one keyed
+    * join puts markers on the token stream; one per-document window
+    * (`k-1 PRECEDING`) turns start flags into coverage; the reassembly
+    * groups on the document id. Every stage is keyed and linear — no
+    * suffix array, no global sort, no driver state.
+    *
+    * Returns (idCol, n_tokens, n_removed_tokens, clean_text);
+    * `clean_text` is NULL when every token was covered. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val toks = docs.select(col(idCol),
+      graft.llm.TextOps.words(col(textCol)).as("__ws"))
+    val tokens = toks.select(col(idCol),
+      posexplode(col("__ws")).as(Seq("__tpos", "__token")))
+    val grams = toks.select(col(idCol),
+      posexplode(graft.llm.TextOps.wordShingles(col("__ws"), k))
+        .as(Seq("__gpos", "__gram")))
+    val dupGrams = grams.groupBy("__gram")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+      .select("__gram")
+    // the marker frame renames its id column: tokens and starts share a
+    // lineage, and a same-name join condition would lean on Spark's
+    // self-join disambiguation heuristics instead of saying what we mean
+    val starts = grams.join(dupGrams.hint("shuffle_hash"), Seq("__gram"), "left_semi")
+      .select(col(idCol).as("__sid"), col("__gpos").as("__marker"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__tpos"))
+      .rowsBetween(-(k - 1), 0)
+    val kept = struct(col("__tpos"), col("__token").as("t"))
+    tokens
+      .join(starts.hint("shuffle_hash"),
+        col(idCol) === col("__sid") && col("__tpos") === col("__marker"),
+        "left")
+      .select(col(idCol), col("__tpos"), col("__token"), col("__marker"))
+      .withColumn("__covered", max(col("__marker")).over(w).isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__covered").cast("long")).as("n_removed_tokens"),
+        array_sort(collect_list(when(!col("__covered"), kept))).as("__kept"))
+      .select(col(idCol), col("n_tokens"), col("n_removed_tokens"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), x => x.getField("t")), " "))
+          .as("clean_text"))
+  }
+
   /** Benchmark-contamination check — the decontamination step every
     * serious training-data pipeline runs before training (the C4/GPT-3
     * recipe: drop training documents that share long word n-grams with

@@ -16,9 +16,6 @@ import graft.ops.Derive
 object IngestQueries extends Q.Registry {
   import RelationalQueries.enrSql
 
-  /** Bounded file-source stream over the events table (the micro-batch
-    * analog of the reference's 10-min poll): station_no, record_time,
-    * bikes_available. */
   /** Shared raw-source plumbing for every events file stream: schema
     * probe, the pathGlobFilter'd directory readStream, and the
     * LongType-ts normalization — in ONE place so the st4 join's two
@@ -40,11 +37,15 @@ object IngestQueries extends Q.Registry {
     (raw, tsCol)
   }
 
-  private def eventsStream(s: org.apache.spark.sql.SparkSession,
-                           d: String): org.apache.spark.sql.DataFrame = {
+  /** Bounded file-source stream over the events table (the micro-batch
+    * analog of the reference's 10-min poll): event_id, station_no,
+    * record_time, bikes_available. */
+  private[queries] def eventsStream(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val (raw, tsCol) = rawEventsStream(s, d)
     raw.select(
+      col("event_id"),
       col("user_id").cast("string").as("station_no"),
       tsCol.as("record_time"),
       col("value").as("bikes_available"))
@@ -72,9 +73,9 @@ object IngestQueries extends Q.Registry {
 
   /** Run a bounded streaming frame to a uniquely-named memory sink and
     * return the sink table. */
-  private def runToMemory(s: org.apache.spark.sql.SparkSession,
-                          df: org.apache.spark.sql.DataFrame, prefix: String,
-                          mode: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def runToMemory(s: org.apache.spark.sql.SparkSession,
+                                   df: org.apache.spark.sql.DataFrame, prefix: String,
+                                   mode: String): org.apache.spark.sql.DataFrame = {
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.format("memory").queryName(sink)
       .outputMode(mode)

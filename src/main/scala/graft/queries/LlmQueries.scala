@@ -616,6 +616,47 @@ object LlmQueries extends Q.Registry {
           |WHERE NOT (doc_id % 37 = 0 AND doc_id < 1000000)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("tx16_substring_dedup",
+      "EXACT-SUBSTRING dedup (Lee et al. 2021's ExactSubstr, the " +
+        "suffix-array recipe restated shuffle-bounded): every 8-word " +
+        "span occurring more than once ANYWHERE in the corpus " +
+        "(including within one document) is removed from every " +
+        "document; the planted mutated docs share near-full-length " +
+        "substrings with their originals, so both copies lose the " +
+        "shared span. Positioned k-grams -> occurrence count -> " +
+        "left-semi flag -> per-doc coverage window -> reassembly; the " +
+        "cleaned TEXT itself is hash-checked.",
+      (s, d) => {
+        Dedup.duplicateSpans(corpus(s, d), "doc_id", "text", k = 8)
+          .orderBy("doc_id")
+      },
+      Some(corpusSql +
+        """t AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
+          |       FROM corpus),
+          |tok AS (SELECT doc_id, CAST(u.i AS INT) AS tpos, ws[CAST(u.i AS INT)] AS token
+          |        FROM t, unnest(range(1, len(ws) + 1)) AS u(i)),
+          |g AS (SELECT doc_id, CAST(u.i AS INT) AS gpos,
+          |             ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT)+1] || ' ' ||
+          |             ws[CAST(u.i AS INT)+2] || ' ' || ws[CAST(u.i AS INT)+3] || ' ' ||
+          |             ws[CAST(u.i AS INT)+4] || ' ' || ws[CAST(u.i AS INT)+5] || ' ' ||
+          |             ws[CAST(u.i AS INT)+6] || ' ' || ws[CAST(u.i AS INT)+7] AS gram
+          |      FROM t, unnest(range(1, len(ws) - 6)) AS u(i)),
+          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          |f AS (SELECT doc_id, gpos FROM g JOIN dup USING (gram)),
+          |tf AS (SELECT tok.doc_id, tok.tpos, tok.token, f.gpos AS marker
+          |       FROM tok LEFT JOIN f ON tok.doc_id = f.doc_id AND tok.tpos = f.gpos),
+          |cov AS (SELECT doc_id, tpos, token,
+          |               max(marker) OVER (PARTITION BY doc_id ORDER BY tpos
+          |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) IS NOT NULL AS covered
+          |        FROM tf)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+          |       CASE WHEN count(*) = sum(CASE WHEN covered THEN 1 ELSE 0 END)
+          |            THEN NULL
+          |            ELSE string_agg(CASE WHEN NOT covered THEN token END, ' ' ORDER BY tpos)
+          |       END AS clean_text
+          |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("dd4_simhash_near_dup",
       "SimHash-64 near-dup: per-word bit votes packed to one long, " +
         "planted mutations detected by hamming distance <= 12. The " +

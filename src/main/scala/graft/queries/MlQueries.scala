@@ -154,7 +154,9 @@ object MlQueries extends Q.Registry {
     * input column a fitted formula can reference is reproduced
     * bit-identically (divisions and window lags are exact; the one
     * trig-derived column is truncated on both sides). */
-  private[queries] val mfSql: String = RelationalQueries.enrSql +
+  /** The J5 station->MRT distance as a reusable oracle CTE (shared by
+    * the model frame and the st5 serving stream). */
+  private[queries] val nnSqlCte: String =
     """, nn AS (
       |    SELECT station_no,
       |           floor((min(2.0 * 6371000.0 * atan2(sqrt(a), sqrt(1.0 - a)))) * 1e3 + 1e-6) / 1e3 AS dist_to_mrt
@@ -165,7 +167,10 @@ object MlQueries extends Q.Registry {
       |             pow(sin(radians(mrt_lng - lng) / 2), 2) AS a
       |      FROM info CROSS JOIN mrt)
       |    GROUP BY station_no)
-      |, mf AS (
+      |""".stripMargin
+
+  private[queries] val mfSql: String = RelationalQueries.enrSql + nnSqlCte +
+    """, mf AS (
       |    SELECT * FROM (
       |      SELECT clean.*, CAST(hour AS VARCHAR) AS hour_str,
       |             CAST(isodow(record_time) > 5 AS DOUBLE) AS is_weekend_d,
@@ -548,6 +553,51 @@ object MlQueries extends Q.Registry {
              |       ${Fmt.sql6(s"(${ls.sql})")} AS rate_pred,
              |       CAST(greatest(0, CAST(round((${ls.sql}) * total_spaces) AS INT)) AS INT) AS bikes_pred
              |FROM mf""".stripMargin
+      }),
+
+    Q("st5_stream_scoring",
+      "Model SERVING as a stream — the engine analog of the " +
+        "reference's /predict endpoint (api/app/main.py:139-204; the " +
+        "r7 verdict's one remaining reference behavior with no engine " +
+        "analog): scoring requests arrive as an unbounded micro-batch " +
+        "stream, features resolve through broadcast STREAM-STATIC dim " +
+        "joins (station capacity + the J5 MRT distance), and the " +
+        "fitted M3 model — the same memoized fit x10/x15/x17 share — " +
+        "scores every request MAP-SIDE as unrolled literal " +
+        "coefficients: no shuffle, no state store, serving latency = " +
+        "the trigger cadence. Fit once, serve the stream. Oracle: the " +
+        "identical request stream scored in batch.",
+      (s, d) => {
+        val p = fittedScore(s, d, M3F).column
+        val req = IngestQueries.eventsStream(s, d)
+          .join(broadcast(Analog.info(s, d).select("station_no", "total_spaces")),
+            Seq("station_no"))
+          .join(broadcast(nnDist(s, d)), Seq("station_no"))
+          .withColumn("hour_str", hour(col("record_time")).cast("string"))
+          // the request payload supplies the lag feature (the /predict
+          // caller passes current state): current rate, clamped to the
+          // model's [0,1] domain
+          .withColumn("filling_rate_lag1",
+            least(greatest(col("bikes_available") / col("total_spaces"), lit(0.0)),
+              lit(1.0)))
+        val scored = req.select(
+          col("event_id"),
+          Fmt.t6(p).as("rate_pred"),
+          Derive.clampRoundNonNeg(p * col("total_spaces")).as("bikes_pred"))
+        IngestQueries.runToMemory(s, scored, "st5_out_", "append")
+          .orderBy("event_id")
+      },
+      oracleScore(M3F).map { ls =>
+        RelationalQueries.enrSql + nnSqlCte +
+          s""", req AS (
+             |    SELECT s.event_id, i.total_spaces, nn.dist_to_mrt,
+             |           CAST(hour(s.record_time) AS VARCHAR) AS hour_str,
+             |           least(greatest(s.bikes_available / i.total_spaces, 0), 1) AS filling_rate_lag1
+             |    FROM status s JOIN info i USING (station_no) JOIN nn USING (station_no))
+             |SELECT event_id,
+             |       ${Fmt.sql6(s"(${ls.sql})")} AS rate_pred,
+             |       CAST(greatest(0, CAST(round((${ls.sql}) * total_spaces) AS INT)) AS INT) AS bikes_pred
+             |FROM req ORDER BY event_id""".stripMargin
       })
   )
 }

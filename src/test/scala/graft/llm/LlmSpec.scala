@@ -791,6 +791,32 @@ class LlmSpec extends SparkSpec {
     docs.foreach { case (id, _) => assert(out(id) === expected(id), s"doc $id") }
   }
 
+  test("duplicateSpans: cross-doc and WITHIN-doc repeated spans covered, " +
+    "partial overlap extends coverage, all-duplicated doc -> NULL text") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token span
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"epsilon $shared zeta"),
+      (3L, shared),                        // nothing survives -> NULL
+      (4L, "unique words only here today"),
+      // within-ONE-doc repetition: the 8-gram repeats inside doc 5
+      (5L, s"$shared and then $shared"),
+      (6L, "short doc")                    // < k tokens, untouched
+    ).toDF("id", "text")
+    val out = Dedup.duplicateSpans(docs, "id", "text", k = 8)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 14L, 10L, Some("alpha beta gamma delta"))))
+    assert(out(2L) === ((2L, 12L, 10L, Some("epsilon zeta"))))
+    assert(out(3L) === ((3L, 10L, 10L, None)))
+    assert(out(4L) === ((4L, 5L, 0L, Some("unique words only here today"))))
+    // within-doc: both copies of the 10-token span are removed, but the
+    // bridge 'and then' is NOT duplicated anywhere (the 8-grams crossing
+    // it occur once) and survives — exactly ExactSubstr's semantics
+    assert(out(5L) === ((5L, 22L, 20L, Some("and then"))))
+    assert(out(6L) === ((6L, 2L, 0L, Some("short doc"))))
+  }
+
   test("lineDedup: maxBroadcastLines=0 forces the shuffle-hash fallback " +
     "with IDENTICAL output, and the plan really drops the broadcast") {
     val docs = Seq(
