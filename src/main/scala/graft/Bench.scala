@@ -95,7 +95,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
+    // 600 since r8: the 90-query suite's quiet-host WALL time (queries +
+    // warm-ups + fitmed3 triples + calibration probes) is ~260 s, and the
+    // old 420 s budget's half-point (210 s) silently degraded every
+    // late-alphabet query to a single cold run — x6 read 1.36 s vs its
+    // 0.32 s steady state with nothing wrong but the methodology.
+    // Half of 600 clears the quiet wall time with margin; a genuinely
+    // degraded host still reaches the final println inside the driver's
+    // outer timeout (the r2 rc=124 budget's whole purpose).
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -606,6 +606,16 @@ object BenchScale {
       ("x_gram", (f: Int) => xGram(inflateEvents(events, f)), Constant),
       ("dd_semantic", (f: Int) => ddSemantic(inflateEmbeddings(embeddingsL, f), f), Linear),
       ("tx_linededup", (f: Int) => txLineDedup(inflateDocuments(documents, f), f), Linear),
+      ("tx_substr", (f: Int) => {
+        // tx16's exact-substring dedup: replica-prefixed tokens keep
+        // duplicated spans within a replica, so output rows replicate
+        // x f and the gram/token shuffles are the legs' heaviest
+        // linear shapes (one row per TOKEN)
+        val out = Dedup.duplicateSpans(inflateDocuments(documents, f),
+          "doc_id", "text", k = 8)
+        out.agg(count(lit(1)), sum("n_removed_tokens"),
+          sum(length(col("clean_text")))).head().getLong(0)
+      }, Linear),
       ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe", (f: Int) => txBpe(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe_vocab", (f: Int) => {
