@@ -515,6 +515,84 @@ object LlmQueries extends Q.Registry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** dd10's Spark-side build (planted corpus -> truncated label
+    * centroids -> cached argmin assignment -> within-cell semantic
+    * dedup), shared verbatim by dd10 and the llm3 chain. Output:
+    * (vec_id, cell, max_sim_lower, is_semantic_dup, dup_of). */
+  private def semanticDupsFrame(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") % 25 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, 63), array(lit(0.0f)))
+          .as("embedding"),
+        col("label"))
+    val corpus = emb.select("vec_id", "embedding", "label")
+      .unionAll(planted)
+    // 'trained' centroids, truncated per element exactly as ss2:
+    // a float avg's summation order is scheduler-dependent and an
+    // ulp wobble at an argmin boundary would flip a cell
+    val centroids = corpus
+      .select(col("label").as("cell"), col("embedding"))
+      .groupBy("cell")
+      .agg(array((0 until 64).map(i =>
+        Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*)
+        .as("cent_vec"))
+    // cache the assignment: semanticDups reads it through three
+    // plan arms (hi side, lo side, final rejoin), and each arm
+    // would otherwise re-run the centroid aggregate + cross join +
+    // argmin window. (vec_id, embedding, cell) is corpus-row-sized
+    // but narrow — the dd3 cache-the-banded-frame precedent.
+    val assigned = cachedFrame(s, "dd10_assigned", d)(
+      Similarity.assignCells(
+        corpus.select("vec_id", "embedding"),
+        "vec_id", "embedding", centroids, "cell", "cent_vec"))
+    Dedup.semanticDups(assigned, "vec_id", "embedding", "cell",
+      tau = 0.9, simTrunc = Fmt.t6)
+  }
+
+  /** dd10's full WITH...agg oracle core (planted corpus -> truncated
+    * label centroids -> argmin assignment -> within-cell pairwise
+    * cosine -> per-row dup aggregate), shared by dd10 and llm3. */
+  private def semDedupCoreSql: String =
+    """WITH scorpus AS (
+          |  SELECT vec_id, embedding, label FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |         list_concat(embedding[1:63], [CAST(0 AS FLOAT)]), label
+          |  FROM embeddings WHERE vec_id % 25 = 0),
+          |cent0 AS (
+          |  SELECT label AS cell, idx.i AS i,
+          |         floor(avg(CAST(embedding[idx.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
+          |  FROM scorpus, (SELECT unnest(range(1, 65)) AS i) idx
+          |  GROUP BY label, idx.i),
+          |cent AS (SELECT cell, list(c ORDER BY i) AS cent_vec FROM cent0 GROUP BY cell),
+          |assign AS (
+          |  SELECT vec_id, embedding, cell FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell,
+          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |             list_sum(list_transform(range(1, 65),
+          |               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]) *
+          |                    (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))), c.cell) AS rn
+          |    FROM scorpus e CROSS JOIN cent c)
+          |  WHERE rn = 1),
+          |pairs AS (
+          |  SELECT hi.vec_id AS id_hi, lo.vec_id AS id_lo,
+          |    floor((
+          |      list_sum(list_transform(range(1, 65),
+          |        i -> CAST(hi.embedding[i] AS DOUBLE) * CAST(lo.embedding[i] AS DOUBLE))) /
+          |      (sqrt(list_sum(list_transform(range(1, 65),
+          |        i -> CAST(hi.embedding[i] AS DOUBLE) * CAST(hi.embedding[i] AS DOUBLE)))) *
+          |       sqrt(list_sum(list_transform(range(1, 65),
+          |        i -> CAST(lo.embedding[i] AS DOUBLE) * CAST(lo.embedding[i] AS DOUBLE)))))) * 1e6 + 1e-6) / 1e6 AS sim
+          |  FROM assign hi JOIN assign lo
+          |    ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id),
+          |agg AS (
+          |  SELECT id_hi, max(sim) AS max_sim_lower,
+          |         min(CASE WHEN sim >= 0.9 THEN id_lo END) AS dup_of
+          |  FROM pairs GROUP BY id_hi)
+          |""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("dd1_exact_dedup",
@@ -1532,79 +1610,59 @@ object LlmQueries extends Q.Registry {
         "last component zeroed — pure slice+pad, no float arithmetic) " +
         "give deterministic positives; natural within-cell cosine " +
         "maxes out at ~0.48 so the threshold separates cleanly.",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val planted = emb.filter(col("vec_id") % 25 === 0)
-          .select(
-            (col("vec_id") + 1000000L).as("vec_id"),
-            concat(slice(col("embedding"), 1, 63), array(lit(0.0f)))
-              .as("embedding"),
-            col("label"))
-        val corpus = emb.select("vec_id", "embedding", "label")
-          .unionAll(planted)
-        // 'trained' centroids, truncated per element exactly as ss2:
-        // a float avg's summation order is scheduler-dependent and an
-        // ulp wobble at an argmin boundary would flip a cell
-        val centroids = corpus
-          .select(col("label").as("cell"), col("embedding"))
-          .groupBy("cell")
-          .agg(array((0 until 64).map(i =>
-            Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*)
-            .as("cent_vec"))
-        // cache the assignment: semanticDups reads it through three
-        // plan arms (hi side, lo side, final rejoin), and each arm
-        // would otherwise re-run the centroid aggregate + cross join +
-        // argmin window. (vec_id, embedding, cell) is corpus-row-sized
-        // but narrow — the dd3 cache-the-banded-frame precedent.
-        val assigned = cachedFrame(s, "dd10_assigned", d)(
-          Similarity.assignCells(
-            corpus.select("vec_id", "embedding"),
-            "vec_id", "embedding", centroids, "cell", "cent_vec"))
-        Dedup.semanticDups(assigned, "vec_id", "embedding", "cell",
-          tau = 0.9, simTrunc = Fmt.t6)
-          .orderBy("vec_id")
-      },
-      Some(
-        """WITH scorpus AS (
-          |  SELECT vec_id, embedding, label FROM embeddings
-          |  UNION ALL
-          |  SELECT vec_id + 1000000,
-          |         list_concat(embedding[1:63], [CAST(0 AS FLOAT)]), label
-          |  FROM embeddings WHERE vec_id % 25 = 0),
-          |cent0 AS (
-          |  SELECT label AS cell, idx.i AS i,
-          |         floor(avg(CAST(embedding[idx.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
-          |  FROM scorpus, (SELECT unnest(range(1, 65)) AS i) idx
-          |  GROUP BY label, idx.i),
-          |cent AS (SELECT cell, list(c ORDER BY i) AS cent_vec FROM cent0 GROUP BY cell),
-          |assign AS (
-          |  SELECT vec_id, embedding, cell FROM (
-          |    SELECT e.vec_id, e.embedding, c.cell,
-          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-          |             list_sum(list_transform(range(1, 65),
-          |               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]) *
-          |                    (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))), c.cell) AS rn
-          |    FROM scorpus e CROSS JOIN cent c)
-          |  WHERE rn = 1),
-          |pairs AS (
-          |  SELECT hi.vec_id AS id_hi, lo.vec_id AS id_lo,
-          |    floor((
-          |      list_sum(list_transform(range(1, 65),
-          |        i -> CAST(hi.embedding[i] AS DOUBLE) * CAST(lo.embedding[i] AS DOUBLE))) /
-          |      (sqrt(list_sum(list_transform(range(1, 65),
-          |        i -> CAST(hi.embedding[i] AS DOUBLE) * CAST(hi.embedding[i] AS DOUBLE)))) *
-          |       sqrt(list_sum(list_transform(range(1, 65),
-          |        i -> CAST(lo.embedding[i] AS DOUBLE) * CAST(lo.embedding[i] AS DOUBLE)))))) * 1e6 + 1e-6) / 1e6 AS sim
-          |  FROM assign hi JOIN assign lo
-          |    ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id),
-          |agg AS (
-          |  SELECT id_hi, max(sim) AS max_sim_lower,
-          |         min(CASE WHEN sim >= 0.9 THEN id_lo END) AS dup_of
-          |  FROM pairs GROUP BY id_hi)
-          |SELECT a.vec_id, a.cell, g.max_sim_lower,
+      (s, d) =>
+        semanticDupsFrame(s, d).orderBy("vec_id"),
+      Some(semDedupCoreSql +
+        """SELECT a.vec_id, a.cell, g.max_sim_lower,
           |       g.dup_of IS NOT NULL AS is_semantic_dup, g.dup_of
           |FROM assign a LEFT JOIN agg g ON a.vec_id = g.id_hi
           |ORDER BY a.vec_id""".stripMargin)),
+
+    Q("llm3_diversity_sampling",
+      "Third flagship chain — semantic-DIVERSITY curation composed " +
+        "end-to-end (the SemDeDup + cluster-balanced-sampling recipe " +
+        "real embedding-curation pipelines run): cluster embeddings " +
+        "(dd10's cells) -> drop semantic duplicates within each cell " +
+        "-> md5-deterministic per-cell quota sample (tx4's sampler on " +
+        "the CELL as the stratum) -> per-cell audit stats, the " +
+        "sampled-id checksum hash-checked. Every stage is the shape " +
+        "its standalone query ships; one new shuffle total beyond " +
+        "them (the quota window).",
+      (s, d) => {
+        val dups = semanticDupsFrame(s, d)
+        val perCell = dups.groupBy("cell").agg(
+          count(lit(1)).as("n_vectors"),
+          sum(col("is_semantic_dup").cast("long")).as("n_dups"))
+        val kept = dups.filter(!col("is_semantic_dup"))
+          .select(col("vec_id"), col("cell"))
+        val samp = Sampling.stratifiedQuota(kept, "cell", "vec_id", k = 40)
+          .groupBy("cell").agg(
+            count(lit(1)).as("n_sampled"),
+            sum("vec_id").as("sampled_id_sum"))
+        // both sides are cell-count-sized aggregates — broadcast the
+        // sampled side so the 10-row rejoin never plans a sort-merge
+        perCell.join(broadcast(samp), Seq("cell"), "left").orderBy("cell")
+      },
+      Some(semDedupCoreSql +
+        """,flagged AS (
+          |  SELECT a.vec_id, a.cell, g.dup_of IS NOT NULL AS is_dup
+          |  FROM assign a LEFT JOIN agg g ON a.vec_id = g.id_hi),
+          |pc AS (
+          |  SELECT cell, count(*) AS n_vectors,
+          |         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+          |  FROM flagged GROUP BY cell),
+          |ranked AS (
+          |  SELECT cell, vec_id,
+          |         row_number() OVER (PARTITION BY cell
+          |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+          |  FROM flagged WHERE NOT is_dup),
+          |samp AS (
+          |  SELECT cell, count(*) AS n_sampled,
+          |         CAST(sum(vec_id) AS BIGINT) AS sampled_id_sum
+          |  FROM ranked WHERE rk <= 40 GROUP BY cell)
+          |SELECT pc.cell, pc.n_vectors, pc.n_dups, samp.n_sampled, samp.sampled_id_sum
+          |FROM pc LEFT JOIN samp USING (cell) ORDER BY pc.cell""".stripMargin)),
+
 
     Q("tx9_line_dedup",
       "Line-level exact dedup across the corpus (the C4/RefinedWeb " +

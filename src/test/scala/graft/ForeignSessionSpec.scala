@@ -44,4 +44,21 @@ class ForeignSessionSpec extends SparkSpec {
       assert(out.count() > 0, q)
     }
   }
+
+  test("r8 queries run from a stock-conf session: the as-of paths " +
+    "(collect-at-build broadcast axis), the kernel expressions, the " +
+    "stream-stream join, and the serving stream") {
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    foreign.conf.set("spark.sql.session.timeZone", "UTC")
+    // j9 collects its time axis during plan construction (timestamps —
+    // the NTZ hazard's exact surface); st4/st5 run real streams; tx16
+    // and mm7 exercise the new kernels and the codec seam
+    for (q <- Seq("j9_asof_global", "tx16_substring_dedup",
+        "mm7_audio_features", "st4_stream_stream_join",
+        "st5_stream_scoring")) {
+      val out = SparkEntry.queries(q)(foreign, "/root/testdata/sf0.001")
+      assert(out.count() > 0, q)
+    }
+  }
 }

@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "x7_chi2_cramer",     // grid completion: distinct rows × distinct cols
     "x9_residuals",
     "dd10_semantic_dedup",     // assignCells: corpus × broadcast centroid table (ss2's pattern)
+    "llm3_diversity_sampling", // same assignCells cross as dd10 (shared builder)
     "tx10_importance_weights", // bucket table × one-row side-totals frame
     "ss4_bm25_topk"            // posting fragment × one-row corpus-stats frame
   )

@@ -161,6 +161,27 @@ class BpeSpec extends SparkSpec {
     assert(withNull.toSeq === Seq(Some("|ab|"), None))
   }
 
+  test("BpeKernel ≡ replace chain at PRODUCTION vocabulary depth: a " +
+    "~1500-merge ladder learned on hex pseudo-words (the byte-level-BPE " +
+    "regime the tx_bpe_vocab scale leg runs), byte-identical on fresh docs") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hist = (0 until 3000).map(i => (hex("w" + i).substring(0, 9), 1L)).toArray
+    val merges = Bpe.learn(hist, 1500)
+    assert(merges.size >= 1200, s"ladder too shallow: ${merges.size}")
+    val vocab = new BpeVocab(merges)
+    // fresh documents (disjoint hashes): deep merges genuinely apply
+    val docs = (0 until 12).map(d =>
+      (0 until 30).map(i => hex(s"doc${d}_$i").substring(0, 9)).mkString(" "))
+    for (t <- docs) {
+      val fast = BpeKernel.tokenizeString(t, vocab)
+      assert(fast === chainRef(t, merges), s"doc <${t.take(30)}...>")
+      // sanity: the deep vocabulary actually merged something
+      assert(fast.count(_ == '|') < t.length + 1)
+    }
+  }
+
   test("BpeVocab rejects non-well-formed merge lists (a symbol no earlier " +
     "merge produces) and delimiter-bearing symbols") {
     intercept[IllegalArgumentException] {
