@@ -289,6 +289,16 @@ object LlmQueries extends Q.Registry {
        |        FROM ${alias}_sig)),
        |""".stripMargin
 
+  /** Unbounded file stream over the documents table — the new-batch
+    * axis of the st6 streaming curation query. */
+  private def docsStream(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureReadConfs(s)
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), col("text"))
+  }
+
   /** The curated-source predicate shared by tx10 (DSIR target), tx12
     * (LM training slice) and tx14 (classifier labels). */
   private val CuratedSources = Seq("src0", "src1", "src2", "src3")
@@ -1873,6 +1883,64 @@ object LlmQueries extends Q.Registry {
           |                                       WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000
           |                                       WHEN 'zh' THEN 2000 END, false) AS selected
           |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Q("st6_stream_near_dup",
+      "STREAMING near-dup curation vs a persisted signature table — " +
+        "dd11's production shape with the new-batch axis made " +
+        "unbounded (the ingest-time dedup guard every corpus pipeline " +
+        "runs): new documents arrive as a stream, pay map-side MinHash " +
+        "signing + banding, and band-key join the STATIC existing-" +
+        "corpus signature table — the SHUFFLED stream-static equi-join " +
+        "(st5's dim joins broadcast; this static side is corpus-" +
+        "scale). Matches append to the sink; the batch rollup dedupes " +
+        "band collisions and applies the signature-agreement " +
+        "threshold. Oracle: the vs-existing arm of dd11 in batch.",
+      (s, d) => {
+        val newBatch = docsStream(s, d)
+          .filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            regexp_replace(col("text"),
+              "[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]+\\z", "").as("text"))
+        val nw = Dedup.signDocs(newBatch, "doc_id", "text",
+            MinhashK, Bands, RowsPerBand)
+          .select(col("doc_id").as("new_doc"), col("sig").as("new_sig"),
+            explode(col("bands")).as("band_key"))
+        val ex = Dedup.signDocs(Tables.documents(s, d), "doc_id", "text",
+            MinhashK, Bands, RowsPerBand)
+          .select(col("doc_id").as("matched_doc"), col("sig").as("old_sig"),
+            explode(col("bands")).as("band_key"))
+        val matches = nw.join(ex, Seq("band_key"))
+          .select(col("new_doc"), col("matched_doc"),
+            Fmt.t6(Dedup.sigSimilarity(col("new_sig"), col("old_sig")))
+              .as("sig_sim"))
+        IngestQueries.runToMemory(s, matches, "st6_out_", "append")
+          // the same pair can collide in several bands; sig_sim is a pure
+          // function of the pair, so max == the value
+          .groupBy("new_doc", "matched_doc").agg(max("sig_sim").as("sig_sim"))
+          .filter(col("sig_sim") >= 0.5)
+          .orderBy("new_doc", "matched_doc")
+      },
+      Some(
+        """WITH newb AS (
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |         regexp_replace(text, '[ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]+\z', '') AS text
+          |  FROM documents WHERE doc_id % 50 = 0),
+          |""".stripMargin +
+        signSqlFor("documents", "ex") +
+        signSqlFor("newb", "nw") +
+        s"""cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS matched_doc,
+           |         n.sig AS new_sig, e.sig AS old_sig
+           |  FROM nw_b n JOIN ex_b e USING (band_key))
+           |SELECT new_doc, matched_doc,
+           |       floor((CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+           |         i -> CASE WHEN new_sig[i] = old_sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+           |         / $MinhashK) * 1e6 + 1e-6) / 1e6 AS sig_sim
+           |FROM cand
+           |WHERE floor((CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
+           |         i -> CASE WHEN new_sig[i] = old_sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+           |         / $MinhashK) * 1e6 + 1e-6) / 1e6 >= 0.5
+           |ORDER BY new_doc, matched_doc""".stripMargin)),
 
     Q("dd11_incremental_dedup",
       "Incremental near-dup check — the PRODUCTION dedup shape: a new " +
