@@ -16,22 +16,25 @@ import graft.ops.Derive
 object IngestQueries extends Q.Registry {
   import RelationalQueries.enrSql
 
-  /** Shared raw-source plumbing for every events file stream: schema
-    * probe, the pathGlobFilter'd directory readStream, and the
-    * LongType-ts normalization — in ONE place so the st4 join's two
-    * sides (and any future stream) can never desynchronize on ts-unit
-    * or read-conf handling. Returns (raw stream, event-time column). */
+  /** Bounded file stream over ONE table of the sf dir (the file source
+    * wants a directory; the glob filter narrows it): schema probe +
+    * read-conf guard in one place for every table any stream query
+    * taps (r8 review — events and documents streams each carried a
+    * copy). */
+  private[queries] def boundedTableStream(s: org.apache.spark.sql.SparkSession,
+                                          d: String, file: String)
+      : org.apache.spark.sql.DataFrame = {
+    Tables.ensureReadConfs(s) // the stream's direct reads bypass Tables.load
+    val rawSchema = s.read.parquet(s"$d/$file").schema
+    s.readStream.schema(rawSchema).option("pathGlobFilter", file).parquet(d)
+  }
+
   private def rawEventsStream(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    Tables.ensureReadConfs(s) // the stream's direct reads bypass Tables.load
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    // the file source wants a directory: stream the sf dir, filtered
-    // to the events file
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val raw = boundedTableStream(s, d, "events.parquet")
     val tsCol =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts")
     (raw, tsCol)

@@ -26,12 +26,21 @@ object LlmQueries extends Q.Registry {
     * replayed with its last word dropped and id + 1,000,000 — gives
     * the dedup operators deterministic positives to find. Mirrored in
     * SQL as `corpus`. */
+  /** The planted-near-dup mutation every dedup fixture shares: drop the
+    * document's last word. ONE definition (plus [[TruncLastWordSql]]) —
+    * three Spark sites and their oracle literals previously carried
+    * verbatim copies that could silently desynchronize (r8 review). */
+  private def truncateLastWord(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]+\\z", "")
+  private val TruncLastWordSql: String =
+    """regexp_replace(text, '[ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]+\z', '')"""
+
   private def corpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val mutated = docs.filter(col("doc_id") % 50 === 0)
       .select(
         (col("doc_id") + 1000000L).as("doc_id"),
-        regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]+\\z", "").as("text"),
+        truncateLastWord(col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
     docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(mutated)
   }
@@ -46,6 +55,13 @@ object LlmQueries extends Q.Registry {
       |""".stripMargin
 
   /** Shared shingle-set + minhash SQL mirror (k=9 sigs, 3 bands x 3). */
+
+  // fail-fast if any oracle copy of the mutation regex drifts from the
+  // canonical definition (the SQL lives inside stripMargin literals
+  // where splicing would obscure the oracle text)
+  require(corpusSql.contains(TruncLastWordSql),
+    "corpusSql lost the canonical truncate-last-word regex")
+
   private val MinhashK = 9
   private val Bands = 3
   private val RowsPerBand = 3
@@ -290,14 +306,11 @@ object LlmQueries extends Q.Registry {
        |""".stripMargin
 
   /** Unbounded file stream over the documents table — the new-batch
-    * axis of the st6 streaming curation query. */
-  private def docsStream(s: SparkSession, d: String): DataFrame = {
-    Tables.ensureReadConfs(s)
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    * axis of the st6 streaming curation query (shared bounded-stream
+    * plumbing: [[IngestQueries.boundedTableStream]]). */
+  private def docsStream(s: SparkSession, d: String): DataFrame =
+    IngestQueries.boundedTableStream(s, d, "documents.parquet")
       .select(col("doc_id"), col("text"))
-  }
 
   /** The curated-source predicate shared by tx10 (DSIR target), tx12
     * (LM training slice) and tx14 (classifier labels). */
@@ -557,8 +570,14 @@ object LlmQueries extends Q.Registry {
       Similarity.assignCells(
         corpus.select("vec_id", "embedding"),
         "vec_id", "embedding", centroids, "cell", "cent_vec"))
-    Dedup.semanticDups(assigned, "vec_id", "embedding", "cell",
-      tau = 0.9, simTrunc = Fmt.t6)
+    // cache the OUTPUT too: llm3 reads it through two plan arms
+    // (per-cell stats + the quota sample) and dd10 shares the steady
+    // state — without this the dominant within-cell pairwise-cosine
+    // stage executed once per arm (r8 review; the committed llm3 plan
+    // showed the hi-lo join twice)
+    cachedFrame(s, "semantic_dups_out", d)(
+      Dedup.semanticDups(assigned, "vec_id", "embedding", "cell",
+        tau = 0.9, simTrunc = Fmt.t6))
   }
 
   /** dd10's full WITH...agg oracle core (planted corpus -> truncated
@@ -1899,16 +1918,20 @@ object LlmQueries extends Q.Registry {
         val newBatch = docsStream(s, d)
           .filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
-            regexp_replace(col("text"),
-              "[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]+\\z", "").as("text"))
+            truncateLastWord(col("text")).as("text"))
         val nw = Dedup.signDocs(newBatch, "doc_id", "text",
             MinhashK, Bands, RowsPerBand)
           .select(col("doc_id").as("new_doc"), col("sig").as("new_sig"),
             explode(col("bands")).as("band_key"))
-        val ex = Dedup.signDocs(Tables.documents(s, d), "doc_id", "text",
-            MinhashK, Bands, RowsPerBand)
-          .select(col("doc_id").as("matched_doc"), col("sig").as("old_sig"),
-            explode(col("bands")).as("band_key"))
+        // the static side IS the persisted signature table the query
+        // description promises: cache it so micro-batches join the
+        // materialized signatures instead of re-shingling the corpus
+        // text per trigger (r8 review)
+        val ex = cachedFrame(s, "st6_ex_sigs", d)(
+          Dedup.signDocs(Tables.documents(s, d), "doc_id", "text",
+              MinhashK, Bands, RowsPerBand)
+            .select(col("doc_id").as("matched_doc"), col("sig").as("old_sig"),
+              explode(col("bands")).as("band_key")))
         val matches = nw.join(ex, Seq("band_key"))
           .select(col("new_doc"), col("matched_doc"),
             Fmt.t6(Dedup.sigSimilarity(col("new_sig"), col("old_sig")))
@@ -1956,7 +1979,7 @@ object LlmQueries extends Q.Registry {
         def replay(mod: Int, offset: Long) =
           docs.filter(col("doc_id") % mod === 0)
             .select((col("doc_id") + offset).as("doc_id"),
-              regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]+\\z", "").as("text"))
+              truncateLastWord(col("text")).as("text"))
         val newBatch = replay(50, 1000000L).unionAll(replay(100, 2000000L))
         val ex = Dedup.signDocs(docs, "doc_id", "text", MinhashK, Bands, RowsPerBand)
         // cache: incrementalNearDups reads the signed batch through
