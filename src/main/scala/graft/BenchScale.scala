@@ -616,6 +616,15 @@ object BenchScale {
         out.agg(count(lit(1)), sum("n_removed_tokens"),
           sum(length(col("clean_text")))).head().getLong(0)
       }, Linear),
+      ("tx_substr_hash", (f: Int) => {
+        // the hashGrams scale path: identical output (spec-pinned),
+        // gram shuffles carry a 60-bit key instead of ~8-word text —
+        // the leg pair quantifies what the hashing buys at volume
+        val out = Dedup.duplicateSpans(inflateDocuments(documents, f),
+          "doc_id", "text", k = 8, hashGrams = true)
+        out.agg(count(lit(1)), sum("n_removed_tokens"),
+          sum(length(col("clean_text")))).head().getLong(0)
+      }, Linear),
       ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe", (f: Int) => txBpe(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe_vocab", (f: Int) => {

@@ -563,17 +563,30 @@ object Dedup {
     * suffix array, no global sort, no driver state.
     *
     * Returns (idCol, n_tokens, n_removed_tokens, clean_text);
-    * `clean_text` is NULL when every token was covered. */
+    * `clean_text` is NULL when every token was covered.
+    *
+    * `hashGrams = true` is the 100 TB path (and what Lee et al.'s own
+    * tool does): the two gram-keyed shuffles carry a 60-bit md5 prefix
+    * instead of the ~k-word gram TEXT — ~8x less shuffle volume for an
+    * 8-word gram. A hash collision can only ADD a false duplicate flag
+    * (never lose one); at 60 bits the corpus-wide expected collision
+    * count stays ≪ 1 far past 10^8 grams. The exact-text form is the
+    * executable spec (the tx16 oracle replays it); LlmSpec pins
+    * hashed ≡ exact. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, hashGrams: Boolean = false): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
     val toks = docs.select(col(idCol),
       graft.llm.TextOps.words(col(textCol)).as("__ws"))
     val tokens = toks.select(col(idCol),
       posexplode(col("__ws")).as(Seq("__tpos", "__token")))
+    val gramKey: Column => Column =
+      if (hashGrams) g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      else identity
     val grams = toks.select(col(idCol),
       posexplode(graft.llm.TextOps.wordShingles(col("__ws"), k))
-        .as(Seq("__gpos", "__gram")))
+        .as(Seq("__gpos", "__gram0")))
+      .select(col(idCol), col("__gpos"), gramKey(col("__gram0")).as("__gram"))
     val dupGrams = grams.groupBy("__gram")
       .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
       .select("__gram")

@@ -817,6 +817,26 @@ class LlmSpec extends SparkSpec {
     assert(out(6L) === ((6L, 2L, 0L, Some("short doc"))))
   }
 
+  test("duplicateSpans: hashGrams=true (the 60-bit-key scale path) is " +
+    "output-identical to the exact-text spec on crafted and random corpora") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val crafted = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"epsilon $shared zeta"),
+      (3L, shared), (4L, "unique words only here today"),
+      (5L, s"$shared and then $shared"), (6L, "short doc"))
+    val rnd = new scala.util.Random(59)
+    val vocabW = Vector("red", "blue", "green", "ox", "ant", "elm", "fig", "gnu")
+    val random = (10L until 60L).map(id =>
+      (id, (0 until 5 + rnd.nextInt(25)).map(_ => vocabW(rnd.nextInt(8))).mkString(" ")))
+    for (docs <- Seq(crafted, random)) {
+      val df = docs.toDF("id", "text")
+      def run(h: Boolean) = Dedup.duplicateSpans(df, "id", "text", 8, hashGrams = h)
+        .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+      assert(run(true) === run(false))
+    }
+  }
+
   test("lineDedup: maxBroadcastLines=0 forces the shuffle-hash fallback " +
     "with IDENTICAL output, and the plan really drops the broadcast") {
     val docs = Seq(
