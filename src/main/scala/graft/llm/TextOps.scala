@@ -137,6 +137,18 @@ object TextOps {
   /** Emails → `<EMAIL>`, then URLs → `<URL>`, then phones → `<PHONE>`
     * (fixed order: an email inside a URL query string is already gone
     * when the URL pattern runs). */
+  /** C4's line-level keep rule (Raffel et al. 2020 §2.2): retain only
+    * lines ending in terminal punctuation (. ! ? or a closing quote) —
+    * navigation chrome, button labels, and list fragments rarely do.
+    * Returns the re-joined surviving text; empty when nothing
+    * survives. The single-char tail check (`substring(l, -1, 1)`)
+    * avoids the Java-vs-RE2 `$` anchor divergence entirely. */
+  def c4KeepLines(text: Column): Column =
+    array_join(
+      filter(split(text, "\n"),
+        l => substring(l, -1, 1).isin(".", "!", "?", "\"")),
+      "\n")
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

@@ -764,6 +764,76 @@ object LlmQueries extends Q.Registry {
           |       END AS clean_text
           |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("tx17_c4_page_filter",
+      "C4's page-cleaning rules (Raffel et al. 2020 §2.2) as one " +
+        "deterministic map stage: keep only lines ending in terminal " +
+        "punctuation, then drop pages with fewer than 3 sentences, " +
+        "fewer than 5 words, or a blocklist phrase ('lorem ipsum'). " +
+        "Synthesized multi-line pages plant every rule a hit: a nav " +
+        "line that never survives, a quote-ended line on every 5th " +
+        "page, a blocklist line on every 13th. The FILTERED page text " +
+        "itself is hash-checked. Zero shuffle — pure codegen'd string " +
+        "work, scan-throughput at any corpus size.",
+      (s, d) => {
+        val sentenced = regexp_replace(
+          col("text"), lit(" table "), lit(". table "))
+        val page = concat_ws("\n",
+          concat(sentenced, lit(".")),
+          lit("click here for more"),
+          when(col("doc_id") % 5 === 0, lit("\"a quoted remark\""))
+            .otherwise(lit("menu home about")),
+          when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet."))
+            .otherwise(lit("contact us today.")))
+        def noEnders(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          replace(replace(replace(c, lit("."), lit("")), lit("!"), lit("")),
+            lit("?"), lit(""))
+        Tables.documents(s, d).select(col("doc_id"), page.as("page"))
+          .select(
+            col("doc_id"),
+            size(filter(split(col("page"), "\n"),
+              l => substring(l, -1, 1).isin(".", "!", "?", "\"")))
+              .as("n_lines_kept"),
+            TextOps.c4KeepLines(col("page")).as("kept"))
+          .select(
+            col("doc_id"),
+            col("n_lines_kept"),
+            (length(col("kept")) - length(noEnders(col("kept"))))
+              .as("n_sentences"),
+            lower(col("kept")).contains("lorem ipsum").as("has_blocklist"),
+            md5(col("kept")).as("page_fingerprint"),
+            ((length(col("kept")) - length(noEnders(col("kept")))) >= 3 &&
+              !lower(col("kept")).contains("lorem ipsum") &&
+              size(split(col("kept"), "[ \\t\\n\\x0B\\f\\r]+")) >= 5).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH pg AS (
+          |  SELECT doc_id,
+          |         (replace(text, ' table ', '. table ') || '.') || chr(10) ||
+          |         'click here for more' || chr(10) ||
+          |         (CASE WHEN doc_id % 5 = 0 THEN '"a quoted remark"'
+          |               ELSE 'menu home about' END) || chr(10) ||
+          |         (CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'
+          |               ELSE 'contact us today.' END) AS page
+          |  FROM documents),
+          |k AS (
+          |  SELECT doc_id,
+          |         CAST(len(list_filter(string_split(page, chr(10)),
+          |           l -> right(l, 1) IN ('.', '!', '?', '"'))) AS INT) AS n_lines_kept,
+          |         array_to_string(list_filter(string_split(page, chr(10)),
+          |           l -> right(l, 1) IN ('.', '!', '?', '"')), chr(10)) AS kept
+          |  FROM pg)
+          |SELECT doc_id, n_lines_kept,
+          |       CAST(length(kept) -
+          |            length(replace(replace(replace(kept, '.', ''), '!', ''), '?', '')) AS INT)
+          |         AS n_sentences,
+          |       contains(lower(kept), 'lorem ipsum') AS has_blocklist,
+          |       md5(kept) AS page_fingerprint,
+          |       (length(kept) - length(replace(replace(replace(kept, '.', ''), '!', ''), '?', ''))) >= 3
+          |         AND NOT contains(lower(kept), 'lorem ipsum')
+          |         AND len(string_split_regex(kept, '[ \t\n\x0B\f\r]+')) >= 5 AS keep
+          |FROM k ORDER BY doc_id""".stripMargin)),
+
     Q("dd4_simhash_near_dup",
       "SimHash-64 near-dup: per-word bit votes packed to one long, " +
         "planted mutations detected by hamming distance <= 12. The " +
