@@ -64,9 +64,20 @@ object Bench {
     * nothing in the JSON could prove it was the host. */
   val QuietSpinS = 0.31
 
-  /** calib.ratio at or above this ⇒ `"class":"degraded"`; ≥ [[SevereRatio]]
-    * ⇒ `"class":"severe"` (the r7-driver-phase mode: trivial one-scan
-    * queries inflated 30-50x). Below ⇒ `"quiet"`. */
+  /** Quiet-host reference for the WARM 32-task Spark job probe (seconds).
+    * Measured on this host: 0.31-0.35 s warm across the r8 judge re-run
+    * and the r8 driver run's end-of-suite probe; the first execution in a
+    * JVM is ~1.0-1.2 s cold (codegen + scheduler warm-up), so [[main]]
+    * discards one warm-up run before the first recorded probe. */
+  val QuietSparkS = 0.33
+
+  /** Combined probe ratio at or above this ⇒ degraded evidence; ≥
+    * [[SevereRatio]] ⇒ severe (the r7-driver-phase mode: trivial one-scan
+    * queries inflated 30-50x). The actual classification — run-wide
+    * median, fraction-of-probes, and worst-consecutive-pair windows over
+    * the MAX of spin and Spark-job ratios — lives in
+    * [[BenchCalib.classify]] (pure, spec-replayed against the r8 driver
+    * incident). */
   val StealRatio = 1.5
   val SevereRatio = 4.0
 
@@ -124,32 +135,48 @@ object Bench {
     // (everything else shared with the hook is already a concurrent map
     // or synchronized); a torn read here would crash the hook and lose
     // the partial artifact, the exact scenario the hook exists for
-    val spins = scala.collection.mutable.ArrayBuffer[(Double, Double)]() // (at_s, spin_s)
-    val sparkProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    val probes = scala.collection.mutable.ArrayBuffer[BenchCalib.Probe]()
     var lastProbeAt = -1e9
-    def maybeSpinProbe(force: Boolean): Unit =
-      if (force || probeOffsetS - lastProbeAt >= 20.0) {
-        val off = probeOffsetS
-        val s = spinProbe()
-        spins.synchronized { spins += ((off, s)) }
-        lastProbeAt = probeOffsetS
-        System.err.println(f"[bench] calib spin @${off}%6.1f s: $s%.3f s (quiet ref $QuietSpinS)")
-      }
     // fixed parallel Spark job (32 tasks over a synthetic range): the
-    // scheduler+executor analog of the spin probe — steal inflates it
-    // the same way but through the task path the queries actually use
-    def sparkJobProbe(): Unit = {
+    // scheduler+executor analog of the spin probe. The r8 lesson: steal
+    // that removes CORES from the 32-way pool (rather than timeslicing
+    // the probe's core) is invisible to a single-thread spin — the driver's
+    // 3.1x-inflated run read spin 0.30-0.33 s throughout and self-classified
+    // quiet. This probe schedules 32 tasks through the same pool the
+    // queries use, so that mode inflates it the same way it inflates them.
+    // It now fires on the SAME ~20 s cadence as the spin (r8 fired it only
+    // at the suite's endpoints — both of which happened to be quiet).
+    def sparkJobS(): Double = {
       val t = System.nanoTime()
       spark.range(0L, 32L << 20, 1L, 32).selectExpr("sum(id * 3 + 1)").collect()
-      val s = (System.nanoTime() - t) / 1e9
-      sparkProbes.synchronized { sparkProbes += s }
+      (System.nanoTime() - t) / 1e9
     }
+    def maybeProbes(force: Boolean): Unit =
+      if (force || probeOffsetS - lastProbeAt >= 20.0) {
+        val off = probeOffsetS
+        val spin = spinProbe()
+        val spk = sparkJobS()
+        probes.synchronized { probes += BenchCalib.Probe(off, spin, spk) }
+        lastProbeAt = probeOffsetS
+        System.err.println(
+          f"[bench] calib @${off}%6.1f s: spin $spin%.3f s (quiet $QuietSpinS) spark32 $spk%.3f s (quiet $QuietSparkS)")
+      }
 
-    maybeSpinProbe(force = true)
+    sparkJobS() // discard: first Spark job in the JVM is ~1 s of codegen/scheduler cold start
+    maybeProbes(force = true)
     Tables.prime(spark, sfDir)
     queries.Warm.prime(spark, sfDir)
-    sparkJobProbe()
-    maybeSpinProbe(force = true)
+    maybeProbes(force = true)
+
+    // committed per-query quiet records (bench_history/QUIET_REF.json,
+    // regenerated per round by tools/quietref.py) — feeds the per-query
+    // `suspect` flags: a query whose BEST iteration ran >3x its quiet
+    // record is called out in the artifact tail even when the probes
+    // between queries happened to land in quiet moments
+    val quietRef: Map[String, Double] = {
+      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_QUIET_REF", "bench_history/QUIET_REF.json"))
+      if (Files.isReadable(p)) BenchCalib.parseQuietRef(Files.readString(p)) else Map.empty
+    }
 
     val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
     explainDir.foreach(d => new java.io.File(d).mkdirs())
@@ -233,22 +260,28 @@ object Bench {
       val spreadJson =
         if (rich) "" // rich has every sample in iters_s already
         else "\"spread\":" + spiky.mkString("{", ",", "},")
-      val spinsSnap = spins.synchronized { spins.toSeq }
-      val sparkSnap = sparkProbes.synchronized { sparkProbes.toSeq }
-      val spinMedian = {
-        val v = spinsSnap.map(_._2).sorted
-        if (v.isEmpty) QuietSpinS else v(v.size / 2)
-      }
-      val ratio = spinMedian / QuietSpinS
-      val klass =
-        if (ratio >= SevereRatio) "severe"
-        else if (ratio >= StealRatio) "degraded" else "quiet"
+      val probeSnap = probes.synchronized { probes.toSeq }
+      val v = BenchCalib.classify(probeSnap, QuietSpinS, QuietSparkS)
+      // per-query suspect flags vs the committed quiet reference: the
+      // probes say what the HOST was doing between queries; this says
+      // which queries' committed numbers a reader should distrust even
+      // if the probes happened to sample quiet moments (r8: ss2 slow in
+      // BOTH iterations while adjacent spins read 0.31 s)
+      val bestByQuery = rs.flatMap { case (k, _) =>
+        val ss = samples.getOrDefault(k, Seq.empty)
+        if (ss.nonEmpty) Some(k -> ss.min) else None
+      }.toMap
+      val suspectJson = "\"suspect\":" + BenchCalib.suspects(bestByQuery, quietRef)
+        .map { case (q, (b, r)) => s"${js(q)}:[${fmt(b, 2)},${fmt(r, 2)}]" }
+        .mkString("{", ",", "},")
       val calibJson =
-        s""""calib":{"spin_s":${spinsSnap.map(p => fmt(p._2, 3)).mkString("[", ",", "]")},""" +
-          s""""spin_at_s":${spinsSnap.map(p => fmt(p._1, 1)).mkString("[", ",", "]")},""" +
-          s""""spark_s":${sparkSnap.map(fmt(_, 3)).mkString("[", ",", "]")},""" +
-          s""""quiet_s":$QuietSpinS,"ratio":${fmt(ratio, 2)},"class":${js(klass)}},"""
-      s"""{"metric":"total","unit":"sec","sf":${js(sfDir)},"iters":$iters,"queries":$qs,$modeJson$itersJson$spreadJson$calibJson"partial":$partial,"errors":$errJson,"value":${sec(total)}}"""
+        s""""calib":{"spin_s":${probeSnap.map(p => fmt(p.spinS, 3)).mkString("[", ",", "]")},""" +
+          s""""spin_at_s":${probeSnap.map(p => fmt(p.atS, 1)).mkString("[", ",", "]")},""" +
+          s""""spark_s":${probeSnap.map(p => fmt(p.sparkS, 3)).mkString("[", ",", "]")},""" +
+          s""""quiet_s":$QuietSpinS,"spark_quiet_s":$QuietSparkS,""" +
+          s""""ratio":${fmt(v.ratio, 2)},"frac15":${fmt(v.frac15, 2)},""" +
+          s""""worst2":${fmt(v.worst2, 2)},"class":${js(v.klass)}},"""
+      s"""{"metric":"total","unit":"sec","sf":${js(sfDir)},"iters":$iters,"queries":$qs,$modeJson$itersJson$spreadJson$suspectJson$calibJson"partial":$partial,"errors":$errJson,"value":${sec(total)}}"""
     }
 
     // The JSON line on stdout gets interleaved with sbt log noise on
@@ -339,11 +372,10 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2f s${if (degraded) " (degraded: single run)" else ""}")
       // ~every 20 s of suite time: a host-steal phase that starts mid-run
       // lands between two probes and is visible in calib.spin_at_s
-      maybeSpinProbe(force = false)
+      maybeProbes(force = false)
     }
 
-    sparkJobProbe()
-    maybeSpinProbe(force = true)
+    maybeProbes(force = true)
     finished = true
     emit(partial = false)
     spark.stop()
