@@ -104,22 +104,29 @@ object BpeKernel {
     val len = s.length
     val sepCh = Bpe.Sep.charAt(0)
     if (len == 0) return Bpe.Sep // symbolize("") = "|", no pairs to merge
-    // span heads over code points (Java regex `(.)` and RE2 both match
-    // per code point, so the chain's base symbols are code points)
+    // span heads over code points, EXCEPT \n: symbolize's `(.)` regex skips
+    // \n in BOTH engines (Java and RE2 — the four Java-only terminators are
+    // stripped upstream, Bpe.stripSep), so "a\nb" symbolizes to "|a|\nb|" —
+    // a \n-run GLUES to the following code point as one base symbol, and a
+    // trailing \n-run sits after the final delimiter, outside any symbol
     val head = new Array[Boolean](len)
     val endp = new Array[Int](len)
     val nxt = new Array[Int](len)
     val prv = new Array[Int](len)
+    var tail = len // start of the trailing \n-run (== len when none)
+    while (tail > 0 && s.charAt(tail - 1) == '\n') tail -= 1
     var p = 0
     var prev = -1
-    while (p < len) {
+    while (p < tail) {
+      val start = p
+      while (s.charAt(p) == '\n') p += 1 // glue the run to the next code point
       val cc = Character.charCount(s.codePointAt(p))
-      head(p) = true; endp(p) = p + cc
-      prv(p) = prev
-      if (prev >= 0) nxt(prev) = p
-      prev = p; p += cc
+      head(start) = true; endp(start) = p + cc
+      prv(start) = prev
+      if (prev >= 0) nxt(prev) = start
+      prev = start; p += cc
     }
-    nxt(prev) = -1
+    if (prev >= 0) nxt(prev) = -1
 
     val ranks = vocab.ranks
     val merges = vocab.merges
@@ -140,7 +147,7 @@ object BpeKernel {
         }
       }
       p = 0
-      while (p >= 0 && nxt(p) >= 0) { register(p, nxt(p), -1); p = nxt(p) }
+      while (tail > 0 && p >= 0 && nxt(p) >= 0) { register(p, nxt(p), -1); p = nxt(p) }
 
       def valid(c: Int, l: String, r: String): Boolean =
         head(c) && endp(c) - c == l.length && s.regionMatches(c, l, 0, l.length) && {
@@ -197,11 +204,14 @@ object BpeKernel {
 
     val out = new java.lang.StringBuilder(2 * len + 1)
     out.append(sepCh)
-    p = 0
-    while (p >= 0) {
-      out.append(s, p, endp(p)).append(sepCh)
-      p = nxt(p)
+    if (tail > 0) {
+      p = 0
+      while (p >= 0) {
+        out.append(s, p, endp(p)).append(sepCh)
+        p = nxt(p)
+      }
     }
+    if (tail < len) out.append(s, tail, len) // trailing \n-run, undelimited
     out.toString
   }
 }

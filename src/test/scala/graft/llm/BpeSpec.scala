@@ -93,16 +93,31 @@ class BpeSpec extends SparkSpec {
   }
 
   /** The chain reference the fast kernel is pinned against: symbolize
-    * then sequential two-pass [[Bpe.applyOne]] per merge. */
+    * then sequential two-pass [[Bpe.applyOne]] per merge. Mirrors
+    * [[Bpe.symbolize]]'s `(.)` regex EXACTLY — `.` skips \n in both Java
+    * and RE2, so a \n gets no delimiter appended and glues to whatever
+    * follows (r8 ADVICE: the old per-code-point reference here replicated
+    * the kernel's bug instead of the chain's semantics). */
   private def chainRef(t: String, merges: Seq[Bpe.Merge]): String = {
     val sym = new java.lang.StringBuilder("|")
     var i = 0
     while (i < t.length) {
       val cc = Character.charCount(t.codePointAt(i))
-      sym.append(t, i, i + cc).append('|')
+      sym.append(t, i, i + cc)
+      if (t.charAt(i) != '\n') sym.append('|')
       i += cc
     }
     merges.foldLeft(sym.toString)(Bpe.applyOne)
+  }
+
+  test("chainRef matches Bpe.symbolize through Spark (the spec's own " +
+    "reference is the production Column), incl. newline-bearing text") {
+    val texts = Seq("", "\n", "a\nb", "\n\nb", "ab\n", "a\n\n", "x\ny\nz",
+      "hello world", "a\nb\nc ab\n")
+    val got = texts.toDF("t").select(Bpe.symbolize(col("t"))).as[String].collect()
+    texts.zip(got).foreach { case (t, sparkSym) =>
+      assert(chainRef(t, Nil) === sparkSym, s"text <${t.replace("\n", "\\n")}>")
+    }
   }
 
   test("BpeKernel ≡ replace chain: crafted degenerate runs, overlapping " +
@@ -113,7 +128,13 @@ class BpeSpec extends SparkSpec {
     val vocab = new BpeVocab(merges)
     val texts = Seq("", "a", "ab", "abab", "ababab", "abababab",
       "aaaaa", "aaaaaaaaa", "cabcab", "cababc", "aacaab", "abcabab",
-      "aaabab aab caa", "babababa", "xyzzy", "a b ab ba")
+      "aaabab aab caa", "babababa", "xyzzy", "a b ab ba",
+      // newline-bearing: \n glues to the next code point in symbolize's
+      // segmentation ("a\nb" → "|a|\nb|"), so "\na" is NOT the symbol "a"
+      // and must block the (a,b) merge across it; trailing \n-runs sit
+      // undelimited after the final separator
+      "\n", "\n\n", "a\n", "a\n\n", "\na", "a\nb", "ab\nab", "a\nbab",
+      "abab\n", "\n\nabab", "a\n\nb\nab")
     for (t <- texts)
       assert(BpeKernel.tokenizeString(t, vocab) === chainRef(t, merges), s"text <$t>")
   }
@@ -128,9 +149,10 @@ class BpeSpec extends SparkSpec {
     assert(merges.size >= 10, s"fixture too thin: ${merges.size} merges")
     val vocab = new BpeVocab(merges)
     val texts = (0 until 300).map(_ =>
-      (0 until rnd.nextInt(40)).map(_ => "aabbcde ".charAt(rnd.nextInt(8))).mkString)
+      (0 until rnd.nextInt(40)).map(_ => "aabbcde \n".charAt(rnd.nextInt(9))).mkString)
     for (t <- texts)
-      assert(BpeKernel.tokenizeString(t, vocab) === chainRef(t, merges), s"text <$t>")
+      assert(BpeKernel.tokenizeString(t, vocab) === chainRef(t, merges),
+        s"text <${t.replace("\n", "\\n")}>")
   }
 
   test("BpeKernel: surrogate pairs stay whole code points, like both " +
