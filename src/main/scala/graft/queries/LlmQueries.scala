@@ -321,18 +321,28 @@ object LlmQueries extends Q.Registry {
     * arms share; a bare `.cache()` in the query builder pinned ANOTHER
     * copy on every bench iteration for the session lifetime (r7 ADVICE
     * item). The memo hands repeated runs the SAME cached plan — the
-    * x15 fit-once-score-many steady state. The outer map is WEAK on
-    * the session: a stopped session's entries (and the frames pinning
-    * it through their queryExecution) drop with the session itself, so
-    * a long-lived JVM cycling sessions doesn't retain one cached
-    * corpus-sized frame set per dead session (r8 review finding). */
+    * x15 fit-once-score-many steady state. Dead-session retention (the
+    * r8 WeakHashMap attempt could never collect: a DataFrame value
+    * strongly references its SparkSession key, the exact pathology the
+    * WeakHashMap javadoc warns about — r8 ADVICE) is handled by EAGER
+    * PURGE instead: every access drops entries whose session's context
+    * has stopped, so a session-cycling JVM holds at most the live
+    * session's frames plus the dead ones only until the next access. */
   private val frameMemo =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.mutable.Map[(String, String), DataFrame]]())
+    new java.util.HashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
+  private[queries] def purgeStoppedSessions(
+      isStopped: SparkSession => Boolean = _.sparkContext.isStopped): Unit =
+    frameMemo.synchronized {
+      val it = frameMemo.keySet().iterator()
+      while (it.hasNext) if (isStopped(it.next())) it.remove()
+    }
+  private[queries] def frameMemoSessionCount: Int =
+    frameMemo.synchronized(frameMemo.size())
   private def cachedFrame(s: SparkSession, site: String, d: String)
                          (build: => DataFrame): DataFrame =
     frameMemo.synchronized {
+      purgeStoppedSessions()
       val perSession = {
         val m = frameMemo.get(s)
         if (m != null) m
@@ -542,7 +552,7 @@ object LlmQueries extends Q.Registry {
     * centroids -> cached argmin assignment -> within-cell semantic
     * dedup), shared verbatim by dd10 and the llm3 chain. Output:
     * (vec_id, cell, max_sim_lower, is_semantic_dup, dup_of). */
-  private def semanticDupsFrame(s: SparkSession, d: String): DataFrame = {
+  private[queries] def semanticDupsFrame(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val planted = emb.filter(col("vec_id") % 25 === 0)
       .select(
