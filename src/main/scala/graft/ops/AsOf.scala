@@ -126,8 +126,16 @@ object AsOf {
     // The guard is the same enforced-bound move as lineDedup's
     // broadcast guard, folded into the collect itself: fetch at most
     // bound+1 time keys in ONE job — overflow proves the right side is
-    // too big and the range-partitioned path below takes over.
-    if (maxBroadcastRows > 0) {
+    // too big and the range-partitioned path below takes over. Decimal
+    // axes past 18 digits have no exact long/double search key, so they
+    // skip straight to the partitioned path, which orders on the RAW
+    // column (exact at any precision; doubles appear only in the
+    // approximate bucket cuts, where lossiness is harmless).
+    val broadcastKeyable = left.schema(leftTime).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      case _ => true
+    }
+    if (maxBroadcastRows > 0 && broadcastKeyable) {
       val cap = math.min(maxBroadcastRows, (Int.MaxValue - 2).toLong).toInt
       val lt = left.schema(leftTime).dataType
       val rt = right.schema(rightTime).dataType
@@ -233,6 +241,7 @@ object AsOf {
     dt match {
       case TimestampType | TimestampNTZType | DateType => true
       case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.precision <= 18 // exact unscaled-long key
       case _ => false
     }
   }
@@ -247,6 +256,19 @@ object AsOf {
     dt match {
       case TimestampType | TimestampNTZType => unix_micros(c)
       case DateType => unix_date(c).cast("long")
+      case d: DecimalType if d.precision <= 18 =>
+        // exact, order-preserving: the UNSCALED value at the column's own
+        // fixed scale. A cast("long") would drop the fraction and a
+        // cast("double") collapses distinct values past 2^53 (r8 ADVICE) —
+        // either way the broadcast path's uniqueness require could fire on
+        // a valid series or match the wrong row. |unscaled| < 10^18 fits
+        // a long; the multiply is integral so the final cast is exact.
+        (c * lit(java.math.BigDecimal.TEN.pow(d.scale))).cast("long")
+      case d: DecimalType =>
+        throw new IllegalArgumentException(
+          s"time axis $d exceeds 18 digits of precision — the exact long " +
+            "key would overflow; cast the time column to decimal(<=18,s), " +
+            "a timestamp, or an integral type first")
       case _ if integralTime(dt) => c.cast("long")
       case _ => c.cast("double")
     }

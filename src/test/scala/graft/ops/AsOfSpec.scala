@@ -174,6 +174,41 @@ class AsOfSpec extends SparkSpec {
     // uniqueness require would reject a perfectly valid series
   }
 
+  test("decimal time axes: exact unscaled-long key on the broadcast path; " +
+    ">18-digit precision routes to the raw-ordered partitioned path") {
+    // fractional decimal(10,2): backward semantics agree across both paths
+    val l = Seq("1.00", "2.50", "3.75").toDF("ts")
+      .select(col("ts").cast("decimal(10,2)").as("t"))
+    val r = Seq(("0.99", 1.0), ("2.50", 2.0), ("3.80", 3.0)).toDF("ts", "v")
+      .select(col("ts").cast("decimal(10,2)").as("t"), col("v"))
+    for (mbr <- Seq(0L, 1000L)) {
+      val out = AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("v"),
+        maxBroadcastRows = mbr)
+        .select(col("t").cast("string"), col("asof_v"))
+        .as[(String, Double)].collect().toMap
+      assert(out === Map("1.00" -> 1.0, "2.50" -> 2.0, "3.75" -> 2.0),
+        s"mbr=$mbr")
+    }
+    // adjacent decimal times beyond 2^53 (double-indistinguishable): the
+    // old double key either tripped the uniqueness require on a valid
+    // series or matched the wrong row (r8 ADVICE). precision 18 takes the
+    // unscaled-long broadcast kernel; precision 38 has no exact long key
+    // and must take the partitioned path, whose raw-column ordering is
+    // exact at any precision
+    val base = BigDecimal(1L << 53) // 16 digits; base+1 == base as a double
+    for (prec <- Seq(18, 38)) {
+      val dt = s"decimal($prec,0)"
+      val lb = Seq(base.toString, (base + 1).toString, (base + 2).toString)
+        .toDF("ts").select(col("ts").cast(dt).as("t"))
+      val rb = Seq((base.toString, 1.0), ((base + 1).toString, 2.0))
+        .toDF("ts", "v").select(col("ts").cast(dt).as("t"), col("v"))
+      val out = AsOf.asofBackwardGlobal(lb, rb, "t", "t", Seq("v"))
+        .select((col("t").cast("long") - lit(1L << 53)).as("off"), col("asof_v"))
+        .as[(Long, Double)].collect().toMap
+      assert(out === Map(0L -> 1.0, 1L -> 2.0, 2L -> 2.0), s"precision $prec")
+    }
+  }
+
   test("global: a matched right row's NULL field comes through as NULL " +
     "(struct carry, same contract as the keyed form); guards fire") {
     val l = Seq((10L, "x"), (30L, "y")).toDF("t", "tag")
