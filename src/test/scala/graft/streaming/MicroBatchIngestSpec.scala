@@ -138,6 +138,63 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(got === expected, s"got $got") // no (05:00, s0, 11.0): late drop
   }
 
+  test("hourlyStreamJoin: checkpoint RESTART replays buffered join state " +
+    "and the watermark — the cross-batch pair completes after the restart " +
+    "and a late reading still drops (r8 verdict ask #2)") {
+    import MicroBatchIngestSpec.Reading
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[Fact]
+    val readings = MemoryStream[Reading]
+    val joined = MicroBatchIngest.hourlyStreamJoin(facts.toDF(), readings.toDF())
+      .select(col("hour_window.start").as("w"), col("station_no"),
+        col("temperature"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st4-restart").toString
+    // foreachBatch collector: unlike the memory sink, it survives the
+    // query instance, so phase-1 and phase-2 output accumulate together
+    val sink = scala.collection.mutable.ArrayBuffer[(Timestamp, String, Double)]()
+    def start() = joined.writeStream
+      .outputMode("append").trigger(Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("w", "station_no", "temperature")
+          .as[(Timestamp, String, Double)].collect()
+        sink.synchronized { sink ++= rows }
+        ()
+      }
+      .start()
+    // phase 1 (same fixture as the cross-batch case): s3's hour-09 fact
+    // finds no reading yet — it lives ONLY in the join state store when
+    // the query stops. Watermark after the batch: 07:30.
+    val q1 = start()
+    facts.addData(
+      Fact("s0", ts("2024-03-01 05:30:00"), 2),
+      Fact("s1", ts("2024-03-01 08:10:00"), 5),
+      Fact("s2", ts("2024-03-01 08:40:00"), 7),
+      Fact("s3", ts("2024-03-01 09:50:00"), 9))
+    readings.addData(Reading(ts("2024-03-01 08:30:00"), 21.5))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(sink.synchronized(sink.toSet) === Set(
+      (ts("2024-03-01 08:00:00"), "s1", 21.5),
+      (ts("2024-03-01 08:00:00"), "s2", 21.5)), "phase 1 (pre-restart)")
+    // phase 2: a FRESH query from the same checkpoint. The hour-09
+    // reading must pair with s3's fact out of the RESTORED state store,
+    // and the hour-05 reading must still drop against the RESTORED
+    // watermark — neither fact is re-addable (offsets are committed).
+    val q2 = start()
+    readings.addData(
+      Reading(ts("2024-03-01 09:15:00"), 23.0),
+      Reading(ts("2024-03-01 05:00:00"), 11.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(sink.synchronized(sink.toSet) === Set(
+      (ts("2024-03-01 08:00:00"), "s1", 21.5),
+      (ts("2024-03-01 08:00:00"), "s2", 21.5),
+      (ts("2024-03-01 09:00:00"), "s3", 23.0)), // restored-state pair
+      "after restart") // and STILL no (05:00, s0, 11.0) late pair
+  }
+
   test("runningCounts: GroupState accumulates across micro-batches (emit-per-batch totals)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Fact]
