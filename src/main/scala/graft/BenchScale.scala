@@ -449,6 +449,52 @@ object BenchScale {
     * the 4-iteration fit; the gram payload is fixed-size, so only the
     * per-row work grows. The returned count anchors the coefficient
     * width; finiteness is REQUIREd. */
+  /** j9's keyless as-of FORCED onto the range-partitioned arm (r8
+    * verdict ask #3): maxBroadcastRows = 0 disables the broadcast fast
+    * path, and the time axis is SKEWED — 75% of events bunch into a
+    * 50k-tick head while the rest strew over a 100×-wider tail — to
+    * stress the approx-quantile bucketing. Three invariants run inside
+    * the leg: output ≡ the broadcast arm (exact integral checksums —
+    * the payload is a long sum, so cross-path float ordering cannot
+    * alias a real difference), per-bucket row spread bounded (the
+    * balance claim behind ops/AsOf.scala's bucketed path), and the
+    * harness's Linear rows check (one output row per event). */
+  private def asGlobal(ev: DataFrame, f: Int): Long = {
+    val buckets = 32
+    val l = ev.select(col("event_id"),
+      when(col("event_id") % 4 < 3, pmod(col("event_id"), lit(50000L)))
+        .otherwise(lit(5000000L) + col("event_id")).as("t"),
+      col("event_id").as("v"))
+    val r = l.filter(col("event_id") % 37 === 0)
+      .groupBy("t").agg(sum("v").as("cpv")) // unique times by construction
+    def run(maxBroadcastRows: Long): org.apache.spark.sql.Row =
+      graft.ops.AsOf.asofBackwardGlobal(l, r, "t", "t", Seq("cpv"),
+          buckets = buckets, maxBroadcastRows = maxBroadcastRows)
+        .agg(count(lit(1)), count(col("asof_cpv")), sum(col("asof_cpv")))
+        .head()
+    val part = run(0L) // the arm under test
+    val bcast = run(10000000L) // the oracle arm (right side fits at any f here)
+    require(part == bcast, s"as_global at $f×: partitioned $part != broadcast $bcast")
+    // the balance claim, measured: the same approx-quantile recipe the
+    // operator uses must spread the skewed axis ~evenly over the buckets
+    val union = l.select("t").unionByName(r.select("t"))
+    val cuts = union.select(col("t").cast("double").as("td"))
+      .stat.approxQuantile("td",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    val bucketOf = cuts.zipWithIndex
+      .foldRight(lit(cuts.length): org.apache.spark.sql.Column) {
+        case ((c, i), rest) => when(col("t").cast("double") < c, i).otherwise(rest)
+      }
+    val perBucket = union.groupBy(bucketOf.as("b")).agg(count(lit(1)).as("n"))
+      .select("n").collect().map(_.getLong(0))
+    val spread = perBucket.max.toDouble / (perBucket.sum.toDouble / perBucket.length)
+    require(spread <= 1.5,
+      f"as_global at $f×: bucket spread $spread%.2f exceeds 1.5 " +
+        s"(per-bucket ${perBucket.mkString(",")})")
+    part.getLong(0)
+  }
+
   private def xLogit(docs: DataFrame, f: Int): Long = {
     val labeled = graft.ml.Logistic
       .hashedFeatures(docs, "doc_id", "text", 64)
@@ -639,6 +685,7 @@ object BenchScale {
       ("ss_bm25", (f: Int) => ssBm25(inflateDocuments(documents, f), f), Constant),
       ("tx_lm", (f: Int) => txLm(inflateDocuments(documents, f), f), Linear),
       ("dd_incr", (f: Int) => ddIncr(inflateDocuments(documents, f), f), Constant),
+      ("as_global", (f: Int) => asGlobal(inflateEvents(events, f), f), Linear),
       ("x_logit", (f: Int) => xLogit(inflateDocuments(documents, f), f), Constant))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 
