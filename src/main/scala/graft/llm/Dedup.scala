@@ -576,6 +576,20 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int, hashGrams: Boolean = false): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
+    val (tokens, grams) = tokenAndGramStreams(docs, idCol, textCol, k, hashGrams)
+    val dupGrams = grams.groupBy("__gram")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+      .select("__gram")
+    removeCoveredSpans(tokens, grams, dupGrams, idCol, k)
+  }
+
+  /** The positioned token and k-gram streams [[duplicateSpans]] and its
+    * incremental form share: tokens are (id, __tpos, __token), grams
+    * are (id, __gpos, __gram) with `__gram` either the span text or
+    * its 60-bit md5 key (`hashGrams`). */
+  private def tokenAndGramStreams(docs: DataFrame, idCol: String,
+                                  textCol: String, k: Int, hashGrams: Boolean)
+      : (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol),
       graft.llm.TextOps.words(col(textCol)).as("__ws"))
     val tokens = toks.select(col(idCol),
@@ -587,9 +601,15 @@ object Dedup {
       posexplode(graft.llm.TextOps.wordShingles(col("__ws"), k))
         .as(Seq("__gpos", "__gram0")))
       .select(col(idCol), col("__gpos"), gramKey(col("__gram0")).as("__gram"))
-    val dupGrams = grams.groupBy("__gram")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
-      .select("__gram")
+    (tokens, grams)
+  }
+
+  /** The flag → coverage-window → reassembly tail shared by both
+    * duplicate-span forms: marks gram start positions that hit
+    * `dupGrams`, covers k-1 following tokens, reassembles survivors. */
+  private def removeCoveredSpans(tokens: DataFrame, grams: DataFrame,
+                                 dupGrams: DataFrame, idCol: String, k: Int)
+      : DataFrame = {
     // the marker frame renames its id column: tokens and starts share a
     // lineage, and a same-name join condition would lean on Spark's
     // self-join disambiguation heuristics instead of saying what we mean
@@ -615,6 +635,57 @@ object Dedup {
           array_join(transform(col("__kept"), x => x.getField("t")), " "))
           .as("clean_text"))
   }
+
+  /** Per-gram occurrence counts of a corpus — the PERSISTED table the
+    * incremental exact-substring pipeline maintains (Lee et al.'s tool
+    * is run exactly this way in production: the suffix-array/gram
+    * index is built once and advanced per crawl batch, not rebuilt
+    * from all history). Schema (__gram, __n). */
+  def gramCounts(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int, hashGrams: Boolean = false): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    tokenAndGramStreams(docs, idCol, textCol, k, hashGrams)._2
+      .groupBy("__gram").agg(count(lit(1)).as("__n"))
+  }
+
+  /** Incremental [[duplicateSpans]] — the dd11 pattern applied to the
+    * gram table: a NEW batch is cleaned against the persisted
+    * gram-count table plus its own self-counts (a span is duplicated
+    * when its total occurrence count across table + batch reaches 2),
+    * without touching any previously-ingested text. Equivalent to
+    * running [[duplicateSpans]] over (indexed corpus ∪ batch) but
+    * emitting only the batch's rows — already-emitted documents are
+    * never retro-edited, the defining property of an append pipeline.
+    *
+    * Plan shape for 100 TB: the batch pays the only text work (its
+    * explodes are batch-sized); the one table-touching stage is the
+    * left join of the batch's ~|batch| distinct gram keys against the
+    * persisted table — keyed on the gram, shuffle_hash (the table is
+    * corpus-scale, never broadcast), and map-side once the persisted
+    * table is bucketed by `__gram` at steady state (the st6 signature-
+    * table note). Advance the table with [[advanceGramCounts]] after
+    * each batch. */
+  def duplicateSpansIncremental(gramTable: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int, hashGrams: Boolean = false): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val (tokens, grams) = tokenAndGramStreams(batch, idCol, textCol, k, hashGrams)
+    val dupGrams = grams.groupBy("__gram").agg(count(lit(1)).as("__bn"))
+      .join(gramTable.hint("shuffle_hash"), Seq("__gram"), "left")
+      .filter(col("__bn") + coalesce(col("__n"), lit(0L)) >= 2)
+      .select("__gram")
+    removeCoveredSpans(tokens, grams, dupGrams, idCol, k)
+  }
+
+  /** The table-advance step of the incremental pipeline: fold a new
+    * batch's gram counts into the persisted table. One keyed shuffle
+    * on the gram; with the table bucketed by `__gram` this is the
+    * standard merge-into shape. */
+  def advanceGramCounts(gramTable: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int, hashGrams: Boolean = false): DataFrame =
+    gramTable.unionByName(gramCounts(batch, idCol, textCol, k, hashGrams))
+      .groupBy("__gram").agg(sum("__n").as("__n"))
 
   /** Benchmark-contamination check — the decontamination step every
     * serious training-data pipeline runs before training (the C4/GPT-3

@@ -62,6 +62,68 @@ object LlmQueries extends Q.Registry {
   require(corpusSql.contains(TruncLastWordSql),
     "corpusSql lost the canonical truncate-last-word regex")
 
+  /** st7's DuckDB oracle: the two micro-batch legs of the incremental
+    * exact-substring dedup replayed batch by batch — batch 1's dup set
+    * counts (batch-1 self + corpus table), batch 2's counts (batch-2
+    * self + corpus + batch 1, i.e. the ADVANCED table). Shares tx16's
+    * tokenize/gram/coverage machinery, instantiated per source. */
+  private lazy val substrIncrementalSql: String = {
+    val split = raw"string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')"
+    def ctes(src: String, p: String): String =
+      raw"""${p}t AS (SELECT doc_id, $split AS ws FROM $src),
+           |${p}tok AS (SELECT doc_id, CAST(u.i AS INT) AS tpos, ws[CAST(u.i AS INT)] AS token
+           |        FROM ${p}t, unnest(range(1, len(ws) + 1)) AS u(i)),
+           |${p}g AS (SELECT doc_id, CAST(u.i AS INT) AS gpos,
+           |             ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT)+1] || ' ' ||
+           |             ws[CAST(u.i AS INT)+2] || ' ' || ws[CAST(u.i AS INT)+3] || ' ' ||
+           |             ws[CAST(u.i AS INT)+4] || ' ' || ws[CAST(u.i AS INT)+5] || ' ' ||
+           |             ws[CAST(u.i AS INT)+6] || ' ' || ws[CAST(u.i AS INT)+7] AS gram
+           |      FROM ${p}t, unnest(range(1, len(ws) - 6)) AS u(i)),
+           |""".stripMargin
+    def leg(p: String, dup: String, out: String): String =
+      raw"""${p}f AS (SELECT g.doc_id, g.gpos FROM ${p}g g JOIN $dup USING (gram)),
+           |${p}tf AS (SELECT tok.doc_id, tok.tpos, tok.token, f.gpos AS marker
+           |       FROM ${p}tok tok LEFT JOIN ${p}f f
+           |         ON tok.doc_id = f.doc_id AND tok.tpos = f.gpos),
+           |${p}cov AS (SELECT doc_id, tpos, token,
+           |               max(marker) OVER (PARTITION BY doc_id ORDER BY tpos
+           |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) IS NOT NULL AS covered
+           |        FROM ${p}tf),
+           |$out AS (SELECT doc_id, count(*) AS n_tokens,
+           |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+           |       CASE WHEN count(*) = sum(CASE WHEN covered THEN 1 ELSE 0 END)
+           |            THEN NULL
+           |            ELSE string_agg(CASE WHEN NOT covered THEN token END, ' ' ORDER BY tpos)
+           |       END AS clean_text
+           |FROM ${p}cov GROUP BY doc_id),
+           |""".stripMargin
+    raw"""WITH dws AS (SELECT doc_id, $split AS ws FROM documents),
+         |nb1 AS (SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(list_concat(list_slice(ws, 1, 12),
+         |          list_transform(list_slice(ws, 13, len(ws)), w -> 'nv_' || w)), ' ') AS text
+         |        FROM dws WHERE doc_id % 50 = 0),
+         |nb2 AS (SELECT doc_id + 2000000 AS doc_id,
+         |        array_to_string(list_concat(
+         |          list_transform(list_slice(ws, 13, len(ws)), w -> 'nv_' || w),
+         |          list_transform(list_slice(ws, 1, 12), w -> 'nw_' || w)), ' ') AS text
+         |        FROM dws WHERE doc_id % 75 = 0),
+         |""".stripMargin +
+      ctes("documents", "c") + ctes("nb1", "b1") + ctes("nb2", "b2") +
+      raw"""ccnt AS (SELECT gram, count(*) AS n FROM cg GROUP BY gram),
+           |b1cnt AS (SELECT gram, count(*) AS n FROM b1g GROUP BY gram),
+           |b2cnt AS (SELECT gram, count(*) AS n FROM b2g GROUP BY gram),
+           |dup1 AS (SELECT t.gram FROM b1cnt t LEFT JOIN ccnt c USING (gram)
+           |         WHERE t.n + coalesce(c.n, 0) >= 2),
+           |dup2 AS (SELECT t.gram FROM b2cnt t LEFT JOIN ccnt c USING (gram)
+           |         LEFT JOIN b1cnt o USING (gram)
+           |         WHERE t.n + coalesce(c.n, 0) + coalesce(o.n, 0) >= 2),
+           |""".stripMargin +
+      leg("b1", "dup1", "out1") + leg("b2", "dup2", "out2") +
+      raw"""fin AS (SELECT * FROM out1 UNION ALL SELECT * FROM out2)
+           |SELECT doc_id, n_tokens, n_removed_tokens, clean_text
+           |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   private val MinhashK = 9
   private val Bands = 3
   private val RowsPerBand = 3
@@ -2044,6 +2106,93 @@ object LlmQueries extends Q.Registry {
            |         i -> CASE WHEN new_sig[i] = old_sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
            |         / $MinhashK) * 1e6 + 1e-6) / 1e6 >= 0.5
            |ORDER BY new_doc, matched_doc""".stripMargin)),
+
+    Q("st7_stream_substring_dedup",
+      "STREAMING exact-substring dedup (r8 verdict ask #4) — tx16's " +
+        "ExactSubstr recipe made incremental, the dd11 pattern applied " +
+        "to the GRAM TABLE: the corpus's k-gram occurrence counts are " +
+        "the persisted index; each arriving batch explodes only its " +
+        "own grams, joins them against the table plus its self-counts " +
+        "(a span is duplicated when the total reaches 2), emits its " +
+        "cleaned text, and ADVANCES the table in foreachBatch — " +
+        "already-emitted documents are never retro-edited, the " +
+        "defining property of an append pipeline. Two real micro-" +
+        "batches (staged files, one per trigger, mod-time ordered): " +
+        "day 1 = replayed 12-word heads + novel nv_ tails; day 2 = " +
+        "day 1's nv_ tails as heads + fresh nw_ tails, so a day-2 doc " +
+        "is cleaned against spans that exist ONLY in day 1's table " +
+        "update (doc_id % 150) — the cross-batch evidence. Oracle " +
+        "replays both legs' count arithmetic batch by batch; the " +
+        "cleaned TEXT itself is hash-checked.",
+      (s, d) => {
+        val k = 8
+        val docs = Tables.documents(s, d)
+        val ws = TextOps.words(col("text"))
+        val nvTail = transform(slice(ws, 13, 1 << 20),
+          w => concat(lit("nv_"), w))
+        val batch1 = docs.filter(col("doc_id") % 50 === 0).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          array_join(concat(slice(ws, 1, 12), nvTail), " ").as("text"))
+        val batch2 = docs.filter(col("doc_id") % 75 === 0).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          array_join(concat(nvTail,
+            transform(slice(ws, 1, 12), w => concat(lit("nw_"), w))), " ")
+            .as("text"))
+        // stage the two arrival days as single files with pinned
+        // mod-times: the file source takes one file per micro-batch,
+        // oldest first — a real two-trigger replay, not a simulation
+        val stage = java.nio.file.Files.createTempDirectory("graft_st7_")
+        val inDir = stage.resolve("in")
+        java.nio.file.Files.createDirectories(inDir)
+        def writeDay(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+          val tmp = stage.resolve(name + "_tmp")
+          df.repartition(1).write.parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written for $name"))
+          val dest = inDir.resolve(name + ".parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        }
+        writeDay(batch1, "day1", 1700000000000L)
+        writeDay(batch2, "day2", 1700000060000L)
+        // the persisted index: corpus gram counts, built once per
+        // (session, dir) — micro-batches join the MATERIALIZED table,
+        // never re-explode corpus text (the st6 signature-table note)
+        val baseTable = cachedFrame(s, "st7_gram_table", d)(
+          Dedup.gramCounts(docs, "doc_id", "text", k))
+        var table = baseTable
+        val outDir = stage.resolve("cleaned").toString
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", stage.resolve("ckpt").toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val cleaned = Dedup.duplicateSpansIncremental(
+              table, b, "doc_id", "text", k)
+            cleaned.write.mode("append").parquet(outDir)
+            // last capture wins = the day-2 batch, the one whose dup
+            // set draws on the advanced table
+            IngestQueries.lastStreamPlan = Some(cleaned.queryExecution
+              .explainString(org.apache.spark.sql.execution.FormattedMode))
+            val advanced = Dedup.advanceGramCounts(
+              table, b, "doc_id", "text", k).cache()
+            advanced.count() // materialize while the batch frame is live
+            if (!(table eq baseTable)) table.unpersist(blocking = false)
+            table = advanced
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        if (!(table eq baseTable)) table.unpersist(blocking = false)
+        s.read.parquet(outDir).orderBy("doc_id")
+      },
+      Some(substrIncrementalSql)),
 
     Q("dd11_incremental_dedup",
       "Incremental near-dup check — the PRODUCTION dedup shape: a new " +

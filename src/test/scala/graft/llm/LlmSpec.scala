@@ -837,6 +837,60 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpansIncremental: batch cleaned vs table + self ≡ the " +
+    "batch rows of duplicateSpans over (corpus ∪ batch); a two-batch " +
+    "chain through advanceGramCounts catches a cross-batch dup the " +
+    "un-advanced table cannot (r8 verdict ask #4)") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, "unique words only here today"),
+      (3L, "old content nothing shares this span at all")).toDF("id", "text")
+    // batch 1: a corpus-replayed span (dup via the TABLE), a within-batch
+    // self-dup (dup via SELF counts), and novel text
+    val novel1 = (1 to 10).map(i => s"n$i").mkString(" ")
+    val b1 = Seq(
+      (101L, s"intro $shared outro"),
+      (102L, s"$novel1 and also $novel1"),
+      (103L, s"fresh $novel1 tail"),
+      (104L, "completely new material never seen anywhere at all")).toDF("id", "text")
+    val k = 8
+    def rows2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
+    for (h <- Seq(false, true)) {
+      val table0 = Dedup.gramCounts(corpus, "id", "text", k, hashGrams = h)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+      val incr1 = rows(Dedup.duplicateSpansIncremental(
+        table0, b1, "id", "text", k, hashGrams = h))
+      // executable spec: batch semantics over the union, batch rows only
+      val ref1 = rows(Dedup.duplicateSpans(
+        corpus.unionByName(b1), "id", "text", k, hashGrams = h)
+        .filter(col("id") >= 100L))
+      assert(incr1 === ref1, s"hashGrams=$h")
+      // batch 2 replays batch 1's NOVEL span: duplicated only against
+      // the ADVANCED table — the un-advanced table must keep it
+      val b2 = Seq((201L, s"second day $novel1 closing words")).toDF("id", "text")
+      val table1 = Dedup.advanceGramCounts(table0, b1, "id", "text", k, hashGrams = h)
+      val incr2 = rows(Dedup.duplicateSpansIncremental(
+        table1, b2, "id", "text", k, hashGrams = h))
+      val ref2 = rows(Dedup.duplicateSpans(
+        corpus.unionByName(b1).unionByName(b2), "id", "text", k, hashGrams = h)
+        .filter(col("id") >= 200L))
+      assert(incr2 === ref2, s"hashGrams=$h (advanced table)")
+      assert(incr2.head._3 === 10L, s"the $novel1 span must be covered: $incr2")
+      val stale = rows(Dedup.duplicateSpansIncremental(
+        table0, b2, "id", "text", k, hashGrams = h))
+      assert(stale.head._3 === 0L,
+        "without the advance the cross-batch span must survive — " +
+          "otherwise the chain isn't actually reading the table")
+      // the advanced table is a straight recount of the union
+      val recount = Dedup.gramCounts(
+        corpus.unionByName(b1), "id", "text", k, hashGrams = h)
+      assert(rows2(table1) === rows2(recount), s"hashGrams=$h")
+    }
+  }
+
   test("lineDedup: maxBroadcastLines=0 forces the shuffle-hash fallback " +
     "with IDENTICAL output, and the plan really drops the broadcast") {
     val docs = Seq(
