@@ -687,6 +687,63 @@ object Dedup {
     gramTable.unionByName(gramCounts(batch, idCol, textCol, k, hashGrams))
       .groupBy("__gram").agg(sum("__n").as("__n"))
 
+  /** C4's cross-page dedup rule (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once in the data set") — keep-FIRST span dedup at SENTENCE
+    * grain. Unlike [[duplicateSpans]] (ExactSubstr removes EVERY
+    * copy), the globally first occurrence — lowest (id, position) —
+    * survives and every later copy's k sentences are removed via the
+    * same k-1-PRECEDING coverage window.
+    *
+    * Plan shape for 100 TB: sentence split is map-side; the span key
+    * is the md5 of the k-sentence join (bounded shuffle width); the
+    * first-occurrence ranking is ONE row_number window keyed on the
+    * span (a keyed shuffle, per-key work proportional to that span's
+    * occurrence count); markers join back keyed on the page. Linear,
+    * no all-pairs, no global sort.
+    *
+    * Returns (idCol, n_sentences, n_removed_sentences, clean_text);
+    * clean_text NULL when every sentence was covered. Pages whose
+    * text yields NO sentences produce no row (callers gate on the C4
+    * three-sentence page minimum first). */
+  def keepFirstSpanDedup(pages: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3): DataFrame = {
+    require(k >= 1, s"span length k must be >= 1, got $k")
+    val sarr = pages.select(col(idCol),
+      graft.llm.TextOps.sentences(col(textCol)).as("__sa"))
+    val sents = sarr.select(col(idCol),
+      posexplode(col("__sa")).as(Seq("__spos", "__sent")))
+    val spans = sarr.select(col(idCol),
+      posexplode(graft.llm.TextOps.wordShingles(col("__sa"), k))
+        .as(Seq("__gpos", "__span")))
+      .select(col(idCol), col("__gpos"), md5(col("__span")).as("__gram"))
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gram")).orderBy(col(idCol), col("__gpos"))
+    val markers = spans
+      .withColumn("__rn", row_number().over(firstW))
+      .filter(col("__rn") >= 2) // any 2nd+ occurrence — the kept copy is rn 1
+      .select(col(idCol).as("__sid"), col("__gpos").as("__marker"))
+    val covW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__spos"))
+      .rowsBetween(-(k - 1), 0)
+    val kept = struct(col("__spos"), col("__sent").as("t"))
+    sents
+      .join(markers.hint("shuffle_hash"),
+        col(idCol) === col("__sid") && col("__spos") === col("__marker"),
+        "left")
+      .select(col(idCol), col("__spos"), col("__sent"), col("__marker"))
+      .withColumn("__covered", max(col("__marker")).over(covW).isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(col("__covered").cast("long")).as("n_removed_sentences"),
+        array_sort(collect_list(when(!col("__covered"), kept))).as("__kept"))
+      .select(col(idCol), col("n_sentences"), col("n_removed_sentences"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), x => x.getField("t")), " "))
+          .as("clean_text"))
+  }
+
   /** Benchmark-contamination check — the decontamination step every
     * serious training-data pipeline runs before training (the C4/GPT-3
     * recipe: drop training documents that share long word n-grams with

@@ -149,6 +149,60 @@ object TextOps {
         l => substring(l, -1, 1).isin(".", "!", "?", "\"")),
       "\n")
 
+  /** The FULL C4 rule set (Raffel et al. 2020 §2.2, quoted):
+    *  - "We only retained lines that ended in a terminal punctuation
+    *    mark (i.e. a period, exclamation mark, question mark, or end
+    *    quotation mark)."
+    *  - "We discarded any page with fewer than 3 sentences and only
+    *    retained lines that contained at least 5 words."
+    *  - "We removed any page that contained any word on the 'List of
+    *    Dirty, Naughty, Obscene or Otherwise Bad Words'." (external
+    *    list; [[C4PageBlocklist]] is the deterministic stand-in)
+    *  - "We removed any line with the word Javascript." (plus the
+    *    boilerplate policy phrases the C4 pipeline drops)
+    *  - "Since the curly bracket '{' appears in many programming
+    *    languages ... but not in natural text, we removed any pages
+    *    that contained it."
+    *  - "... we removed any such [citation] markers"
+    *  - "we discarded all but one of any three-sentence span occurring
+    *    more than once in the data set."
+    * Line-level rules live here ([[c4KeepLinesFull]],
+    * [[c4StripCitations]], [[sentences]]); the page-level keep and the
+    * keep-first three-sentence-span dedup compose in the tx18 query
+    * ([[graft.llm.Dedup.keepFirstSpanDedup]]). All pure codegen'd
+    * string work except the span dedup's keyed shuffles. */
+  val C4LineBlocklist: Seq[String] = Seq("javascript", "terms of use",
+    "privacy policy", "cookie policy", "uses cookies", "use of cookies")
+  val C4PageBlocklist: Seq[String] = Seq("lorem ipsum")
+
+  /** [[c4KeepLines]] plus the remaining line rules: at least 5 words
+    * and no blocklisted phrase (case-insensitive). */
+  def c4KeepLinesFull(text: Column): Column =
+    array_join(
+      filter(split(text, "\n"), l =>
+        substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+          size(split(l, "[ \\t\\n\\x0B\\f\\r]+")) >= 5 &&
+          !C4LineBlocklist.map(p => lower(l).contains(p)).reduce(_ || _)),
+      "\n")
+
+  /** Wikipedia-style citation-marker removal: `[12]` and
+    * `[citation needed]` — explicit classes/literals only, the
+    * Java≡RE2 regex subset. */
+  def c4StripCitations(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "\\[[0-9]+\\]", ""),
+      "\\[citation needed\\]", "")
+
+  /** Deterministic sentence extraction shared by the page-minimum rule
+    * and the span dedup: maximal `[^.!?]+[.!?]` runs, trimmed of
+    * spaces/newlines, empties dropped. Explicit character classes only
+    * — Java and RE2 agree, so DuckDB mirrors it verbatim. */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]"), lit(0)),
+        s => trim(s, " \n")),
+      s => length(s) > 0)
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

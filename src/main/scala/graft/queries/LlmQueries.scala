@@ -124,6 +124,79 @@ object LlmQueries extends Q.Registry {
            |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** tx18's DuckDB oracle: the full C4 §2.2 replay — line rules +
+    * citation strip + page keep + keep-first three-sentence-span
+    * dedup (row_number over the span md5, coverage window). */
+  private lazy val c4FullSql: String =
+    """WITH pg AS (
+      |  SELECT doc_id,
+      |         (replace(text, ' table ', '. table ') || '.') || chr(10) ||
+      |         'click here for more' || chr(10) ||
+      |         'too short.' || chr(10) ||
+      |         (CASE WHEN doc_id % 3 = 0 THEN 'please enable javascript to continue.'
+      |               ELSE 'the service desk stays open daily.' END) || chr(10) ||
+      |         (CASE WHEN doc_id % 4 = 0 THEN 'we use cookies and a privacy policy applies.'
+      |               ELSE 'fresh updates arrive every single morning.' END) || chr(10) ||
+      |         'as shown in [1] the results hold [citation needed].' || chr(10) ||
+      |         (CASE WHEN doc_id % 11 = 0 THEN 'alpha one common block. beta two common block. gamma three common block.'
+      |               ELSE 'every page closes with its own remark.' END) || chr(10) ||
+      |         (CASE WHEN doc_id % 7 = 0 THEN 'function f() { return 1; }'
+      |               ELSE 'plain closing text without any code.' END) || chr(10) ||
+      |         (CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet here today.'
+      |               ELSE 'contact us today for more details.' END) AS page
+      |  FROM documents),
+      |kl AS (
+      |  SELECT doc_id, page,
+      |         regexp_replace(regexp_replace(
+      |           array_to_string(list_filter(string_split(page, chr(10)), l ->
+      |             right(l, 1) IN ('.', '!', '?', '"')
+      |             AND len(string_split_regex(l, '[ \t\n\x0B\f\r]+')) >= 5
+      |             AND NOT contains(lower(l), 'javascript')
+      |             AND NOT contains(lower(l), 'terms of use')
+      |             AND NOT contains(lower(l), 'privacy policy')
+      |             AND NOT contains(lower(l), 'cookie policy')
+      |             AND NOT contains(lower(l), 'uses cookies')
+      |             AND NOT contains(lower(l), 'use of cookies')), chr(10)),
+      |           '\[[0-9]+\]', '', 'g'), '\[citation needed\]', '', 'g') AS kept
+      |  FROM pg),
+      |keepf AS (
+      |  SELECT doc_id, kept,
+      |         (NOT contains(page, '{'))
+      |         AND len(list_filter(list_transform(regexp_extract_all(kept, '[^.!?]+[.!?]'),
+      |               s -> trim(s, ' ' || chr(10))), s -> len(s) > 0)) >= 3
+      |         AND NOT contains(lower(kept), 'lorem ipsum') AS keep
+      |  FROM kl),
+      |sarr AS (
+      |  SELECT doc_id, list_filter(list_transform(regexp_extract_all(kept, '[^.!?]+[.!?]'),
+      |           s -> trim(s, ' ' || chr(10))), s -> len(s) > 0) AS sa
+      |  FROM keepf WHERE keep),
+      |sent AS (SELECT doc_id, CAST(u.i AS INT) AS spos, sa[CAST(u.i AS INT)] AS sent
+      |         FROM sarr, unnest(range(1, len(sa) + 1)) AS u(i)),
+      |sp AS (SELECT doc_id, CAST(u.i AS INT) AS gpos,
+      |              md5(sa[CAST(u.i AS INT)] || ' ' || sa[CAST(u.i AS INT)+1] || ' ' ||
+      |                  sa[CAST(u.i AS INT)+2]) AS gram
+      |       FROM sarr, unnest(range(1, len(sa) - 1)) AS u(i)),
+      |mk AS (SELECT doc_id, gpos FROM (
+      |         SELECT doc_id, gpos,
+      |                row_number() OVER (PARTITION BY gram ORDER BY doc_id, gpos) AS rn
+      |         FROM sp) WHERE rn >= 2),
+      |tf AS (SELECT s.doc_id, s.spos, s.sent, m.gpos AS marker
+      |       FROM sent s LEFT JOIN mk m ON s.doc_id = m.doc_id AND s.spos = m.gpos),
+      |cov AS (SELECT doc_id, spos, sent,
+      |               max(marker) OVER (PARTITION BY doc_id ORDER BY spos
+      |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) IS NOT NULL AS covered
+      |        FROM tf),
+      |dd AS (SELECT doc_id, count(*) AS n_sentences,
+      |              CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_sentences,
+      |              CASE WHEN count(*) = sum(CASE WHEN covered THEN 1 ELSE 0 END)
+      |                   THEN NULL
+      |                   ELSE string_agg(CASE WHEN NOT covered THEN sent END, ' ' ORDER BY spos)
+      |              END AS clean_text
+      |       FROM cov GROUP BY doc_id)
+      |SELECT k.doc_id, k.keep, d.n_sentences, d.n_removed_sentences, d.clean_text
+      |FROM keepf k LEFT JOIN dd d ON k.doc_id = d.doc_id
+      |ORDER BY k.doc_id""".stripMargin
+
   private val MinhashK = 9
   private val Bands = 3
   private val RowsPerBand = 3
@@ -905,6 +978,62 @@ object LlmQueries extends Q.Registry {
           |         AND NOT contains(lower(kept), 'lorem ipsum')
           |         AND len(string_split_regex(kept, '[ \t\n\x0B\f\r]+')) >= 5 AS keep
           |FROM k ORDER BY doc_id""".stripMargin)),
+
+    Q("tx18_c4_full_pipeline",
+      "The FULL C4 rule set (Raffel et al. 2020 §2.2; extends tx17, " +
+        "r8 verdict ask #5): line keep = terminal punctuation AND >= 5 " +
+        "words AND no javascript/policy-boilerplate phrase; citation " +
+        "markers ([12], [citation needed]) stripped; page keep = no " +
+        "'{' on the raw page AND >= 3 sentences AND no blocklist " +
+        "word; then C4's cross-page dedup — all but the FIRST " +
+        "occurrence of any three-sentence span discarded (keep-first " +
+        "at sentence grain, tx16's coverage machinery). Every rule " +
+        "gets a planted hit: a brace line on every 7th page, a " +
+        "javascript line on every 3rd, a privacy-policy line on every " +
+        "4th, a 2-word line, a citation line, a shared 3-sentence " +
+        "block on every 11th page, blocklist on every 13th. The " +
+        "final deduped TEXT is hash-checked.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sentenced = regexp_replace(col("text"), " table ", ". table ")
+        val sharedBlock =
+          "alpha one common block. beta two common block. gamma three common block."
+        val page = concat_ws("\n",
+          concat(sentenced, lit(".")),
+          lit("click here for more"),
+          lit("too short."),
+          when(col("doc_id") % 3 === 0,
+            lit("please enable javascript to continue."))
+            .otherwise(lit("the service desk stays open daily.")),
+          when(col("doc_id") % 4 === 0,
+            lit("we use cookies and a privacy policy applies."))
+            .otherwise(lit("fresh updates arrive every single morning.")),
+          lit("as shown in [1] the results hold [citation needed]."),
+          when(col("doc_id") % 11 === 0, lit(sharedBlock))
+            .otherwise(lit("every page closes with its own remark.")),
+          when(col("doc_id") % 7 === 0, lit("function f() { return 1; }"))
+            .otherwise(lit("plain closing text without any code.")),
+          when(col("doc_id") % 13 === 0,
+            lit("lorem ipsum dolor sit amet here today."))
+            .otherwise(lit("contact us today for more details.")))
+        val kept = TextOps.c4StripCitations(TextOps.c4KeepLinesFull(col("page")))
+        val withKeep = docs.select(col("doc_id"), page.as("page"))
+          .select(col("doc_id"), col("page"), kept.as("kept"))
+          .select(col("doc_id"), col("kept"),
+            (!col("page").contains("{") &&
+              size(TextOps.sentences(col("kept"))) >= 3 &&
+              !TextOps.C4PageBlocklist
+                .map(p => lower(col("kept")).contains(p)).reduce(_ || _))
+              .as("keep"))
+        val deduped = Dedup.keepFirstSpanDedup(
+          withKeep.filter(col("keep")), "doc_id", "kept", k = 3)
+        withKeep.select(col("doc_id"), col("keep"))
+          .join(deduped, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("keep"), col("n_sentences"),
+            col("n_removed_sentences"), col("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(c4FullSql)),
 
     Q("dd4_simhash_near_dup",
       "SimHash-64 near-dup: per-word bit votes packed to one long, " +

@@ -891,6 +891,38 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("keepFirstSpanDedup: the FIRST occurrence of a duplicated " +
+    "3-sentence span survives, every later copy is removed (C4 §2.2 " +
+    "'all but one'); within-page repeats and sentence extraction pinned") {
+    val block = "one common. two common. three common."
+    val pages = Seq(
+      (1L, s"page one opens here. $block page one closes here."),
+      (2L, s"page two opens here. $block page two closes here."),
+      (3L, "page three stands alone. nothing is shared. all kept here."),
+      // within-ONE-page repetition: the later copy is removed
+      (4L, s"$block middle interlude. $block")).toDF("id", "text")
+    val out = Dedup.keepFirstSpanDedup(pages, "id", "text", k = 3)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    // page 1 is globally first: everything survives
+    assert(out(1L) === ((1L, 5L, 0L,
+      Some("page one opens here. one common. two common. three common. " +
+        "page one closes here."))))
+    // page 2's copy is removed, its own sentences survive
+    assert(out(2L) === ((2L, 5L, 3L,
+      Some("page two opens here. page two closes here."))))
+    assert(out(3L) === ((3L, 3L, 0L,
+      Some("page three stands alone. nothing is shared. all kept here."))))
+    // page 4: first copy survives (it IS the 2nd global occurrence of the
+    // block... page 1 holds rn 1), so BOTH copies here are removed
+    assert(out(4L) === ((4L, 7L, 6L, Some("middle interlude."))))
+    // sentence extraction: trimmed, newline-tolerant, empties dropped
+    val sents = Seq((1L, "a b c.\n  d e f!  tail without ending"))
+      .toDF("id", "t")
+      .select(TextOps.sentences(col("t"))).as[Seq[String]].head()
+    assert(sents === Seq("a b c.", "d e f!"))
+  }
+
   test("lineDedup: maxBroadcastLines=0 forces the shuffle-hash fallback " +
     "with IDENTICAL output, and the plan really drops the broadcast") {
     val docs = Seq(
