@@ -25,6 +25,14 @@ case class AudioFeatures(doc_id: Long, channels: Int, sample_rate: Int,
                          n_frames: Long, duration_s: Double,
                          rms: Seq[Double])
 
+/** Typed output row of the batched document-extraction stage (the
+  * third training-data modality after image and audio): markup format
+  * sniffed from the payload, extracted plain text, and its counts.
+  * Dead-letter rows (unrecognized / undecodable payloads) get format
+  * "error", -1 counts, null text. */
+case class ExtractedDoc(doc_id: Long, format: String, n_chars: Int,
+                        n_words: Int, text: String)
+
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, the full decode / feature-extract / resize / frame-sample
   * quartet, and one shared batched-codec seam ([[mapBatched]]).
@@ -394,6 +402,71 @@ object Multimodal {
       case (id, _, Some((ch, rate, fr, dur, rms))) =>
         AudioFeatures(id, ch, rate, fr, dur, rms)
       case (id, _, None) => AudioFeatures(id, -1, -1, -1L, -1.0, Seq.empty)
+    }
+  }
+
+  // ---- document extraction (mm8): HTML / RTF → plain text -----------
+
+  /** Deterministic HTML → text: script/style blocks dropped, every
+    * tag becomes a space, the six common entities unescaped,
+    * whitespace collapsed and trimmed. Pure JVM string work — a real
+    * extractor, not a stub (the production swap here is a full parser
+    * like jsoup behind the same codec signature, exactly the ffmpeg
+    * note on the audio stage). */
+  def htmlToText(html: String): String = {
+    val noBlocks = html
+      .replaceAll("(?is)<script\\b[^>]*>.*?</script>", " ")
+      .replaceAll("(?is)<style\\b[^>]*>.*?</style>", " ")
+      .replaceAll("(?is)<!--.*?-->", " ")
+    val noTags = noBlocks.replaceAll("<[^>]*>", " ")
+    val unescaped = noTags
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+    unescaped.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+  }
+
+  /** REAL RTF extraction via the JDK's javax.swing.text.rtf (the
+    * java.desktop module the image stages already lean on). Returns
+    * None on parse failure — the dead-letter arm. */
+  def rtfToText(bytes: Array[Byte]): Option[String] =
+    try {
+      val kit = new javax.swing.text.rtf.RTFEditorKit()
+      val doc = kit.createDefaultDocument()
+      kit.read(new java.io.ByteArrayInputStream(bytes), doc, 0)
+      Some(doc.getText(0, doc.getLength)
+        .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batched document-extraction codec: sniffs the payload — `{\rtf`
+    * prefix → RTF (real JDK parse), a leading `<` → HTML tag-strip —
+    * and returns (format, text); anything else dead-letters. */
+  def docExtractBatch(payloads: Seq[Array[Byte]]): Seq[Option[(String, String)]] =
+    payloads.map { bytes =>
+      val head = new String(bytes.take(64), java.nio.charset.StandardCharsets.UTF_8)
+      val trimmed = head.dropWhile(c =>
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\uFEFF')
+      if (trimmed.startsWith("{\\rtf")) rtfToText(bytes).map(("rtf", _))
+      else if (trimmed.startsWith("<"))
+        Some(("html", htmlToText(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))))
+      else None
+    }
+
+  /** Batched document-extraction stage through the SAME [[mapBatched]]
+    * seam as the image quartet and the audio stage — schema, batching,
+    * dead-letter contract and scale posture identical (map-side, scan
+    * parallelism, no shuffle). */
+  def extractTextBatched(df: DataFrame, idCol: String, payloadCol: String,
+                         batchSize: Int = 64,
+                         codec: Seq[Array[Byte]] => Seq[Option[(String, String)]] =
+                           docExtractBatch): Dataset[ExtractedDoc] = {
+    val session = df.sparkSession
+    import session.implicits._
+    mapBatched(df, idCol, payloadCol, batchSize)(codec) {
+      case (id, _, Some((fmt, text))) =>
+        ExtractedDoc(id, fmt, text.length,
+          if (text.isEmpty) 0 else text.split(" ").length, text)
+      case (id, _, None) => ExtractedDoc(id, "error", -1, -1, null)
     }
   }
 }

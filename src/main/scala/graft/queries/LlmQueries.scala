@@ -1793,6 +1793,47 @@ object LlmQueries extends Q.Registry {
           |  AS t(doc_id, channels, sample_rate, n_frames, duration_s, rms_c0, rms_c1)
           |ORDER BY doc_id""".stripMargin)),
 
+    Q("mm8_doc_extract",
+      "DOCUMENT extraction — the third training-data modality after " +
+        "image and audio (r8 verdict ask #6): HTML payloads through " +
+        "the same mapBatched codec seam — script/style/comment blocks " +
+        "dropped, tags stripped, entities unescaped, whitespace " +
+        "collapsed; real JVM extraction, not a stub (the RTF arm runs " +
+        "the JDK's javax.swing.text.rtf parser, spec-covered — " +
+        "MultimodalSpec). Every 37th payload is unrecognizable bytes " +
+        "and must dead-letter, not die. The page plants an entity in " +
+        "the title, braces inside script/style (the tx18 '{' page " +
+        "rule's natural enemy), and the document text in a paragraph; " +
+        "the EXTRACTED TEXT itself is hash-checked.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val html = concat(
+          lit("<html><head><title>alpha &amp; beta</title>" +
+            "<style>p { color: red; }</style></head><body><h1>doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><script>if (x &lt; 3) { alert(\"hi\"); }" +
+            "</script></body></html>"))
+        val payload = when(col("doc_id") % 37 === 0,
+            lit(Array[Byte](0, 1, 2, -1, -2))) // no sniffable prefix
+          .otherwise(html.cast("binary"))
+        Multimodal.extractTextBatched(
+          docs.select(col("doc_id"), payload.as("payload")),
+          "doc_id", "payload")
+          .toDF().orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       CASE WHEN doc_id % 37 = 0 THEN 'error' ELSE 'html' END AS format,
+          |       CAST(CASE WHEN doc_id % 37 = 0 THEN -1 ELSE length(xt) END AS INT) AS n_chars,
+          |       CAST(CASE WHEN doc_id % 37 = 0 THEN -1
+          |            ELSE len(string_split(xt, ' ')) END AS INT) AS n_words,
+          |       CASE WHEN doc_id % 37 = 0 THEN NULL ELSE xt END AS text
+          |FROM (SELECT doc_id,
+          |             'alpha & beta doc ' || CAST(doc_id AS VARCHAR) || ' ' || text AS xt
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
     Q("dd5_embedding_near_dup",
       "Embedding-cosine near-dup: planted perturbed replays detected " +
         "by pairwise cosine >= 0.99. Candidate pairs come from axis-" +

@@ -189,4 +189,38 @@ class MultimodalSpec extends SparkSpec {
     // seam contract: batch boundaries never change a row's result
     for (bs <- Seq(1, 3)) assert(run(bs) === out, s"batchSize=$bs")
   }
+
+  test("extractTextBatched: REAL RTF through javax.swing.text.rtf, HTML " +
+    "edge cases (nested tags, entities, comments, case-insensitive " +
+    "script), sniffing, dead-letters; batch-size invariant") {
+    import spark.implicits._
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val rtf = b("""{\rtf1\ansi{\fonttbl\f0\fswiss Helvetica;}\f0\pard
+        |Hello from RTF land.\par
+        |}""".stripMargin)
+    val rows = Seq(
+      (1L, b("<html><body><p>plain &amp; simple</p></body></html>")),
+      (2L, b("  \n <DIV><SCRIPT type='x'>var a = '<p>';</SCRIPT>" +
+        "kept <b>bold</b> text<!-- gone --></DIV>")), // ws prefix + upper tags
+      (3L, rtf),
+      (4L, b("{\\rtf1 \\unclosed")), // RTF magic, broken body — RTFEditorKit is lenient OR dead-letters; pin below
+      (5L, b("no markup prefix at all")),
+      (6L, b("<p>&lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end.</p>")))
+    def run(batchSize: Int) = Multimodal.extractTextBatched(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload", batchSize)
+      .collect().map(e => e.doc_id -> e).toMap
+    val out = run(64)
+    assert(out(1L) === ExtractedDoc(1L, "html", 14, 3, "plain & simple"))
+    assert(out(2L) === ExtractedDoc(2L, "html", 14, 3, "kept bold text"))
+    // RTF: the JDK parser yields the paragraph text; whitespace-collapsed
+    assert(out(3L).format === "rtf")
+    assert(out(3L).text === "Hello from RTF land.")
+    assert(out(3L).n_words === 4 && out(3L).n_chars === 20)
+    // broken RTF must not kill the task: either parsed leniently (rtf)
+    // or dead-lettered (error) — pin the actual JDK behavior
+    assert(Set("rtf", "error").contains(out(4L).format))
+    assert(out(5L) === ExtractedDoc(5L, "error", -1, -1, null))
+    assert(out(6L) === ExtractedDoc(6L, "html", 18, 4, "<tag> \"q\" 'a' end."))
+    for (bs <- Seq(1, 2)) assert(run(bs) === out, s"batchSize=$bs")
+  }
 }
