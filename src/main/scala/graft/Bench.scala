@@ -45,6 +45,7 @@ object Bench {
     "dd8_dup_groups_star", "st1_stream_watermark_dedup",
     "st2_stream_windowed_agg", "st3_stream_stateful_counts",
     "st4_stream_stream_join", "st5_stream_scoring", "st6_stream_near_dup",
+    "st7_stream_substring_dedup", // two-batch file stream runs at plan build
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier") // IRLS fit runs at plan build
 

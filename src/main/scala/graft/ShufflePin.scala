@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Per-query shuffle-exchange pins (r8 verdict ask #7): bench_explain/
+  * covers every query and PlanAuditSpec bans SMJ/cartesian, but nothing
+  * stopped a regression that ADDS an exchange (e.g. a lost broadcast
+  * hint silently downgrades a map-side join to a shuffled one and
+  * passes the ban). `runMain graft.ShufflePin` regenerates
+  * bench_explain/SHUFFLE_PINS.json — the per-query count of shuffle
+  * Exchange nodes in the pre-AQE plan at sf0.001 from a FRESH session
+  * (no fit/frame memos, so the pins are the canonical un-memoized
+  * counts) — and PlanAuditSpec fails any query whose live count
+  * EXCEEDS its pin. Counts are scale-independent for the same reason
+  * the SMJ audit is: join strategies come from explicit hints, not
+  * size estimates.
+  */
+object ShufflePin {
+
+  /** Count of shuffle Exchange nodes in a plan string: the node label
+    * is exactly `Exchange` (hash/range/single partitioning);
+    * `BroadcastExchange` and `ReusedExchange` are excluded by the
+    * lookbehind. A lost broadcast shows up HERE — the broadcast
+    * exchange it replaces becomes a shuffle exchange on each side. */
+  def shuffleCount(plan: String): Int =
+    "(?<![A-Za-z])Exchange[ (]".r.findAllMatchIn(plan).size
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "bench_explain/SHUFFLE_PINS.json"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.prime(spark, sfDir)
+    queries.Warm.prime(spark, sfDir)
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val c = shuffleCount(fn(spark, sfDir).queryExecution.explainString(SimpleMode))
+      System.err.println(f"[shufflepin] $name%-30s $c")
+      name -> c
+    }
+    val json = counts.map { case (n, c) => s"""  "$n": $c""" }
+      .mkString("{\n \"_source\": \"graft.ShufflePin over sf0.001, fresh session (no memos)\",\n \"queries\": {\n", ",\n", "\n } }\n")
+    Files.writeString(Paths.get(out), json)
+    System.err.println(s"[shufflepin] wrote $out (${counts.size} queries)")
+    spark.stop()
+  }
+}

@@ -1028,7 +1028,9 @@ object LlmQueries extends Q.Registry {
         val deduped = Dedup.keepFirstSpanDedup(
           withKeep.filter(col("keep")), "doc_id", "kept", k = 3)
         withKeep.select(col("doc_id"), col("keep"))
-          .join(deduped, Seq("doc_id"), "left")
+          // page-keyed equi-join of two page-count-sized sides — keep it
+          // shuffle_hash (the dedup side is corpus-scale, never broadcast)
+          .join(deduped.hint("shuffle_hash"), Seq("doc_id"), "left")
           .select(col("doc_id"), col("keep"), col("n_sentences"),
             col("n_removed_sentences"), col("clean_text"))
           .orderBy("doc_id")
