@@ -3,7 +3,6 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SimpleMode
 
 /** Per-query shuffle-exchange pins (r8 verdict ask #7): bench_explain/
   * covers every query and PlanAuditSpec bans SMJ/cartesian, but nothing
@@ -20,13 +19,28 @@ import org.apache.spark.sql.execution.SimpleMode
   */
 object ShufflePin {
 
-  /** Count of shuffle Exchange nodes in a plan string: the node label
-    * is exactly `Exchange` (hash/range/single partitioning);
-    * `BroadcastExchange` and `ReusedExchange` are excluded by the
-    * lookbehind. A lost broadcast shows up HERE — the broadcast
-    * exchange it replaces becomes a shuffle exchange on each side. */
-  def shuffleCount(plan: String): Int =
-    "(?<![A-Za-z])Exchange[ (]".r.findAllMatchIn(plan).size
+  /** Count of shuffle Exchange nodes in the query's pre-AQE physical
+    * plan — a TREE walk, not a string count (SimpleMode prints an
+    * InMemoryRelation's full cached child plan at every reference, so
+    * memoized cached frames would inflate a string count
+    * multiplicatively). An InMemoryTableScan is a LEAF: its cached
+    * child does not execute, so a memoized build can only LOWER the
+    * count vs the fresh-session pin — which is why the audit fails
+    * only on increase. Broadcast exchanges are excluded (a lost
+    * broadcast shows up as the shuffle exchanges that replace it);
+    * ReusedExchange references don't re-execute and count zero. */
+  def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(p: SparkPlan): Int = p match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.initialPlan)
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -43,7 +57,7 @@ object ShufflePin {
     Tables.prime(spark, sfDir)
     queries.Warm.prime(spark, sfDir)
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val c = shuffleCount(fn(spark, sfDir).queryExecution.explainString(SimpleMode))
+      val c = shuffleCount(fn(spark, sfDir))
       System.err.println(f"[shufflepin] $name%-30s $c")
       name -> c
     }
