@@ -1122,6 +1122,44 @@ object LlmQueries extends Q.Registry {
           |             len(list_distinct(list_concat(a.g, b.g)))) * 1e6 + 1e-6) / 1e6 >= 0.6
           |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    Q("dd12_prefix_filter_join",
+      "EXACT-RECALL all-pairs Jaccard >= 0.6 via prefix filtering " +
+        "(Bayardo et al. 2007 All-Pairs; Xiao et al. 2008 PPJoin): " +
+        "candidates meet only on a shared PREFIX gram under a global " +
+        "rarest-first order, plus the length filter — no (lang, band) " +
+        "block quadratic (dd6's sf1 cost: 213 s vs 0.95 s at 10x = " +
+        "the documented blocking cliff this operator removes) and " +
+        "none of dd6's band-boundary misses. The ORACLE is the " +
+        "semantic spec — DuckDB brute-forces every pair — so the " +
+        "hash match proves the prefix filter is lossless, not merely " +
+        "self-consistent.",
+      (s, d) => {
+        val base = corpus(s, d)
+          .withColumn("ws", TextOps.words(col("text")))
+          .withColumn("grams", array_distinct(TextOps.wordShingles(col("ws"), 2)))
+          .select("doc_id", "grams")
+        Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6)
+          .withColumn("jaccard", Fmt.trunc(col("jaccard"), 6))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(corpusSql +
+        """g0 AS (
+          |  SELECT doc_id,
+          |         list_distinct(CASE WHEN len(ws) >= 2
+          |           THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+          |           ELSE [] END) AS g
+          |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
+          |        FROM corpus)),
+          |gnz AS (SELECT doc_id, g FROM g0 WHERE len(g) > 0)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       floor((CAST(len(list_distinct(list_intersect(a.g, b.g))) AS DOUBLE) /
+          |              len(list_distinct(list_concat(a.g, b.g)))) * 1e6 + 1e-6) / 1e6 AS jaccard
+          |FROM gnz a
+          |JOIN gnz b ON a.doc_id < b.doc_id
+          |WHERE floor((CAST(len(list_distinct(list_intersect(a.g, b.g))) AS DOUBLE) /
+          |             len(list_distinct(list_concat(a.g, b.g)))) * 1e6 + 1e-6) / 1e6 >= 0.6
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("ss1_cosine_topk",
       "Brute-force exact cosine top-5 per query (every 100th vector as " +
         "query, broadcast): the ANN baseline. Double-precision " +

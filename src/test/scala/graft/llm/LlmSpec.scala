@@ -39,6 +39,55 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("prefixFilterPairs ≡ brute-force all-pairs on seeded random corpora (exact-recall property)") {
+    // Random small-vocab docs make near-threshold Jaccard values common:
+    // the exact-recall claim is exercised right at the boundary, where a
+    // too-short prefix or an over-demanding length filter would drop
+    // pairs. Brute force via crossJoin is the semantic spec.
+    val rnd = new scala.util.Random(9)
+    val docs = (1L to 80L).map { id =>
+      val n = 2 + rnd.nextInt(10)
+      (id, Seq.fill(n)("w" + rnd.nextInt(6)).mkString(" "))
+    }
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val base = docs.toDF("doc_id", "text")
+        .withColumn("grams",
+          array_distinct(TextOps.wordShingles(TextOps.words($"text"), 2)))
+        .select("doc_id", "grams")
+      val a = base.select($"doc_id".as("doc_a"), $"grams".as("g_a"))
+      val b = base.select($"doc_id".as("doc_b"), $"grams".as("g_b"))
+      val want = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+        .filter(Dedup.jaccard($"g_a", $"g_b") >= t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      // every countFilter strength must be output-identical — e only
+      // moves work between candidate generation and verification, and
+      // the min(e, pair-bound) guard is what keeps tiny docs (m < e,
+      // common in this fixture) from being over-demanded
+      for (e <- Seq(1, 3, 6)) {
+        val got = Dedup.prefixFilterPairs(base, "doc_id", "grams", t, countFilter = e)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        assert(got === want, s"threshold $t countFilter $e")
+      }
+      if (t == 0.6) assert(want.nonEmpty, "fixture must plant boundary pairs")
+    }
+  }
+
+  test("prefixFilterPairs finds the cross-band pair dd6-style length blocking misses") {
+    // 16 words vs 15 words straddle a floor(len/8) band boundary; the
+    // pair is a genuine near-dup (J = 14/16 bigram overlap > 0.6).
+    val words = (1 to 16).map(i => s"t$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.take(15).mkString(" ")),
+      (3L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+      .withColumn("grams",
+        array_distinct(TextOps.wordShingles(TextOps.words($"text"), 2)))
+      .select("doc_id", "grams")
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "grams", 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val df = Seq((1L, "xx"), (5L, "xx"), (3L, "yy")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "text", "doc_id")
