@@ -116,15 +116,7 @@ object Bench {
     // degraded host still reaches the final println inside the driver's
     // outer timeout (the r2 rc=124 budget's whole purpose).
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalRun.session(cpus.toInt)
 
     // ---- self-calibration (steal-proofing the artifact) -------------
     // (suite-clock for probe offsets starts HERE, before priming, so a
@@ -224,8 +216,12 @@ object Bench {
       // Locale.ROOT: a JVM under e.g. de_DE renders f"%.3f" with a decimal
       // COMMA, which would make the stdout line invalid JSON — the very
       // failure class this emitter exists to end.
+      // NaN/Infinity render as JSON null, not the bare NaN %f would emit:
+      // BenchCalib.Probe documents sparkS = NaN for a skipped Spark probe,
+      // and one such point must not make the whole artifact unparseable
       def fmt(v: Double, dp: Int): String =
-        String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+        if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) "null"
+        else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
       def sec(v: Double): String = if (rich) v.toString else fmt(v, 3)
       val qs = rs.map { case (k, v) => s"${js(k)}:${sec(v)}" }.mkString("{", ",", "}")
       val errJson = errors.synchronized {

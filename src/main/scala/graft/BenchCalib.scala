@@ -24,7 +24,9 @@ package graft
   *    sampling noise
   * and classifies degraded when EITHER the run-wide median is inflated OR
   * a fifth of the probes are OR any sustained pair is. "Severe" keeps its
-  * r7 meaning (the 30-50x phase) via the median or a third of points >= 4x.
+  * r7 meaning (the 30-50x phase) via the median or HALF the points >= 4x
+  * (a sub-majority 4x burst is degraded, not severe — severe discards the
+  * run wholesale, so it demands the inflation be the run's dominant mode).
   */
 object BenchCalib {
 

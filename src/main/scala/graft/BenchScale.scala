@@ -444,11 +444,6 @@ object BenchScale {
     }
   }
 
-  /** The tx14 IRLS core (ml/Logistic — the SAME code the query
-    * ships): featurize the inflated corpus (64 hashed buckets) and run
-    * the 4-iteration fit; the gram payload is fixed-size, so only the
-    * per-row work grows. The returned count anchors the coefficient
-    * width; finiteness is REQUIREd. */
   /** j9's keyless as-of FORCED onto the range-partitioned arm (r8
     * verdict ask #3): maxBroadcastRows = 0 disables the broadcast fast
     * path, and the time axis is SKEWED — 75% of events bunch into a
@@ -495,6 +490,11 @@ object BenchScale {
     part.getLong(0)
   }
 
+  /** The tx14 IRLS core (ml/Logistic — the SAME code the query
+    * ships): featurize the inflated corpus (64 hashed buckets) and run
+    * the 4-iteration fit; the gram payload is fixed-size, so only the
+    * per-row work grows. The returned count anchors the coefficient
+    * width; finiteness is REQUIREd. */
   private def xLogit(docs: DataFrame, f: Int): Long = {
     val labeled = graft.ml.Logistic
       .hashedFeatures(docs, "doc_id", "text", 64)
@@ -517,15 +517,7 @@ object BenchScale {
       .map(_.split(",").map(_.trim).toSet)
     require(factors.headOption.contains(1), "factors must start at 1 (the baseline)")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", cpus)
-    val session = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    session.sparkContext.setLogLevel("WARN")
+    val session = LocalRun.session(cpus.toInt, shufflePartitions.toInt)
 
     val events = Tables.events(session, sfDir)
     val documents = Tables.documents(session, sfDir).select("doc_id", "text")

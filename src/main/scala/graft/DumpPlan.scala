@@ -19,15 +19,7 @@ object DumpPlan {
     val outDir = args(1)
     val names = args.drop(2)
     new java.io.File(outDir).mkdirs()
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalRun.session(32)
     queries.Warm.prime(spark, sfDir)
     for (name <- names) {
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution

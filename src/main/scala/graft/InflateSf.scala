@@ -28,28 +28,12 @@ object InflateSf {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val f = if (args.length > 2) args(2).toInt else 10
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalRun.session(32)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
 
     def writeOne(df: DataFrame, table: String): Unit = {
-      val tmp = s"$dst/${table}_tmp"
-      df.repartition(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part for $table"))
       val dest = java.nio.file.Paths.get(s"$dst/$table.parquet")
-      java.nio.file.Files.deleteIfExists(dest)
-      java.nio.file.Files.move(part.toPath, dest)
-      new java.io.File(tmp).listFiles().foreach(_.delete())
-      new java.io.File(tmp).delete()
+      LocalRun.writeSingleParquet(df, dest)
       System.err.println(s"[inflate] $table: ${df.columns.length} cols -> $dest")
     }
     def raw(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

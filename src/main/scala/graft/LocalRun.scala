@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared runtime plumbing for the CLI mains (Bench/Verify/Probe/
+  * ExplainFit/BenchScale/ShufflePin/InflateSf/TimeQ/DumpPlan) — one
+  * definition of the local session config so a session-semantics fix
+  * (e.g. a new legacy-parquet flag the fixtures need) lands everywhere
+  * at once instead of drifting across copy-pasted builders. */
+object LocalRun {
+
+  /** The standard local session: UTC (the oracle comparison's clock),
+    * nanos-as-long + no NTZ inference (the driver-written parquet's
+    * timestamp encoding), UI off, shuffle partitions sized to the core
+    * count (not Spark's default 200 — local mode has `cpus` slots). */
+  def session(cpus: Int, shufflePartitions: Int = -1): SparkSession = {
+    val sp = if (shufflePartitions > 0) shufflePartitions else cpus
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", sp)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Write `df` as ONE parquet FILE at `dest` (not a directory) — the
+    * layout the driver's testdata uses and the file-addressed readers
+    * (DuckDB `read_parquet`, the file-stream sources' staged arrival
+    * days) expect. Spark only writes directories, so this stages to
+    * `<dest>_tmp/`, moves the single part file out, and removes the
+    * staging dir. */
+  def writeSingleParquet(df: DataFrame, dest: java.nio.file.Path): Unit = {
+    val tmp = dest.getParent.resolve(dest.getFileName.toString + "_tmp")
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written for $dest"))
+    java.nio.file.Files.deleteIfExists(dest)
+    java.nio.file.Files.move(part.toPath, dest)
+    tmp.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.delete(tmp)
+  }
+
+  /** Recursive delete for the temp trees the staged-stream queries
+    * create (children before parents; missing files tolerated). */
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(root)) {
+      val f = root.toFile
+      if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.toPath))
+      java.nio.file.Files.deleteIfExists(root)
+    }
+  }
+}

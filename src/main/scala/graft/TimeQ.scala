@@ -10,15 +10,7 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val qnames = args.drop(1)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalRun.session(32)
     graft.queries.Warm.prime(spark, dir)
     for (q <- qnames) {
       val fn = SparkEntry.queries(q)

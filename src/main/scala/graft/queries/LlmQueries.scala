@@ -2355,13 +2355,8 @@ object LlmQueries extends Q.Registry {
         val inDir = stage.resolve("in")
         java.nio.file.Files.createDirectories(inDir)
         def writeDay(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-          val tmp = stage.resolve(name + "_tmp")
-          df.repartition(1).write.parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no parquet part written for $name"))
           val dest = inDir.resolve(name + ".parquet")
-          java.nio.file.Files.move(part.toPath, dest)
+          graft.LocalRun.writeSingleParquet(df, dest)
           java.nio.file.Files.setLastModifiedTime(dest,
             java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
         }
@@ -2400,6 +2395,11 @@ object LlmQueries extends Q.Registry {
           .start()
         q.awaitTermination()
         if (!(table eq baseTable)) table.unpersist(blocking = false)
+        // the returned frame reads only cleaned/ — drop the staged
+        // arrival days and checkpoint state so repeated builds (bench
+        // fitmed3 runs, plan audits, verify) don't accumulate /tmp trees
+        graft.LocalRun.deleteRecursively(inDir)
+        graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
         s.read.parquet(outDir).orderBy("doc_id")
       },
       Some(substrIncrementalSql)),
