@@ -174,7 +174,18 @@ object Bench {
     val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
     explainDir.foreach(d => new java.io.File(d).mkdirs())
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated query names to leave out,
+    // recorded in the artifact so a reader can't mistake a filtered run
+    // for the full suite. Used by the sf1 suite-scale probe, which runs
+    // the BATCH queries only: the streams are already excluded from
+    // every like-for-like ratio, and st4's staged-file stream machinery
+    // is a fixture harness, not an operator under scale test.
+    val skipSet: Set[String] =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val unknownSkips = skipSet -- SparkEntry.queries.keySet
+    require(unknownSkips.isEmpty, s"SPARK_GRAFT_BENCH_SKIP names unknown queries: $unknownSkips")
+    val names = (SparkEntry.queries.keySet -- skipSet).toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     // per-query methodology marker, emitted in the JSON so committed
@@ -278,7 +289,10 @@ object Bench {
           s""""quiet_s":$QuietSpinS,"spark_quiet_s":$QuietSparkS,""" +
           s""""ratio":${fmt(v.ratio, 2)},"frac15":${fmt(v.frac15, 2)},""" +
           s""""worst2":${fmt(v.worst2, 2)},"class":${js(v.klass)}},"""
-      s"""{"metric":"total","unit":"sec","sf":${js(sfDir)},"iters":$iters,"queries":$qs,$modeJson$itersJson$spreadJson$suspectJson$calibJson"partial":$partial,"errors":$errJson,"value":${sec(total)}}"""
+      val skippedJson =
+        if (skipSet.isEmpty) ""
+        else "\"skipped\":" + skipSet.toSeq.sorted.map(js).mkString("[", ",", "],")
+      s"""{"metric":"total","unit":"sec","sf":${js(sfDir)},"iters":$iters,"queries":$qs,$modeJson$itersJson$spreadJson$suspectJson$calibJson$skippedJson"partial":$partial,"errors":$errJson,"value":${sec(total)}}"""
     }
 
     // The JSON line on stdout gets interleaved with sbt log noise on

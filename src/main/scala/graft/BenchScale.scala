@@ -663,6 +663,28 @@ object BenchScale {
         out.agg(count(lit(1)), sum("n_removed_tokens"),
           sum(length(col("clean_text")))).head().getLong(0)
       }, Linear),
+      ("dd_prefix", (f: Int) => {
+        // dd12's exact-recall prefix-filter similarity join: replica-
+        // prefixed token spaces keep true pairs within a replica, so
+        // the EXACT algorithm must reproduce them ×f precisely (no
+        // Approx wobble — there is no recall knob) and never emit a
+        // cross-replica pair; the prefix self-join's collision volume
+        // is the scaling hazard this leg watches (per-replica gram
+        // spaces are disjoint, so it must grow ~×f, not ×f²)
+        val d = inflateDocuments(documents, f)
+        val base = d.withColumn("ws", TextOps.words(col("text")))
+          .withColumn("grams", array_distinct(TextOps.wordShingles(col("ws"), 2)))
+          .select(col("doc_id"), col("grams"))
+        val out = Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6).cache()
+        try {
+          val n = out.count()
+          val cross = out
+            .filter(pmod(col("doc_a"), lit(f)) =!= pmod(col("doc_b"), lit(f)))
+            .count()
+          require(cross == 0L, s"dd_prefix at $f×: $cross cross-replica pairs")
+          n
+        } finally out.unpersist(blocking = false)
+      }, Linear),
       ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe", (f: Int) => txBpe(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe_vocab", (f: Int) => {

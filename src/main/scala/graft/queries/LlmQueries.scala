@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.llm.{Bpe, Dedup, Importance, LangModel, Multimodal, Packing, Sampling, Search, Similarity, TextOps}
+import graft.ops.Sketches
 
 /** LLM training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text
@@ -1159,6 +1160,120 @@ object LlmQueries extends Q.Registry {
           |WHERE floor((CAST(len(list_distinct(list_intersect(a.g, b.g))) AS DOUBLE) /
           |             len(list_distinct(list_concat(a.g, b.g)))) * 1e6 + 1e-6) / 1e6 >= 0.6
           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("sk1_kmv_distinct",
+      "Per-language distinct-BIGRAM cardinality via the KMV k-minimum-" +
+        "values sketch (Bar-Yossef et al. 2002; Beyer et al. 2007 " +
+        "unbiased estimator) — fixed k·8-byte aggregation state per " +
+        "group vs countDistinct's universe-sized exact state: the " +
+        "bounded, mergeable, map-side-combining shape a 100 TB " +
+        "distinct-count ships. Bigrams (~900/lang at sf0.01) saturate " +
+        "k=64, so the ORACLE exercises the estimator arm, not just the " +
+        "exact-below-k identity. The sketch CONTENT (k smallest " +
+        "distinct 60-bit md5 hashes) is replayed exactly — " +
+        "list_sort(list(DISTINCT h))[1:k] — so the hash match checks " +
+        "the sketch itself, the estimate, and the relative error " +
+        "against the exact count carried alongside.",
+      (s, d) => {
+        val k = 64
+        val toks = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(TextOps.wordShingles(TextOps.words(col("text")), 2)).as("tok"))
+        val est = Sketches.kmvEstimate(col("sk"), k)
+        toks.groupBy("lang")
+          .agg(Sketches.kmvSketch(Sketches.hash60(col("tok")), k).as("sk"),
+            countDistinct(col("tok")).as("exact_distinct"))
+          .select(col("lang"),
+            size(col("sk")).as("sk_size"),
+            Sketches.sketchChecksum(col("sk")).as("sk_checksum"),
+            Fmt.trunc(est, 6).as("est_distinct"),
+            col("exact_distinct"),
+            Fmt.trunc(abs(est - col("exact_distinct")) / col("exact_distinct"), 6)
+              .as("rel_err"))
+          .orderBy("lang")
+      },
+      Some {
+        val h = Sketches.hash60Sql("tok")
+        val est = Sketches.kmvEstimateSql("sk", 64)
+        s"""WITH ws0 AS (
+           |  SELECT lang, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |  FROM documents),
+           |toks AS (
+           |  SELECT lang, unnest(CASE WHEN len(ws) >= 2
+           |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           |    ELSE [] END) AS tok
+           |  FROM ws0),
+           |hh AS (SELECT lang, tok, $h AS h FROM toks),
+           |sk AS (SELECT lang, (list_sort(list(DISTINCT h)))[1:64] AS sk,
+           |              count(DISTINCT tok) AS exact_distinct
+           |       FROM hh GROUP BY lang)
+           |SELECT lang,
+           |  CAST(len(sk) AS INT) AS sk_size,
+           |  ${Sketches.sketchChecksumSql("sk")} AS sk_checksum,
+           |  floor(($est) * 1e6 + 1e-6) / 1e6 AS est_distinct,
+           |  exact_distinct,
+           |  floor((abs(($est) - exact_distinct) / exact_distinct) * 1e6 + 1e-6) / 1e6 AS rel_err
+           |FROM sk
+           |ORDER BY lang""".stripMargin
+      }),
+
+    Q("sk2_kmv_merge",
+      "KMV mergeability IN-PLAN — the property that makes the sketch a " +
+        "distributed operator: per-shard sketches (doc_id % 8, standing " +
+        "in for per-partition partials) re-sketched into a per-language " +
+        "merged sketch that must be IDENTICAL to sketching the raw " +
+        "bigram stream directly (the k global minima each survive their " +
+        "shard's k minima — Beyer et al. 2007's multiset-union " +
+        "property). Both arms and the equality flag are oracle-replayed; " +
+        "KmvSketchSpec pins the same identity through Spark's own " +
+        "partial/final aggregation split.",
+      (s, d) => {
+        val k = 64
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), pmod(col("doc_id"), lit(8)).as("shard"),
+            explode(TextOps.wordShingles(TextOps.words(col("text")), 2)).as("tok"))
+          .withColumn("h", Sketches.hash60(col("tok")))
+        val l1 = toks.groupBy("lang", "shard")
+          .agg(Sketches.kmvSketch(col("h"), k).as("sk"))
+        val merged = l1.select(col("lang"), explode(col("sk")).as("uh"))
+          .groupBy("lang")
+          .agg(Sketches.kmvSketch(col("uh"), k).as("sk_merged"))
+        val direct = toks.groupBy("lang")
+          .agg(Sketches.kmvSketch(col("h"), k).as("sk_direct"))
+        val shards = l1.groupBy("lang").agg(count(lit(1)).as("n_shards"))
+        merged.join(direct, Seq("lang")).join(shards, Seq("lang"))
+          .select(col("lang"), col("n_shards"),
+            Sketches.sketchChecksum(col("sk_merged")).as("merged_checksum"),
+            Sketches.sketchChecksum(col("sk_direct")).as("direct_checksum"),
+            (col("sk_merged") === col("sk_direct")).as("identical"))
+          .orderBy("lang")
+      },
+      Some {
+        val h = Sketches.hash60Sql("tok")
+        s"""WITH ws0 AS (
+           |  SELECT lang, doc_id % 8 AS shard,
+           |         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |  FROM documents),
+           |toks AS (
+           |  SELECT lang, shard, unnest(CASE WHEN len(ws) >= 2
+           |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           |    ELSE [] END) AS tok
+           |  FROM ws0),
+           |hh AS (SELECT lang, shard, $h AS h FROM toks),
+           |l1 AS (SELECT lang, shard, (list_sort(list(DISTINCT h)))[1:64] AS sk
+           |       FROM hh GROUP BY lang, shard),
+           |mg AS (SELECT lang, (list_sort(list(DISTINCT uh)))[1:64] AS sk_merged
+           |       FROM (SELECT lang, unnest(sk) AS uh FROM l1) GROUP BY lang),
+           |dr AS (SELECT lang, (list_sort(list(DISTINCT h)))[1:64] AS sk_direct
+           |       FROM hh GROUP BY lang),
+           |sh AS (SELECT lang, count(*) AS n_shards FROM l1 GROUP BY lang)
+           |SELECT mg.lang, sh.n_shards,
+           |  ${Sketches.sketchChecksumSql("sk_merged")} AS merged_checksum,
+           |  ${Sketches.sketchChecksumSql("sk_direct")} AS direct_checksum,
+           |  sk_merged = sk_direct AS identical
+           |FROM mg JOIN dr ON mg.lang = dr.lang JOIN sh ON mg.lang = sh.lang
+           |ORDER BY mg.lang""".stripMargin
+      }),
 
     Q("ss1_cosine_topk",
       "Brute-force exact cosine top-5 per query (every 100th vector as " +

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Sketches
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refSketch(hs: Seq[Long], k: Int): Seq[Long] =
+    hs.distinct.sorted.take(k)
+
+  test("kmvSketch ≡ sorted-distinct-take-k reference across partitionings (merge path exercised)") {
+    val rnd = new scala.util.Random(11)
+    // duplicates on purpose: distinctness inside the sketch is load-bearing
+    val vals = Seq.fill(500)(rnd.nextLong(1L << 60)) ++
+      Seq.fill(200)(rnd.nextLong(40) + 7)
+    for (k <- Seq(2, 16, 64); parts <- Seq(1, 7)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(Sketches.kmvSketch(col("h"), k).as("sk"))
+        .as[Seq[Long]].head()
+      assert(got === refSketch(vals, k), s"k=$k parts=$parts")
+    }
+  }
+
+  test("kmvSketch below saturation returns the whole distinct set; nulls ignored; empty input → empty array") {
+    val got = Seq[java.lang.Long](9L, 3L, null, 3L, 1L).toDF("h")
+      .agg(Sketches.kmvSketch(col("h"), 64)).as[Seq[Long]].head()
+    assert(got === Seq(1L, 3L, 9L))
+    val empty = Seq.empty[Long].toDF("h")
+      .agg(Sketches.kmvSketch(col("h"), 64)).as[Seq[Long]].head()
+    assert(empty === Seq.empty[Long])
+  }
+
+  test("grouped sketches: per-group k-minima, saturation displaces only strictly-larger maxima") {
+    val rows = (1L to 100L).map(i => ("a", i)) ++ Seq(("b", 5L), ("b", 5L), ("b", 2L))
+    val got = rows.toDF("g", "h").groupBy("g")
+      .agg(Sketches.kmvSketch(col("h"), 8).as("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("a") === (1L to 8L))
+    assert(got("b") === Seq(2L, 5L))
+  }
+
+  test("two-level merge (sketch of shard sketches) ≡ direct sketch — the sk2 in-plan identity") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(3000)((rnd.nextInt(8), rnd.nextLong(1L << 60)))
+    val df = rows.toDF("shard", "h").cache()
+    try {
+      val k = 32
+      val l1 = df.groupBy("shard").agg(Sketches.kmvSketch(col("h"), k).as("sk"))
+      val merged = l1.select(explode(col("sk")).as("uh"))
+        .agg(Sketches.kmvSketch(col("uh"), k)).as[Seq[Long]].head()
+      val direct = df.agg(Sketches.kmvSketch(col("h"), k)).as[Seq[Long]].head()
+      assert(merged === direct)
+      assert(direct === refSketch(rows.map(_._2), k))
+    } finally { df.unpersist(blocking = false); () }
+  }
+
+  test("kmvEstimate: exact below saturation, within ~4/sqrt(k) relative error at 100x saturation") {
+    val k = 64
+    // below saturation: estimate IS the distinct size
+    val small = (1L to 20L).map(h => h * (1L << 40)).toDF("h")
+      .agg(Sketches.kmvEstimate(Sketches.kmvSketch(col("h"), k), k))
+      .as[Double].head()
+    assert(small === 20.0)
+    // saturated: 6400 distinct md5-hashed values (the real hash space)
+    val n = 6400
+    val est = (1 to n).map(i => s"tok_$i").toDF("tok")
+      .agg(Sketches.kmvEstimate(
+        Sketches.kmvSketch(Sketches.hash60(col("tok")), k), k))
+      .as[Double].head()
+    val relErr = math.abs(est - n) / n
+    assert(relErr < 4.0 / math.sqrt(k.toDouble), s"est=$est relErr=$relErr")
+  }
+
+  test("hash60 stays in [0, 2^60) and matches the documented conv recipe") {
+    val hs = Seq("a", "b", "", "newline\nbearing").toDF("tok")
+      .select(Sketches.hash60(col("tok"))).as[Long].collect()
+    assert(hs.forall(h => h >= 0L && h < (1L << 60)))
+    // independent recipe check for one value: first 15 md5 hex chars
+    val exp = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("a".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    assert(hs(0) === exp)
+  }
+
+  test("kmv_sketch rejects non-long input with the hash-space hint") {
+    val e = intercept[Exception] {
+      Seq("x").toDF("tok").agg(Sketches.kmvSketch(col("tok"), 8)).collect()
+    }
+    assert(e.getMessage.contains("kmv_sketch") || e.getMessage.contains("LONG")
+      || e.getMessage.toLowerCase.contains("datatype mismatch"))
+  }
+}
