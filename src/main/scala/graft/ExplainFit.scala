@@ -78,7 +78,8 @@ object ExplainFit {
           "== data-carrying batch (state store / watermark machinery —\n" +
           "== the shape every batch executes) ==\n" +
           batch +
-          "\n== final result read (memory-sink table) ==\n" + fmt(df))
+          "\n== final result read (memory-sink table / foreachBatch partials) ==\n" +
+          fmt(df))
     }
 
     // iterative queries: first + last round from the plan hook over the

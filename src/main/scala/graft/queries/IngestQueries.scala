@@ -84,11 +84,20 @@ object IngestQueries extends Q.Registry {
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    // StreamingQuery.explain prints (Scala Console) — capture the text.
-    // Poll for the first DATA-CARRYING batch while the bounded stream
-    // runs: AvailableNow often ends on an empty commit batch, and
-    // capturing only at termination would record an <empty> source scan
-    // instead of the real file-scan-fed stateful plan.
+    capturePlanWhileActive(q)
+    s.table(sink)
+  }
+
+  /** Drive a started bounded stream to completion while polling its
+    * micro-batch plan into [[lastStreamPlan]] — shared by the
+    * memory-sink runner above and the foreachBatch runners (st4).
+    * StreamingQuery.explain prints (Scala Console) — capture the text.
+    * Poll for the first DATA-CARRYING batch while the bounded stream
+    * runs: AvailableNow often ends on an empty commit batch, and
+    * capturing only at termination would record an <empty> source scan
+    * instead of the real file-scan-fed stateful plan. */
+  private[queries] def capturePlanWhileActive(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     def explainNow(): String = {
       val buf = new java.io.ByteArrayOutputStream()
       Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
@@ -130,7 +139,6 @@ object IngestQueries extends Q.Registry {
           "FileScan): the stream terminated before a data batch rendered; " +
           "lastStreamPlan holds the trailing <empty>-source batch")
     lastStreamPlan = Some(captured)
-    s.table(sink)
   }
 
   val all: Seq[Q] = Seq(
@@ -294,21 +302,48 @@ object IngestQueries extends Q.Registry {
         "unbounded streams, joined on their 1-hour event-time window " +
         "(the state-cleanup-eligible shape — join state is bounded by " +
         "the watermark horizon per side). Readings = every 83rd " +
-        "event's value as that tick's observation. Oracle: the batch " +
+        "event's value as that tick's observation. Each micro-batch " +
+        "PARTIALLY aggregates its joined rows (count + sums per hour) " +
+        "in foreachBatch and the query re-aggregates the partials — " +
+        "the sink holds (hours x batches) rows, never the raw join " +
+        "output, whose volume is quadratic-per-hour in event density " +
+        "(the memory-sink form materialized every joined row driver-" +
+        "side and wedged at sf1). avg = sum/count re-associated; the " +
+        "bike sums are integer-exact in a double, and the temperature " +
+        "re-association ulps sit far under the trunc-6 display fudge " +
+        "like every distributed avg in the suite. Oracle: the batch " +
         "restatement of the identical hour-bucket inner join.",
       (s, d) => {
-        import org.apache.spark.sql.functions.{avg, col, count, lit}
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
         val status = eventsStream(s, d)
         val readings = readingsStream(s, d)
         val joined = graft.streaming.MicroBatchIngest
           .hourlyStreamJoin(status, readings)
           .select(col("hour_window.start").as("hour_start"),
             col("bikes_available"), col("temperature"))
-        runToMemory(s, joined, "st4_out_", "append")
+        val stage = java.nio.file.Files.createTempDirectory("graft_st4_")
+        val outDir = stage.resolve("partials").toString
+        val q = joined.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", stage.resolve("ckpt").toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.groupBy("hour_start")
+              .agg(count(lit(1)).as("n"),
+                sum("bikes_available").as("sum_bikes"),
+                sum("temperature").as("sum_temp"))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        capturePlanWhileActive(q)
+        // partials/ outlives the returned frame's lazy read; the
+        // checkpoint state is per-run scratch (the st7 cleanup note)
+        graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
+        s.read.parquet(outDir)
           .groupBy("hour_start")
-          .agg(count(lit(1)).as("n_pairs"),
-            Fmt.trunc(avg(col("bikes_available")), 6).as("avg_bikes"),
-            Fmt.trunc(avg(col("temperature")), 6).as("avg_temp"))
+          .agg(sum("n").as("n_pairs"),
+            Fmt.trunc(sum("sum_bikes") / sum("n"), 6).as("avg_bikes"),
+            Fmt.trunc(sum("sum_temp") / sum("n"), 6).as("avg_temp"))
           .orderBy("hour_start")
       },
       Some(enrSql +
