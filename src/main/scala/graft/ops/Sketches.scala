@@ -3,13 +3,14 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.KmvSketchAgg
+import graft.functions.{HllSketchAgg, KmvSketchAgg}
 
-/** Column API over the KMV distinct-count sketch
-  * ([[graft.functions.KmvSketchAgg]]) plus the shared 60-bit portable
-  * hash both engines agree on. See the aggregate's scaladoc for the
-  * algorithm, provenance and 100 TB posture; this object is the thin
-  * declarative surface the queries (sk1/sk2) and oracle SQL mirror.
+/** Column API over the distinct-count sketches
+  * ([[graft.functions.KmvSketchAgg]], [[graft.functions.HllSketchAgg]])
+  * plus the shared 60-bit portable hash both engines agree on. See the
+  * aggregates' scaladoc for algorithm, provenance and 100 TB posture;
+  * this object is the thin declarative surface the queries (sk1-sk3)
+  * and oracle SQL mirror.
   */
 object Sketches {
 
@@ -54,4 +55,85 @@ object Sketches {
   /** SQL mirror of [[sketchChecksum]]. */
   def sketchChecksumSql(sketch: String): String =
     s"md5(array_to_string(list_transform($sketch, h -> CAST(h AS VARCHAR)), ','))"
+
+  // ---- KMV multiset operations (sk4) ------------------------------------
+
+  /** Union sketch of two KMV sketches over the same hash space: the k
+    * smallest of the merged distinct minima — Beyer et al. 2007's
+    * closure property (each global minimum survives its own side's k
+    * minima, so the union's sketch is exactly recoverable from the
+    * two sketches). */
+  def kmvUnionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** How many of the union sketch's values belong to BOTH input
+    * sketches — the match count whose fraction of |mk| estimates the
+    * Jaccard similarity (and, times [[kmvEstimate]] of the union
+    * sketch, the intersection cardinality). */
+  def kmvMatchCount(mk: Column, a: Column, b: Column): Column =
+    size(filter(mk, h => array_contains(a, h) && array_contains(b, h)))
+
+  // ---- HyperLogLog (sk3) ------------------------------------------------
+
+  /** The HLL register-array aggregate: m = 2^p byte registers holding
+    * per-bucket max rank, emitted as an int array in bucket order. */
+  def hllSketch(hashed: Column, p: Int): Column =
+    HllSketchAgg.column(hashed, p)
+
+  /** Flajolet et al. 2007 §4's bias-correction constant α_m. */
+  def hllAlpha(p: Int): Double = (1 << p) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case m  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Cardinality estimate from an HLL register array: the raw
+    * harmonic-mean form E = α_m·m² / Σ 2^(−M_j), with the paper's
+    * small-range correction (linear counting m·ln(m/V) when E ≤ 2.5m
+    * and V = #zero registers > 0). Pure double arithmetic in a fixed
+    * left-to-right fold over the registers, so the oracle's
+    * `list_reduce` replays the identical rounding sequence (0.0+x₁ ≡ x₁
+    * bit-exact, so Spark's zero-seeded fold matches DuckDB's
+    * first-element-seeded one); the sub-ulp ln() divergence between
+    * libms is absorbed by the callers' trunc-6 display fudge. */
+  def hllEstimate(regs: Column, p: Int): Column = {
+    val m = 1 << p
+    val amm = hllAlpha(p) * m * m
+    val harmonic = aggregate(regs, lit(0.0),
+      (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+    val raw = lit(amm) / harmonic
+    val zeros = size(filter(regs, r => r === 0))
+    when(raw <= lit(2.5 * m) && zeros > lit(0),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
+  /** SQL mirror of [[hllEstimate]] over a list-typed register array.
+    * Same fold order, same decimal literals (Scala Double.toString
+    * round-trips to the identical IEEE value in DuckDB's parser). */
+  def hllEstimateSql(regs: String, p: Int): String = {
+    val m = 1 << p
+    val amm = hllAlpha(p) * m * m
+    val harmonic = s"list_reduce(list_transform($regs, " +
+      s"r -> power(2.0, -CAST(r AS DOUBLE))), (a, b) -> a + b)"
+    val zeros = s"len(list_filter($regs, r -> r = 0))"
+    s"CASE WHEN ($amm / $harmonic) <= ${2.5 * m} AND $zeros > 0 " +
+      s"THEN ${m.toDouble} * ln(${m.toDouble} / CAST($zeros AS DOUBLE)) " +
+      s"ELSE $amm / $harmonic END"
+  }
+
+  /** SQL for the (bucket, rho) pair [[graft.functions.HllSketchAgg]]
+    * computes per hash: bucket = top p bits via integer division, ρ =
+    * leading zeros of the w-bit remainder + 1 via the minimal-binary-
+    * string length (len(bin(rem)) = ⌊log₂ rem⌋ + 1, exact integer
+    * arithmetic — no floating log₂ edge cases at powers of two). */
+  def hllRhoSql(hashExpr: String, p: Int): (String, String) = {
+    val w = 60 - p
+    val div = 1L << w
+    val bucket = s"CAST(($hashExpr) // $div AS INT)"
+    val rho = s"CASE WHEN ($hashExpr) % $div = 0 THEN ${w + 1} " +
+      s"ELSE ${w + 1} - length(ltrim(bin(($hashExpr) % $div), '0')) END"
+    (bucket, rho)
+  }
 }

@@ -1275,6 +1275,195 @@ object LlmQueries extends Q.Registry {
            |ORDER BY mg.lang""".stripMargin
       }),
 
+    Q("sk3_hll_distinct",
+      "Per-(language, gram order) distinct-count via the HyperLogLog " +
+        "sketch (Flajolet et al. 2007) — m = 256 one-byte registers of " +
+        "per-bucket max rank vs KMV's k·8-byte minima: ~16x less " +
+        "aggregation state for the same ~1/sqrt(m) error class, the " +
+        "cheapest mergeable distinct-count a 100 TB group-by ships. " +
+        "Unigrams (~31 distinct/lang) drive the small-range " +
+        "linear-counting arm, bigrams (~900/lang) the raw " +
+        "harmonic-mean arm, so the ORACLE replays both corrections. " +
+        "The full register array is rebuilt in SQL (bucket = top-8 " +
+        "hash bits by integer division, rank via minimal-binary-string " +
+        "length, a 256-bucket spine join) and hash-checked — register " +
+        "maxima are layout-invariant, so the sketch content is exact " +
+        "cross-engine, not just the estimate.",
+      (s, d) => {
+        val p = 8
+        val ws = TextOps.words(col("text"))
+        val docs = Tables.documents(s, d)
+        val toks = docs
+          .select(col("lang"), lit(1).as("gram_n"), explode(ws).as("tok"))
+          .union(docs.select(col("lang"), lit(2).as("gram_n"),
+            explode(TextOps.wordShingles(ws, 2)).as("tok")))
+        val m = 1 << p
+        val est = Sketches.hllEstimate(col("regs"), p)
+        val amm = Sketches.hllAlpha(p) * m * m
+        val harmonic = aggregate(col("regs"), lit(0.0),
+          (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+        val zeros = size(filter(col("regs"), r => r === 0))
+        toks.groupBy("lang", "gram_n")
+          .agg(Sketches.hllSketch(Sketches.hash60(col("tok")), p).as("regs"),
+            countDistinct(col("tok")).as("exact_distinct"))
+          .select(col("lang"), col("gram_n"),
+            size(col("regs")).as("m_registers"),
+            size(filter(col("regs"), r => r > 0)).as("nonzero_regs"),
+            Sketches.sketchChecksum(col("regs")).as("reg_checksum"),
+            Fmt.trunc(est, 6).as("est_distinct"),
+            col("exact_distinct"),
+            Fmt.trunc(abs(est - col("exact_distinct")) / col("exact_distinct"), 6)
+              .as("rel_err"),
+            (lit(amm) / harmonic <= lit(2.5 * m) && zeros > lit(0))
+              .as("linear_arm"))
+          .orderBy("lang", "gram_n")
+      },
+      Some {
+        val p = 8
+        val m = 1 << p
+        val h = Sketches.hash60Sql("tok")
+        val (bucket, rho) = Sketches.hllRhoSql("h", p)
+        val est = Sketches.hllEstimateSql("regs", p)
+        val amm = Sketches.hllAlpha(p) * m * m
+        val harmonic = "list_reduce(list_transform(regs, " +
+          "r -> power(2.0, -CAST(r AS DOUBLE))), (a, b) -> a + b)"
+        val zeros = "len(list_filter(regs, r -> r = 0))"
+        s"""WITH ws0 AS (
+           |  SELECT lang, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |  FROM documents),
+           |toks AS (
+           |  SELECT lang, 1 AS gram_n, unnest(ws) AS tok FROM ws0
+           |  UNION ALL
+           |  SELECT lang, 2 AS gram_n, unnest(CASE WHEN len(ws) >= 2
+           |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           |    ELSE [] END) AS tok
+           |  FROM ws0),
+           |hh AS (SELECT lang, gram_n, tok, $h AS h FROM toks),
+           |br AS (SELECT lang, gram_n, $bucket AS bucket, $rho AS rho FROM hh),
+           |mx AS (SELECT lang, gram_n, bucket, max(rho) AS mr
+           |       FROM br GROUP BY lang, gram_n, bucket),
+           |grp AS (SELECT DISTINCT lang, gram_n FROM toks),
+           |spine AS (SELECT g.lang, g.gram_n, r.bucket
+           |          FROM grp g CROSS JOIN range($m) r(bucket)),
+           |rg AS (SELECT s.lang, s.gram_n,
+           |         list(coalesce(mx.mr, 0) ORDER BY s.bucket) AS regs
+           |       FROM spine s LEFT JOIN mx ON mx.lang = s.lang
+           |         AND mx.gram_n = s.gram_n AND mx.bucket = s.bucket
+           |       GROUP BY s.lang, s.gram_n),
+           |ex AS (SELECT lang, gram_n, count(DISTINCT tok) AS exact_distinct
+           |       FROM toks GROUP BY lang, gram_n)
+           |SELECT rg.lang, rg.gram_n,
+           |  CAST(len(regs) AS INT) AS m_registers,
+           |  CAST(len(list_filter(regs, r -> r > 0)) AS INT) AS nonzero_regs,
+           |  ${Sketches.sketchChecksumSql("regs")} AS reg_checksum,
+           |  floor(($est) * 1e6 + 1e-6) / 1e6 AS est_distinct,
+           |  exact_distinct,
+           |  floor((abs(($est) - exact_distinct) / exact_distinct) * 1e6 + 1e-6) / 1e6 AS rel_err,
+           |  ($amm / $harmonic) <= ${2.5 * m} AND $zeros > 0 AS linear_arm
+           |FROM rg JOIN ex ON rg.lang = ex.lang AND rg.gram_n = ex.gram_n
+           |ORDER BY rg.lang, rg.gram_n""".stripMargin
+      }),
+
+    Q("sk4_kmv_set_ops",
+      "KMV MULTISET operations (Beyer et al., SIGMOD 2007 §4-5): " +
+        "union, intersection and Jaccard ESTIMATES for two sets from " +
+        "their sketches alone — the primitive that compares corpus " +
+        "vocabularies at 100 TB without ever joining raw data (two " +
+        "k-long arrays meet, not two token streams). Per language, " +
+        "the bigram sets of even- vs odd-numbered documents (heavy " +
+        "real overlap: same vocabulary, split corpora): union sketch " +
+        "= k smallest of the merged minima, match fraction in it " +
+        "estimates Jaccard, intersection = Jaccard x union estimate. " +
+        "Exact n_even/n_odd/n_inter/n_union ride along from the same " +
+        "distinct-(lang,tok) grain (one pass, membership flags), so " +
+        "the oracle hash-checks estimates AND ground truth. Both " +
+        "levels aggregate distinct grains — two bounded shuffles, " +
+        "sketch arrays never leave their group.",
+      (s, d) => {
+        val k = 64
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), pmod(col("doc_id"), lit(2)).as("parity"),
+            explode(TextOps.wordShingles(TextOps.words(col("text")), 2)).as("tok"))
+        // distinct-(lang, tok) grain with side-membership flags: the
+        // sketch only sees distinct hashes anyway, and the exact
+        // set-op counts need exactly this grain — one shared pass
+        val grain = toks.groupBy("lang", "tok")
+          .agg(max(when(col("parity") === 0, lit(1)).otherwise(lit(0))).as("in_even"),
+            max(when(col("parity") === 1, lit(1)).otherwise(lit(0))).as("in_odd"))
+          .withColumn("h", Sketches.hash60(col("tok")))
+        val agg = grain.groupBy("lang")
+          .agg(
+            Sketches.kmvSketch(when(col("in_even") === 1, col("h")), k).as("sk_even"),
+            Sketches.kmvSketch(when(col("in_odd") === 1, col("h")), k).as("sk_odd"),
+            sum(col("in_even")).as("n_even"),
+            sum(col("in_odd")).as("n_odd"),
+            sum(col("in_even") * col("in_odd")).as("n_inter_exact"))
+          .withColumn("mk",
+            Sketches.kmvUnionSketch(col("sk_even"), col("sk_odd"), k))
+          .withColumn("matches",
+            Sketches.kmvMatchCount(col("mk"), col("sk_even"), col("sk_odd")))
+          .withColumn("n_union_exact",
+            col("n_even") + col("n_odd") - col("n_inter_exact"))
+        val jacc = col("matches") / size(col("mk"))
+        val unionEst = Sketches.kmvEstimate(col("mk"), k)
+        agg.select(col("lang"), col("matches"), size(col("mk")).as("mk_size"),
+            Fmt.trunc(jacc, 6).as("jaccard_est"),
+            Fmt.trunc(col("n_inter_exact") / col("n_union_exact"), 6)
+              .as("jaccard_exact"),
+            Fmt.trunc(unionEst, 6).as("union_est"),
+            col("n_union_exact"),
+            Fmt.trunc(jacc * unionEst, 6).as("inter_est"),
+            col("n_inter_exact"))
+          .orderBy("lang")
+      },
+      Some {
+        val h = Sketches.hash60Sql("tok")
+        val unionEst = Sketches.kmvEstimateSql("mk", 64)
+        s"""WITH ws0 AS (
+           |  SELECT lang, doc_id % 2 AS parity,
+           |         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |  FROM documents),
+           |toks AS (
+           |  SELECT lang, parity, unnest(CASE WHEN len(ws) >= 2
+           |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           |    ELSE [] END) AS tok
+           |  FROM ws0),
+           |grain AS (
+           |  SELECT lang, tok,
+           |    max(CASE WHEN parity = 0 THEN 1 ELSE 0 END) AS in_even,
+           |    max(CASE WHEN parity = 1 THEN 1 ELSE 0 END) AS in_odd
+           |  FROM toks GROUP BY lang, tok),
+           |hh AS (SELECT lang, in_even, in_odd, $h AS h FROM grain),
+           |ag AS (
+           |  SELECT lang,
+           |    (list_sort(list(DISTINCT h) FILTER (WHERE in_even = 1)))[1:64] AS sk_even,
+           |    (list_sort(list(DISTINCT h) FILTER (WHERE in_odd = 1)))[1:64] AS sk_odd,
+           |    CAST(sum(in_even) AS BIGINT) AS n_even,
+           |    CAST(sum(in_odd) AS BIGINT) AS n_odd,
+           |    CAST(sum(in_even * in_odd) AS BIGINT) AS n_inter_exact
+           |  FROM hh GROUP BY lang),
+           |mx AS (
+           |  SELECT lang, sk_even, sk_odd, n_even, n_odd, n_inter_exact,
+           |    (list_sort(list_distinct(sk_even || sk_odd)))[1:64] AS mk,
+           |    n_even + n_odd - n_inter_exact AS n_union_exact
+           |  FROM ag),
+           |sc AS (
+           |  SELECT lang, mk, n_inter_exact, n_union_exact,
+           |    len(list_filter(mk, x -> list_contains(sk_even, x)
+           |      AND list_contains(sk_odd, x))) AS matches
+           |  FROM mx)
+           |SELECT lang, CAST(matches AS INT) AS matches,
+           |  CAST(len(mk) AS INT) AS mk_size,
+           |  floor((CAST(matches AS DOUBLE) / len(mk)) * 1e6 + 1e-6) / 1e6 AS jaccard_est,
+           |  floor((CAST(n_inter_exact AS DOUBLE) / n_union_exact) * 1e6 + 1e-6) / 1e6 AS jaccard_exact,
+           |  floor(($unionEst) * 1e6 + 1e-6) / 1e6 AS union_est,
+           |  n_union_exact,
+           |  floor(((CAST(matches AS DOUBLE) / len(mk)) * ($unionEst)) * 1e6 + 1e-6) / 1e6 AS inter_est,
+           |  n_inter_exact
+           |FROM sc
+           |ORDER BY lang""".stripMargin
+      }),
+
     Q("ss1_cosine_topk",
       "Brute-force exact cosine top-5 per query (every 100th vector as " +
         "query, broadcast): the ANN baseline. Double-precision " +

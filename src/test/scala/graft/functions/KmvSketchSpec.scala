@@ -86,6 +86,47 @@ class KmvSketchSpec extends SparkSpec {
     assert(hs(0) === exp)
   }
 
+  test("kmvUnionSketch closure: union sketch from two sketches ≡ sketch of the concatenated stream; matches are exact") {
+    val k = 32
+    val a = (1L to 200L).map(_ * 7)
+    val b = (1L to 200L).map(_ * 10) // overlaps a at multiples of 70
+    val skA = refSketch(a, k)
+    val skB = refSketch(b, k)
+    val row = Seq((skA, skB)).toDF("sa", "sb")
+      .withColumn("mk", Sketches.kmvUnionSketch(col("sa"), col("sb"), k))
+      .select(col("mk"),
+        Sketches.kmvMatchCount(col("mk"), col("sa"), col("sb")).as("m"))
+      .as[(Seq[Long], Int)].head()
+    assert(row._1 === refSketch(a ++ b, k))
+    assert(row._2 === row._1.count(h => skA.contains(h) && skB.contains(h)))
+  }
+
+  test("set-op estimates: Jaccard / union / intersection from sketches within ~4/sqrt(k) on md5-hashed sets with 1/3 overlap") {
+    val k = 64
+    // 2000 shared + 2000 each side only → Jaccard = 2000/6000 = 1/3
+    val shared = (1 to 2000).map(i => s"sh_$i")
+    val aToks = shared ++ (1 to 2000).map(i => s"a_$i")
+    val bToks = shared ++ (1 to 2000).map(i => s"b_$i")
+    val df = aToks.map(t => (t, 1, 0)).union(bToks.map(t => (t, 0, 1)))
+      .toDF("tok", "in_a", "in_b")
+    val agg = df
+      .select(Sketches.hash60(col("tok")).as("h"), col("in_a"), col("in_b"))
+      .agg(
+        Sketches.kmvSketch(when(col("in_a") === 1, col("h")), k).as("sa"),
+        Sketches.kmvSketch(when(col("in_b") === 1, col("h")), k).as("sb"))
+      .withColumn("mk", Sketches.kmvUnionSketch(col("sa"), col("sb"), k))
+      .select(
+        (Sketches.kmvMatchCount(col("mk"), col("sa"), col("sb")) /
+          size(col("mk"))).as("jacc"),
+        Sketches.kmvEstimate(col("mk"), k).as("uEst"))
+      .as[(Double, Double)].head()
+    val (jacc, uEst) = agg
+    val tol = 4.0 / math.sqrt(k.toDouble)
+    assert(math.abs(jacc - 1.0 / 3.0) < tol, s"jacc=$jacc")
+    assert(math.abs(uEst - 6000.0) / 6000.0 < tol, s"uEst=$uEst")
+    assert(math.abs(jacc * uEst - 2000.0) / 2000.0 < 2 * tol, s"interEst=${jacc * uEst}")
+  }
+
   test("kmv_sketch rejects non-long input with the hash-space hint") {
     val e = intercept[Exception] {
       Seq("x").toDF("tok").agg(Sketches.kmvSketch(col("tok"), 8)).collect()
