@@ -104,6 +104,40 @@ object Sampling {
         coalesce(col("cum_before") < shardBudget, lit(false)))
   }
 
+  /** Efraimidis–Spirakis weighted-sampling key (Information Processing
+    * Letters 97(5), 2006, "Weighted random sampling with a reservoir"):
+    * key = u^(1/w) with u uniform on (0, 1]; the k LARGEST keys form a
+    * weighted sample WITHOUT replacement where each row's inclusion
+    * odds are proportional to its weight — the one-pass, rank-only
+    * restatement of weighted draws that a distributed engine can run
+    * as a window top-k. u is md5-derived ((hash60(id)+1)/2^60, exactly
+    * representable scaling) instead of rand(): deterministic,
+    * layout-invariant, SQL-restatable — the same audit property as
+    * [[sampleKey]]. Weight must be strictly positive. */
+  def weightedKey(id: Column, weight: Column): Column =
+    pow(
+      (graft.ops.Sketches.hash60(id.cast("string")) + lit(1L)).cast("double") /
+        lit(math.pow(2.0, 60)),
+      lit(1.0) / weight)
+
+  /** Weighted stratified sample: the k largest [[weightedKey]]s per
+    * stratum (ties broken by id), with `es_key` and the 1-based rank
+    * `rk` on the surviving rows. One window shuffle on the stratum
+    * key — [[stratifiedQuota]]'s topology with the E-S key as the
+    * order. At uniform weights this IS a uniform sample without
+    * replacement (u^1 keeps the hash order). */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"quota must be positive, got $k")
+    val clash = df.columns.filter(Seq("es_key", "rk").contains)
+    require(clash.isEmpty,
+      s"input already has output column(s) ${clash.mkString(", ")} — rename them first")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("es_key").desc, col(idCol))
+    df.withColumn("es_key", weightedKey(col(idCol), weight))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Deterministic train/val/test split: the id hashes into one of 100
     * buckets (first 8 md5 hex chars mod 100); cumulative `weights`
     * cut-points map buckets to the labeled splits. Map-side only.

@@ -73,6 +73,23 @@ object Sketches {
   def kmvMatchCount(mk: Column, a: Column, b: Column): Column =
     size(filter(mk, h => array_contains(a, h) && array_contains(b, h)))
 
+  // ---- Count-min sketch (sk5) -------------------------------------------
+
+  /** Count-min bucket for one sketch row (Cormode & Muthukrishnan,
+    * J. Algorithms 55(1), 2005): the row index salts the shared md5
+    * hash (`"r:item"`), giving d independent-enough bucket functions
+    * from the one portable hash both engines replay. The CMS itself
+    * is a (row, bucket) → count TABLE here, not a driver array — at
+    * corpus scale the build is one bounded map-side-combining shuffle
+    * to d·w rows, and point queries broadcast-join that fixed-size
+    * table. */
+  def cmsBucket(row: Column, item: Column, width: Int): Column =
+    pmod(hash60(concat_ws(":", row, item)), lit(width))
+
+  /** SQL mirror of [[cmsBucket]]. */
+  def cmsBucketSql(rowExpr: String, itemExpr: String, width: Int): String =
+    s"${hash60Sql(s"concat_ws(':', $rowExpr, $itemExpr)")} % $width"
+
   // ---- HyperLogLog (sk3) ------------------------------------------------
 
   /** The HLL register-array aggregate: m = 2^p byte registers holding

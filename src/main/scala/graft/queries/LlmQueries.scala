@@ -329,12 +329,14 @@ object LlmQueries extends Q.Registry {
     * these formulas (TextOps, tx2, llm1) can never drift apart in SQL. */
   private def stopHitsSql(stops: Seq[String]): String =
     s"len(list_filter(ws, w -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], w)))"
-  private def qualitySqlExpr: String = {
+  private def qualitySqlExprRaw: String = {
     val en = stopHitsSql(TextOps.StopEn)
-    s"""floor((((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.3 END) +
+    s"""(((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.3 END) +
        |          (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) < 0.2 THEN 1.0 ELSE 0.4 END) +
-       |          (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0) * 1e6 + 1e-6) / 1e6""".stripMargin
+       |          (CASE WHEN CAST($en AS DOUBLE) / len(ws) > 0.02 THEN 1.0 ELSE 0.5 END)) / 3.0)""".stripMargin
   }
+  private def qualitySqlExpr: String =
+    s"floor(($qualitySqlExprRaw) * 1e6 + 1e-6) / 1e6"
   private def langPredSqlExpr: String = {
     // script hits mirror TextOps.scriptHits: same literal character-
     // range pattern text, evaluated by RE2 over the same word array
@@ -1464,6 +1466,71 @@ object LlmQueries extends Q.Registry {
            |ORDER BY lang""".stripMargin
       }),
 
+    Q("sk5_cms_heavy_hitters",
+      "Count-min sketch frequency estimates for the corpus's top-20 " +
+        "words (Cormode & Muthukrishnan 2005) — the bounded-state " +
+        "answer to 'how often does each token occur' at 100 TB: d=4 " +
+        "salted hash rows x w=1024 buckets of occurrence counts, " +
+        "built as a TABLE by one map-side-combining shuffle (d*w rows " +
+        "total regardless of corpus size), probed by a broadcast join " +
+        "and min-over-rows. The sketch NEVER undercounts (est >= " +
+        "exact is a deterministic guarantee, not a tendency) — the " +
+        "oracle replays the whole sketch and hash-checks estimates, " +
+        "exact counts, and the never_under flag per candidate.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val R = 4; val W = 1024
+        val toks = Tables.documents(s, d)
+          .select(explode(TextOps.words(col("text"))).as("tok"))
+        val rowIdx = explode(array((0 until R).map(lit): _*)).as("r")
+        val cms = toks.select(col("tok"), rowIdx)
+          .select(col("r"), Sketches.cmsBucket(col("r"), col("tok"), W).as("bucket"))
+          .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        // candidate set: top-20 by exact count (ties by token) — the
+        // ground truth the estimates are judged against; the global
+        // window is over the distinct vocabulary, not the corpus
+        val cand = exact.withColumn("rk", row_number().over(
+            Window.orderBy(col("exact_cnt").desc, col("tok"))))
+          .filter(col("rk") <= 20)
+        val probes = cand.select(col("tok"), col("exact_cnt"), col("rk"), rowIdx)
+          .select(col("tok"), col("exact_cnt"), col("rk"), col("r"),
+            Sketches.cmsBucket(col("r"), col("tok"), W).as("bucket"))
+        probes.join(broadcast(cms), Seq("r", "bucket"))
+          .groupBy("tok", "exact_cnt", "rk")
+          .agg(min(col("cnt")).as("est_cnt"))
+          .select(col("tok"), col("rk"), col("exact_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("exact_cnt")).as("never_under"),
+            (col("est_cnt") - col("exact_cnt")).as("abs_err"))
+          .orderBy("rk")
+      },
+      Some {
+        val bucket = Sketches.cmsBucketSql("r", "tok", 1024)
+        s"""WITH toks AS (
+           |  SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+           |  FROM documents),
+           |rws AS (SELECT r.r, tok FROM toks CROSS JOIN range(4) r(r)),
+           |cms AS (
+           |  SELECT r, $bucket AS bucket, count(*) AS cnt
+           |  FROM rws GROUP BY r, bucket),
+           |exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+           |cand AS (
+           |  SELECT tok, exact_cnt,
+           |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok) AS INT) AS rk
+           |  FROM exact),
+           |probes AS (
+           |  SELECT t.tok, t.exact_cnt, t.rk, r.r, $bucket AS bucket
+           |  FROM (SELECT * FROM cand WHERE rk <= 20) t CROSS JOIN range(4) r(r)),
+           |est AS (
+           |  SELECT p.tok, p.exact_cnt, p.rk, min(c.cnt) AS est_cnt
+           |  FROM probes p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+           |  GROUP BY p.tok, p.exact_cnt, p.rk)
+           |SELECT tok, rk, exact_cnt, est_cnt,
+           |  est_cnt >= exact_cnt AS never_under,
+           |  est_cnt - exact_cnt AS abs_err
+           |FROM est ORDER BY rk""".stripMargin
+      }),
+
     Q("ss1_cosine_topk",
       "Brute-force exact cosine top-5 per query (every 100th vector as " +
         "query, broadcast): the ANN baseline. Double-precision " +
@@ -1899,6 +1966,49 @@ object LlmQueries extends Q.Registry {
           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
           |  FROM documents)
           |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
+
+    Q("tx19_weighted_sample",
+      "QUALITY-WEIGHTED stratified sampling via Efraimidis-Spirakis " +
+        "keys (IPL 2006): per doc, key = u^(1/quality) with u md5-" +
+        "derived — the k largest keys per language are a weighted " +
+        "sample WITHOUT replacement whose inclusion odds track the " +
+        "tx2 quality score (the curation move that over-samples good " +
+        "text instead of hard-thresholding it). No rand(): the draw " +
+        "is deterministic, layout-invariant, and restated verbatim in " +
+        "SQL, so the oracle hash-checks the exact selection, ranks " +
+        "and keys. Same one-window-shuffle topology as tx4.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("ws", TextOps.words(col("text")))
+          .withColumn("quality",
+            TextOps.qualityScore(col("text"), col("ws")))
+        Sampling.weightedSample(docs, "lang", "doc_id", col("quality"), 20)
+          .select(col("lang"), col("rk"), col("doc_id"),
+            Fmt.trunc(col("quality"), 6).as("quality"),
+            Fmt.trunc(col("es_key"), 6).as("es_key"))
+          .orderBy("lang", "rk")
+      },
+      Some {
+        val h = Sketches.hash60Sql("CAST(doc_id AS VARCHAR)")
+        s"""WITH q AS (
+           |  SELECT lang, doc_id, $qualitySqlExprRaw AS quality
+           |  FROM (SELECT lang, doc_id, text,
+           |          string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |        FROM documents)),
+           |keyed AS (
+           |  SELECT lang, doc_id, quality,
+           |    power(($h + 1) / 1152921504606846976.0, 1.0 / quality) AS es_key
+           |  FROM q),
+           |ranked AS (
+           |  SELECT lang, doc_id, quality, es_key,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY es_key DESC, doc_id) AS INT) AS rk
+           |  FROM keyed)
+           |SELECT lang, rk, doc_id,
+           |  floor(quality * 1e6 + 1e-6) / 1e6 AS quality,
+           |  floor(es_key * 1e6 + 1e-6) / 1e6 AS es_key
+           |FROM ranked WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+      }),
 
     Q("tx6_pack_sequences",
       "Concat-and-chunk sequence packing bookkeeping (the LLM training " +

@@ -127,6 +127,38 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(jacc * uEst - 2000.0) / 2000.0 < 2 * tol, s"interEst=${jacc * uEst}")
   }
 
+  test("cmsBucket: in-range salted buckets, and the CMS never-undercount guarantee holds row-exactly") {
+    val W = 64 // small width → guaranteed collisions, the interesting case
+    val R = 4
+    // a skewed multiset: token t_i appears i times, i = 1..40
+    val rows = (1 to 40).flatMap(i => Seq.fill(i)(s"t_$i"))
+    val toks = rows.toDF("tok")
+    val rIdx = explode(array((0 until R).map(lit): _*)).as("r")
+    val cms = toks.select(col("tok"), rIdx)
+      .select(col("r"), Sketches.cmsBucket(col("r"), col("tok"), W).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val est = exact.select(col("tok"), col("exact_cnt"), rIdx)
+      .select(col("tok"), col("exact_cnt"), col("r"),
+        Sketches.cmsBucket(col("r"), col("tok"), W).as("bucket"))
+      .join(cms, Seq("r", "bucket"))
+      .groupBy("tok", "exact_cnt").agg(min(col("cnt")).as("est_cnt"))
+      .as[(String, Long, Long)].collect()
+    assert(est.length === 40)
+    est.foreach { case (t, ex, e) =>
+      assert(e >= ex, s"CMS undercounted $t: est=$e exact=$ex")
+    }
+    // buckets in range and deterministic across layouts
+    val b1 = toks.distinct().select(col("tok"),
+      Sketches.cmsBucket(lit(2), col("tok"), W).as("b"))
+      .as[(String, Long)].collect().toMap
+    assert(b1.values.forall(b => b >= 0 && b < W))
+    val b2 = toks.distinct().repartition(9).select(col("tok"),
+      Sketches.cmsBucket(lit(2), col("tok"), W).as("b"))
+      .as[(String, Long)].collect().toMap
+    assert(b1 === b2)
+  }
+
   test("kmv_sketch rejects non-long input with the hash-space hint") {
     val e = intercept[Exception] {
       Seq("x").toDF("tok").agg(Sketches.kmvSketch(col("tok"), 8)).collect()

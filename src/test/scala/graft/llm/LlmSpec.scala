@@ -215,6 +215,45 @@ class LlmSpec extends SparkSpec {
     assert(a.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("weightedSample: E-S key formula exact, layout-invariant, extreme weights dominate, uniform weights = hash order") {
+    val df = (1L to 300L).map(i => (s"lang${i % 2}", i)).toDF("lang", "doc_id")
+    // key formula vs an independent Scala restatement for a few ids
+    def refKey(id: Long, w: Double): Double = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      math.pow((h + 1).toDouble / math.pow(2.0, 60), 1.0 / w)
+    }
+    val keys = df.limit(0).sparkSession.range(1, 4).toDF("doc_id")
+      .select(col("doc_id"),
+        Sampling.weightedKey(col("doc_id"), lit(0.7)).as("k"))
+      .as[(Long, Double)].collect().toMap
+    (1L to 3L).foreach(i => assert(keys(i) === refKey(i, 0.7), s"id=$i"))
+    // layout invariance
+    val sel = Sampling.weightedSample(df, "lang", "doc_id", lit(0.5) +
+      (col("doc_id") % 3).cast("double") / 10, 7)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val sel2 = Sampling.weightedSample(df.repartition(11), "lang", "doc_id",
+      lit(0.5) + (col("doc_id") % 3).cast("double") / 10, 7)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(sel === sel2, "selection must not depend on partitioning")
+    assert(sel.groupBy(_._1).forall(_._2.size == 7))
+    // extreme weight ratio: heavy rows (w=1000) crowd out light (w=0.001)
+    val heavy = Sampling.weightedSample(df, "lang", "doc_id",
+      when(col("doc_id") <= 20, 1000.0).otherwise(0.001), 7)
+      .select("doc_id").as[Long].collect()
+    assert(heavy.forall(_ <= 20L), s"light rows beat w-ratio 10^6: ${heavy.mkString(",")}")
+    // k >= stratum size keeps every row (no spurious drops at the rank edge)
+    val uni = Sampling.weightedSample(df, "lang", "doc_id", lit(1.0), 150)
+    assert(uni.count() === 300L)
+    // clash guard: an existing rk/es_key column must be rejected
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df.withColumn("rk", lit(1)), "lang", "doc_id",
+        lit(1.0), 5)
+    }
+  }
+
   test("hashSplit: deterministic, exhaustive labels, proportions near the weights") {
     val ids = (1L to 2000L).toDF("doc_id")
     val split = Sampling.hashSplit(col("doc_id"),
