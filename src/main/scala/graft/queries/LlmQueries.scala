@@ -1531,6 +1531,118 @@ object LlmQueries extends Q.Registry {
            |FROM est ORDER BY rk""".stripMargin
       }),
 
+    Q("sk6_bloom_membership",
+      "Bloom-filter membership (Bloom, CACM 1970) over each language's " +
+        "bigram set — the constant-space set-membership primitive a " +
+        "100 TB pipeline uses to pre-filter joins and dedup probes: " +
+        "k=4 salted hashes set bits in an m=8192 filter (~900 bigrams " +
+        "per language -> ~35% fill; bigrams, because the corpus's 31-" +
+        "word unigram vocabulary is SHARED across languages and would " +
+        "give five identical filters), built as the SORTED DISTINCT " +
+        "POSITION LIST per language (bit-OR of positions is " +
+        "commutative and idempotent, so the filter content is layout-" +
+        "invariant and the oracle hash-checks it whole). Probes: the " +
+        "20 hash-smallest bigrams per language MUST all test positive " +
+        "(no false negatives — a deterministic guarantee, checked in-" +
+        "row), and 20 synthetic absent tokens measure the false-" +
+        "positive count against the fill-ratio theory rate " +
+        "(bits_set/m)^k. One bounded shuffle to at most m positions " +
+        "per group; probes broadcast-join the filter.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val M = 8192; val K = 4
+        val salts = explode(array((0 until K).map(lit): _*)).as("s")
+        def positions(df: DataFrame) = df
+          .select(col("lang"), col("tok"), col("is_present"), salts)
+          .select(col("lang"), col("tok"), col("is_present"),
+            pmod(Sketches.hash60(concat_ws(":", col("s"), col("tok"))), lit(M))
+              .as("pos"))
+        val words = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(TextOps.wordShingles(TextOps.words(col("text")), 2)).as("tok"))
+          .distinct()
+        val bloom = positions(words.withColumn("is_present", lit(true)))
+          .groupBy("lang").agg(
+            array_sort(collect_set(col("pos"))).as("bits"),
+            countDistinct(col("tok")).as("n_words"))
+        val present = words.withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(md5(col("tok")), col("tok"))))
+          .filter(col("rk") <= 20).drop("rk")
+          .withColumn("is_present", lit(true))
+        val absent = words.select(col("lang")).distinct()
+          .select(col("lang"), explode(sequence(lit(1), lit(20))).as("i"))
+          .select(col("lang"),
+            concat_ws("_", lit("zz"), col("lang"), col("i")).as("tok"))
+          .withColumn("is_present", lit(false))
+        val probed = positions(present.unionByName(absent))
+          .join(broadcast(bloom.select(col("lang"), col("bits"))), Seq("lang"))
+          .groupBy("lang", "tok", "is_present")
+          .agg(bool_and(array_contains(col("bits"), col("pos"))).as("positive"))
+        probed.groupBy("lang")
+          .agg(
+            sum(when(col("is_present") && col("positive"), 1).otherwise(0))
+              .as("present_positive"),
+            sum(when(!col("is_present") && col("positive"), 1).otherwise(0))
+              .as("absent_positive"))
+          .join(bloom, Seq("lang"))
+          .select(col("lang"), col("n_words"),
+            size(col("bits")).as("bits_set"),
+            Fmt.trunc(size(col("bits")).cast("double") / M, 6).as("fill_ratio"),
+            Sketches.sketchChecksum(col("bits")).as("bloom_checksum"),
+            col("present_positive"), col("absent_positive"),
+            Fmt.trunc(pow(size(col("bits")).cast("double") / M, K), 6)
+              .as("fp_theory"))
+          .orderBy("lang")
+      },
+      Some {
+        val pos = s"${Sketches.hash60Sql("concat_ws(':', s, tok)")} % 8192"
+        s"""WITH ws0 AS (
+           |  SELECT lang, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |  FROM documents),
+           |words AS (
+           |  SELECT DISTINCT lang, unnest(CASE WHEN len(ws) >= 2
+           |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           |    ELSE [] END) AS tok
+           |  FROM ws0),
+           |wpos AS (
+           |  SELECT lang, tok, $pos AS pos
+           |  FROM words CROSS JOIN range(4) r(s)),
+           |bloom AS (
+           |  SELECT lang, list_sort(list(DISTINCT pos)) AS bits
+           |  FROM wpos GROUP BY lang),
+           |nw AS (SELECT lang, count(DISTINCT tok) AS n_words FROM words GROUP BY lang),
+           |present AS (
+           |  SELECT lang, tok, TRUE AS is_present FROM (
+           |    SELECT lang, tok,
+           |      row_number() OVER (PARTITION BY lang ORDER BY md5(tok), tok) AS rk
+           |    FROM words) WHERE rk <= 20),
+           |absent AS (
+           |  SELECT lang, concat_ws('_', 'zz', lang, i) AS tok, FALSE AS is_present
+           |  FROM (SELECT DISTINCT lang FROM words) CROSS JOIN range(1, 21) t(i)),
+           |probes AS (SELECT * FROM present UNION ALL SELECT * FROM absent),
+           |ppos AS (
+           |  SELECT p.lang, p.tok, p.is_present, $pos AS pos
+           |  FROM probes p CROSS JOIN range(4) r(s)),
+           |tested AS (
+           |  SELECT pp.lang, pp.tok, pp.is_present,
+           |    bool_and(list_contains(b.bits, pp.pos)) AS positive
+           |  FROM ppos pp JOIN bloom b ON b.lang = pp.lang
+           |  GROUP BY pp.lang, pp.tok, pp.is_present),
+           |agg AS (
+           |  SELECT lang,
+           |    CAST(sum(CASE WHEN is_present AND positive THEN 1 ELSE 0 END) AS BIGINT) AS present_positive,
+           |    CAST(sum(CASE WHEN NOT is_present AND positive THEN 1 ELSE 0 END) AS BIGINT) AS absent_positive
+           |  FROM tested GROUP BY lang)
+           |SELECT a.lang, nw.n_words,
+           |  CAST(len(b.bits) AS INT) AS bits_set,
+           |  floor((CAST(len(b.bits) AS DOUBLE) / 8192) * 1e6 + 1e-6) / 1e6 AS fill_ratio,
+           |  ${Sketches.sketchChecksumSql("b.bits")} AS bloom_checksum,
+           |  a.present_positive, a.absent_positive,
+           |  floor(power(CAST(len(b.bits) AS DOUBLE) / 8192, 4) * 1e6 + 1e-6) / 1e6 AS fp_theory
+           |FROM agg a JOIN bloom b ON b.lang = a.lang JOIN nw ON nw.lang = a.lang
+           |ORDER BY a.lang""".stripMargin
+      }),
+
     Q("ss1_cosine_topk",
       "Brute-force exact cosine top-5 per query (every 100th vector as " +
         "query, broadcast): the ANN baseline. Double-precision " +
