@@ -700,7 +700,31 @@ object BenchScale {
       ("tx_lm", (f: Int) => txLm(inflateDocuments(documents, f), f), Linear),
       ("dd_incr", (f: Int) => ddIncr(inflateDocuments(documents, f), f), Constant),
       ("as_global", (f: Int) => asGlobal(inflateEvents(events, f), f), Linear),
-      ("x_logit", (f: Int) => xLogit(inflateDocuments(documents, f), f), Constant))
+      ("x_logit", (f: Int) => xLogit(inflateDocuments(documents, f), f), Constant),
+      ("sk_sketch", (f: Int) => {
+        // distinct-count sketches over the inflated bigram stream: the
+        // input AND the true cardinality grow ×f (replica-prefixed
+        // tokens make every replica's bigrams novel), while the
+        // aggregation state stays k-/m-bounded per group — the payload
+        // a 100 TB distinct-count ships. Output rows = the fixed group
+        // count; the REQUIRE is the bounded-state claim itself.
+        val d = inflateDocuments(documents, f)
+        val toks = d.select(pmod(col("doc_id"), lit(5)).as("g"),
+          explode(TextOps.wordShingles(TextOps.words(col("text")), 2)).as("tok"))
+        val h = graft.ops.Sketches.hash60(col("tok"))
+        val out = toks.groupBy("g").agg(
+          graft.ops.Sketches.kmvSketch(h, 64).as("kmv"),
+          graft.ops.Sketches.hllSketch(h, 8).as("hll")).cache()
+        try {
+          val chk = out
+            .agg(max(size(col("kmv"))).as("mk"), max(size(col("hll"))).as("mh"))
+            .head()
+          require(chk.getInt(0) <= 64 && chk.getInt(1) == 256,
+            s"sk_sketch at $f×: sketch state grew " +
+              s"(kmv=${chk.getInt(0)}, hll=${chk.getInt(1)})")
+          out.count()
+        } finally out.unpersist(blocking = false)
+      }, Constant))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 
     val times = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
