@@ -309,10 +309,11 @@ object IngestQueries extends Q.Registry {
         "output, whose volume is quadratic-per-hour in event density " +
         "(the memory-sink form materialized every joined row driver-" +
         "side and wedged at sf1). avg = sum/count re-associated; the " +
-        "bike sums are integer-exact in a double, and the temperature " +
-        "re-association ulps sit far under the trunc-6 display fudge " +
-        "like every distributed avg in the suite. Oracle: the batch " +
-        "restatement of the identical hour-bucket inner join.",
+        "bike sums are integer-exact in a double; avg_temp carries " +
+        "the a2/a3/j2/j3 legacy exposure (cross-engine float-sum " +
+        "ordering can land one trunc-6 step apart — 5 of 720 rows at " +
+        "sf0.1; the sf0.01 driver gate is exactly green). Oracle: the " +
+        "batch restatement of the identical hour-bucket inner join.",
       (s, d) => {
         import org.apache.spark.sql.functions.{col, count, lit, sum}
         val status = eventsStream(s, d)
