@@ -46,6 +46,7 @@ object Bench {
     "st2_stream_windowed_agg", "st3_stream_stateful_counts",
     "st4_stream_stream_join", "st5_stream_scoring", "st6_stream_near_dup",
     "st7_stream_substring_dedup", // two-batch file stream runs at plan build
+    "st8_stream_distinct_sketch", // two-trigger sketch-state stream, same
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier") // IRLS fit runs at plan build
 

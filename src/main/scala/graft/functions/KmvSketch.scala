@@ -141,3 +141,130 @@ object KmvSketchAgg {
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(hashed), k).toAggregateExpression())
 }
+
+/** Bottom-k-by-hash SAMPLE sketch: the [[KmvSketchAgg]] state extended
+  * to carry a long VALUE alongside each of the k smallest distinct
+  * identity hashes. The k retained values are a uniform random sample
+  * of the group WITHOUT replacement (each row's inclusion depends only
+  * on its identity hash's rank), fully mergeable (union = insert both
+  * sides, keep the k hash-smallest) and layout-invariant — no rand(),
+  * no partition-order dependence. That makes it the bounded-state,
+  * map-side-combining QUANTILE sketch (sk7): exact quantiles of the
+  * sample estimate the group's quantiles with ~O(1/√k) error
+  * (sampling-based quantile estimation, the Manku/Rajagopalan/Lindsay
+  * SIGMOD 1999 family), while `percentile()`'s exact state grows with
+  * the value universe.
+  *
+  * Portability contract (same as KMV): hashes are 60-bit md5 prefixes
+  * ([[graft.ops.Sketches.hash60]] of the row's identity), so the
+  * oracle rebuilds the identical sample in ANSI SQL — rank rows by the
+  * same hash, keep the k smallest, read their values in hash order.
+  * Output is the VALUES ordered by ascending hash (the hashes
+  * themselves are scaffolding; the value list in hash order is the
+  * full sample content the checksum pins).
+  *
+  * Duplicate identity hashes keep the FIRST-inserted value — callers
+  * hash a UNIQUE row key (doc_id), so ties are md5(60-bit) collisions,
+  * ~n²/2⁶¹ at any realistic group size; the oracle's deterministic
+  * `ORDER BY h` rank breaks a tie the same way only when values also
+  * agree, which is why the contract demands a unique key. */
+case class KmvPairSketchAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 2, s"kmv_pair_sketch needs k >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "kmv_pair_sketch expects (hash LONG, value LONG) — hash with " +
+        s"Sketches.hash60; got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_pair_sketch"
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+  private def insert(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                     h: Long, v: Long): Unit = {
+    if (buf.size < k) { if (!buf.containsKey(h)) buf.put(h, v); () }
+    else if (h < buf.lastKey() && !buf.containsKey(h)) {
+      buf.put(h, v)
+      buf.pollLastEntry()
+      ()
+    }
+  }
+
+  override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                      input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      insert(buf, h.asInstanceOf[Long], v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                     other: java.util.TreeMap[java.lang.Long, java.lang.Long]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      insert(buf, e.getKey.longValue(), e.getValue.longValue())
+    }
+    buf
+  }
+
+  /** The sampled VALUES in ascending-hash order — exactly the list the
+    * oracle rebuilds by ranking on the same hash. */
+  override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey.longValue()); bb.putLong(e.getValue.longValue())
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.put(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvPairSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvPairSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvPairSketchAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+object KmvPairSketchAgg {
+  /** Column form: bottom-k sample of `value` keyed by pre-hashed `hashed`. */
+  def column(hashed: Column, value: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvPairSketchAgg(ColumnBridge.expression(hashed),
+        ColumnBridge.expression(value), k).toAggregateExpression())
+}

@@ -203,6 +203,58 @@ object TextOps {
         s => trim(s, " \n")),
       s => length(s) > 0)
 
+  // ---- Gopher quality rules (Rae et al. 2021, Appendix A §A1.1) ----------
+  // The companion family to the repetition rules (tx8): word-count
+  // band, mean word length, symbol-to-word ratio, bullet/ellipsis line
+  // fractions, alphabetic-word fraction, required stop words. All pure
+  // codegen'd column work — one map stage, zero shuffle at any scale.
+  // Each formula is mirrored verbatim in the tx20 DuckDB oracle.
+
+  /** Gopher's required stop-word set: a page must contain at least two
+    * of these to survive ("the", "be", "to", "of", "and", "that",
+    * "have", "with" — Rae et al. 2021 §A1.1). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many DISTINCT [[GopherStops]] entries appear in `ws` at least
+    * once (0-8). */
+  def gopherStopHits(ws: Column): Column =
+    GopherStops.map(s0 => array_contains(ws, s0).cast("int")).reduce(_ + _)
+
+  /** Fraction of words containing at least one ASCII alphabetic
+    * character (Gopher keeps pages with >= 0.8). Unanchored find —
+    * Java rlike ≡ DuckDB regexp_matches on this literal class. */
+  def alphaWordFrac(ws: Column): Column =
+    size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / size(ws)
+
+  /** Gopher's symbol-to-word ratio: occurrences of '#' plus occurrences
+    * of '...' per word (keep when <= 0.1). '#' counted by length
+    * difference (exact, no regex); '...' by non-overlapping regex count
+    * — Java and RE2 both consume matches, so '....' is one hit on both
+    * engines. */
+  def symbolWordRatio(text: Column, ws: Column): Column =
+    ((length(text) - length(replace(text, lit("#"), lit("")))).cast("double") +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))) / size(ws)
+
+  /** Fraction of lines starting with a bullet glyph ('•' or '- ');
+    * Gopher drops pages where more than 90% do. Single/double-char
+    * prefix checks — no regex anchors, so no Java-vs-RE2 '$'/'^'
+    * divergence (the tx17 tail-check move, at the head). */
+  def bulletLineFrac(text: Column): Column = {
+    val ls = split(text, "\n")
+    size(filter(ls, l =>
+      substring(l, 1, 1) === "•" || substring(l, 1, 2) === "- "))
+      .cast("double") / size(ls)
+  }
+
+  /** Fraction of lines ending with an ellipsis ('...'); Gopher drops
+    * pages where more than 30% do. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = split(text, "\n")
+    size(filter(ls, l => substring(l, -3, 3) === "..."))
+      .cast("double") / size(ls)
+  }
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

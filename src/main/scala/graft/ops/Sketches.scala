@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HllSketchAgg, KmvSketchAgg}
+import graft.functions.{HllSketchAgg, KmvPairSketchAgg, KmvSketchAgg}
 
 /** Column API over the distinct-count sketches
   * ([[graft.functions.KmvSketchAgg]], [[graft.functions.HllSketchAgg]])
@@ -72,6 +72,43 @@ object Sketches {
     * sketch, the intersection cardinality). */
   def kmvMatchCount(mk: Column, a: Column, b: Column): Column =
     size(filter(mk, h => array_contains(a, h) && array_contains(b, h)))
+
+  // ---- Bottom-k sample quantile sketch (sk7) ------------------------------
+
+  /** Bottom-k-by-hash sample sketch carrying long values — see
+    * [[graft.functions.KmvPairSketchAgg]]. `hashed` must be
+    * [[hash60]] of a UNIQUE row key. */
+  def sampleSketch(hashed: Column, value: Column, k: Int): Column =
+    KmvPairSketchAgg.column(hashed, value, k)
+
+  /** Quantile estimate from a sample-sketch value list: sort, then the
+    * standard (m−1)·q linear interpolation — the same definition both
+    * engines' exact quantile functions use, spelled out so the
+    * arithmetic is IEEE-identical cross-engine (floor/least/element_at
+    * on exact integer-valued doubles). */
+  def sampleQuantile(vals: Column, q: Double): Column = {
+    val sorted = array_sort(vals)
+    val m = size(vals)
+    val idx = (m - 1).cast("double") * lit(q)
+    val lo = floor(idx).cast("int")
+    val frac = idx - lo.cast("double")
+    val vlo = element_at(sorted, lo + 1).cast("double")
+    val vhi = element_at(sorted, least(lo + lit(2), m)).cast("double")
+    vlo + frac * (vhi - vlo)
+  }
+
+  /** SQL mirror of [[sampleQuantile]] over a list-typed sample. Same
+    * sort, same index arithmetic, same operation order. */
+  def sampleQuantileSql(vals: String, q: Double): String = {
+    val sv = s"list_sort($vals)"
+    val m = s"len($vals)"
+    val idx = s"(CAST(($m - 1) AS DOUBLE) * $q)"
+    val lo = s"CAST(floor($idx) AS INT)"
+    val frac = s"($idx - CAST($lo AS DOUBLE))"
+    val vlo = s"CAST($sv[$lo + 1] AS DOUBLE)"
+    val vhi = s"CAST($sv[least($lo + 2, $m)] AS DOUBLE)"
+    s"($vlo + $frac * ($vhi - $vlo))"
+  }
 
   // ---- Count-min sketch (sk5) -------------------------------------------
 

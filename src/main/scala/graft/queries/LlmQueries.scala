@@ -450,6 +450,26 @@ object LlmQueries extends Q.Registry {
     IngestQueries.boundedTableStream(s, d, "documents.parquet")
       .select(col("doc_id"), col("text"))
 
+  /** Stage DataFrames as single parquet files with pinned, strictly
+    * increasing mod-times under a fresh temp dir: with
+    * `maxFilesPerTrigger=1` the file source takes one per micro-batch,
+    * oldest first — a REAL multi-trigger arrival replay, not a
+    * simulation (st7/st8). Returns (stageRoot, inDir); callers clean
+    * both up via LocalRun.deleteRecursively once the stream is done. */
+  private def stageArrivalDays(days: Seq[DataFrame], prefix: String)
+      : (java.nio.file.Path, java.nio.file.Path) = {
+    val stage = java.nio.file.Files.createTempDirectory(prefix)
+    val inDir = stage.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    days.zipWithIndex.foreach { case (df, i) =>
+      val dest = inDir.resolve(s"day${i + 1}.parquet")
+      graft.LocalRun.writeSingleParquet(df, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    (stage, inDir)
+  }
+
   /** The curated-source predicate shared by tx10 (DSIR target), tx12
     * (LM training slice) and tx14 (classifier labels). */
   private val CuratedSources = Seq("src0", "src1", "src2", "src3")
@@ -1643,6 +1663,75 @@ object LlmQueries extends Q.Registry {
            |ORDER BY a.lang""".stripMargin
       }),
 
+    Q("sk7_sample_quantiles",
+      "Per-language document-length QUANTILES from a bottom-k-by-hash " +
+        "sample sketch (k=32; functions/KmvPairSketchAgg — the KMV " +
+        "state carrying values): a fixed k·16-byte, mergeable, " +
+        "layout-invariant aggregation state vs percentile()'s " +
+        "universe-sized exact state — the bounded-state quantile the " +
+        "sampling family (Manku et al., SIGMOD 1999) ships at 100 TB. " +
+        "No rand(): inclusion = the doc's md5 hash rank, so the ORACLE " +
+        "rebuilds the IDENTICAL sample by ranking the same hashes " +
+        "(list(n_chars ORDER BY h) of the 32 smallest) and replays " +
+        "the (m-1)*q interpolation arithmetic step for step; the " +
+        "sample content itself is checksum-pinned. ~100 docs/lang " +
+        "saturate k=32, so the estimator arm (true subsample) is what " +
+        "the oracle checks, with exact p50/p95 carried alongside for " +
+        "the honesty columns.",
+      (s, d) => {
+        val k = 32
+        val h = Sketches.hash60(col("doc_id").cast("string"))
+        def est(q: Double) = Sketches.sampleQuantile(col("sample"), q)
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(
+            Sketches.sampleSketch(h, col("n_chars"), k).as("sample"),
+            percentile(col("n_chars"), lit(0.5)).as("ex_p50"),
+            percentile(col("n_chars"), lit(0.95)).as("ex_p95"))
+          .select(
+            col("lang"),
+            size(col("sample")).as("sample_size"),
+            Sketches.sketchChecksum(col("sample")).as("sample_checksum"),
+            Fmt.t6(est(0.25)).as("est_p25"),
+            Fmt.t6(est(0.5)).as("est_p50"),
+            Fmt.t6(est(0.75)).as("est_p75"),
+            Fmt.t6(est(0.95)).as("est_p95"),
+            Fmt.t6(col("ex_p50")).as("exact_p50"),
+            Fmt.t6(col("ex_p95")).as("exact_p95"),
+            Fmt.t6(abs(est(0.5) - col("ex_p50")) / col("ex_p50"))
+              .as("rel_err_p50"))
+          .orderBy("lang")
+      },
+      Some {
+        val h = Sketches.hash60Sql("CAST(doc_id AS VARCHAR)")
+        def est(q: Double) = Sketches.sampleQuantileSql("sample", q)
+        s"""WITH qh AS (
+           |  SELECT lang, n_chars, $h AS h FROM documents),
+           |qrk AS (
+           |  SELECT lang, n_chars, h,
+           |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+           |  FROM qh),
+           |qsk AS (
+           |  SELECT lang, list(n_chars ORDER BY h) AS sample
+           |  FROM qrk WHERE rk <= 32 GROUP BY lang),
+           |qex AS (
+           |  SELECT lang, quantile_cont(n_chars, 0.5) AS ex_p50,
+           |         quantile_cont(n_chars, 0.95) AS ex_p95
+           |  FROM documents GROUP BY lang)
+           |SELECT qsk.lang,
+           |  CAST(len(sample) AS INT) AS sample_size,
+           |  ${Sketches.sketchChecksumSql("sample")} AS sample_checksum,
+           |  ${Fmt.sql6(est(0.25))} AS est_p25,
+           |  ${Fmt.sql6(est(0.5))} AS est_p50,
+           |  ${Fmt.sql6(est(0.75))} AS est_p75,
+           |  ${Fmt.sql6(est(0.95))} AS est_p95,
+           |  ${Fmt.sql6("ex_p50")} AS exact_p50,
+           |  ${Fmt.sql6("ex_p95")} AS exact_p95,
+           |  ${Fmt.sql6(s"abs(${est(0.5)} - ex_p50) / ex_p50")} AS rel_err_p50
+           |FROM qsk JOIN qex ON qsk.lang = qex.lang
+           |ORDER BY qsk.lang""".stripMargin
+      }),
+
     Q("ss1_cosine_topk",
       "Brute-force exact cosine top-5 per query (every 100th vector as " +
         "query, broadcast): the ANN baseline. Double-precision " +
@@ -2060,6 +2149,115 @@ object LlmQueries extends Q.Registry {
           |       floor((topg_f) * 1e6 + 1e-6) / 1e6 AS top_2gram_frac,
           |       (dup_f <= 0.55 AND topw_f <= 0.11 AND topg_f <= 0.06) AS keep
           |FROM rfracs ORDER BY doc_id""".stripMargin)),
+
+    Q("tx20_gopher_quality",
+      "Gopher's quality-filter rule set (Rae et al. 2021 Appendix A " +
+        "§A1.1) — the companion to tx8's repetition rules, completing " +
+        "the Gopher filter: word count in [50, 100k], mean word " +
+        "length in [3, 10], symbol-to-word ratio ('#' or '...') <= " +
+        "0.1, <= 90% of lines bullet-started, <= 30% ellipsis-ended, " +
+        ">= 80% of words with an alphabetic character, and >= 2 of " +
+        "the 8 required stop words. Pages are synthesized multi-line " +
+        "(the tx17 move) so every line rule gets planted hits: a " +
+        "bullet line on every 3rd page, an ellipsis line on every " +
+        "4th, a dash bullet on every 7th, a '#' tag line on every " +
+        "9th — and the non-planted filler lines carry required stop " +
+        "words, so the stop-word and word-count rules split the " +
+        "corpus instead of failing it wholesale (zh pages still die " +
+        "on the alphabetic-word rule — every rule fires both ways). " +
+        "Keep decisions compare UNtruncated fractions (pure " +
+        "integer-ratio doubles, bit-identical cross-engine). Zero " +
+        "shuffle — one codegen'd map stage at scan throughput.",
+      (s, d) => {
+        val page = concat_ws("\n",
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("• bullet item one"))
+            .otherwise(lit("the rest of the body text continues.")),
+          when(col("doc_id") % 4 === 0, lit("trailing thought..."))
+            .otherwise(lit("that would have to be enough.")),
+          when(col("doc_id") % 7 === 0, lit("- another bullet"))
+            .otherwise(when(col("doc_id") % 9 === 0,
+              lit("#tag #more #tags here."))
+              .otherwise(lit("more body text follows."))))
+        val nW = col("n_words").cast("double")
+        val meanWl = col("sum_wl").cast("double") / nW
+        val keep = col("n_words").between(50, 100000) &&
+          meanWl >= 3.0 && meanWl <= 10.0 &&
+          col("sym_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 && col("stop_hits") >= 2
+        Tables.documents(s, d)
+          .select(col("doc_id"), page.as("page"))
+          .withColumn("ws", TextOps.words(col("page")))
+          .select(
+            col("doc_id"),
+            size(col("ws")).cast("long").as("n_words"),
+            aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+              .as("sum_wl"),
+            TextOps.symbolWordRatio(col("page"), col("ws")).as("sym_ratio"),
+            TextOps.bulletLineFrac(col("page")).as("bullet_frac"),
+            TextOps.ellipsisLineFrac(col("page")).as("ellipsis_frac"),
+            TextOps.alphaWordFrac(col("ws")).as("alpha_frac"),
+            TextOps.gopherStopHits(col("ws")).cast("int").as("stop_hits"))
+          .select(
+            col("doc_id"), col("n_words"),
+            Fmt.t6(meanWl).as("mean_word_len"),
+            Fmt.t6(col("sym_ratio")).as("sym_ratio"),
+            Fmt.t6(col("bullet_frac")).as("bullet_frac"),
+            Fmt.t6(col("ellipsis_frac")).as("ellipsis_frac"),
+            Fmt.t6(col("alpha_frac")).as("alpha_frac"),
+            col("stop_hits"),
+            keep.as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopHits = TextOps.GopherStops
+          .map(w => s"CAST(list_contains(ws, '$w') AS INT)").mkString(" + ")
+        s"""WITH gp AS (
+           |  SELECT doc_id,
+           |    text || chr(10) ||
+           |    (CASE WHEN doc_id % 3 = 0 THEN '• bullet item one'
+           |          ELSE 'the rest of the body text continues.' END) || chr(10) ||
+           |    (CASE WHEN doc_id % 4 = 0 THEN 'trailing thought...'
+           |          ELSE 'that would have to be enough.' END) || chr(10) ||
+           |    (CASE WHEN doc_id % 7 = 0 THEN '- another bullet'
+           |          WHEN doc_id % 9 = 0 THEN '#tag #more #tags here.'
+           |          ELSE 'more body text follows.' END) AS page
+           |  FROM documents),
+           |gw AS (
+           |  SELECT doc_id, page,
+           |    string_split_regex(lower(page), '[ \\t\\n\\x0B\\f\\r]+') AS ws,
+           |    string_split(page, chr(10)) AS ls
+           |  FROM gp),
+           |gm AS (
+           |  SELECT doc_id,
+           |    len(ws) AS n_words,
+           |    CAST(list_reduce(list_transform(ws, w -> length(w)),
+           |         (a, b) -> a + b) AS DOUBLE) / len(ws) AS mean_wl,
+           |    (CAST(length(page) - length(replace(page, '#', '')) AS DOUBLE)
+           |      + len(regexp_extract_all(page, '\\.\\.\\.'))) / len(ws) AS sym_ratio,
+           |    CAST(len(list_filter(ls, l -> left(l, 1) = '•'
+           |         OR left(l, 2) = '- ')) AS DOUBLE) / len(ls) AS bullet_frac,
+           |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS DOUBLE)
+           |      / len(ls) AS ellipsis_frac,
+           |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+           |      / len(ws) AS alpha_frac,
+           |    CAST($stopHits AS INT) AS stop_hits
+           |  FROM gw)
+           |SELECT doc_id, n_words,
+           |  ${Fmt.sql6("mean_wl")} AS mean_word_len,
+           |  ${Fmt.sql6("sym_ratio")} AS sym_ratio,
+           |  ${Fmt.sql6("bullet_frac")} AS bullet_frac,
+           |  ${Fmt.sql6("ellipsis_frac")} AS ellipsis_frac,
+           |  ${Fmt.sql6("alpha_frac")} AS alpha_frac,
+           |  stop_hits,
+           |  (n_words BETWEEN 50 AND 100000
+           |    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+           |    AND sym_ratio <= 0.1
+           |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+           |    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+           |FROM gm ORDER BY doc_id""".stripMargin
+      }),
 
     Q("tx4_stratified_sample",
       "Deterministic stratified quota sample (curation): up to 20 docs " +
@@ -2877,17 +3075,7 @@ object LlmQueries extends Q.Registry {
         // stage the two arrival days as single files with pinned
         // mod-times: the file source takes one file per micro-batch,
         // oldest first — a real two-trigger replay, not a simulation
-        val stage = java.nio.file.Files.createTempDirectory("graft_st7_")
-        val inDir = stage.resolve("in")
-        java.nio.file.Files.createDirectories(inDir)
-        def writeDay(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-          val dest = inDir.resolve(name + ".parquet")
-          graft.LocalRun.writeSingleParquet(df, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-        }
-        writeDay(batch1, "day1", 1700000000000L)
-        writeDay(batch2, "day2", 1700000060000L)
+        val (stage, inDir) = stageArrivalDays(Seq(batch1, batch2), "graft_st7_")
         // the persisted index: corpus gram counts, built once per
         // (session, dir) — micro-batches join the MATERIALIZED table,
         // never re-explode corpus text (the st6 signature-table note)
@@ -2929,6 +3117,68 @@ object LlmQueries extends Q.Registry {
         s.read.parquet(outDir).orderBy("doc_id")
       },
       Some(substrIncrementalSql)),
+
+    Q("st8_stream_distinct_sketch",
+      "STREAMING bounded-state distinct count — the KMV sketch " +
+        "(functions/KmvSketchAgg) as STREAMING AGGREGATION STATE: " +
+        "per-language distinct-bigram cardinality maintained across " +
+        "micro-batches, k=64 longs per group in the state store " +
+        "regardless of how many batches or bigrams arrive — the shape " +
+        "a 100 TB ingest pipeline's live cardinality tracker ships " +
+        "(countDistinct is UNSUPPORTED in streaming precisely because " +
+        "its exact state is unbounded; the sketch is the fix, not a " +
+        "workaround). Two staged arrival days (even doc_ids then odd, " +
+        "one file per trigger) make the cross-trigger state merge " +
+        "REAL: day 2's partial sketches fold into day 1's restored " +
+        "state, and KMV's algebraic merge property means the final " +
+        "complete-mode table must equal the batch sketch over the " +
+        "full corpus — which is exactly what the ORACLE replays " +
+        "(sk1's sketch-content arithmetic, checksum-pinned).",
+      (s, d) => {
+        val k = 64
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+        val (stage, inDir) = stageArrivalDays(
+          Seq(docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 =!= 0)), "graft_st8_")
+        val agg = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .select(col("lang"),
+            explode(TextOps.wordShingles(TextOps.words(col("text")), 2))
+              .as("tok"))
+          .groupBy("lang")
+          .agg(Sketches.kmvSketch(Sketches.hash60(col("tok")), k).as("sk"))
+        val out = IngestQueries.runToMemory(s, agg, "st8_out_", "complete")
+          .select(col("lang"),
+            size(col("sk")).as("sk_size"),
+            Sketches.sketchChecksum(col("sk")).as("sk_checksum"),
+            Fmt.t6(Sketches.kmvEstimate(col("sk"), k)).as("est_distinct"))
+          .orderBy("lang")
+        // complete-mode memory sink holds the final table in memory;
+        // the staged arrival days are no longer needed
+        graft.LocalRun.deleteRecursively(stage)
+        out
+      },
+      Some {
+        val h = Sketches.hash60Sql("tok")
+        val est = Sketches.kmvEstimateSql("sk", 64)
+        s"""WITH ws0 AS (
+           |  SELECT lang, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |  FROM documents),
+           |toks AS (
+           |  SELECT lang, unnest(CASE WHEN len(ws) >= 2
+           |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           |    ELSE [] END) AS tok
+           |  FROM ws0),
+           |hh AS (SELECT lang, tok, $h AS h FROM toks),
+           |sk AS (SELECT lang, (list_sort(list(DISTINCT h)))[1:64] AS sk
+           |       FROM hh GROUP BY lang)
+           |SELECT lang,
+           |  CAST(len(sk) AS INT) AS sk_size,
+           |  ${Sketches.sketchChecksumSql("sk")} AS sk_checksum,
+           |  floor(($est) * 1e6 + 1e-6) / 1e6 AS est_distinct
+           |FROM sk
+           |ORDER BY lang""".stripMargin
+      }),
 
     Q("dd11_incremental_dedup",
       "Incremental near-dup check — the PRODUCTION dedup shape: a new " +

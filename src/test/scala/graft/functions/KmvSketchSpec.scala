@@ -166,4 +166,65 @@ class KmvSketchSpec extends SparkSpec {
     assert(e.getMessage.contains("kmv_sketch") || e.getMessage.contains("LONG")
       || e.getMessage.toLowerCase.contains("datatype mismatch"))
   }
+
+  // ---- bottom-k sample sketch (sk7) ---------------------------------------
+
+  /** Reference: rows sorted by hash, k smallest, VALUES in hash order. */
+  private def refSample(rows: Seq[(Long, Long)], k: Int): Seq[Long] =
+    rows.sortBy(_._1).take(k).map(_._2)
+
+  test("sampleSketch ≡ sort-by-hash-take-k reference across partitionings (merge path exercised)") {
+    val rnd = new scala.util.Random(17)
+    // unique hashes (the caller contract: hash a unique row key)
+    val rows = rnd.shuffle((1L to 800L).toList)
+      .map(h => (h * 1048583L % (1L << 60), rnd.nextLong(1000)))
+    for (k <- Seq(2, 32, 128); parts <- Seq(1, 7)) {
+      val got = rows.toDF("h", "v").repartition(parts)
+        .agg(Sketches.sampleSketch(col("h"), col("v"), k).as("sk"))
+        .as[Seq[Long]].head()
+      assert(got === refSample(rows, k), s"k=$k parts=$parts")
+    }
+  }
+
+  test("sampleSketch below saturation returns ALL values in hash order; nulls skipped; empty → empty") {
+    val got = Seq[(java.lang.Long, java.lang.Long)](
+      (9L, 90L), (3L, 30L), (null, 77L), (5L, null), (1L, 10L))
+      .toDF("h", "v")
+      .agg(Sketches.sampleSketch(col("h"), col("v"), 64)).as[Seq[Long]].head()
+    assert(got === Seq(10L, 30L, 90L))
+    val empty = Seq.empty[(Long, Long)].toDF("h", "v")
+      .agg(Sketches.sampleSketch(col("h"), col("v"), 64)).as[Seq[Long]].head()
+    assert(empty === Seq.empty[Long])
+  }
+
+  test("sampleSketch keeps the first value on a duplicate hash and never displaces on ties") {
+    // single partition so "first" is the row order
+    val got = Seq((5L, 50L), (5L, 51L), (2L, 20L), (9L, 90L), (9L, 91L))
+      .toDF("h", "v").coalesce(1)
+      .agg(Sketches.sampleSketch(col("h"), col("v"), 2)).as[Seq[Long]].head()
+    assert(got === Seq(20L, 50L))
+  }
+
+  test("grouped sample sketches are per-group and layout-invariant") {
+    val rows = (1L to 100L).map(i => ("a", i * 7919L % 977L, i)) ++
+      Seq(("b", 5L, 500L), ("b", 2L, 200L))
+    for (parts <- Seq(1, 5)) {
+      val got = rows.toDF("g", "h", "v").repartition(parts).groupBy("g")
+        .agg(Sketches.sampleSketch(col("h"), col("v"), 8).as("sk"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(got("a") === refSample(rows.filter(_._1 == "a").map(r => (r._2, r._3)), 8))
+      assert(got("b") === Seq(200L, 500L))
+    }
+  }
+
+  test("sampleQuantile: (m-1)q interpolation — endpoints exact, midpoints interpolated") {
+    val df = Seq(Seq(40L, 10L, 30L, 20L)).toDF("vals") // sorts to 10,20,30,40
+    def q(p: Double): Double =
+      df.select(Sketches.sampleQuantile(col("vals"), p)).as[Double].head()
+    assert(q(0.0) === 10.0)
+    assert(q(1.0) === 40.0)
+    assert(q(0.5) === 25.0)          // idx 1.5 → 20 + .5*(30-20)
+    assert(math.abs(q(0.25) - 17.5) < 1e-12) // idx 0.75 → 10 + .75*10
+    assert(math.abs(q(0.95) - 38.5) < 1e-12) // idx 2.85 → 30 + .85*10
+  }
 }

@@ -1135,4 +1135,41 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(w === w2)
   }
+
+  test("Gopher quality rules (tx20): each metric fires on a crafted page, both directions") {
+    def metrics(page: String): (Double, Double, Double, Double, Int) = {
+      val df = Seq(page).toDF("page")
+        .withColumn("ws", TextOps.words($"page"))
+        .select(
+          TextOps.symbolWordRatio($"page", $"ws").as("sym"),
+          TextOps.bulletLineFrac($"page").as("bul"),
+          TextOps.ellipsisLineFrac($"page").as("ell"),
+          TextOps.alphaWordFrac($"ws").as("alpha"),
+          TextOps.gopherStopHits($"ws").as("stops"))
+      df.as[(Double, Double, Double, Double, Int)].head()
+    }
+    // clean page: no symbols, no bullets/ellipses, all-alpha, rich stops
+    val clean = metrics("the cat sat on top of the mat\nand that would have to do")
+    assert(clean._1 === 0.0 && clean._2 === 0.0 && clean._3 === 0.0)
+    assert(clean._4 === 1.0)
+    assert(clean._5 >= 5) // the, of, and, that, have, to, with?
+    // symbol-heavy: 3 '#' + one '...' over 4 words = 1.0
+    val sym = metrics("#a #b #c word...")
+    assert(sym._1 === 1.0)
+    // '....' counts as ONE ellipsis occurrence (non-overlapping on both engines)
+    val fourDots = metrics("one two three four....")
+    assert(fourDots._1 === 0.25)
+    // bullets: '•' and '- ' prefixes count, '-x' (no space) does not
+    val bul = metrics("• one\n- two\n-three\nfour")
+    assert(bul._2 === 0.5)
+    // ellipsis-terminated lines
+    val ell = metrics("done...\nnot done\nalso...\nmore")
+    assert(ell._3 === 0.5)
+    // numeric words drag the alphabetic fraction down
+    val alpha = metrics("a1 22 333 b2")
+    assert(alpha._4 === 0.5)
+    // stop hits are DISTINCT stops, not occurrences
+    val stops = metrics("the the the the")
+    assert(stops._5 === 1)
+  }
 }
