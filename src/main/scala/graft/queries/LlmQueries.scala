@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Bpe, Dedup, Importance, LangModel, Multimodal, Packing, Sampling, Search, Similarity, TextOps}
+import graft.llm.{Bpe, Dedup, Importance, LangModel, Multimodal, Packing, Repetition, Sampling, Search, Similarity, TextOps}
 import graft.ops.Sketches
 
 /** LLM training-data pipeline operators over the `documents` and
@@ -2257,6 +2257,198 @@ object LlmQueries extends Q.Registry {
            |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
            |    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
            |FROM gm ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("tx21_gopher_repetition",
+      "The FULL Gopher repetition-filter family (Rae et al. 2021 " +
+        "Table A1) — tx8 ships three of its thirteen metrics; this " +
+        "adds the rest: duplicate LINE and PARAGRAPH fractions (plain " +
+        "+ character-weighted, thresholds 0.30/0.30/0.20/0.20), top " +
+        "2/3/4-gram character fractions (0.20/0.18/0.16) and " +
+        "duplicated 5/10-gram character-COVERAGE fractions " +
+        "(0.15/0.10) — the within-document twin of tx16's span " +
+        "coverage, same flag → n-1-window → rollup machinery " +
+        "(llm/Repetition.scala). Pages are synthesized multi-" +
+        "paragraph: a nav line three times on every 3rd page (dup " +
+        "lines + dup 5-grams), the document body repeated as a " +
+        "paragraph on every 5th (dup paragraphs + mass 5/10-gram " +
+        "coverage), its first 12 words echoed on every 7th (10-gram " +
+        "coverage without a full paragraph dup) — every rule fires " +
+        "both ways. Keep compares UNtruncated fractions. All arms " +
+        "are (doc_id, unit)-keyed shuffles; nothing is per-document " +
+        "state or quadratic in document length.",
+      (s, d) => {
+        val para2 = when(col("doc_id") % 3 === 0,
+          lit("subscribe to the newsletter now.\n" +
+            "subscribe to the newsletter now.\n" +
+            "subscribe to the newsletter now."))
+          .otherwise(lit("a unique middle line.\nanother unique middle line."))
+        val echo12 = array_join(
+          slice(TextOps.words(col("text")), 1, 12), " ")
+        val para3 = when(col("doc_id") % 5 === 0, col("text"))
+          .otherwise(when(col("doc_id") % 7 === 0, echo12)
+            .otherwise(lit("a closing paragraph for the page.")))
+        val pages = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n\n", col("text"), para2, para3).as("page"))
+        val ws = TextOps.words(col("page"))
+        val lines = pages.select(col("doc_id"),
+          explode(filter(split(col("page"), "\n"), l => length(l) > 0))
+            .as("__u"))
+        val paras = pages.select(col("doc_id"),
+          explode(split(col("page"), "\n\n")).as("__u"))
+        val base = pages.select(col("doc_id"),
+          aggregate(ws, lit(0L), (a, w) => a + length(w)).as("__wchars"))
+        // every arm is corpus-sized (one row per doc) — shuffle_hash,
+        // never broadcast, and never SMJ (the PlanAuditSpec ban)
+        val joined = base
+          .join(Repetition.dupUnitStats(lines, "doc_id", "__u", "dup_line")
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(Repetition.dupUnitStats(paras, "doc_id", "__u", "dup_para")
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(Repetition.topGramChars(pages, "doc_id", ws, 2)
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(Repetition.topGramChars(pages, "doc_id", ws, 3)
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(Repetition.topGramChars(pages, "doc_id", ws, 4)
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(Repetition.dupGramCharFrac(pages, "doc_id", ws, 5, "dup5")
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(Repetition.dupGramCharFrac(pages, "doc_id", ws, 10, "dup10")
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+        def topFrac(n: Int): org.apache.spark.sql.Column =
+          coalesce(col(s"top_${n}gram_chars"), lit(0L)).cast("double") /
+            col("__wchars")
+        val keep = col("dup_line_frac") <= 0.30 &&
+          col("dup_para_frac") <= 0.30 &&
+          col("dup_line_char_frac") <= 0.20 &&
+          col("dup_para_char_frac") <= 0.20 &&
+          topFrac(2) <= 0.20 && topFrac(3) <= 0.18 && topFrac(4) <= 0.16 &&
+          col("dup5") <= 0.15 && col("dup10") <= 0.10
+        joined.select(
+          col("doc_id"),
+          Fmt.t6(col("dup_line_frac")).as("dup_line_frac"),
+          Fmt.t6(col("dup_line_char_frac")).as("dup_line_char_frac"),
+          Fmt.t6(col("dup_para_frac")).as("dup_para_frac"),
+          Fmt.t6(col("dup_para_char_frac")).as("dup_para_char_frac"),
+          Fmt.t6(topFrac(2)).as("top_2gram_char_frac"),
+          Fmt.t6(topFrac(3)).as("top_3gram_char_frac"),
+          Fmt.t6(topFrac(4)).as("top_4gram_char_frac"),
+          Fmt.t6(col("dup5")).as("dup_5gram_char_frac"),
+          Fmt.t6(col("dup10")).as("dup_10gram_char_frac"),
+          keep.as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // positioned-gram concat over the 1-based ws list (the tx16
+        // oracle idiom, generalized over n)
+        def gram(n: Int): String = (0 until n).map {
+          case 0 => "ws[CAST(u.i AS INT)]"
+          case j => s"ws[CAST(u.i AS INT)+$j]"
+        }.mkString(" || ' ' || ")
+        def gramsCte(n: Int): String =
+          s"""rg$n AS (SELECT doc_id, CAST(u.i AS INT) AS gpos, ${gram(n)} AS g
+             |  FROM rws, unnest(range(1, len(ws) - ${n - 2})) AS u(i)),""".stripMargin
+        def topCte(n: Int): String =
+          s"""rt$n AS (SELECT doc_id, c * length(g) AS top_chars FROM (
+             |  SELECT doc_id, g, count(*) AS c,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY count(*) DESC, length(g) DESC) AS rn
+             |  FROM rg$n GROUP BY doc_id, g) WHERE rn = 1),""".stripMargin
+        def covCte(n: Int): String =
+          s"""rd$n AS (SELECT doc_id, g FROM rg$n GROUP BY doc_id, g HAVING count(*) >= 2),
+             |rf$n AS (SELECT rg$n.doc_id, gpos FROM rg$n
+             |  JOIN rd$n ON rg$n.doc_id = rd$n.doc_id AND rg$n.g = rd$n.g),
+             |rc$n AS (SELECT rtok.doc_id, tpos, wl, rf$n.gpos AS marker
+             |  FROM rtok LEFT JOIN rf$n
+             |    ON rtok.doc_id = rf$n.doc_id AND rtok.tpos = rf$n.gpos),
+             |rv$n AS (SELECT doc_id, wl,
+             |    max(marker) OVER (PARTITION BY doc_id ORDER BY tpos
+             |      ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+             |      IS NOT NULL AS cov
+             |  FROM rc$n),
+             |rs$n AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN cov THEN wl ELSE 0 END) AS DOUBLE) / sum(wl)
+             |      AS dup$n
+             |  FROM rv$n GROUP BY doc_id),""".stripMargin
+        def topFracSql(n: Int): String =
+          s"CAST(coalesce(rt$n.top_chars, 0) AS DOUBLE) / wchars"
+        val keepSql =
+          s"""(dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+             |    AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+             |    AND ${topFracSql(2)} <= 0.20 AND ${topFracSql(3)} <= 0.18
+             |    AND ${topFracSql(4)} <= 0.16
+             |    AND dup5 <= 0.15 AND dup10 <= 0.10)""".stripMargin
+        s"""WITH rpg AS (
+           |  SELECT doc_id,
+           |    text || chr(10) || chr(10) ||
+           |    (CASE WHEN doc_id % 3 = 0
+           |          THEN 'subscribe to the newsletter now.' || chr(10) ||
+           |               'subscribe to the newsletter now.' || chr(10) ||
+           |               'subscribe to the newsletter now.'
+           |          ELSE 'a unique middle line.' || chr(10) ||
+           |               'another unique middle line.' END) || chr(10) || chr(10) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN text
+           |          WHEN doc_id % 7 = 0 THEN array_to_string(
+           |            (string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'))[1:12], ' ')
+           |          ELSE 'a closing paragraph for the page.' END) AS page
+           |  FROM documents),
+           |rlns AS (SELECT doc_id,
+           |    unnest(list_filter(string_split(page, chr(10)), l -> length(l) > 0)) AS u
+           |  FROM rpg),
+           |rlc AS (SELECT doc_id, u, count(*) AS c FROM rlns GROUP BY doc_id, u),
+           |rlstat AS (SELECT doc_id,
+           |    CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
+           |    CAST(sum((c - 1) * length(u)) AS DOUBLE) / sum(c * length(u))
+           |      AS dup_line_char_frac
+           |  FROM rlc GROUP BY doc_id),
+           |rprs AS (SELECT doc_id, unnest(string_split(page, chr(10) || chr(10))) AS u
+           |  FROM rpg),
+           |rpc AS (SELECT doc_id, u, count(*) AS c FROM rprs GROUP BY doc_id, u),
+           |rpstat AS (SELECT doc_id,
+           |    CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_para_frac,
+           |    CAST(sum((c - 1) * length(u)) AS DOUBLE) / sum(c * length(u))
+           |      AS dup_para_char_frac
+           |  FROM rpc GROUP BY doc_id),
+           |rws AS (SELECT doc_id,
+           |    string_split_regex(lower(page), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |  FROM rpg),
+           |rwch AS (SELECT doc_id,
+           |    list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b)
+           |      AS wchars
+           |  FROM rws),
+           |rtok AS (SELECT doc_id, CAST(u.i AS INT) AS tpos,
+           |    length(ws[CAST(u.i AS INT)]) AS wl
+           |  FROM rws, unnest(range(1, len(ws) + 1)) AS u(i)),
+           |${gramsCte(2)}
+           |${gramsCte(3)}
+           |${gramsCte(4)}
+           |${gramsCte(5)}
+           |${gramsCte(10)}
+           |${topCte(2)}
+           |${topCte(3)}
+           |${topCte(4)}
+           |${covCte(5)}
+           |${covCte(10).dropRight(1)}
+           |SELECT rwch.doc_id,
+           |  ${Fmt.sql6("dup_line_frac")} AS dup_line_frac,
+           |  ${Fmt.sql6("dup_line_char_frac")} AS dup_line_char_frac,
+           |  ${Fmt.sql6("dup_para_frac")} AS dup_para_frac,
+           |  ${Fmt.sql6("dup_para_char_frac")} AS dup_para_char_frac,
+           |  ${Fmt.sql6(topFracSql(2))} AS top_2gram_char_frac,
+           |  ${Fmt.sql6(topFracSql(3))} AS top_3gram_char_frac,
+           |  ${Fmt.sql6(topFracSql(4))} AS top_4gram_char_frac,
+           |  ${Fmt.sql6("dup5")} AS dup_5gram_char_frac,
+           |  ${Fmt.sql6("dup10")} AS dup_10gram_char_frac,
+           |  $keepSql AS keep
+           |FROM rwch
+           |LEFT JOIN rlstat ON rwch.doc_id = rlstat.doc_id
+           |LEFT JOIN rpstat ON rwch.doc_id = rpstat.doc_id
+           |LEFT JOIN rt2 ON rwch.doc_id = rt2.doc_id
+           |LEFT JOIN rt3 ON rwch.doc_id = rt3.doc_id
+           |LEFT JOIN rt4 ON rwch.doc_id = rt4.doc_id
+           |LEFT JOIN rs5 ON rwch.doc_id = rs5.doc_id
+           |LEFT JOIN rs10 ON rwch.doc_id = rs10.doc_id
+           |ORDER BY rwch.doc_id""".stripMargin
       }),
 
     Q("tx4_stratified_sample",

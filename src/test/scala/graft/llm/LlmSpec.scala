@@ -1136,6 +1136,42 @@ class LlmSpec extends SparkSpec {
     assert(w === w2)
   }
 
+  test("Repetition metrics (tx21): dup unit stats, top-gram chars, dup-gram coverage on crafted fixtures") {
+    // dup unit stats: 4 lines, one appears twice
+    val lines = Seq((1L, "aaaa"), (1L, "bb"), (1L, "aaaa"), (1L, "c"),
+      (2L, "x"), (2L, "y")).toDF("id", "__u")
+    val st = Repetition.dupUnitStats(lines, "id", "__u", "dup_line")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(st(1L)._1 === 0.25) // 1 excess occurrence of 4
+    assert(st(1L)._2 === 4.0 / 11.0) // 4 excess chars of 4+4+2+1
+    assert(st(2L) === ((0.0, 0.0)))
+
+    // top-gram chars: "a b" occurs twice (6 chars incl. space at n=2);
+    // tie on count prefers the LONGER gram
+    val docs = Seq((1L, "a b c a b"), (2L, "xx yy zz")).toDF("id", "t")
+    val ws = TextOps.words($"t")
+    val top2 = Repetition.topGramChars(docs, "id", ws, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(top2(1L) === 2 * "a b".length)
+    assert(top2(2L) === 1 * "xx yy".length) // all count 1 → longest wins
+    // doc shorter than n emits no row
+    val top5 = Repetition.topGramChars(docs, "id", ws, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(top5.contains(1L) && !top5.contains(2L))
+
+    // coverage: "a b" duplicated within doc 1 covers positions
+    // {0,1} and {3,4} → all 1-char words except "c" → 4 of 5 chars
+    val cov = Repetition.dupGramCharFrac(docs, "id", ws, 2, "f")
+      .as[(Long, Double)].collect().toMap
+    assert(cov(1L) === 4.0 / 5.0)
+    assert(cov(2L) === 0.0)
+    // within-doc only: the same gram in DIFFERENT docs is not a dup
+    val cross = Seq((1L, "p q r"), (2L, "p q s")).toDF("id", "t")
+    val covCross = Repetition.dupGramCharFrac(cross, "id", TextOps.words($"t"), 2, "f")
+      .as[(Long, Double)].collect().toMap
+    assert(covCross(1L) === 0.0 && covCross(2L) === 0.0)
+  }
+
   test("Gopher quality rules (tx20): each metric fires on a crafted page, both directions") {
     def metrics(page: String): (Double, Double, Double, Double, Int) = {
       val df = Seq(page).toDF("page")
