@@ -712,16 +712,22 @@ object BenchScale {
         val toks = d.select(pmod(col("doc_id"), lit(5)).as("g"),
           explode(TextOps.wordShingles(TextOps.words(col("text")), 2)).as("tok"))
         val h = graft.ops.Sketches.hash60(col("tok"))
+        // the sample sketch rides the same stream: value = token length
+        // (a pure function of the token, so the duplicate-hash
+        // keep-first rule is deterministic at any partitioning)
         val out = toks.groupBy("g").agg(
           graft.ops.Sketches.kmvSketch(h, 64).as("kmv"),
-          graft.ops.Sketches.hllSketch(h, 8).as("hll")).cache()
+          graft.ops.Sketches.hllSketch(h, 8).as("hll"),
+          graft.ops.Sketches.sampleSketch(h, length(col("tok")).cast("long"), 32)
+            .as("smp")).cache()
         try {
           val chk = out
-            .agg(max(size(col("kmv"))).as("mk"), max(size(col("hll"))).as("mh"))
+            .agg(max(size(col("kmv"))).as("mk"), max(size(col("hll"))).as("mh"),
+              max(size(col("smp"))).as("ms"))
             .head()
-          require(chk.getInt(0) <= 64 && chk.getInt(1) == 256,
+          require(chk.getInt(0) <= 64 && chk.getInt(1) == 256 && chk.getInt(2) <= 32,
             s"sk_sketch at $f×: sketch state grew " +
-              s"(kmv=${chk.getInt(0)}, hll=${chk.getInt(1)})")
+              s"(kmv=${chk.getInt(0)}, hll=${chk.getInt(1)}, sample=${chk.getInt(2)})")
           out.count()
         } finally out.unpersist(blocking = false)
       }, Constant))
