@@ -48,7 +48,8 @@ object Bench {
     "st7_stream_substring_dedup", // two-batch file stream runs at plan build
     "st8_stream_distinct_sketch", // two-trigger sketch-state stream, same
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
-    "tx14_quality_classifier") // IRLS fit runs at plan build
+    "tx14_quality_classifier", // IRLS fit runs at plan build
+    "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build
 
   /** Fit queries whose MEASURED SEMANTIC is the model fit itself: the
     * per-dir fit memos are cleared before every run so the median-of-3

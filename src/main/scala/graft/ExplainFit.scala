@@ -54,7 +54,8 @@ object ExplainFit {
     // (r7 verdict #5); PlanAuditSpec now asserts registry-wide
     // coverage so the gap cannot reopen.
     for (name <- Seq("x10_ols_ladder", "x11_kmeans_j6", "x15_scoring",
-        "x17_ols_inference", "tx11_bpe_tokenize", "tx14_quality_classifier")) {
+        "x17_ols_inference", "tx11_bpe_tokenize", "tx14_quality_classifier",
+        "ss5_ivfpq_topk")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       write(name,
         s"== $name: final output plan. The model fit runs during plan\n" +

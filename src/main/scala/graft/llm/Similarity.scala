@@ -193,6 +193,112 @@ object Similarity {
         col("cos_sim"), col("rank"))
   }
 
+  // ---- Product quantization (Jégou et al., TPAMI 2011) -------------------
+  // PQ compresses each vector into M small codes (nearest codeword per
+  // subspace) and scores queries against CODES ONLY via asymmetric
+  // distance computation (ADC): a per-query lookup table of
+  // query-subvector ↔ codeword distances, summed over subspaces. In
+  // relational terms the LUT is a broadcast-joinable table and ADC is
+  // one keyed join + a fixed-order sum — the FAISS IVF-PQ shape
+  // re-expressed as a Spark plan: codes are ~M bytes/vector (vs
+  // dim·4), the probe prunes cells, and the only shuffle is the final
+  // per-(query, candidate) rollup.
+
+  /** The M disjoint subvectors of `vec` (1-based slices of subDim). */
+  def pqSubvectors(vec: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(i => slice(vec, i * subDim + 1, subDim)): _*)
+
+  /** Train PQ codebooks on a BOUNDED deterministic sample — FAISS
+    * practice: codebooks come from a fixed-size training sample no
+    * matter how large the corpus, so the collect here is sample-sized
+    * by construction, never corpus-sized (the only `.collect()` in the
+    * PQ path, and the 100 TB story is unchanged: sampleN rows). The
+    * sample is the `sampleN` md5-hash-smallest ids (layout- and
+    * run-invariant, no rand()); per subspace, a seeded local Lloyd
+    * k-means ([[graft.ml.Models.kmeansLocalRows]]) learns `ks`
+    * codewords, truncated to 6 decimals so they inline as
+    * cross-engine-exact literals in both the Spark plan and the SQL
+    * oracle (the x11 centroids-as-literals move). Returns
+    * (subspace, codeword id, codeword) rows. */
+  def pqTrainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int, subDim: Int, ks: Int, sampleN: Int,
+                       seed: Long = 42L): Seq[(Int, Int, Array[Double])] = {
+    val sample: Array[Array[Float]] = df
+      .select(col(vecCol), md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"))
+      .limit(sampleN)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    def t6(x: Double): Double = math.floor(x * 1e6 + 1e-6) / 1e6
+    (0 until m).flatMap { mi =>
+      val rows = sample.map(v =>
+        Array.tabulate(subDim)(j => v(mi * subDim + j).toDouble))
+      graft.ml.Models.kmeansLocalRows(rows, ks, seed + mi, maxIter = 50)
+        .zipWithIndex
+        .map { case (cw, cid) => (mi, cid, cw.map(t6)) }
+    }
+  }
+
+  /** Encode each row as M codes: nearest codeword per subspace by
+    * squared L2, deterministic (distance, cid) tie-break. `codebook`
+    * must have columns (pq_m, pq_cid, pq_vec) and is broadcast-small
+    * by construction (M · #codewords rows). Output: idCol + `carry`
+    * columns + (pq_m, pq_cid) — M rows per input row. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, subDim: Int,
+               carry: Seq[String] = Nil): DataFrame = {
+    val sub = df.select(col(idCol) +: carry.map(col) :+
+      posexplode(pqSubvectors(col(vecCol), m, subDim)).as(Seq("__m", "__sub")): _*)
+    val w = Window.partitionBy(col(idCol), col("__m"))
+      .orderBy(col("__d"), col("pq_cid"))
+    sub.join(broadcast(codebook), col("__m") === col("pq_m"))
+      .withColumn("__d", sqDist(col("__sub"), col("pq_vec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((col(idCol) +: carry.map(col)) ++
+        Seq(col("pq_m"), col("pq_cid")): _*)
+  }
+
+  /** IVF-PQ top-k: probe the nProbe nearest cells per query (exact
+    * centroid distances), then rank candidates by ADC over their PQ
+    * codes — the original vectors are never touched after encoding.
+    * `codes` = [[pqEncode]] output carrying cellCol; per-(query,
+    * candidate) distance is assembled as M conditional sums added in
+    * FIXED subspace order (a plain `sum` over the M partials would be
+    * aggregation-order-nondeterministic in the last ulp — enough to
+    * flip a rank tie vs the oracle's replay). */
+  def ivfPqTopK(codes: DataFrame, idCol: String, cellCol: String,
+                codebook: DataFrame,
+                centroids: DataFrame, centVecCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                m: Int, subDim: Int, nProbe: Int, k: Int): DataFrame = {
+    val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col(qIdCol), col(cellCol))
+    val lut = queries.select(col(qIdCol),
+        posexplode(pqSubvectors(col(qVecCol), m, subDim)).as(Seq("__m", "__sub")))
+      .join(broadcast(codebook), col("__m") === col("pq_m"))
+      .select(col(qIdCol), col("pq_m"), col("pq_cid"),
+        sqDist(col("__sub"), col("pq_vec")).as("__pd"))
+    val cand = codes.join(broadcast(probes), Seq(cellCol))
+      .filter(col(idCol) =!= col(qIdCol))
+      .join(broadcast(lut), Seq(qIdCol, "pq_m", "pq_cid"))
+    val partials = (0 until m).map(i =>
+      sum(when(col("pq_m") === i, col("__pd"))).as(s"__d$i"))
+    val adc = cand.groupBy(col(qIdCol), col(idCol))
+      .agg(partials.head, partials.tail: _*)
+      .withColumn("approx_dist", (0 until m).map(i => col(s"__d$i")).reduce(_ + _))
+    val w = Window.partitionBy(qIdCol).orderBy(col("approx_dist"), col(idCol))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        col("approx_dist"), col("rank"))
+  }
+
   /** IVF search: per query pick the nProbe nearest cells, scan only
     * corpus rows in those cells, exact cosine + top-k inside the
     * probed subset. `cellCorpus` must carry cellCol (from

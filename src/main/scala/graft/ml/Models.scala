@@ -119,8 +119,20 @@ object Models {
     val rows: Array[Array[Double]] = pivot.select(cols: _*)
       .orderBy(cols: _*)
       .collect().map(r => Array.tabulate(featureCols.length)(r.getDouble))
+    kmeansLocalRows(rows, k, seed, maxIter)
+  }
+
+  /** The pure rows → centers core of [[kmeansCentersLocal]]: seeded
+    * k-means++ init + Lloyd's to assignment fixpoint with the
+    * first-min tie rule. Deterministic for a fixed row ORDER — callers
+    * own providing layout-invariant ordering (kmeansCentersLocal sorts
+    * by the feature columns; the PQ codebook trainer orders its sample
+    * by md5 rank). Also the training core for product-quantization
+    * codebooks ([[graft.llm.Similarity.pqTrainCodebooks]]). */
+  def kmeansLocalRows(rows: Array[Array[Double]], k: Int, seed: Long,
+                      maxIter: Int): Array[Array[Double]] = {
     require(rows.length >= k, s"k-means needs >= $k rows, got ${rows.length}")
-    val dim = featureCols.length
+    val dim = rows.head.length
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }

@@ -530,6 +530,31 @@ object LlmQueries extends Q.Registry {
           Seq("doc_id"))
       graft.ml.Logistic.fitIrls(labeled, "feats", "__y", p = LogitBuckets)
     })
+  /** Per-dir memo of the trained PQ codebooks (ss5): M=8 subspaces ×
+    * ks=16 codewords, local Lloyd fit on the 256 md5-smallest vectors
+    * ([[Similarity.pqTrainCodebooks]]) — share-the-fit: the ss5 query
+    * and its generated oracle read the same trunc-6 literals. */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Array[Double])]]()
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqKs = 16
+  private val PqSampleN = 256
+  private def trainedPqCodebooks(s: SparkSession, d: String): Seq[(Int, Int, Array[Double])] =
+    pqMemo.computeIfAbsent(d, _ =>
+      Similarity.pqTrainCodebooks(Tables.embeddings(s, d), "vec_id",
+        "embedding", PqM, PqSubDim, PqKs, PqSampleN))
+  private def oraclePqCodebooks: Option[Seq[(Int, Int, Array[Double])]] = {
+    val r = for {
+      s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      d <- graft.Tables.primedDir
+    } yield trainedPqCodebooks(s, d)
+    if (r.isEmpty)
+      System.err.println("[LlmQueries] no session/primed dir when generating " +
+        "the ss5 oracle — rows-only driver check for this JVM")
+    r
+  }
+
   private def oracleLogit: Option[graft.ml.Logistic.LogitFit] = {
     val r = for {
       s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -1839,6 +1864,118 @@ object LlmQueries extends Q.Registry {
           |  FROM cand)
           |WHERE rank <= 3
           |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("ss5_ivfpq_topk",
+      "IVF-PQ approximate top-3 (Jégou et al., TPAMI 2011 — the FAISS " +
+        "production ANN shape) re-expressed relationally: each vector " +
+        "compressed to M=8 one-byte codes (nearest codeword per 8-dim " +
+        "subspace; codebooks = a real per-subspace Lloyd k-means, " +
+        "16 codewords each, trained on the 256 md5-smallest vectors — " +
+        "FAISS practice: the training sample is FIXED-SIZE however " +
+        "large the corpus, so the fit's collect is bounded by " +
+        "construction; codewords inline as trunc-6 literals, the x11 " +
+        "centroids-as-literals move), queries probe the 3 nearest IVF " +
+        "cells, and ranking is ASYMMETRIC DISTANCE COMPUTATION: a " +
+        "per-query broadcast lookup table of query-subvector <-> " +
+        "codeword distances, joined to candidate CODES on (m, cid) " +
+        "and summed in FIXED subspace order (a plain sum over the 8 " +
+        "partials would be agg-order-nondeterministic in the last " +
+        "ulp). The original vectors are never read after encoding — " +
+        "the 32x storage compression (8 bytes vs 64 floats) IS the " +
+        "100 TB story: the scan that feeds ranking is over codes. " +
+        "ORACLE replays codebooks, encoding argmins, probes, LUT and " +
+        "the ADC sum exactly; PQ recall vs brute force asserted in " +
+        "LlmSpec.",
+      (s, d) => {
+        val M = PqM; val subDim = PqSubDim
+        val emb = Tables.embeddings(s, d)
+        import s.implicits._
+        val codebook = trainedPqCodebooks(s, d)
+          .map { case (m0, cid, v) => (m0, cid, v.toSeq) }
+          .toDF("pq_m", "pq_cid", "pq_vec")
+        // IVF cells = the label partition (ss2 demonstrates the learned
+        // assignment; the probe still ranks full-dim centroid distances)
+        val centroids = emb
+          .select(col("label").as("cell"), col("embedding"))
+          .groupBy("cell")
+          .agg(array((0 until 64).map(i =>
+            Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*)
+            .as("cent_vec"))
+        val codes = Similarity.pqEncode(
+          emb.withColumn("cell", col("label")),
+          "vec_id", "embedding", codebook, M, subDim, carry = Seq("cell"))
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfPqTopK(codes, "vec_id", "cell", codebook,
+            centroids, "cent_vec", queries, "q_id", "q_vec",
+            M, subDim, nProbe = 3, k = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.t6(col("approx_dist")).as("approx_dist"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      oraclePqCodebooks.map { cbRows =>
+        def sq(a: String, b: String, n: Int): String =
+          s"list_sum(list_transform(range(1, ${n + 1}), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])))"
+        val adcSum = (0 until 8)
+          .map(i => s"sum(CASE WHEN cand.m = $i THEN pd END)").mkString(" + ")
+        val cbVals = cbRows
+          .map { case (m0, cid, v) => s"($m0, $cid, [${v.mkString(", ")}])" }
+          .mkString(",\n  ")
+        s"""WITH pqm AS (SELECT unnest(range(0, 8)) AS m),
+           |cb(m, cid, cbv) AS (VALUES
+           |  $cbVals),
+           |psub AS (
+           |  SELECT vec_id, label AS cell, pqm.m AS m,
+           |         embedding[(pqm.m * 8 + 1):(pqm.m * 8 + 8)] AS sub
+           |  FROM embeddings, pqm),
+           |enc AS (
+           |  SELECT vec_id, cell, m, cid FROM (
+           |    SELECT p.vec_id, p.cell, p.m, c.cid,
+           |           row_number() OVER (PARTITION BY p.vec_id, p.m
+           |             ORDER BY ${sq("p.sub", "c.cbv", 8)}, c.cid) AS rn
+           |    FROM psub p JOIN cb c ON p.m = c.m)
+           |  WHERE rn = 1),
+           |cent0 AS (
+           |  SELECT label AS cell, pqi2.i AS i,
+           |         floor(avg(CAST(embedding[pqi2.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
+           |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) pqi2
+           |  GROUP BY label, pqi2.i),
+           |cent AS (SELECT cell, list(c ORDER BY i) AS cent_vec FROM cent0 GROUP BY cell),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           |      WHERE vec_id % 100 = 0),
+           |probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${sq("q.q_vec", "c.cent_vec", 64)}, c.cell) AS rn
+           |    FROM q CROSS JOIN cent c)
+           |  WHERE rn <= 3),
+           |qsub AS (
+           |  SELECT q_id, pqm.m AS m, q_vec[(pqm.m * 8 + 1):(pqm.m * 8 + 8)] AS sub
+           |  FROM q, pqm),
+           |lut AS (
+           |  SELECT s.q_id, s.m, c.cid, ${sq("s.sub", "c.cbv", 8)} AS pd
+           |  FROM qsub s JOIN cb c ON s.m = c.m),
+           |cand AS (
+           |  SELECT p.q_id, e.vec_id, e.m, e.cid
+           |  FROM enc e JOIN probes p ON e.cell = p.cell
+           |  WHERE e.vec_id <> p.q_id),
+           |adc AS (
+           |  SELECT cand.q_id, cand.vec_id, $adcSum AS approx
+           |  FROM cand JOIN lut ON cand.q_id = lut.q_id
+           |    AND cand.m = lut.m AND cand.cid = lut.cid
+           |  GROUP BY cand.q_id, cand.vec_id)
+           |SELECT query_id, neighbor_id,
+           |       floor(approx * 1e6 + 1e-6) / 1e6 AS approx_dist, rank
+           |FROM (
+           |  SELECT q_id AS query_id, vec_id AS neighbor_id, approx,
+           |         row_number() OVER (PARTITION BY q_id
+           |           ORDER BY approx, vec_id) AS rank
+           |  FROM adc)
+           |WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin
+      }),
 
     Q("ss3_hyperplane_lsh_topk",
       "Hyperplane-LSH approximate top-3: sign-random-projection " +

@@ -394,6 +394,74 @@ class LlmSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@3 = $mean")
   }
 
+  test("IVF-PQ recall@5 >= 0.9 vs brute force on clustered vectors; codes bounded; encode deterministic") {
+    // PQ's promise is recovering STRUCTURE up to quantization, not
+    // ranking isotropic noise (quantized distances of i.i.d.-noise
+    // neighborhoods are intrinsically near-ties — measured ~0.2 recall
+    // on the IVF test's noise-ball fixture, correctly). So the fixture
+    // has two-level structure: 8 clusters × 5 subclusters (a 2.0
+    // offset dim per subcluster, σ=0.05 noise) — true neighbors are
+    // subcluster mates, and codebooks with enough codewords per
+    // subspace must separate the subcluster modes.
+    val rnd = new scala.util.Random(29)
+    val dim = 16; val M = 4; val subDim = 4
+    val rows = for (c <- 0 until 8; i <- 0 until 30) yield {
+      val od = ((c + 1 + i % 5) % 8) + 8 // subcluster offset dimension
+      val vec = Array.tabulate(dim) { j =>
+        (if (j % 8 == c % 8) 5f else 0f) +
+          (if (j == od) 2f else 0f) +
+          rnd.nextGaussian().toFloat * 0.05f
+      }.toSeq
+      ((c * 30 + i).toLong, c, vec)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    // REAL per-subspace Lloyd codebooks on the md5-ordered sample —
+    // label-mean codewords have no within-cluster resolution, so ADC
+    // would tie inside a cell and recall would be ~random (caught by
+    // an earlier version of this test). ks=32 covers the ~25 distinct
+    // (cluster hot dim × subcluster offset) modes per subspace.
+    val ks = 32
+    val codebook = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+        M, subDim, ks, sampleN = rows.length)
+      .map { case (m0, cid, v) => (m0, cid, v.toSeq) }
+      .toDF("pq_m", "pq_cid", "pq_vec")
+    val centroids = emb.select($"label".as("cell"), $"embedding")
+      .groupBy("cell")
+      .agg(array((0 until dim).map(i =>
+        avg(element_at($"embedding", i + 1))): _*).as("cent_vec"))
+    val codes = Similarity.pqEncode(emb.withColumn("cell", $"label"),
+      "vec_id", "embedding", codebook, M, subDim, carry = Seq("cell"))
+    // M codes per vector, each cid a real codeword, layout-invariant
+    val enc = codes.as[(Long, Int, Int, Int)].collect()
+    assert(enc.length === rows.length * M)
+    assert(enc.forall { case (_, _, m, cid) => m >= 0 && m < M && cid >= 0 && cid < ks })
+    val enc2 = Similarity.pqEncode(emb.repartition(7).withColumn("cell", $"label"),
+      "vec_id", "embedding", codebook, M, subDim, carry = Seq("cell"))
+      .as[(Long, Int, Int, Int)].collect()
+    assert(enc.sortBy(r => (r._1, r._3)).toSeq === enc2.sortBy(r => (r._1, r._3)).toSeq)
+    val queries = emb.filter($"vec_id" % 24 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // recall is asserted at k=5 (= subcluster-mate count): quantization
+    // deliberately COLLAPSES within-subcluster noise, so ADC ties among
+    // mates and top-3-of-5-ties vs exact cosine is structurally ~0.6 —
+    // the PQ contract is recovering the NEIGHBORHOOD at quantization
+    // resolution, and at k=5 the tie class and the truth set coincide
+    val pq = Similarity.ivfPqTopK(codes, "vec_id", "cell", codebook,
+      centroids, "cent_vec", queries, "q_id", "q_vec",
+      M, subDim, nProbe = 2, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean IVF-PQ recall@5 = $mean")
+  }
+
   test("hyperplane LSH recall@3 >= 0.8 vs brute force on clustered vectors; near-identical pairs always collide") {
     // same 8-cluster fixture shape as the IVF test: the (1 - θ/π)^bits
     // collision law only buys recall when neighbors subtend small
