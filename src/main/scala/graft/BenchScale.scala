@@ -847,11 +847,36 @@ object BenchScale {
             f"recall=$rec%.3f  $sec%6.2f s")
           s""""tables_$tables":{"sec":${fmt(sec)},"recall":${fmt(rec)}}"""
         }
+        // PQ side: recall vs codebook size at a fixed probe budget —
+        // the accuracy-compression trade ss5 ships. Train (bounded
+        // 1024-sample Lloyd), encode the corpus once per ks, ADC
+        // top-k; train+encode time reported separately from search.
+        val pqEntries = Seq(16, 64, 256).map { ks =>
+          import session.implicits._
+          val t0 = System.nanoTime()
+          val cbDf = Similarity.pqTrainCodebooks(corpusL, "vec_id",
+              "embedding", m = 8, subDim = 8, ks = ks, sampleN = 1024)
+            .map { case (m0, cid, v) => (m0, cid, v.toSeq) }
+            .toDF("pq_m", "pq_cid", "pq_vec")
+          val codes = Similarity.pqEncode(assigned, "vec_id", "embedding",
+            cbDf, m = 8, subDim = 8, carry = Seq("cell")).cache()
+          codes.count()
+          val trainSec = (System.nanoTime() - t0) / 1e9
+          val (sec, rec) = timedRecall(Similarity.ivfPqTopK(
+            codes, "vec_id", "cell", cbDf, centroids, "cent_vec",
+            queries25, "q_id", "q_vec", m = 8, subDim = 8,
+            nProbe = 4, k = annK))
+          codes.unpersist(blocking = false)
+          System.err.println(f"[scalebench] ann_recall pq ks=$ks%-3d " +
+            f"recall=$rec%.3f  $sec%6.2f s (train+encode $trainSec%.2f s)")
+          s""""ks_$ks":{"train_sec":${fmt(trainSec)},"sec":${fmt(sec)},"recall":${fmt(rec)}}"""
+        }
         assigned.unpersist(blocking = false)
         corpusL.unpersist(blocking = false)
         s""","ann_recall":{"factor":$maxF,"k":$annK,"cells":$nCells,"bits":10,""" +
           s""""ivf":{${ivfEntries.mkString(",")}},""" +
-          s""""lsh":{${lshEntries.mkString(",")}}}"""
+          s""""lsh":{${lshEntries.mkString(",")}},""" +
+          s""""pq":{${pqEntries.mkString(",")}}}"""
       }
 
     val json = s"""{"metric":"scale_bench","unit":"sec","sf_dir":"$sfDir",""" +

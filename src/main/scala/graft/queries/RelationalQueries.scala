@@ -475,6 +475,53 @@ object RelationalQueries extends Q.Registry {
           |       event_type || ' [' || station_no || ']' AS label
           |FROM status""".stripMargin)),
 
+    Q("j10_range_join",
+      "Bucketed point-in-interval RANGE JOIN (ops/RangeJoin.scala — " +
+        "the general form of J2's truncated-hour join, for VARIABLE-" +
+        "length windows): every 500th order opens a (o_orderkey % 28 " +
+        "+ 1)-day half-open window from its order date; lineitem ship " +
+        "dates landing inside are counted and their quantities summed " +
+        "(l_quantity is integral-valued, so the double sum is exact " +
+        "in any aggregation order). Spark plans the raw BETWEEN " +
+        "predicate as a nested-loop cartesian — the bucket equi-key " +
+        "(width 29 d >= max duration, so each interval explodes into " +
+        "<= 2 buckets) turns it into one shuffle-hash join plus a " +
+        "residual filter, with each matching pair meeting in exactly " +
+        "ONE bucket (no dedup). The ORACLE is the raw inequality " +
+        "join itself — DuckDB's IEJoin evaluates it natively, so the " +
+        "hash match proves the bucketed plan is exactly the " +
+        "predicate's semantics.",
+      (s, d) => {
+        val intervals = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey"),
+            (col("o_orderkey") % 28 + 1).as("dur_days"),
+            col("o_orderdate").as("w_start"),
+            expr("o_orderdate + make_dt_interval(int(o_orderkey % 28 + 1), 0, 0, 0)")
+              .as("w_end"))
+        val points = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+        graft.ops.RangeJoin.pointInInterval(
+            points, "l_shipdate", intervals, "w_start", "w_end",
+            bucketWidthSec = 29L * 86400L)
+          .groupBy("o_orderkey", "dur_days")
+          .agg(count(lit(1)).as("n_ship"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """WITH iv AS (
+          |  SELECT o_orderkey, o_orderkey % 28 + 1 AS dur_days,
+          |         o_orderdate AS w_start,
+          |         o_orderdate + ((o_orderkey % 28 + 1) * INTERVAL 1 DAY) AS w_end
+          |  FROM orders WHERE o_orderkey % 500 = 0)
+          |SELECT iv.o_orderkey, iv.dur_days,
+          |       count(*) AS n_ship, sum(l.l_quantity) AS sum_qty
+          |FROM iv JOIN lineitem l
+          |  ON l.l_shipdate >= iv.w_start AND l.l_shipdate < iv.w_end
+          |GROUP BY iv.o_orderkey, iv.dur_days
+          |ORDER BY iv.o_orderkey""".stripMargin)),
+
     Q("p_derive_flags",
       "Derived-column suite (P6-P18): hour, weekday/weekend/peak flags, " +
         "risk label, clamp-round.",
