@@ -849,8 +849,14 @@ object BenchScale {
         }
         // PQ side: recall vs codebook size at a fixed probe budget —
         // the accuracy-compression trade ss5 ships. Train (bounded
-        // 1024-sample Lloyd), encode the corpus once per ks, ADC
-        // top-k; train+encode time reported separately from search.
+        // 1024-sample Lloyd), encode the corpus once per ks, then BOTH
+        // arms: pure ADC top-k (recall ≈ k/|tie class| here BY DESIGN —
+        // this corpus's true neighbors are jittered replicas below
+        // quantization resolution, so quantized distances tie; the low
+        // number is the honest measurement of that), and the FAISS
+        // refine step (ADC shortlist of 20·k, exact re-rank) which
+        // restores the fine order at |queries|·shortlist exact
+        // distances instead of a full scan.
         val pqEntries = Seq(16, 64, 256).map { ks =>
           import session.implicits._
           val t0 = System.nanoTime()
@@ -862,14 +868,20 @@ object BenchScale {
             cbDf, m = 8, subDim = 8, carry = Seq("cell")).cache()
           codes.count()
           val trainSec = (System.nanoTime() - t0) / 1e9
-          val (sec, rec) = timedRecall(Similarity.ivfPqTopK(
+          def adcShortlist(kk: Int) = Similarity.ivfPqTopK(
             codes, "vec_id", "cell", cbDf, centroids, "cent_vec",
             queries25, "q_id", "q_vec", m = 8, subDim = 8,
-            nProbe = 4, k = annK))
+            nProbe = 4, k = kk)
+          val (sec, rec) = timedRecall(adcShortlist(annK))
+          val (rsec, rrec) = timedRecall(Similarity.pqRefineTopK(
+            adcShortlist(20 * annK), corpusL, "vec_id", "embedding",
+            queries25, "q_id", "q_vec", annK))
           codes.unpersist(blocking = false)
           System.err.println(f"[scalebench] ann_recall pq ks=$ks%-3d " +
-            f"recall=$rec%.3f  $sec%6.2f s (train+encode $trainSec%.2f s)")
-          s""""ks_$ks":{"train_sec":${fmt(trainSec)},"sec":${fmt(sec)},"recall":${fmt(rec)}}"""
+            f"adc=$rec%.3f ($sec%5.2f s)  refined=$rrec%.3f ($rsec%5.2f s)" +
+            f"  train+encode $trainSec%.2f s")
+          s""""ks_$ks":{"train_sec":${fmt(trainSec)},"sec":${fmt(sec)},"recall":${fmt(rec)},""" +
+            s""""refined_sec":${fmt(rsec)},"refined_recall":${fmt(rrec)}}"""
         }
         assigned.unpersist(blocking = false)
         corpusL.unpersist(blocking = false)

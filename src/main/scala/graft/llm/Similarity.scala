@@ -299,6 +299,37 @@ object Similarity {
         col("approx_dist"), col("rank"))
   }
 
+  /** Exact re-ranking of a PQ shortlist — the FAISS "refine" step:
+    * ADC ranks candidates by QUANTIZED distance, which deliberately
+    * collapses differences below quantization resolution into ties
+    * (measured: on a corpus whose true neighbors are tight jittered
+    * replicas, pure-ADC top-k picks arbitrarily inside the ~tie-class
+    * and recall ≈ k / |tie class|). Re-scoring a shortlist of
+    * `shortlist ≫ k` ADC candidates with exact cosine restores the
+    * fine order; the exact pass touches only |queries|·shortlist
+    * vectors — a keyed point-lookup join, not a scan. */
+  def pqRefineTopK(shortlist: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int): DataFrame = {
+    val cn = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__n_vec"))
+      .withColumn("__c_norm", norm(col("__n_vec")))
+    val qn = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__q_vec"))
+      .withColumn("__q_norm", norm(col("__q_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    shortlist.select("query_id", "neighbor_id")
+      .join(cn.hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("cos_sim",
+        dotD(col("__q_vec"), col("__n_vec")) / (col("__q_norm") * col("__c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** IVF search: per query pick the nProbe nearest cells, scan only
     * corpus rows in those cells, exact cosine + top-k inside the
     * probed subset. `cellCorpus` must carry cellCol (from

@@ -460,6 +460,25 @@ class LlmSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean IVF-PQ recall@5 = $mean")
+
+    // the refine step (FAISS shortlist re-rank) restores EXACT order
+    // inside the quantization tie class: ADC top-5 shortlist re-scored
+    // with exact cosine recovers brute force's top-3
+    val refined = Similarity.pqRefineTopK(
+      Similarity.ivfPqTopK(codes, "vec_id", "cell", codebook,
+        centroids, "cent_vec", queries, "q_id", "q_vec",
+        M, subDim, nProbe = 2, k = 5),
+      emb, "vec_id", "embedding", queries, "q_id", "q_vec", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf3 = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rr = bf3.map { case (q, t) =>
+      refined.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    assert(rr.sum / rr.size >= 0.9, s"refined recall@3 = ${rr.sum / rr.size}")
   }
 
   test("hyperplane LSH recall@3 >= 0.8 vs brute force on clustered vectors; near-identical pairs always collide") {
