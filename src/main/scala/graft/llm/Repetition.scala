@@ -61,6 +61,34 @@ object Repetition {
         (col("__c") * length(col("__g"))).as(s"top_${n}gram_chars"))
   }
 
+  /** [[topGramChars]] for SEVERAL n in one explode/aggregate/window
+    * pass: grams are tagged with their n, counted per (id, n, gram),
+    * ranked per (id, n), then pivoted to one row per id with a
+    * `top_<n>gram_chars` column per requested n (null when the doc is
+    * shorter than n words — callers coalesce). Output ≡ joining the
+    * per-n [[topGramChars]] frames (spec-pinned) at a third of the
+    * shuffles — the tx21 profile runs 3 gram orders, and each
+    * separate pipeline was an explode + two keyed exchanges. */
+  def topGramCharsMulti(docs: DataFrame, idCol: String, ws: Column,
+                        ns: Seq[Int]): DataFrame = {
+    val tagged = docs.select(col(idCol),
+        explode(array(ns.map(n => struct(lit(n).as("__n"),
+          TextOps.wordShingles(ws, n).as("__gs"))): _*)).as("__t"))
+      .select(col(idCol), col("__t.__n").as("__n"),
+        explode(col("__t.__gs")).as("__g"))
+    val w = Window.partitionBy(col(idCol), col("__n"))
+      .orderBy(col("__c").desc, length(col("__g")).desc)
+    val aggs = ns.map(n =>
+      max(when(col("__n") === n, col("__c") * length(col("__g"))))
+        .as(s"top_${n}gram_chars"))
+    tagged.groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-id fraction of WORD characters covered by n-grams that occur
     * MORE THAN ONCE WITHIN THE SAME DOCUMENT (Gopher's per-document
     * metric — contrast tx16's corpus-wide span removal). Positioned

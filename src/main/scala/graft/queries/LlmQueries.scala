@@ -2442,11 +2442,7 @@ object LlmQueries extends Q.Registry {
             .hint("shuffle_hash"), Seq("doc_id"), "left")
           .join(Repetition.dupUnitStats(paras, "doc_id", "__u", "dup_para")
             .hint("shuffle_hash"), Seq("doc_id"), "left")
-          .join(Repetition.topGramChars(pages, "doc_id", ws, 2)
-            .hint("shuffle_hash"), Seq("doc_id"), "left")
-          .join(Repetition.topGramChars(pages, "doc_id", ws, 3)
-            .hint("shuffle_hash"), Seq("doc_id"), "left")
-          .join(Repetition.topGramChars(pages, "doc_id", ws, 4)
+          .join(Repetition.topGramCharsMulti(pages, "doc_id", ws, Seq(2, 3, 4))
             .hint("shuffle_hash"), Seq("doc_id"), "left")
           .join(Repetition.dupGramCharFrac(pages, "doc_id", ws, 5, "dup5")
             .hint("shuffle_hash"), Seq("doc_id"), "left")

@@ -1246,6 +1246,13 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(top5.contains(1L) && !top5.contains(2L))
 
+    // multi-n variant ≡ joining the per-n frames (nulls where short)
+    val multi = Repetition.topGramCharsMulti(docs, "id", ws, Seq(2, 5))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(multi(1L) === ((Some(top2(1L)), Some(top5(1L)))))
+    assert(multi(2L) === ((Some(top2(2L)), None)))
+
     // coverage: "a b" duplicated within doc 1 covers positions
     // {0,1} and {3,4} → all 1-char words except "c" → 4 of 5 chars
     val cov = Repetition.dupGramCharFrac(docs, "id", ws, 2, "f")
