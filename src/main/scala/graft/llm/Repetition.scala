@@ -89,13 +89,65 @@ object Repetition {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[dupGramCharFrac]] for SEVERAL n over ONE shared token/gram
+    * pass. The coverage test is made FRAME-FREE so every n shares a
+    * single window spec: token tpos is covered by some duplicated
+    * n-gram iff a dup-gram START s exists with tpos−(n−1) ≤ s ≤ tpos,
+    * i.e. iff the RUNNING MAX of (s + n − 1) over all starts at or
+    * before tpos reaches tpos — the n-dependence moves from the window
+    * frame (a per-window literal, which forced one window per n) into
+    * the VALUE, and the unbounded-preceding running max computes
+    * incrementally. One tagged gram explode, one (id, n, gram) count,
+    * one semi-join, one tokens×n expansion, one window, one pivot
+    * rollup — vs a full explode/agg/join/window pipeline per n
+    * (r9 review finding on tx21). Output ≡ joining the per-n
+    * [[dupGramCharFrac]] frames (spec-pinned). */
+  def dupGramCharFracMulti(docs: DataFrame, idCol: String, ws: Column,
+                           ns: Seq[Int]): DataFrame = {
+    val base = docs.select(col(idCol), ws.as("__ws"))
+    val tokens = base
+      .select(col(idCol), posexplode(col("__ws")).as(Seq("__tpos", "__w")))
+      .select(col(idCol), explode(array(ns.map(lit): _*)).as("__n"),
+        col("__tpos"), length(col("__w")).as("__wl"))
+    val grams = base.select(col(idCol),
+        explode(array(ns.map(n => struct(lit(n).as("__n"),
+          TextOps.wordShingles(col("__ws"), n).as("__gs"))): _*)).as("__t"))
+      .select(col(idCol), col("__t.__n").as("__n"),
+        posexplode(col("__t.__gs")).as(Seq("__gpos", "__g")))
+    val dups = grams.groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select(col(idCol).as("__did"), col("__n").as("__dn"),
+        col("__g").as("__dg"))
+    val starts = grams.join(dups.hint("shuffle_hash"),
+        col(idCol) === col("__did") && col("__n") === col("__dn") &&
+          col("__g") === col("__dg"), "left_semi")
+      .select(col(idCol).as("__sid"), col("__n").as("__sn"),
+        col("__gpos").as("__marker"))
+    val w = Window.partitionBy(col(idCol), col("__n")).orderBy(col("__tpos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // null __cov (no start seen yet) is falsy under the when() below
+    val covered = tokens.join(starts.hint("shuffle_hash"),
+        col(idCol) === col("__sid") && col("__n") === col("__sn") &&
+          col("__tpos") === col("__marker"), "left")
+      .withColumn("__cov",
+        max(col("__marker") + col("__n") - 1).over(w) >= col("__tpos"))
+    val aggs = ns.map(n =>
+      (sum(when(col("__n") === n && col("__cov"), col("__wl")).otherwise(0L))
+        .cast("double") /
+        sum(when(col("__n") === n, col("__wl")).otherwise(0L)))
+        .as(s"dup$n"))
+    covered.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-id fraction of WORD characters covered by n-grams that occur
     * MORE THAN ONCE WITHIN THE SAME DOCUMENT (Gopher's per-document
     * metric — contrast tx16's corpus-wide span removal). Positioned
     * grams → within-doc dup counts → start flags → the n-1-preceding
     * coverage window → character rollup. Every join is keyed on
     * (id, gram) or (id, position); the start set stays
-    * shuffle-hash-joined (never broadcast — it is corpus-sized). */
+    * shuffle-hash-joined (never broadcast — it is corpus-sized).
+    * Kept as the single-n executable spec [[dupGramCharFracMulti]] is
+    * pinned against. */
   def dupGramCharFrac(docs: DataFrame, idCol: String, ws: Column, n: Int,
                       outCol: String): DataFrame = {
     val base = docs.select(col(idCol), ws.as("__ws"))

@@ -254,6 +254,14 @@ object Similarity {
       .orderBy(col("__d"), col("pq_cid"))
     sub.join(broadcast(codebook), col("__m") === col("pq_m"))
       .withColumn("__d", sqDist(col("__sub"), col("pq_vec")))
+      // a wrong-dimension vector yields NULL sqDist on every codeword;
+      // under the default asc ordering nulls sort FIRST, so without
+      // this guard the argmin window would silently hand it the
+      // lowest-cid codeword. Drop instead — the hyperplaneTopK
+      // null-keys-join-nothing convention (malformed rows fall out of
+      // the index rather than poisoning it with legitimate-looking
+      // codes).
+      .filter(col("__d").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select((col(idCol) +: carry.map(col)) ++
@@ -276,6 +284,9 @@ object Similarity {
     val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
+      // same malformed-vector guard as pqEncode: a null centroid
+      // distance must not win the probe ranking (nulls sort first asc)
+      .filter(col("cell_dist").isNotNull)
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col(qIdCol), col(cellCol))
@@ -292,6 +303,10 @@ object Similarity {
     val adc = cand.groupBy(col(qIdCol), col(idCol))
       .agg(partials.head, partials.tail: _*)
       .withColumn("approx_dist", (0 until m).map(i => col(s"__d$i")).reduce(_ + _))
+      // a candidate with PARTIAL codes (pqEncode dropped some of its
+      // malformed subvectors) sums to null — drop it here too rather
+      // than let null sort first in the ranking
+      .filter(col("approx_dist").isNotNull)
     val w = Window.partitionBy(qIdCol).orderBy(col("approx_dist"), col(idCol))
     adc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

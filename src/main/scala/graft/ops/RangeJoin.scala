@@ -36,19 +36,25 @@ object RangeJoin {
 
   /** Inner-join `points` rows to every `intervals` row whose
     * [startCol, endCol) half-open window contains ptCol. Columns must
-    * be timestamps; callers guarantee start <= end (a reversed window
-    * simply matches nothing — the residual predicate is authoritative).
-    * `bucketWidthSec` should be >= the typical interval duration. */
+    * be timestamps. A reversed window (end < start) matches nothing —
+    * enforced by an explicit pre-filter, NOT left to the residual
+    * predicate: Spark's sequence() DESCENDS for stop < start, so one
+    * corrupt far-past end would otherwise explode into |bucket-span|
+    * rows (or throw on the array allocation) before the filter ever
+    * ran. `bucketWidthSec` should be >= the typical interval
+    * duration. */
   def pointInInterval(points: DataFrame, ptCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketWidthSec: Long): DataFrame = {
     require(bucketWidthSec > 0, s"bucket width must be positive, got $bucketWidthSec")
     val pb = points.withColumn("__bk",
       floor(unix_timestamp(col(ptCol)).cast("double") / bucketWidthSec).cast("long"))
-    val ib = intervals.withColumn("__bk",
-      explode(sequence(
-        floor(unix_timestamp(col(startCol)).cast("double") / bucketWidthSec).cast("long"),
-        floor(unix_timestamp(col(endCol)).cast("double") / bucketWidthSec).cast("long"))))
+    val ib = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bk",
+        explode(sequence(
+          floor(unix_timestamp(col(startCol)).cast("double") / bucketWidthSec).cast("long"),
+          floor(unix_timestamp(col(endCol)).cast("double") / bucketWidthSec).cast("long"))))
     // interval side explodes and re-keys — shuffle_hash, never SMJ and
     // never broadcast (intervals are fact-scale in the general case)
     pb.join(ib.hint("shuffle_hash"), Seq("__bk"))

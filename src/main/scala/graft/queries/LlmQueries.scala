@@ -540,31 +540,32 @@ object LlmQueries extends Q.Registry {
   private val PqSubDim = 8
   private val PqKs = 16
   private val PqSampleN = 256
+  private val PqNProbe = 3
   private def trainedPqCodebooks(s: SparkSession, d: String): Seq[(Int, Int, Array[Double])] =
     pqMemo.computeIfAbsent(d, _ =>
       Similarity.pqTrainCodebooks(Tables.embeddings(s, d), "vec_id",
         "embedding", PqM, PqSubDim, PqKs, PqSampleN))
-  private def oraclePqCodebooks: Option[Seq[(Int, Int, Array[Double])]] = {
+  /** Resolve the (active session, primed dir) pair a GENERATED oracle's
+    * fit needs, or warn that this JVM falls back to the weaker
+    * rows-only driver check — the shared head of every share-the-fit
+    * oracle (tx14, ss5). */
+  private def withPrimedSession[T](label: String)(
+      f: (SparkSession, String) => T): Option[T] = {
     val r = for {
       s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       d <- graft.Tables.primedDir
-    } yield trainedPqCodebooks(s, d)
+    } yield f(s, d)
     if (r.isEmpty)
       System.err.println("[LlmQueries] no session/primed dir when generating " +
-        "the ss5 oracle — rows-only driver check for this JVM")
+        s"the $label oracle — rows-only driver check for this JVM")
     r
   }
 
-  private def oracleLogit: Option[graft.ml.Logistic.LogitFit] = {
-    val r = for {
-      s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      d <- graft.Tables.primedDir
-    } yield fittedQualityModel(s, d)
-    if (r.isEmpty)
-      System.err.println("[LlmQueries] no session/primed dir when generating " +
-        "the tx14 oracle — rows-only driver check for this JVM")
-    r
-  }
+  private def oraclePqCodebooks: Option[Seq[(Int, Int, Array[Double])]] =
+    withPrimedSession("ss5")(trainedPqCodebooks)
+
+  private def oracleLogit: Option[graft.ml.Logistic.LogitFit] =
+    withPrimedSession("tx14")(fittedQualityModel)
 
   private def tx14OracleSql(fit: graft.ml.Logistic.LogitFit): String = {
     val wtRows = (0 until LogitBuckets)
@@ -1908,32 +1909,36 @@ object LlmQueries extends Q.Registry {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         Similarity.ivfPqTopK(codes, "vec_id", "cell", codebook,
             centroids, "cent_vec", queries, "q_id", "q_vec",
-            M, subDim, nProbe = 3, k = 3)
+            M, subDim, nProbe = PqNProbe, k = 3)
           .select(col("query_id"), col("neighbor_id"),
             Fmt.t6(col("approx_dist")).as("approx_dist"), col("rank"))
           .orderBy("query_id", "rank")
       },
       oraclePqCodebooks.map { cbRows =>
+        // every structural literal below derives from the SAME PqM /
+        // PqSubDim / PqNProbe constants the Spark side reads — a
+        // parameter change cannot silently desynchronize the template
         def sq(a: String, b: String, n: Int): String =
           s"list_sum(list_transform(range(1, ${n + 1}), " +
             s"i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])))"
-        val adcSum = (0 until 8)
+        val adcSum = (0 until PqM)
           .map(i => s"sum(CASE WHEN cand.m = $i THEN pd END)").mkString(" + ")
         val cbVals = cbRows
           .map { case (m0, cid, v) => s"($m0, $cid, [${v.mkString(", ")}])" }
           .mkString(",\n  ")
-        s"""WITH pqm AS (SELECT unnest(range(0, 8)) AS m),
+        val sd = PqSubDim
+        s"""WITH pqm AS (SELECT unnest(range(0, $PqM)) AS m),
            |cb(m, cid, cbv) AS (VALUES
            |  $cbVals),
            |psub AS (
            |  SELECT vec_id, label AS cell, pqm.m AS m,
-           |         embedding[(pqm.m * 8 + 1):(pqm.m * 8 + 8)] AS sub
+           |         embedding[(pqm.m * $sd + 1):(pqm.m * $sd + $sd)] AS sub
            |  FROM embeddings, pqm),
            |enc AS (
            |  SELECT vec_id, cell, m, cid FROM (
            |    SELECT p.vec_id, p.cell, p.m, c.cid,
            |           row_number() OVER (PARTITION BY p.vec_id, p.m
-           |             ORDER BY ${sq("p.sub", "c.cbv", 8)}, c.cid) AS rn
+           |             ORDER BY ${sq("p.sub", "c.cbv", PqSubDim)}, c.cid) AS rn
            |    FROM psub p JOIN cb c ON p.m = c.m)
            |  WHERE rn = 1),
            |cent0 AS (
@@ -1950,12 +1955,12 @@ object LlmQueries extends Q.Registry {
            |           row_number() OVER (PARTITION BY q.q_id
            |             ORDER BY ${sq("q.q_vec", "c.cent_vec", 64)}, c.cell) AS rn
            |    FROM q CROSS JOIN cent c)
-           |  WHERE rn <= 3),
+           |  WHERE rn <= $PqNProbe),
            |qsub AS (
-           |  SELECT q_id, pqm.m AS m, q_vec[(pqm.m * 8 + 1):(pqm.m * 8 + 8)] AS sub
+           |  SELECT q_id, pqm.m AS m, q_vec[(pqm.m * $sd + 1):(pqm.m * $sd + $sd)] AS sub
            |  FROM q, pqm),
            |lut AS (
-           |  SELECT s.q_id, s.m, c.cid, ${sq("s.sub", "c.cbv", 8)} AS pd
+           |  SELECT s.q_id, s.m, c.cid, ${sq("s.sub", "c.cbv", PqSubDim)} AS pd
            |  FROM qsub s JOIN cb c ON s.m = c.m),
            |cand AS (
            |  SELECT p.q_id, e.vec_id, e.m, e.cid
@@ -2397,15 +2402,19 @@ object LlmQueries extends Q.Registry {
       }),
 
     Q("tx21_gopher_repetition",
-      "The FULL Gopher repetition-filter family (Rae et al. 2021 " +
-        "Table A1) — tx8 ships three of its thirteen metrics; this " +
-        "adds the rest: duplicate LINE and PARAGRAPH fractions (plain " +
-        "+ character-weighted, thresholds 0.30/0.30/0.20/0.20), top " +
-        "2/3/4-gram character fractions (0.20/0.18/0.16) and " +
-        "duplicated 5/10-gram character-COVERAGE fractions " +
-        "(0.15/0.10) — the within-document twin of tx16's span " +
-        "coverage, same flag → n-1-window → rollup machinery " +
-        "(llm/Repetition.scala). Pages are synthesized multi-" +
+      "The COMPLETE Gopher repetition-filter table (Rae et al. 2021 " +
+        "Table A1, all thirteen metrics; tx8 ships the related " +
+        "word-level fractions, which are Gopher-INSPIRED summaries, " +
+        "not Table A1 rows): duplicate LINE and PARAGRAPH fractions " +
+        "(plain + character-weighted, thresholds " +
+        "0.30/0.30/0.20/0.20), top 2/3/4-gram character fractions " +
+        "(0.20/0.18/0.16) and duplicated 5..10-gram " +
+        "character-COVERAGE fractions (0.15/0.14/0.13/0.12/0.11/" +
+        "0.10) — the within-document twin of tx16's span coverage. " +
+        "All six coverage orders run in ONE pipeline: the coverage " +
+        "test is frame-free (running max of start+n-1 vs position — " +
+        "llm/Repetition.dupGramCharFracMulti), so one shared window " +
+        "spec serves every n. Pages are synthesized multi-" +
         "paragraph: a nav line three times on every 3rd page (dup " +
         "lines + dup 5-grams), the document body repeated as a " +
         "paragraph on every 5th (dup paragraphs + mass 5/10-gram " +
@@ -2444,9 +2453,8 @@ object LlmQueries extends Q.Registry {
             .hint("shuffle_hash"), Seq("doc_id"), "left")
           .join(Repetition.topGramCharsMulti(pages, "doc_id", ws, Seq(2, 3, 4))
             .hint("shuffle_hash"), Seq("doc_id"), "left")
-          .join(Repetition.dupGramCharFrac(pages, "doc_id", ws, 5, "dup5")
-            .hint("shuffle_hash"), Seq("doc_id"), "left")
-          .join(Repetition.dupGramCharFrac(pages, "doc_id", ws, 10, "dup10")
+          .join(Repetition.dupGramCharFracMulti(pages, "doc_id", ws,
+              Seq(5, 6, 7, 8, 9, 10))
             .hint("shuffle_hash"), Seq("doc_id"), "left")
         def topFrac(n: Int): org.apache.spark.sql.Column =
           coalesce(col(s"top_${n}gram_chars"), lit(0L)).cast("double") /
@@ -2456,7 +2464,8 @@ object LlmQueries extends Q.Registry {
           col("dup_line_char_frac") <= 0.20 &&
           col("dup_para_char_frac") <= 0.20 &&
           topFrac(2) <= 0.20 && topFrac(3) <= 0.18 && topFrac(4) <= 0.16 &&
-          col("dup5") <= 0.15 && col("dup10") <= 0.10
+          col("dup5") <= 0.15 && col("dup6") <= 0.14 && col("dup7") <= 0.13 &&
+          col("dup8") <= 0.12 && col("dup9") <= 0.11 && col("dup10") <= 0.10
         joined.select(
           col("doc_id"),
           Fmt.t6(col("dup_line_frac")).as("dup_line_frac"),
@@ -2467,6 +2476,10 @@ object LlmQueries extends Q.Registry {
           Fmt.t6(topFrac(3)).as("top_3gram_char_frac"),
           Fmt.t6(topFrac(4)).as("top_4gram_char_frac"),
           Fmt.t6(col("dup5")).as("dup_5gram_char_frac"),
+          Fmt.t6(col("dup6")).as("dup_6gram_char_frac"),
+          Fmt.t6(col("dup7")).as("dup_7gram_char_frac"),
+          Fmt.t6(col("dup8")).as("dup_8gram_char_frac"),
+          Fmt.t6(col("dup9")).as("dup_9gram_char_frac"),
           Fmt.t6(col("dup10")).as("dup_10gram_char_frac"),
           keep.as("keep"))
           .orderBy("doc_id")
@@ -2510,7 +2523,8 @@ object LlmQueries extends Q.Registry {
              |    AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
              |    AND ${topFracSql(2)} <= 0.20 AND ${topFracSql(3)} <= 0.18
              |    AND ${topFracSql(4)} <= 0.16
-             |    AND dup5 <= 0.15 AND dup10 <= 0.10)""".stripMargin
+             |    AND dup5 <= 0.15 AND dup6 <= 0.14 AND dup7 <= 0.13
+             |    AND dup8 <= 0.12 AND dup9 <= 0.11 AND dup10 <= 0.10)""".stripMargin
         s"""WITH rpg AS (
            |  SELECT doc_id,
            |    text || chr(10) || chr(10) ||
@@ -2552,15 +2566,9 @@ object LlmQueries extends Q.Registry {
            |rtok AS (SELECT doc_id, CAST(u.i AS INT) AS tpos,
            |    length(ws[CAST(u.i AS INT)]) AS wl
            |  FROM rws, unnest(range(1, len(ws) + 1)) AS u(i)),
-           |${gramsCte(2)}
-           |${gramsCte(3)}
-           |${gramsCte(4)}
-           |${gramsCte(5)}
-           |${gramsCte(10)}
-           |${topCte(2)}
-           |${topCte(3)}
-           |${topCte(4)}
-           |${covCte(5)}
+           |${(Seq(2, 3, 4) ++ (5 to 10)).map(gramsCte).mkString("\n")}
+           |${Seq(2, 3, 4).map(topCte).mkString("\n")}
+           |${(5 to 9).map(covCte).mkString("\n")}
            |${covCte(10).dropRight(1)}
            |SELECT rwch.doc_id,
            |  ${Fmt.sql6("dup_line_frac")} AS dup_line_frac,
@@ -2570,8 +2578,7 @@ object LlmQueries extends Q.Registry {
            |  ${Fmt.sql6(topFracSql(2))} AS top_2gram_char_frac,
            |  ${Fmt.sql6(topFracSql(3))} AS top_3gram_char_frac,
            |  ${Fmt.sql6(topFracSql(4))} AS top_4gram_char_frac,
-           |  ${Fmt.sql6("dup5")} AS dup_5gram_char_frac,
-           |  ${Fmt.sql6("dup10")} AS dup_10gram_char_frac,
+           |  ${(5 to 10).map(n => s"${Fmt.sql6(s"dup$n")} AS dup_${n}gram_char_frac,").mkString("\n  ")}
            |  $keepSql AS keep
            |FROM rwch
            |LEFT JOIN rlstat ON rwch.doc_id = rlstat.doc_id
@@ -2579,8 +2586,7 @@ object LlmQueries extends Q.Registry {
            |LEFT JOIN rt2 ON rwch.doc_id = rt2.doc_id
            |LEFT JOIN rt3 ON rwch.doc_id = rt3.doc_id
            |LEFT JOIN rt4 ON rwch.doc_id = rt4.doc_id
-           |LEFT JOIN rs5 ON rwch.doc_id = rs5.doc_id
-           |LEFT JOIN rs10 ON rwch.doc_id = rs10.doc_id
+           |${(5 to 10).map(n => s"LEFT JOIN rs$n ON rwch.doc_id = rs$n.doc_id").mkString("\n")}
            |ORDER BY rwch.doc_id""".stripMargin
       }),
 

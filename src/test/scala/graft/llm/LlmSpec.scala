@@ -1266,6 +1266,55 @@ class LlmSpec extends SparkSpec {
     assert(covCross(1L) === 0.0 && covCross(2L) === 0.0)
   }
 
+  test("dupGramCharFracMulti ≡ per-n dupGramCharFrac on seeded repetitive corpora (frame-free window property)") {
+    val rnd = new scala.util.Random(37)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e")
+    // documents built from repeated phrases so every n in 2..6 has real
+    // within-doc duplicate grams, plus short docs (< n words) for edges
+    val docs = (1L to 40L).map { i =>
+      val phrase = Seq.fill(2 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size)))
+      val words = Seq.fill(1 + rnd.nextInt(3))(phrase).flatten ++
+        Seq.fill(rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }.toDF("id", "t")
+    val ws = TextOps.words($"t")
+    val ns = Seq(2, 3, 5, 6)
+    val multi = Repetition.dupGramCharFracMulti(docs, "id", ws, ns)
+      .collect().map(r => r.getLong(0) -> ns.indices.map(j => r.getDouble(j + 1))).toMap
+    for ((n, j) <- ns.zipWithIndex) {
+      val single = Repetition.dupGramCharFrac(docs, "id", ws, n, "f")
+        .as[(Long, Double)].collect().toMap
+      single.foreach { case (id, v) =>
+        assert(multi(id)(j) === v, s"id=$id n=$n")
+      }
+    }
+  }
+
+  test("pqEncode/ivfPqTopK: wrong-dimension vectors drop out instead of taking the lowest-cid codeword") {
+    // doc 2 is 3-dim in a 4-dim corpus: its second subvector is short,
+    // sqDist is null, and without the guards it would (a) encode to
+    // cid 0 (nulls sort first in the argmin window) and (b) later sum
+    // to a null ADC distance that ranks FIRST in top-k
+    val emb = Seq((1L, 0, Seq(1f, 2f, 3f, 4f)), (2L, 0, Seq(1f, 2f, 3f)))
+      .toDF("vec_id", "cell", "embedding")
+    val cb = Seq((0, 0, Seq(0.0, 0.0)), (0, 1, Seq(5.0, 5.0)),
+      (1, 0, Seq(0.0, 0.0)), (1, 1, Seq(5.0, 5.0)))
+      .toDF("pq_m", "pq_cid", "pq_vec")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 2, 2,
+      carry = Seq("cell"))
+    val byId = codes.as[(Long, Int, Int, Int)].collect().groupBy(_._1)
+    assert(byId(1L).length === 2)          // full codes for the valid vector
+    assert(byId(2L).length === 1)          // only the valid subvector survives
+    // the partially-coded candidate never reaches top-k (null ADC sum)
+    val centroids = Seq((0, Seq(0.0, 0.0, 0.0, 0.0))).toDF("cell", "cent_vec")
+    val queries = Seq((9L, 0, Seq(1f, 2f, 3f, 4f)))
+      .toDF("q_id", "q_cell", "q_vec").drop("q_cell")
+    val top = Similarity.ivfPqTopK(codes, "vec_id", "cell", cb,
+      centroids, "cent_vec", queries, "q_id", "q_vec", 2, 2, 1, 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top === Set(1L))
+  }
+
   test("Gopher quality rules (tx20): each metric fires on a crafted page, both directions") {
     def metrics(page: String): (Double, Double, Double, Double, Int) = {
       val df = Seq(page).toDF("page")

@@ -52,6 +52,21 @@ class RangeJoinSpec extends SparkSpec {
       plan)
   }
 
+  test("a pathologically reversed interval matches nothing WITHOUT exploding into its bucket span") {
+    // end 56 years before start at width 1 s: sequence() would descend
+    // through ~1.7e9 buckets (array-allocation failure / OOM) if the
+    // reversed window reached the explode — the pre-filter must drop it
+    val points = Seq((1L, ts("2020-06-01 00:00:00"))).toDF("p_id", "pt")
+    val intervals = Seq(
+      ("bad", ts("2026-01-01 00:00:00"), ts("1970-01-01 00:00:00")),
+      ("good", ts("2020-01-01 00:00:00"), ts("2021-01-01 00:00:00"))
+    ).toDF("iv_id", "w_start", "w_end")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals,
+        "w_start", "w_end", 1L)
+      .select("p_id", "iv_id").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "good")))
+  }
+
   test("pointInInterval on seeded random points/intervals matches brute force (property)") {
     val rnd = new scala.util.Random(31)
     val base = ts("2021-01-01 00:00:00").getTime
