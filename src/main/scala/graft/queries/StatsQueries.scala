@@ -282,6 +282,45 @@ object StatsQueries extends Q.Registry {
           |FROM tst t JOIN pv ON t.district = pv.district
           |ORDER BY t.district""".stripMargin)),
 
+    Q("x18_mannwhitney",
+      "Mann-Whitney U / Wilcoxon rank-sum per district (X18 — the " +
+        "NONPARAMETRIC companion to x3's Welch t, the scipy.stats." +
+        "mannwhitneyu member of the reference's stack): peak vs " +
+        "off-peak bikes_available. Midranks come from the DISTINCT-" +
+        "VALUE histogram (state bounded by the value universe, not " +
+        "the row count — the MedianHistogram move), ties get the " +
+        "standard corrected normal approximation, and the two-sided " +
+        "p is the A&S 7.1.26 closed form — branch-free straight-line " +
+        "arithmetic, so the ORACLE replays the IDENTICAL Horner " +
+        "chain instead of an iterative special function. Integer " +
+        "values make every midrank a half-integer, so the rank-sum " +
+        "aggregation is order-independent EXACT double math: u and z " +
+        "hash-match bit-for-bit; p differs only by exp()'s last ulp, " +
+        "absorbed by trunc-6.",
+      (s, d) => {
+        val base = RelationalQueries.enriched(s, d)
+          .filter(col("filling_rate").between(0.0, 1.0) &&
+            col("district").isNotNull)
+        StatTests.mannWhitney(base, "bikes_available", col("is_peak"),
+            "district")
+          .select(col("district"), col("n1"), col("n2"),
+            Fmt.t6(col("u1")).as("u1"), Fmt.t6(col("u2")).as("u2"),
+            Fmt.t6(col("z")).as("z"),
+            Fmt.t6(col("p_value")).as("p_value"))
+          .orderBy("district")
+      },
+      Some(enrSql +
+        s""", src AS (
+           |  SELECT district, bikes_available AS v, is_peak AS flag
+           |  FROM enr
+           |  WHERE filling_rate BETWEEN 0 AND 1 AND district IS NOT NULL),
+           |${StatTests.mannWhitneySql("district")}
+           |SELECT district, n1, n2,
+           |  ${Fmt.sql6("u1")} AS u1, ${Fmt.sql6("u2")} AS u2,
+           |  ${Fmt.sql6("z")} AS z,
+           |  ${Fmt.sql6(StatTests.normalSfTwoSidedSql("z"))} AS p_value
+           |FROM mwz ORDER BY district""".stripMargin)),
+
     Q("x7_chi2_cramer",
       "Chi-square independence district × Risk_Label + Cramér's V and " +
         "strength bucket (X7+X8, 01:972-992). p-value engine-side.",

@@ -196,4 +196,117 @@ object StatTests {
           .otherwise("strong"))
       .withColumn("p_value", PValues.chi2(col("chi2"), col("dof")))
   }
+
+  // ---- Mann-Whitney U (Wilcoxon rank-sum; x18) ----------------------------
+
+  // Abramowitz & Stegun 7.1.26 erfc coefficients — a CLOSED-FORM
+  // rational approximation (|err| < 1.5e-7), chosen over the exact
+  // continued fraction precisely because it is branch-free straight-line
+  // double arithmetic: the SQL mirror runs the IDENTICAL Horner chain,
+  // so both engines agree bit-for-bit whatever the approximation error.
+  private val ErfP = 0.3275911
+  private val ErfA = Seq(0.254829592, -0.284496736, 1.421413741,
+    -1.453152027, 1.061405429)
+  private val InvSqrt2 = 0.7071067811865476 // 1/sqrt(2), pre-folded literal
+
+  /** Two-sided normal tail probability 2·(1−Φ(|z|)) = erfc(|z|/√2) via
+    * A&S 7.1.26. Same Horner order as [[normalSfTwoSidedSql]]; the one
+    * transcendental (exp) may differ between libms in the last ulp —
+    * absorbed by the callers' trunc-6 display grid, the established
+    * hllEstimate-ln() pattern. */
+  def normalSfTwoSided(z: Column): Column = {
+    val x = abs(z) * lit(InvSqrt2)
+    val t = lit(1.0) / (lit(1.0) + lit(ErfP) * x)
+    val poly = ErfA.reverse.foldLeft(lit(0.0): Column)((acc, a) => acc * t + lit(a))
+    poly * t * exp(-(x * x))
+  }
+
+  /** SQL mirror of [[normalSfTwoSided]]; `z` is a SQL expression string. */
+  def normalSfTwoSidedSql(z: String): String = {
+    val x = s"(abs($z) * $InvSqrt2)"
+    val t = s"(1.0 / (1.0 + $ErfP * $x))"
+    val poly = ErfA.reverse.foldLeft("0.0")((acc, a) => s"(($acc) * $t + $a)")
+    s"(($poly) * $t * exp(-($x * $x)))"
+  }
+
+  /** X18: Mann-Whitney U / Wilcoxon rank-sum per `byCol` group —
+    * the NONPARAMETRIC two-sample test (the scipy.stats.mannwhitneyu
+    * family member the reference's t-tests would reach for on skewed
+    * rates). `flagCol` must be boolean: sample 1 = rows where it is
+    * true. Midranks come from the DISTINCT-VALUE histogram (the
+    * ops/MedianHistogram move: state bounded by the value universe,
+    * not the row count — ranking raw rows would shuffle and sort every
+    * observation), ties get the standard tie-corrected normal
+    * approximation, and p is the A&S two-sided tail. EXACTNESS NOTE:
+    * midranks are half-integers and group counts are longs, so every
+    * product n1v·midrank is an exact multiple of 0.5 far below 2^52 —
+    * the rank-sum aggregation is order-independent EXACT double math,
+    * which is what lets the oracle replay it hash-identically.
+    * Topology: two keyed aggregations + one running-sum window on the
+    * histogram — one shuffle on `byCol` at any scale. */
+  def mannWhitney(df: DataFrame, valueCol: String, flagCol: Column,
+                  byCol: String): DataFrame = {
+    val hist = df.groupBy(col(byCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__nv"), sum(flagCol.cast("long")).as("__n1v"))
+    val w = Window.partitionBy(col(byCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mid = coalesce(sum(col("__nv")).over(w), lit(0L)).cast("double") +
+      (col("__nv").cast("double") + 1.0) / 2.0
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = col("__n").cast("double")
+    hist
+      .withColumn("__mid", mid)
+      .groupBy(col(byCol))
+      .agg(
+        sum(col("__n1v")).as("n1"),
+        sum(col("__nv")).as("__n"),
+        sum(col("__n1v").cast("double") * col("__mid")).as("__r1"),
+        sum(col("__nv") * col("__nv") * col("__nv") - col("__nv")).as("__ties"))
+      .withColumn("n2", col("__n") - col("n1"))
+      .withColumn("u1", col("__r1") - n1d * (n1d + 1.0) / 2.0)
+      .withColumn("u2", n1d * n2d - col("u1"))
+      .withColumn("z", (col("u1") - n1d * n2d / 2.0) /
+        sqrt(n1d * n2d / 12.0 *
+          ((nd + 1.0) - col("__ties").cast("double") / (nd * (nd - 1.0)))))
+      .withColumn("p_value", normalSfTwoSided(col("z")))
+      .select(col(byCol), col("n1"), col("n2"), col("u1"), col("u2"),
+        col("z"), col("p_value"))
+  }
+
+  /** SQL mirror of [[mannWhitney]] as a WITH-fragment: CTEs
+    * `mwh/mwr/mwa/mwz` over an input CTE `src(by, v, flag)`; the
+    * caller SELECTs from `mwz`. Every double operation appears in the
+    * same order as the Column form. DuckDB sums of BIGINT go HUGEINT,
+    * so the counts are CAST back. */
+  def mannWhitneySql(byCol: String): String =
+    s"""mwh AS (
+       |  SELECT $byCol, v, count(*) AS nv,
+       |         sum(CASE WHEN flag THEN 1 ELSE 0 END) AS n1v
+       |  FROM src GROUP BY $byCol, v),
+       |mwr AS (
+       |  SELECT $byCol, nv, n1v,
+       |    CAST(coalesce(sum(nv) OVER (PARTITION BY $byCol ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+       |      + (CAST(nv AS DOUBLE) + 1.0) / 2.0 AS mid
+       |  FROM mwh),
+       |mwa AS (
+       |  SELECT $byCol,
+       |    CAST(sum(n1v) AS BIGINT) AS n1,
+       |    CAST(sum(nv) AS BIGINT) AS n,
+       |    sum(CAST(n1v AS DOUBLE) * mid) AS r1,
+       |    CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+       |  FROM mwr GROUP BY $byCol),
+       |mwz AS (
+       |  SELECT $byCol, n1, n - n1 AS n2,
+       |    r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
+       |    CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) -
+       |      (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0) AS u2,
+       |    ((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+       |      - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0) /
+       |    sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0 *
+       |      ((CAST(n AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+       |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS z
+       |  FROM mwa)
+       |""".stripMargin
 }

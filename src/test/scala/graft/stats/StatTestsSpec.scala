@@ -115,4 +115,48 @@ class StatTestsSpec extends SparkSpec {
     assert(rows(("a", "c")).getAs[Boolean]("reject"))
     assert(rows(("b", "c")).getAs[Boolean]("reject"))
   }
+
+  test("mannWhitney: hand-computed U/z/p with ties; separated samples hit the extremes") {
+    // pooled {1,1,2} (flag) vs {1,2,2}: midranks 1→2, 2→5
+    // R1 = 2+2+5 = 9, U1 = 9 − 3·4/2 = 3, U2 = 9 − 3 = 6
+    // ties: two value-groups of 3 → Σ(t³−t) = 48
+    // σ = sqrt(9/12 · (7 − 48/30)) = sqrt(4.05); z = (3 − 4.5)/σ
+    val df = Seq((1, true), (1, true), (2, true), (1, false), (2, false), (2, false))
+      .toDF("v", "flag").withColumn("g", lit("only"))
+    val r = StatTests.mannWhitney(df, "v", $"flag", "g").collect().head
+    assert(r.getAs[Long]("n1") === 3L && r.getAs[Long]("n2") === 3L)
+    assert(r.getAs[Double]("u1") === 3.0)
+    assert(r.getAs[Double]("u2") === 6.0)
+    val zExp = (3.0 - 4.5) / math.sqrt(9.0 / 12.0 * (7.0 - 48.0 / 30.0))
+    assert(math.abs(r.getAs[Double]("z") - zExp) < 1e-12)
+    // A&S 7.1.26 two-sided tail vs the exact value (mpmath erfc): |err| < 1.5e-7
+    assert(math.abs(r.getAs[Double]("p_value") - 0.4560565) < 1e-4)
+
+    // fully separated samples: U1 = 0 (all flags below), U2 = n1·n2
+    val sep = Seq((1, true), (2, true), (3, true),
+      (10, false), (11, false), (12, false), (13, false))
+      .toDF("v", "flag").withColumn("g", lit("only"))
+    val rs = StatTests.mannWhitney(sep, "v", $"flag", "g").collect().head
+    assert(rs.getAs[Double]("u1") === 0.0 && rs.getAs[Double]("u2") === 12.0)
+  }
+
+  test("mannWhitney properties: U1+U2 = n1·n2, flag inversion negates z exactly, layout-invariant") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 400).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(12), rnd.nextBoolean()))
+    val df = rows.toDF("g", "v", "flag")
+    val a = StatTests.mannWhitney(df, "v", $"flag", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val b = StatTests.mannWhitney(df.repartition(7), "v", !$"flag", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    a.foreach { case (g, r) =>
+      val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+      assert(r.getAs[Double]("u1") + r.getAs[Double]("u2") === (n1 * n2).toDouble, g)
+      val inv = b(g)
+      assert(inv.getAs[Long]("n1") === n2 && inv.getAs[Long]("n2") === n1, g)
+      assert(inv.getAs[Double]("u1") === r.getAs[Double]("u2"), g)
+      assert(inv.getAs[Double]("z") === -r.getAs[Double]("z"), g)
+      assert(inv.getAs[Double]("p_value") === r.getAs[Double]("p_value"), g)
+    }
+  }
 }
