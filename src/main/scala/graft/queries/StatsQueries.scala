@@ -321,6 +321,45 @@ object StatsQueries extends Q.Registry {
            |  ${Fmt.sql6(StatTests.normalSfTwoSidedSql("z"))} AS p_value
            |FROM mwz ORDER BY district""".stripMargin)),
 
+    Q("x19_kruskal_wallis",
+      "Kruskal-Wallis H per district (X19 — the k-group extension of " +
+        "x18, scipy.stats.kruskal): does the bikes_available " +
+        "distribution differ across the four day segments " +
+        "(night/morning/afternoon/evening)? Pooled midranks from the " +
+        "same distinct-value histogram as x18, per-segment rank sums, " +
+        "tie-corrected H. Rank sums are exact half-integer " +
+        "arithmetic; the sum of R_j^2/n_j terms carries the usual " +
+        "last-ulp aggregation-order wobble, absorbed by trunc-6. The " +
+        "chi2 p-value runs engine-side (PValues.chi2, spec-pinned " +
+        "against the dof=2 closed form exp(-H/2)) and stays out of " +
+        "the oracled columns — the x7 precedent for iterative " +
+        "special functions.",
+      (s, d) => {
+        val base = RelationalQueries.enriched(s, d)
+          .filter(col("filling_rate").between(0.0, 1.0) &&
+            col("district").isNotNull)
+          .withColumn("segment",
+            when(col("hour") < 6, "night")
+              .when(col("hour") < 12, "morning")
+              .when(col("hour") < 18, "afternoon")
+              .otherwise("evening"))
+        StatTests.kruskalWallis(base, "bikes_available", "segment",
+            "district")
+          .select(col("district"), col("n"), col("k"), col("dof"),
+            Fmt.t6(col("h")).as("h"))
+          .orderBy("district")
+      },
+      Some(enrSql +
+        s""", src AS (
+           |  SELECT district, bikes_available AS v,
+           |    CASE WHEN hour < 6 THEN 'night' WHEN hour < 12 THEN 'morning'
+           |         WHEN hour < 18 THEN 'afternoon' ELSE 'evening' END AS grp
+           |  FROM enr
+           |  WHERE filling_rate BETWEEN 0 AND 1 AND district IS NOT NULL),
+           |${StatTests.kruskalWallisSql("district")}
+           |SELECT district, n, k, dof, ${Fmt.sql6("h")} AS h
+           |FROM kws ORDER BY district""".stripMargin)),
+
     Q("x7_chi2_cramer",
       "Chi-square independence district × Risk_Label + Cramér's V and " +
         "strength bucket (X7+X8, 01:972-992). p-value engine-side.",

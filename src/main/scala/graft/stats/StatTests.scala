@@ -274,6 +274,92 @@ object StatTests {
         col("z"), col("p_value"))
   }
 
+  /** X19: Kruskal-Wallis H per `byCol` — the k-group extension of
+    * [[mannWhitney]] (scipy.stats.kruskal): pooled midranks from the
+    * same distinct-value histogram, per-group rank sums, the standard
+    * tie-corrected H. Rank sums stay EXACT (half-integers × longs);
+    * the Σ R_j²/n_j aggregation order can wobble the last ulp of H —
+    * the usual trunc-6 display class. The chi2 p-value runs
+    * engine-side ([[graft.functions.PValues.chi2]]) and is pinned by
+    * spec fixtures, not the SQL oracle — the x7 precedent for
+    * iterative special functions whose replay isn't closed-form. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String,
+                    byCol: String): DataFrame = {
+    val h1 = df.groupBy(col(byCol), col(valueCol).as("__v"),
+        col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__njv"))
+    val nv = h1.groupBy(col(byCol), col("__v"))
+      .agg(sum(col("__njv")).as("__nv"))
+    val w = Window.partitionBy(col(byCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mids = nv
+      .withColumn("__mid",
+        coalesce(sum(col("__nv")).over(w), lit(0L)).cast("double") +
+          (col("__nv").cast("double") + 1.0) / 2.0)
+    val rsum = h1.join(mids.hint("shuffle_hash"), Seq(byCol, "__v"))
+      .groupBy(col(byCol), col("__g"))
+      .agg(sum(col("__njv").cast("double") * col("__mid")).as("__rj"),
+        sum(col("__njv")).as("__nj"))
+    val ties = mids.groupBy(col(byCol))
+      .agg(sum(col("__nv") * col("__nv") * col("__nv") - col("__nv"))
+        .as("__ties"))
+    val nd = col("__ntot").cast("double")
+    rsum.groupBy(col(byCol))
+      .agg(sum(col("__nj")).as("__ntot"),
+        count(lit(1)).as("k"),
+        sum(col("__rj") * col("__rj") / col("__nj").cast("double")).as("__s"))
+      .join(ties.hint("shuffle_hash"), Seq(byCol))
+      .withColumn("__h_raw",
+        lit(12.0) / (nd * (nd + 1.0)) * col("__s") - lit(3.0) * (nd + 1.0))
+      .withColumn("h", col("__h_raw") /
+        (lit(1.0) - col("__ties").cast("double") / (nd * nd * nd - nd)))
+      .withColumn("dof", col("k") - 1)
+      .withColumn("p_value",
+        PValues.chi2(col("h"), col("dof").cast("double")))
+      .select(col(byCol), col("__ntot").as("n"), col("k"), col("dof"),
+        col("h"), col("p_value"))
+  }
+
+  /** SQL mirror of [[kruskalWallis]] (sans the engine-side p): CTEs
+    * `kwh/kwn/kwm/kwr/kwt/kws` over `src(by, v, grp)`; caller SELECTs
+    * from `kws`. Same operation order as the Column form. */
+  def kruskalWallisSql(byCol: String): String =
+    s"""kwh AS (
+       |  SELECT $byCol, v, grp, count(*) AS njv
+       |  FROM src GROUP BY $byCol, v, grp),
+       |kwn AS (
+       |  SELECT $byCol, v, CAST(sum(njv) AS BIGINT) AS nv
+       |  FROM kwh GROUP BY $byCol, v),
+       |kwm AS (
+       |  SELECT $byCol, v, nv,
+       |    CAST(coalesce(sum(nv) OVER (PARTITION BY $byCol ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+       |      + (CAST(nv AS DOUBLE) + 1.0) / 2.0 AS mid
+       |  FROM kwn),
+       |kwr AS (
+       |  SELECT h.$byCol, h.grp,
+       |    sum(CAST(h.njv AS DOUBLE) * m.mid) AS rj,
+       |    CAST(sum(h.njv) AS BIGINT) AS nj
+       |  FROM kwh h JOIN kwm m ON h.$byCol = m.$byCol AND h.v = m.v
+       |  GROUP BY h.$byCol, h.grp),
+       |kwt AS (
+       |  SELECT $byCol, CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+       |  FROM kwm GROUP BY $byCol),
+       |kws AS (
+       |  SELECT r.$byCol,
+       |    CAST(sum(r.nj) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS k,
+       |    CAST(count(*) AS BIGINT) - 1 AS dof,
+       |    (12.0 / (CAST(sum(r.nj) AS DOUBLE) * (CAST(sum(r.nj) AS DOUBLE) + 1.0))
+       |       * sum(r.rj * r.rj / CAST(r.nj AS DOUBLE))
+       |       - 3.0 * (CAST(sum(r.nj) AS DOUBLE) + 1.0)) /
+       |    (1.0 - CAST(any_value(t.ties) AS DOUBLE) /
+       |      (CAST(sum(r.nj) AS DOUBLE) * CAST(sum(r.nj) AS DOUBLE)
+       |        * CAST(sum(r.nj) AS DOUBLE) - CAST(sum(r.nj) AS DOUBLE))) AS h
+       |  FROM kwr r JOIN kwt t ON r.$byCol = t.$byCol
+       |  GROUP BY r.$byCol)
+       |""".stripMargin
+
   /** SQL mirror of [[mannWhitney]] as a WITH-fragment: CTEs
     * `mwh/mwr/mwa/mwz` over an input CTE `src(by, v, flag)`; the
     * caller SELECTs from `mwz`. Every double operation appears in the

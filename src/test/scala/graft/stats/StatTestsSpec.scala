@@ -140,6 +140,37 @@ class StatTestsSpec extends SparkSpec {
     assert(rs.getAs[Double]("u1") === 0.0 && rs.getAs[Double]("u2") === 12.0)
   }
 
+  test("kruskalWallis: hand-computed H without and with ties; dof=2 p matches the exact exp(-H/2)") {
+    // no ties: a={1,2} b={3,4} c={5,6} → ranks 1..6, Ra=3 Rb=7 Rc=11
+    // S = (9+49+121)/2 = 89.5; H = 12/42·89.5 − 21 = 32/7
+    val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"), (6, "c"))
+      .toDF("v", "grp").withColumn("g", lit("only"))
+    val r = StatTests.kruskalWallis(df, "v", "grp", "g").collect().head
+    assert(r.getAs[Long]("n") === 6L && r.getAs[Long]("k") === 3L &&
+      r.getAs[Long]("dof") === 2L)
+    assert(math.abs(r.getAs[Double]("h") - 32.0 / 7.0) < 1e-12)
+    // dof=2 chi2 survival is EXACTLY exp(-H/2)
+    assert(math.abs(r.getAs[Double]("p_value") - math.exp(-16.0 / 7.0)) < 1e-9)
+
+    // with ties: a={1,1} b={1,2} c={2,2} → midranks 1→2, 2→5
+    // Ra=4 Rb=7 Rc=10; S = (16+49+100)/2 = 82.5; Hraw = 12/42·82.5 − 21 = 18/7
+    // ties Σ(t³−t) = 48; H = (18/7) / (1 − 48/210) = 10/3
+    val dft = Seq((1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "c"), (2, "c"))
+      .toDF("v", "grp").withColumn("g", lit("only"))
+    val rt = StatTests.kruskalWallis(dft, "v", "grp", "g").collect().head
+    assert(math.abs(rt.getAs[Double]("h") - 10.0 / 3.0) < 1e-12)
+    assert(math.abs(rt.getAs[Double]("p_value") - math.exp(-5.0 / 3.0)) < 1e-9)
+
+    // two-group KW ≡ Mann-Whitney z² (the classic identity, tie-corrected)
+    val two = Seq((1, "a"), (1, "a"), (2, "a"), (1, "b"), (2, "b"), (2, "b"))
+      .toDF("v", "grp").withColumn("g", lit("only"))
+    val kw = StatTests.kruskalWallis(two, "v", "grp", "g").collect().head
+    val mw = StatTests.mannWhitney(two.withColumn("flag", $"grp" === "a"),
+      "v", $"flag", "g").collect().head
+    val z = mw.getAs[Double]("z")
+    assert(math.abs(kw.getAs[Double]("h") - z * z) < 1e-10)
+  }
+
   test("mannWhitney properties: U1+U2 = n1·n2, flag inversion negates z exactly, layout-invariant") {
     val rnd = new scala.util.Random(41)
     val rows = (1 to 400).map(_ =>
