@@ -47,6 +47,7 @@ object Bench {
     "st4_stream_stream_join", "st5_stream_scoring", "st6_stream_near_dup",
     "st7_stream_substring_dedup", // two-batch file stream runs at plan build
     "st8_stream_distinct_sketch", // two-trigger sketch-state stream, same
+    "st9_stream_quantile_sketch", // pair-sketch state variant, same
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier", // IRLS fit runs at plan build
     "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build

@@ -70,7 +70,8 @@ object ExplainFit {
     for (name <- Seq("st1_stream_watermark_dedup", "st2_stream_windowed_agg",
         "st3_stream_stateful_counts", "st4_stream_stream_join",
         "st5_stream_scoring", "st6_stream_near_dup",
-        "st7_stream_substring_dedup", "st8_stream_distinct_sketch")) {
+        "st7_stream_substring_dedup", "st8_stream_distinct_sketch",
+        "st9_stream_quantile_sketch")) {
       val df = SparkEntry.queries(name)(spark, sfDir) // runs the bounded stream
       val batch = queries.IngestQueries.lastStreamPlan
         .getOrElse(sys.error(s"$name left no captured micro-batch plan"))

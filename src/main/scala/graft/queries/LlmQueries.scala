@@ -3511,6 +3511,62 @@ object LlmQueries extends Q.Registry {
            |ORDER BY lang""".stripMargin
       }),
 
+    Q("st9_stream_quantile_sketch",
+      "STREAMING bounded-state QUANTILES — st8's state-store move for " +
+        "the VALUE-carrying sketch (functions/KmvPairSketchAgg): " +
+        "per-language document-length quantiles maintained across " +
+        "micro-batches with k=32 (hash, value) pairs per group in the " +
+        "state store, however many batches arrive. exact percentile() " +
+        "is as unsupported in streaming as countDistinct, for the " +
+        "same unbounded-state reason; the mergeable bottom-k sample " +
+        "is the fix. Two staged arrival days (even then odd doc_ids) " +
+        "make the cross-trigger merge real, and the merge property " +
+        "means the final complete-mode sample must equal the batch " +
+        "sample over the full corpus — the ORACLE replays sk7's " +
+        "hash-rank rebuild and the (m-1)q interpolation, checksum-" +
+        "pinning the sample content.",
+      (s, d) => {
+        val k = 32
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val (stage, inDir) = stageArrivalDays(
+          Seq(docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 =!= 0)), "graft_st9_")
+        val agg = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .groupBy("lang")
+          .agg(Sketches.sampleSketch(
+            Sketches.hash60(col("doc_id").cast("string")),
+            col("n_chars"), k).as("sample"))
+        val out = IngestQueries.runToMemory(s, agg, "st9_out_", "complete")
+          .select(col("lang"),
+            size(col("sample")).as("sample_size"),
+            Sketches.sketchChecksum(col("sample")).as("sample_checksum"),
+            Fmt.t6(Sketches.sampleQuantile(col("sample"), 0.5)).as("est_p50"),
+            Fmt.t6(Sketches.sampleQuantile(col("sample"), 0.95)).as("est_p95"))
+          .orderBy("lang")
+        graft.LocalRun.deleteRecursively(stage)
+        out
+      },
+      Some {
+        val h = Sketches.hash60Sql("CAST(doc_id AS VARCHAR)")
+        s"""WITH qh AS (
+           |  SELECT lang, n_chars, $h AS h FROM documents),
+           |qrk AS (
+           |  SELECT lang, n_chars, h,
+           |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+           |  FROM qh),
+           |qsk AS (
+           |  SELECT lang, list(n_chars ORDER BY h) AS sample
+           |  FROM qrk WHERE rk <= 32 GROUP BY lang)
+           |SELECT lang,
+           |  CAST(len(sample) AS INT) AS sample_size,
+           |  ${Sketches.sketchChecksumSql("sample")} AS sample_checksum,
+           |  ${Fmt.sql6(Sketches.sampleQuantileSql("sample", 0.5))} AS est_p50,
+           |  ${Fmt.sql6(Sketches.sampleQuantileSql("sample", 0.95))} AS est_p95
+           |FROM qsk
+           |ORDER BY lang""".stripMargin
+      }),
+
     Q("dd11_incremental_dedup",
       "Incremental near-dup check — the PRODUCTION dedup shape: a new " +
         "batch (planted truncated replays: every 50th doc as id+1M, " +
