@@ -224,6 +224,60 @@ class MicroBatchIngestSpec extends SparkSpec {
     val finalCounts = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     assert(finalCounts === Map("s1" -> 3L, "s2" -> 1L))
   }
+
+  test("sketch-state streaming aggregation: checkpoint RESTART restores the " +
+    "per-group KMV and sample state — post-restart sketches equal the batch " +
+    "sketch over EVERYTHING (the st8/st9 state-store contract)") {
+    import MicroBatchIngestSpec.SkRow
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SkRow]
+    val agg = input.toDF().groupBy("grp")
+      .agg(Sketches.kmvSketch(col("h"), 4).as("kmv"),
+        Sketches.sampleSketch(col("h"), col("v"), 4).as("smp"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st8-restart").toString
+    // complete mode: each batch emits the whole table; keep the LATEST
+    @volatile var latest: Map[String, (Seq[Long], Seq[Long])] = Map.empty
+    def start() = agg.writeStream
+      .outputMode("complete").trigger(Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val snap = b.select("grp", "kmv", "smp")
+          .as[(String, Seq[Long], Seq[Long])].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        if (snap.nonEmpty) latest = snap
+        ()
+      }
+      .start()
+    // phase 1: group a saturates k=4, group b stays below
+    val day1 = Seq(SkRow("a", 50L, 500L), SkRow("a", 20L, 200L),
+      SkRow("a", 70L, 700L), SkRow("a", 40L, 400L), SkRow("a", 90L, 900L),
+      SkRow("b", 5L, 55L))
+    val q1 = start()
+    input.addData(day1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(latest("a")._1 === Seq(20L, 40L, 50L, 70L), "phase-1 kmv")
+    // phase 2: FRESH query from the checkpoint; new minima must displace
+    // inside the RESTORED buffers (day-1 rows are not re-addable — their
+    // offsets are committed)
+    val day2 = Seq(SkRow("a", 10L, 100L), SkRow("a", 60L, 600L),
+      SkRow("b", 3L, 33L))
+    val q2 = start()
+    input.addData(day2: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val all = day1 ++ day2
+    def batchRef(g: String) = all.filter(_.grp == g).map(_.h).distinct.sorted.take(4)
+    def batchSmp(g: String) =
+      all.filter(_.grp == g).sortBy(_.h).take(4).map(_.v)
+    for (g <- Seq("a", "b")) {
+      assert(latest(g)._1 === batchRef(g), s"post-restart kmv($g)")
+      assert(latest(g)._2 === batchSmp(g), s"post-restart sample($g)")
+    }
+    graft.LocalRun.deleteRecursively(java.nio.file.Paths.get(ckpt))
+  }
 }
 
 object MicroBatchIngestSpec {
@@ -235,4 +289,5 @@ object MicroBatchIngestSpec {
     * CODEGEN_ONLY. */
   final case class Fact(station_no: String, record_time: Timestamp, bikes: Int)
   final case class Reading(obs_time: Timestamp, temperature: Double)
+  final case class SkRow(grp: String, h: Long, v: Long)
 }
