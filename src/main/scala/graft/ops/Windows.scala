@@ -107,4 +107,28 @@ object Windows {
     df.select(col(key)).distinct()
       .withColumn(idCol, row_number().over(w) - 1)
   }
+
+  /** W7: gap-based SESSIONIZATION — the classic event-analytics
+    * operator (the general form of the reference's per-poll grouping):
+    * per `keyCol` ordered by `tsCol`, a new session starts where the
+    * gap to the previous event exceeds `gapSec`. session_idx is the
+    * running count of session starts. Gaps compare in exact
+    * MICROSECONDS (unix_micros — second-truncation would misclassify
+    * a 1800.5 s gap on both sides differently). The cumulative sum
+    * uses the DEFAULT RANGE frame deliberately: rows tied on the
+    * timestamp aggregate the boundary flag together, so all ties land
+    * in the same session no matter which physical row lag() saw first
+    * — sessionization stays layout-invariant even on tied data. One
+    * shuffle on the key; both window passes share it. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    df.withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__new",
+        (col("__prev").isNull ||
+          unix_micros(col(tsCol)) - col("__prev") > gapSec * 1000000L)
+          .cast("long"))
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .drop("__prev", "__new")
+  }
 }

@@ -28,6 +28,59 @@ object WindowQueries extends Q.Registry {
 
   val all: Seq[Q] = Seq(
 
+    Q("w7_sessionize",
+      "Gap-based SESSIONIZATION (W7 — the classic event-analytics " +
+        "operator the w-series lacked): per user, a new session " +
+        "starts when the gap to the previous event exceeds 6 h " +
+        "(~the corpus's median inter-event gap, so the rule splits " +
+        "meaningfully); session_idx = running count of boundaries " +
+        "(ops/Windows.sessionize — exact-microsecond gaps, RANGE-" +
+        "frame cumsum so hypothetical timestamp ties stay in one " +
+        "session, layout-invariantly). Output = per-session rollup: " +
+        "event count, span, duration, purchase count. One shuffle on " +
+        "user_id; the lag and cumsum windows and the final rollup " +
+        "all share it.",
+      (s, d) => {
+        val sess = Windows.sessionize(
+          graft.Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_type")),
+          "user_id", "ts", gapSec = 21600L)
+        sess.groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("s_start"),
+            max(col("ts")).as("s_end"),
+            Fmt.t6((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .cast("double") / 1e6).as("duration_sec"),
+            sum((col("event_type") === "purchase").cast("long"))
+              .as("n_purchases"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some(
+        """WITH sv AS (
+          |  SELECT user_id, ts, event_type,
+          |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          |  FROM events),
+          |sf AS (
+          |  SELECT user_id, ts, event_type,
+          |         CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 21600000000
+          |              THEN 1 ELSE 0 END AS newf
+          |  FROM sv),
+          |sx AS (
+          |  SELECT user_id, ts, event_type,
+          |         sum(newf) OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+          |  FROM sf)
+          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          |       count(*) AS n_events,
+          |       min(ts) AS s_start, max(ts) AS s_end,
+          |       floor((CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6)
+          |         * 1e6 + 1e-6) / 1e6 AS duration_sec,
+          |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_purchases
+          |FROM sx
+          |GROUP BY user_id, session_idx
+          |ORDER BY user_id, session_idx""".stripMargin)),
+
     Q("w1_lag_rate",
       "Lag feature per station (W1, 01:1115-1118): filling_rate_lag1 = " +
         "shift(1) within station ordered by time — the reference's " +

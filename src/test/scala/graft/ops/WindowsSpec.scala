@@ -95,4 +95,36 @@ class WindowsSpec extends SparkSpec {
       .as[(String, Int)].collect().toSeq
     assert(out === Seq(("s1", 0), ("s2", 1), ("s3", 2)))
   }
+
+  test("sessionize (W7): boundaries at gap > threshold, per-key isolation, " +
+    "tied timestamps share one session, layout-invariant") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: events at 00:00, 00:10 (same session), 01:00 (gap 50 min > 30
+    // → new), 01:05; u2: one lone event. A TIED pair at u1 01:05 lands
+    // with its twin whatever order lag() saw them in.
+    val rows = Seq(
+      ("u1", ts("2024-01-01 00:00:00")), ("u1", ts("2024-01-01 00:10:00")),
+      ("u1", ts("2024-01-01 01:00:00")), ("u1", ts("2024-01-01 01:05:00")),
+      ("u1", ts("2024-01-01 01:05:00")), // exact tie
+      ("u2", ts("2024-01-01 00:00:00")))
+    for (parts <- Seq(1, 5)) {
+      val out = Windows.sessionize(
+          rows.toDF("k", "t").repartition(parts), "k", "t", gapSec = 1800L)
+        .as[(String, Timestamp, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2.getTime).map(_._3).toSeq).toMap
+      assert(out("u1") === Seq(1L, 1L, 2L, 2L, 2L), s"parts=$parts")
+      assert(out("u2") === Seq(1L), s"parts=$parts")
+    }
+    // sub-second exactness: a gap of threshold+1µs splits, threshold does not
+    val fine = Seq(
+      ("u", Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("u", new Timestamp(Timestamp.valueOf("2024-01-01 00:30:00").getTime)),
+      ("u", { val t = Timestamp.valueOf("2024-01-01 01:00:00")
+              t.setNanos(1000); t })) // 30 min + 1 µs after the 2nd
+    val f = Windows.sessionize(fine.toDF("k", "t"), "k", "t", 1800L)
+      .as[(String, Timestamp, Long)].collect().sortBy(_._2.getTime).map(_._3).toSeq
+    assert(f === Seq(1L, 1L, 2L)) // exactly-threshold gap stays; +1µs splits
+  }
 }
