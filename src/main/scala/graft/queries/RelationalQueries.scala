@@ -329,6 +329,88 @@ object RelationalQueries extends Q.Registry {
           |  FROM clean GROUP BY station_no, hour)
           |WHERE rn = 1 ORDER BY station_no""".stripMargin)),
 
+    Q("a12_funnel",
+      "Ordered WINDOWED funnel (A12 — the event-analytics rollup the " +
+        "a-series lacked; the ClickHouse-windowFunnel semantic): " +
+        "click → view → purchase per user with STRICT temporal " +
+        "ordering AND a 24 h conversion window per stage (a view " +
+        "counts only in (t_click, t_click+24h]; a purchase only in " +
+        "(t_view, t_view+24h] — without the window every user of a " +
+        "months-long event stream trivially converts and the rates " +
+        "pin at 1.0). Three chained keyed " +
+        "aggregations + two shuffle-hash joins, all on user_id — one " +
+        "partitioning reused end to end, no window over the raw " +
+        "event stream. Stage times are exact microsecond minima, so " +
+        "the mean conversion lags are exact-long sums divided once — " +
+        "deterministic cross-engine.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val t1 = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_click"))
+        val winUs = 24L * 3600L * 1000000L
+        val t2 = ev.filter(col("event_type") === "view")
+          .join(t1.hint("shuffle_hash"), Seq("user_id"))
+          .filter(unix_micros(col("ts")) > col("t_click") &&
+            unix_micros(col("ts")) <= col("t_click") + winUs)
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_view"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2.hint("shuffle_hash"), Seq("user_id"))
+          .filter(unix_micros(col("ts")) > col("t_view") &&
+            unix_micros(col("ts")) <= col("t_view") + winUs)
+          .groupBy("user_id").agg(min(col("t_view")).as("t_view2"),
+            min(unix_micros(col("ts"))).as("t_purchase"))
+        val users = ev.select("user_id").distinct()
+        val joined = users
+          .join(t1.hint("shuffle_hash"), Seq("user_id"), "left")
+          .join(t2.hint("shuffle_hash"), Seq("user_id"), "left")
+          .join(t3.hint("shuffle_hash"), Seq("user_id"), "left")
+        joined.agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_view")).as("n_view_after_click"),
+          count(col("t_purchase")).as("n_purchase_after_view"),
+          Fmt.t6(count(col("t_click")).cast("double") / count(lit(1)))
+            .as("r_click"),
+          Fmt.t6(count(col("t_view")).cast("double") / count(col("t_click")))
+            .as("r_view"),
+          Fmt.t6(count(col("t_purchase")).cast("double") / count(col("t_view")))
+            .as("r_purchase"),
+          Fmt.t6(sum(col("t_view") - col("t_click")).cast("double") /
+            count(col("t_view")) / 3.6e9).as("avg_hours_click_to_view"),
+          Fmt.t6(sum(col("t_purchase") - col("t_view2")).cast("double") /
+            count(col("t_purchase")) / 3.6e9).as("avg_hours_view_to_purchase"))
+      },
+      Some(
+        """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+          |f1 AS (SELECT user_id, min(tus) AS t_click FROM fev
+          |       WHERE event_type = 'click' GROUP BY user_id),
+          |f2 AS (SELECT e.user_id, min(e.tus) AS t_view
+          |       FROM fev e JOIN f1 ON e.user_id = f1.user_id
+          |       WHERE e.event_type = 'view' AND e.tus > f1.t_click
+          |         AND e.tus <= f1.t_click + 86400000000
+          |       GROUP BY e.user_id),
+          |f3 AS (SELECT e.user_id, min(f2.t_view) AS t_view2, min(e.tus) AS t_purchase
+          |       FROM fev e JOIN f2 ON e.user_id = f2.user_id
+          |       WHERE e.event_type = 'purchase' AND e.tus > f2.t_view
+          |         AND e.tus <= f2.t_view + 86400000000
+          |       GROUP BY e.user_id),
+          |fu AS (SELECT DISTINCT user_id FROM fev),
+          |fj AS (SELECT fu.user_id, f1.t_click, f2.t_view, f3.t_view2, f3.t_purchase
+          |       FROM fu LEFT JOIN f1 ON fu.user_id = f1.user_id
+          |       LEFT JOIN f2 ON fu.user_id = f2.user_id
+          |       LEFT JOIN f3 ON fu.user_id = f3.user_id)
+          |SELECT count(*) AS n_users,
+          |       count(t_click) AS n_click,
+          |       count(t_view) AS n_view_after_click,
+          |       count(t_purchase) AS n_purchase_after_view,
+          |       floor((CAST(count(t_click) AS DOUBLE) / count(*)) * 1e6 + 1e-6) / 1e6 AS r_click,
+          |       floor((CAST(count(t_view) AS DOUBLE) / count(t_click)) * 1e6 + 1e-6) / 1e6 AS r_view,
+          |       floor((CAST(count(t_purchase) AS DOUBLE) / count(t_view)) * 1e6 + 1e-6) / 1e6 AS r_purchase,
+          |       floor((CAST(sum(t_view - t_click) AS DOUBLE) / count(t_view) / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_click_to_view,
+          |       floor((CAST(sum(t_purchase - t_view2) AS DOUBLE) / count(t_purchase) / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_view_to_purchase
+          |FROM fj""".stripMargin)),
+
     Q("a11_shortage_ranking",
       "Per-district shortage probability vs global mean (A11, 01:1014).",
       (s, d) => {
