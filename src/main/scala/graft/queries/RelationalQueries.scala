@@ -331,18 +331,23 @@ object RelationalQueries extends Q.Registry {
 
     Q("a12_funnel",
       "Ordered WINDOWED funnel (A12 — the event-analytics rollup the " +
-        "a-series lacked; the ClickHouse-windowFunnel semantic): " +
-        "click → view → purchase per user with STRICT temporal " +
-        "ordering AND a 24 h conversion window per stage (a view " +
-        "counts only in (t_click, t_click+24h]; a purchase only in " +
-        "(t_view, t_view+24h] — without the window every user of a " +
-        "months-long event stream trivially converts and the rates " +
-        "pin at 1.0). Three chained keyed " +
-        "aggregations + two shuffle-hash joins, all on user_id — one " +
-        "partitioning reused end to end, no window over the raw " +
-        "event stream. Stage times are exact microsecond minima, so " +
-        "the mean conversion lags are exact-long sums divided once — " +
-        "deterministic cross-engine.",
+        "a-series lacked): click → view → purchase per user with " +
+        "STRICT temporal ordering AND a 24 h conversion window per " +
+        "stage (a view counts only in (t_click, t_click+24h]; a " +
+        "purchase only in (t_view, t_view+24h] — without the window " +
+        "every user of a months-long event stream trivially converts " +
+        "and the rates pin at 1.0). FIRST-TOUCH anchored, " +
+        "deliberately: the chain starts at each user's first click " +
+        "(the marketing first-touch attribution shape) — ClickHouse's " +
+        "windowFunnel additionally rescans later chain starts and " +
+        "would count more conversions. Topology: three chained keyed " +
+        "aggregations + two shuffle-hash stage-gating joins, all on " +
+        "user_id, then each stage table reduces to a ONE-ROW frame " +
+        "and the rollup is three tiny cross-joins — no distinct over " +
+        "the raw stream, no joins back to it (r9 review). Stage " +
+        "times are exact microsecond minima, so the mean conversion " +
+        "lags are exact-long sums divided once — deterministic " +
+        "cross-engine.",
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("ts"), col("event_type"))
@@ -353,39 +358,43 @@ object RelationalQueries extends Q.Registry {
           .join(t1.hint("shuffle_hash"), Seq("user_id"))
           .filter(unix_micros(col("ts")) > col("t_click") &&
             unix_micros(col("ts")) <= col("t_click") + winUs)
-          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_view"))
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_view"),
+            min(col("t_click")).as("t_click2"))
         val t3 = ev.filter(col("event_type") === "purchase")
           .join(t2.hint("shuffle_hash"), Seq("user_id"))
           .filter(unix_micros(col("ts")) > col("t_view") &&
             unix_micros(col("ts")) <= col("t_view") + winUs)
           .groupBy("user_id").agg(min(col("t_view")).as("t_view2"),
             min(unix_micros(col("ts"))).as("t_purchase"))
-        val users = ev.select("user_id").distinct()
-        val joined = users
-          .join(t1.hint("shuffle_hash"), Seq("user_id"), "left")
-          .join(t2.hint("shuffle_hash"), Seq("user_id"), "left")
-          .join(t3.hint("shuffle_hash"), Seq("user_id"), "left")
-        joined.agg(
-          count(lit(1)).as("n_users"),
-          count(col("t_click")).as("n_click"),
-          count(col("t_view")).as("n_view_after_click"),
-          count(col("t_purchase")).as("n_purchase_after_view"),
-          Fmt.t6(count(col("t_click")).cast("double") / count(lit(1)))
-            .as("r_click"),
-          Fmt.t6(count(col("t_view")).cast("double") / count(col("t_click")))
-            .as("r_view"),
-          Fmt.t6(count(col("t_purchase")).cast("double") / count(col("t_view")))
-            .as("r_purchase"),
-          Fmt.t6(sum(col("t_view") - col("t_click")).cast("double") /
-            count(col("t_view")) / 3.6e9).as("avg_hours_click_to_view"),
-          Fmt.t6(sum(col("t_purchase") - col("t_view2")).cast("double") /
-            count(col("t_purchase")) / 3.6e9).as("avg_hours_view_to_purchase"))
+        // every stage table reduces to ONE row; the rollup cross-joins
+        // the four scalars (whitelisted tiny-broadcast crosses)
+        val s0 = ev.agg(countDistinct(col("user_id")).as("n_users"))
+        val s1 = t1.agg(count(lit(1)).as("n_click"))
+        val s2 = t2.agg(count(lit(1)).as("n_view_after_click"),
+          sum(col("t_view") - col("t_click2")).as("__lag1"))
+        val s3 = t3.agg(count(lit(1)).as("n_purchase_after_view"),
+          sum(col("t_purchase") - col("t_view2")).as("__lag2"))
+        s0.crossJoin(s1).crossJoin(s2).crossJoin(s3)
+          .select(
+            col("n_users"), col("n_click"),
+            col("n_view_after_click"), col("n_purchase_after_view"),
+            Fmt.t6(col("n_click").cast("double") / col("n_users"))
+              .as("r_click"),
+            Fmt.t6(col("n_view_after_click").cast("double") / col("n_click"))
+              .as("r_view"),
+            Fmt.t6(col("n_purchase_after_view").cast("double") /
+              col("n_view_after_click")).as("r_purchase"),
+            Fmt.t6(col("__lag1").cast("double") /
+              col("n_view_after_click") / 3.6e9).as("avg_hours_click_to_view"),
+            Fmt.t6(col("__lag2").cast("double") /
+              col("n_purchase_after_view") / 3.6e9)
+              .as("avg_hours_view_to_purchase"))
       },
       Some(
         """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
           |f1 AS (SELECT user_id, min(tus) AS t_click FROM fev
           |       WHERE event_type = 'click' GROUP BY user_id),
-          |f2 AS (SELECT e.user_id, min(e.tus) AS t_view
+          |f2 AS (SELECT e.user_id, min(e.tus) AS t_view, min(f1.t_click) AS t_click2
           |       FROM fev e JOIN f1 ON e.user_id = f1.user_id
           |       WHERE e.event_type = 'view' AND e.tus > f1.t_click
           |         AND e.tus <= f1.t_click + 86400000000
@@ -395,21 +404,19 @@ object RelationalQueries extends Q.Registry {
           |       WHERE e.event_type = 'purchase' AND e.tus > f2.t_view
           |         AND e.tus <= f2.t_view + 86400000000
           |       GROUP BY e.user_id),
-          |fu AS (SELECT DISTINCT user_id FROM fev),
-          |fj AS (SELECT fu.user_id, f1.t_click, f2.t_view, f3.t_view2, f3.t_purchase
-          |       FROM fu LEFT JOIN f1 ON fu.user_id = f1.user_id
-          |       LEFT JOIN f2 ON fu.user_id = f2.user_id
-          |       LEFT JOIN f3 ON fu.user_id = f3.user_id)
-          |SELECT count(*) AS n_users,
-          |       count(t_click) AS n_click,
-          |       count(t_view) AS n_view_after_click,
-          |       count(t_purchase) AS n_purchase_after_view,
-          |       floor((CAST(count(t_click) AS DOUBLE) / count(*)) * 1e6 + 1e-6) / 1e6 AS r_click,
-          |       floor((CAST(count(t_view) AS DOUBLE) / count(t_click)) * 1e6 + 1e-6) / 1e6 AS r_view,
-          |       floor((CAST(count(t_purchase) AS DOUBLE) / count(t_view)) * 1e6 + 1e-6) / 1e6 AS r_purchase,
-          |       floor((CAST(sum(t_view - t_click) AS DOUBLE) / count(t_view) / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_click_to_view,
-          |       floor((CAST(sum(t_purchase - t_view2) AS DOUBLE) / count(t_purchase) / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_view_to_purchase
-          |FROM fj""".stripMargin)),
+          |s0 AS (SELECT count(DISTINCT user_id) AS n_users FROM fev),
+          |s1 AS (SELECT count(*) AS n_click FROM f1),
+          |s2 AS (SELECT count(*) AS n_view_after_click,
+          |              sum(t_view - t_click2) AS lag1 FROM f2),
+          |s3 AS (SELECT count(*) AS n_purchase_after_view,
+          |              sum(t_purchase - t_view2) AS lag2 FROM f3)
+          |SELECT n_users, n_click, n_view_after_click, n_purchase_after_view,
+          |       floor((CAST(n_click AS DOUBLE) / n_users) * 1e6 + 1e-6) / 1e6 AS r_click,
+          |       floor((CAST(n_view_after_click AS DOUBLE) / n_click) * 1e6 + 1e-6) / 1e6 AS r_view,
+          |       floor((CAST(n_purchase_after_view AS DOUBLE) / n_view_after_click) * 1e6 + 1e-6) / 1e6 AS r_purchase,
+          |       floor((CAST(lag1 AS DOUBLE) / n_view_after_click / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_click_to_view,
+          |       floor((CAST(lag2 AS DOUBLE) / n_purchase_after_view / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_view_to_purchase
+          |FROM s0, s1, s2, s3""".stripMargin)),
 
     Q("a11_shortage_ranking",
       "Per-district shortage probability vs global mean (A11, 01:1014).",

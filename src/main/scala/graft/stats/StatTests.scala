@@ -223,7 +223,10 @@ object StatTests {
 
   /** SQL mirror of [[normalSfTwoSided]]; `z` is a SQL expression string. */
   def normalSfTwoSidedSql(z: String): String = {
-    val x = s"(abs($z) * $InvSqrt2)"
+    // CAST once: a DECIMAL-typed z (e.g. a numeric literal) would make
+    // DuckDB compound the Horner chain's scale past DECIMAL's limit
+    // ("Needed scale 39") instead of returning a double (r9 review)
+    val x = s"(abs(CAST(($z) AS DOUBLE)) * $InvSqrt2)"
     val t = s"(1.0 / (1.0 + $ErfP * $x))"
     val poly = ErfA.reverse.foldLeft("0.0")((acc, a) => s"(($acc) * $t + $a)")
     s"(($poly) * $t * exp(-($x * $x)))"
@@ -241,7 +244,11 @@ object StatTests {
     * midranks are half-integers and group counts are longs, so every
     * product n1v·midrank is an exact multiple of 0.5 far below 2^52 —
     * the rank-sum aggregation is order-independent EXACT double math,
-    * which is what lets the oracle replay it hash-identically.
+    * which is what lets the oracle replay it hash-identically. (The
+    * tie term is exact on the same argument through ~208k rows per
+    * (group, value) cell; beyond that it is deterministic-per-value
+    * double arithmetic whose sum-order ulp lands inside the trunc-6
+    * grid.)
     * Topology: two keyed aggregations + one running-sum window on the
     * histogram — one shuffle on `byCol` at any scale. */
   def mannWhitney(df: DataFrame, valueCol: String, flagCol: Column,
@@ -262,7 +269,14 @@ object StatTests {
         sum(col("__n1v")).as("n1"),
         sum(col("__nv")).as("__n"),
         sum(col("__n1v").cast("double") * col("__mid")).as("__r1"),
-        sum(col("__nv") * col("__nv") * col("__nv") - col("__nv")).as("__ties"))
+        // tie term in DOUBLE: an int64 cube wraps silently in Spark and
+        // aborts DuckDB once one (group, value) cell passes ~2.1M rows
+        // (r9 review); the double cube is exact through nv <= ~208k and
+        // deterministic-rounded beyond, and it only feeds the variance
+        // correction
+        sum(col("__nv").cast("double") * col("__nv").cast("double") *
+          col("__nv").cast("double") - col("__nv").cast("double"))
+          .as("__ties"))
       .withColumn("n2", col("__n") - col("n1"))
       .withColumn("u1", col("__r1") - n1d * (n1d + 1.0) / 2.0)
       .withColumn("u2", n1d * n2d - col("u1"))
@@ -301,8 +315,9 @@ object StatTests {
       .agg(sum(col("__njv").cast("double") * col("__mid")).as("__rj"),
         sum(col("__njv")).as("__nj"))
     val ties = mids.groupBy(col(byCol))
-      .agg(sum(col("__nv") * col("__nv") * col("__nv") - col("__nv"))
-        .as("__ties"))
+      .agg(sum(col("__nv").cast("double") * col("__nv").cast("double") *
+        col("__nv").cast("double") - col("__nv").cast("double"))
+        .as("__ties")) // double for the same overflow reason as mannWhitney
     val nd = col("__ntot").cast("double")
     rsum.groupBy(col(byCol))
       .agg(sum(col("__nj")).as("__ntot"),
@@ -343,7 +358,8 @@ object StatTests {
        |  FROM kwh h JOIN kwm m ON h.$byCol = m.$byCol AND h.v = m.v
        |  GROUP BY h.$byCol, h.grp),
        |kwt AS (
-       |  SELECT $byCol, CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+       |  SELECT $byCol, sum(CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE)
+       |           * CAST(nv AS DOUBLE) - CAST(nv AS DOUBLE)) AS ties
        |  FROM kwm GROUP BY $byCol),
        |kws AS (
        |  SELECT r.$byCol,
@@ -381,7 +397,8 @@ object StatTests {
        |    CAST(sum(n1v) AS BIGINT) AS n1,
        |    CAST(sum(nv) AS BIGINT) AS n,
        |    sum(CAST(n1v AS DOUBLE) * mid) AS r1,
-       |    CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+       |    sum(CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE)
+       |        * CAST(nv AS DOUBLE) - CAST(nv AS DOUBLE)) AS ties
        |  FROM mwr GROUP BY $byCol),
        |mwz AS (
        |  SELECT $byCol, n1, n - n1 AS n2,
