@@ -61,6 +61,28 @@ object Repetition {
         (col("__c") * length(col("__g"))).as(s"top_${n}gram_chars"))
   }
 
+  /** [[dupUnitStats]] for SEVERAL unit kinds in one aggregation pass:
+    * `units` carries a tag column (e.g. 'line'/'para'); stats pivot to
+    * `<tag>_frac` / `<tag>_char_frac` columns per requested tag —
+    * output ≡ joining the per-kind [[dupUnitStats]] frames
+    * (spec-pinned) at half the exchanges. */
+  def dupUnitStatsMulti(units: DataFrame, idCol: String, tagCol: String,
+                        unitCol: String, tags: Seq[String]): DataFrame = {
+    val counted = units
+      .groupBy(col(idCol), col(tagCol), col(unitCol))
+      .agg(count(lit(1)).as("__c"))
+    val aggs = tags.flatMap { t =>
+      val isT = col(tagCol) === t
+      Seq(
+        (sum(when(isT, col("__c") - 1)).cast("double") /
+          sum(when(isT, col("__c")))).as(s"dup_${t}_frac"),
+        (sum(when(isT, (col("__c") - 1) * length(col(unitCol)))).cast("double") /
+          sum(when(isT, col("__c") * length(col(unitCol)))))
+          .as(s"dup_${t}_char_frac"))
+    }
+    counted.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** [[topGramChars]] for SEVERAL n in one explode/aggregate/window
     * pass: grams are tagged with their n, counted per (id, n, gram),
     * ranked per (id, n), then pivoted to one row per id with a

@@ -2437,19 +2437,24 @@ object LlmQueries extends Q.Registry {
         val pages = Tables.documents(s, d).select(col("doc_id"),
           concat_ws("\n\n", col("text"), para2, para3).as("page"))
         val ws = TextOps.words(col("page"))
-        val lines = pages.select(col("doc_id"),
-          explode(filter(split(col("page"), "\n"), l => length(l) > 0))
-            .as("__u"))
-        val paras = pages.select(col("doc_id"),
-          explode(split(col("page"), "\n\n")).as("__u"))
+        // lines and paragraphs ride ONE tagged explode + aggregation
+        // (Repetition.dupUnitStatsMulti — the same shuffle-merge move
+        // as the top-gram and coverage multi passes)
+        val units = pages.select(col("doc_id"),
+          explode(concat(
+            transform(filter(split(col("page"), "\n"), l => length(l) > 0),
+              l => struct(lit("line").as("__t"), l.as("__u"))),
+            transform(split(col("page"), "\n\n"),
+              p0 => struct(lit("para").as("__t"), p0.as("__u"))))).as("__s"))
+          .select(col("doc_id"), col("__s.__t").as("__t"),
+            col("__s.__u").as("__u"))
         val base = pages.select(col("doc_id"),
           aggregate(ws, lit(0L), (a, w) => a + length(w)).as("__wchars"))
         // every arm is corpus-sized (one row per doc) — shuffle_hash,
         // never broadcast, and never SMJ (the PlanAuditSpec ban)
         val joined = base
-          .join(Repetition.dupUnitStats(lines, "doc_id", "__u", "dup_line")
-            .hint("shuffle_hash"), Seq("doc_id"), "left")
-          .join(Repetition.dupUnitStats(paras, "doc_id", "__u", "dup_para")
+          .join(Repetition.dupUnitStatsMulti(units, "doc_id", "__t", "__u",
+              Seq("line", "para"))
             .hint("shuffle_hash"), Seq("doc_id"), "left")
           .join(Repetition.topGramCharsMulti(pages, "doc_id", ws, Seq(2, 3, 4))
             .hint("shuffle_hash"), Seq("doc_id"), "left")

@@ -1233,6 +1233,19 @@ class LlmSpec extends SparkSpec {
     assert(st(1L)._2 === 4.0 / 11.0) // 4 excess chars of 4+4+2+1
     assert(st(2L) === ((0.0, 0.0)))
 
+    // multi-kind variant ≡ the per-kind frames
+    val tagged = Seq((1L, "line", "aaaa"), (1L, "line", "bb"),
+      (1L, "line", "aaaa"), (1L, "line", "c"),
+      (1L, "para", "pp"), (1L, "para", "pp"),
+      (2L, "line", "x"), (2L, "line", "y"), (2L, "para", "q"))
+      .toDF("id", "__t", "__u")
+    val mu = Repetition.dupUnitStatsMulti(tagged, "id", "__t", "__u",
+        Seq("line", "para"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(mu(1L) === ((0.25, 4.0 / 11.0, 0.5, 0.5)))
+    assert(mu(2L) === ((0.0, 0.0, 0.0, 0.0)))
+
     // top-gram chars: "a b" occurs twice (6 chars incl. space at n=2);
     // tie on count prefers the LONGER gram
     val docs = Seq((1L, "a b c a b"), (2L, "xx yy zz")).toDF("id", "t")
