@@ -98,55 +98,100 @@ object Dedup {
       size(array_union(aSet, bSet))
 
   /** EXACT-RECALL all-pairs Jaccard set-similarity join via prefix
-    * filtering (Bayardo, Ma & Srikant, WWW 2007 "Scaling Up All Pairs
-    * Similarity Search"; the prefix/length/positional filters of Xiao
-    * et al., WWW 2008 "Efficient Similarity Joins for Near Duplicate
-    * Detection" / PPJoin; the count filter of Sarawagi & Kirpal,
-    * SIGMOD 2004 "Efficient set joins on similarity predicates"). The
-    * third candidate generator in this family, completing the recall
-    * spectrum: LSH (tunable recall, signature cost), blocking (free,
-    * misses band-boundary pairs — the dd6 tradeoff), prefix filtering
-    * (NO misses, no signatures).
+    * filtering with IN-PLACE verification (Bayardo, Ma & Srikant, WWW
+    * 2007 "Scaling Up All Pairs Similarity Search" prefix + length
+    * filters; Xiao et al., WWW 2008 "Efficient Similarity Joins for
+    * Near Duplicate Detection" / PPJoin positional filter; the
+    * verify-inside-the-reduce-group layout of Vernica, Carey & Li,
+    * SIGMOD 2010 "Efficient Parallel Set-Similarity Joins Using
+    * MapReduce"). The third candidate generator in this family,
+    * completing the recall spectrum: LSH (tunable recall, signature
+    * cost), blocking (free, misses band-boundary pairs — the dd6
+    * tradeoff), prefix filtering (NO misses, no signatures).
     *
     * Why it is exact: order every document's gram set by one global
     * total order (ascending corpus document-frequency, gram as the
     * tiebreak — rarest first, the All-Pairs heuristic that minimizes
     * collisions). For Jaccard(a,b) >= t the overlap is >= ceil(t*|a|),
-    * so by pigeonhole on the suffix the i-th smallest shared gram must
-    * sit inside both docs' first |x| - ceil(t*|x|) + i grams, for
-    * every i up to the required overlap: candidates are generated by
-    * an equi-join on the first |x| - ceil(t*|x|) + e grams only
-    * (`countFilter` = e), pruned by the All-Pairs length filter and
-    * the e-relaxed positional filter against the PAIR overlap bound
-    * ceil(t/(1+t) * (|a|+|b|)), and must collide on at least
-    * min(e, pair bound) distinct prefix grams. Every surviving pair is
-    * verified with the exact [[jaccard]] over hashed gram sets.
+    * so by pigeonhole the SMALLEST shared gram sits inside both docs'
+    * first |x| - ceil(t*|x|) + 1 grams: every qualifying pair collides
+    * on at least one prefix gram of the equi-join, and each collision
+    * row settles the pair EXACTLY, in place.
     *
-    * 100 TB posture: every stage is key-bounded — one shuffle on gram
-    * for document frequencies, one on doc id for the prefix window,
-    * one on gram for candidate generation, then verify joins on doc
-    * ids. No (lang, band) block ever materializes its n^2 pair set:
-    * frequency-ascending prefixes keep boilerplate grams out of most
-    * prefixes, and the residual hot-gram key is a standard salting
-    * target ([[graft.ops.Skew.saltedJoin]], same defense as
-    * [[lshCandidatePairs]]). Corpus-scale joins carry shuffle_hash
-    * hints (an SMJ sort on gram buys nothing — PlanAuditSpec).
+    * Topology (redesigned in r10 from measured stage costs): prefix
+    * rows carry their document's full sorted gram-hash array, so each
+    * collision row that survives the scalar length + positional
+    * filters computes the TRUE overlap with one zero-allocation
+    * two-pointer walk ([[graft.functions.SortedOverlapCount]], a
+    * codegen'd kernel — array_intersect would build a hash set per
+    * row) and emits the exact Jaccard immediately. The r9 layout
+    * instead aggregated collision rows per pair for a count filter
+    * (Sarawagi & Kirpal 2004) before a separate verify join; at the
+    * 100× scale leg that pair-count exchange shuffled 550M slim rows
+    * and was 70% of leg wall-clock (133 s of 195 s, ProbePrefix),
+    * while the array-carrying prefix exchange is bounded by PREFIX
+    * rows (~10M × ~430 B) — documents meet grams, pairs never shuffle.
+    *
+    * 100 TB posture: one shuffle on gram for document frequencies,
+    * one on doc id for the prefix window (reused co-partitioned by
+    * the gram-set attach join), one on gram for the collision join —
+    * all key-bounded; the per-pair work is map-side compute after the
+    * last exchange. No (lang, band) block ever materializes its n²
+    * pair set: frequency-ascending prefixes keep boilerplate grams
+    * out of most prefixes, and the residual hot-gram key is a
+    * standard salting target ([[graft.ops.Skew.saltedJoin]], same
+    * defense as [[lshCandidatePairs]]). Corpus-scale joins carry
+    * shuffle_hash hints (an SMJ sort on gram buys nothing —
+    * PlanAuditSpec).
+    *
+    * Filters, every one recall-safe at the pair's first collision:
+    *  - length (All-Pairs): min(m_a, m_b) >= ceil(t/(1+t)(m_a+m_b)),
+    *    since J >= t implies overlap >= that pair bound;
+    *  - positional (PPJoin): a collision at prefix positions
+    *    (rn_a, rn_b) bounds overlap <= 1 + min(m_a-rn_a, m_b-rn_b)
+    *    when it is the pair's smallest shared gram — and for a true
+    *    pair the smallest-shared-gram row passes (all other shared
+    *    grams sit in both suffixes), so dropping rows that fail it
+    *    never drops the pair.
     *
     * `ceil(t*m)` is computed as `ceil(t*m - 1e-9)` on both engines:
     * t*m can land 1 ulp ABOVE an exact integer (0.6*5 = 3.0000...04)
     * and the naive ceil would over-demand the overlap; the 1e-9 nudge
     * is dwarfed by the >= 1/m spacing of true thresholds.
     *
+    * Grams travel as 64-bit xxhash64 hashes end to end (the tx16
+    * hashGrams move — ~8× less shuffle volume than string grams; a
+    * collision would merge two grams corpus-wide, probability
+    * ~vocab²/2^64, and the brute-force STRING oracle hash-check is
+    * the proof none occurred). The overlap count feeds
+    * J = c / (m_a + m_b - c) — by inclusion-exclusion over distinct
+    * sets, bit-identical to intersect-size / union-size doubles.
+    *
+    * `stats`, when supplied, observes `candidate_rows` (collision
+    * rows surviving the scalar filters = kernel evaluations) on the
+    * SAME pass at zero cost — the scale-bench leg logs it.
+    *
+    * `collisionPartitions` sizes the collision join's exchange. The
+    * build side holds ~(prefix rows × ~450 B) / partitions per task
+    * as a hash relation, so the partition count must grow with the
+    * corpus exactly as a real deployment grows
+    * spark.sql.shuffle.partitions (the scale leg passes ~rows/32 MB;
+    * at the suite's sf the session default is already right —
+    * None). Partitioning is explicit (repartition on the gram key),
+    * so both join inputs land pre-partitioned and the join adds no
+    * further exchange.
+    *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, RAW (un-
     * truncated) jaccard >= threshold; callers truncate for display.
     * Input gram arrays must be pre-distinct (array_distinct upstream),
     * empty-gram docs are dropped (no pair can reach any threshold). */
   def prefixFilterPairs(df: DataFrame, idCol: String, gramsCol: String,
-                        threshold: Double, countFilter: Int = 6): DataFrame = {
+                        threshold: Double,
+                        stats: Option[org.apache.spark.sql.Observation] = None,
+                        collisionPartitions: Option[Int] = None)
+      : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    require(countFilter >= 1, s"countFilter must be >= 1, got $countFilter")
-    val e = countFilter
     import org.apache.spark.sql.expressions.Window
     // per-doc minimum overlap (drives prefix length): |a∩b| >= t*|a∪b|
     // >= t*m for either member
@@ -157,71 +202,63 @@ object Dedup {
     def pairOverlap(ma: Column, mb: Column): Column =
       ceil(lit(threshold / (1.0 + threshold)) * (ma + mb) - lit(1e-9))
         .cast("long")
-    // Grams leave the map stage as 64-bit hashes: dfreq, the prefix
-    // window, candidate generation AND verification all run on longs —
-    // the tx16 hashGrams move (~8x less shuffle volume than string
-    // grams; a collision would merge two grams corpus-wide, probability
-    // ~vocab^2/2^64, and the brute-force STRING oracle hash-check is
-    // the proof none occurred).
     val base = df
       .select(col(idCol).as("doc"),
-        array_distinct(transform(col(gramsCol), g => xxhash64(g)))
+        sort_array(array_distinct(transform(col(gramsCol), g => xxhash64(g))))
           .as("grams"))
       .filter(size(col("grams")) > 0)
       .withColumn("m", size(col("grams")).cast("long"))
     val ex = base.select(col("doc"), col("m"), explode(col("grams")).as("gram"))
     val dfreq = ex.groupBy("gram").agg(count(lit(1)).as("gdf"))
     val rankWin = Window.partitionBy("doc").orderBy(col("gdf"), col("gram"))
+    // slim prefix rows first (the rank window would otherwise shuffle
+    // every exploded gram row with its 400 B array payload), then
+    // attach each doc's sorted gram set co-partitioned on doc
     val pfx = ex.hint("shuffle_hash")
       .join(dfreq.hint("shuffle_hash"), Seq("gram"))
       .withColumn("rn", row_number().over(rankWin).cast("long"))
-      .filter(col("rn") <= col("m") - minOverlap(col("m")) + e)
+      .filter(col("rn") <= col("m") - minOverlap(col("m")) + 1)
+      // a corpus-unique gram (df = 1) can never collide, so its prefix
+      // row is dead weight in the array-carrying exchange — and on a
+      // Zipf vocabulary the df-1 tail is a large share of the rarest-
+      // first prefixes (rn stays valid: ranks were assigned before the
+      // cut, and dropped rows produce no pairs by definition)
+      .filter(col("gdf") >= 2)
       .select("doc", "m", "rn", "gram")
-    // Candidate generation: equi-join on e-EXTENDED prefix grams, then
-    //  - length filter (All-Pairs): min(m_a,m_b) must reach the pair
-    //    overlap bound;
-    //  - positional filter (PPJoin), relaxed by e-1: a collision at
-    //    prefix positions (rn_a, rn_b) supports overlap
-    //    <= i + min(m_a-rn_a, m_b-rn_b) when it is the i-th smallest
-    //    shared gram; keeping every row that could be one of the first
-    //    e shared grams of a true pair means the bound i <= e;
-    //  - COUNT filter (Sarawagi & Kirpal 2004's set-join count bound /
-    //    the T-occurrence threshold of Li, Lu & Lu 2008): with prefixes
-    //    extended from the pigeonhole minimum by e-1, a pair with
-    //    overlap >= alpha shares at least min(e, alpha) grams INSIDE
-    //    both prefixes (apply the pigeonhole to the i-th smallest
-    //    shared gram for each i <= min(e, alpha)), so demanding that
-    //    many collisions is lossless. On dense small-vocabulary corpora
-    //    (this synthetic one: 931 bigrams / 5000 docs) it is the filter
-    //    that bites: 2.37M distinct colliding pairs -> ~10k candidates
-    //    at e = 6, measured, zero misses — single collisions on a
-    //    shared rare gram no longer reach verification.
-    val cand = pfx.select(col("doc").as("doc_a"), col("m").as("m_a"),
-        col("rn").as("rn_a"), col("gram"))
+      .join(base.select(col("doc"), col("grams")).hint("shuffle_hash"),
+        Seq("doc"))
+    val pfxP = collisionPartitions match {
+      case Some(n) => pfx.repartition(n, col("gram"))
+      case None => pfx
+    }
+    val collided = pfxP.select(col("doc").as("doc_a"), col("m").as("m_a"),
+        col("rn").as("rn_a"), col("gram"), col("grams").as("g_a"))
       .hint("shuffle_hash")
       .join(
-        pfx.select(col("doc").as("doc_b"), col("m").as("m_b"),
-            col("rn").as("rn_b"), col("gram"))
+        pfxP.select(col("doc").as("doc_b"), col("m").as("m_b"),
+            col("rn").as("rn_b"), col("gram"), col("grams").as("g_b"))
           .hint("shuffle_hash"),
         Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("m_a"), col("m_b")) >= pairOverlap(col("m_a"), col("m_b")))
-      .filter(lit(e.toLong) +
+      .filter(lit(1L) +
         least(col("m_a") - col("rn_a"), col("m_b") - col("rn_b")) >=
         pairOverlap(col("m_a"), col("m_b")))
-      .groupBy("doc_a", "doc_b", "m_a", "m_b")
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >=
-        least(lit(e.toLong), pairOverlap(col("m_a"), col("m_b"))))
-      .select("doc_a", "doc_b")
-    cand
-      .join(base.select(col("doc").as("doc_a"), col("grams").as("g_a"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(base.select(col("doc").as("doc_b"), col("grams").as("g_b"))
-        .hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+    val observed = stats match {
+      case Some(obs) => collided.observe(obs, count(lit(1)).as("candidate_rows"))
+      case None => collided
+    }
+    // in-place exact verification; a true pair emits once per shared
+    // prefix gram with bit-identical jaccard, so the final distinct is
+    // output-sized, not collision-sized
+    observed
+      .withColumn("c",
+        graft.functions.ArrayKernels.sortedOverlapCount(col("g_a"), col("g_b")))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("m_a") + col("m_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .distinct()
   }
 
   /** Portable 64-bit word hash: the first 16 hex chars of md5 packed

@@ -64,8 +64,15 @@ object Repetition {
   /** [[dupUnitStats]] for SEVERAL unit kinds in one aggregation pass:
     * `units` carries a tag column (e.g. 'line'/'para'); stats pivot to
     * `<tag>_frac` / `<tag>_char_frac` columns per requested tag —
-    * output ≡ joining the per-kind [[dupUnitStats]] frames
-    * (spec-pinned) at half the exchanges. */
+    * output ≡ the FULL-OUTER join of the per-kind [[dupUnitStats]]
+    * frames (spec-pinned), at half the exchanges. The full-outer
+    * qualifier matters for a doc with no units of some tag: this pass
+    * emits its row with NULL columns for the absent tag (the when()
+    * sums see no rows), where the per-kind frame emits no row at all —
+    * an inner join would drop the doc. Harmless when every doc carries
+    * every tag (tx21's pages always have lines and paragraphs), and the
+    * left-join-and-coalesce contract callers already apply to
+    * [[topGramChars]] handles the rest. */
   def dupUnitStatsMulti(units: DataFrame, idCol: String, tagCol: String,
                         unitCol: String, tags: Seq[String]): DataFrame = {
     val counted = units

@@ -227,14 +227,21 @@ object TextOps {
   def alphaWordFrac(ws: Column): Column =
     size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / size(ws)
 
-  /** Gopher's symbol-to-word ratio: occurrences of '#' plus occurrences
-    * of '...' per word (keep when <= 0.1). '#' counted by length
-    * difference (exact, no regex); '...' by non-overlapping regex count
-    * — Java and RE2 both consume matches, so '....' is one hit on both
-    * engines. */
-  def symbolWordRatio(text: Column, ws: Column): Column =
-    ((length(text) - length(replace(text, lit("#"), lit("")))).cast("double") +
-      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))) / size(ws)
+  /** Gopher's hash-symbol-to-word ratio: occurrences of '#' per word
+    * (keep when <= 0.1; Rae et al. 2021 §A1.1 thresholds the hash and
+    * ellipsis ratios SEPARATELY — 'either ... or', two rules, not one
+    * combined ratio). Counted by length difference — exact, no regex. */
+  def hashWordRatio(text: Column, ws: Column): Column =
+    (length(text) - length(replace(text, lit("#"), lit("")))).cast("double") /
+      size(ws)
+
+  /** Gopher's ellipsis-to-word ratio: occurrences of '...' per word
+    * (keep when <= 0.1; the separate-threshold twin of
+    * [[hashWordRatio]]). Non-overlapping regex count — Java and RE2
+    * both consume matches, so '....' is one hit on both engines. */
+  def ellipsisWordRatio(text: Column, ws: Column): Column =
+    size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))).cast("double") /
+      size(ws)
 
   /** Fraction of lines starting with a bullet glyph ('•' or '- ');
     * Gopher drops pages where more than 90% do. Single/double-char

@@ -2296,8 +2296,10 @@ object LlmQueries extends Q.Registry {
       "Gopher's quality-filter rule set (Rae et al. 2021 Appendix A " +
         "§A1.1) — the companion to tx8's repetition rules, completing " +
         "the Gopher filter: word count in [50, 100k], mean word " +
-        "length in [3, 10], symbol-to-word ratio ('#' or '...') <= " +
-        "0.1, <= 90% of lines bullet-started, <= 30% ellipsis-ended, " +
+        "length in [3, 10], hash-to-word ratio <= 0.1 AND ellipsis-" +
+        "to-word ratio <= 0.1 (two SEPARATE thresholds, per §A1.1's " +
+        "'either ... or' — not one combined symbol ratio), <= 90% of " +
+        "lines bullet-started, <= 30% ellipsis-ended, " +
         ">= 80% of words with an alphabetic character, and >= 2 of " +
         "the 8 required stop words. Pages are synthesized multi-line " +
         "(the tx17 move) so every line rule gets planted hits: a " +
@@ -2325,7 +2327,7 @@ object LlmQueries extends Q.Registry {
         val meanWl = col("sum_wl").cast("double") / nW
         val keep = col("n_words").between(50, 100000) &&
           meanWl >= 3.0 && meanWl <= 10.0 &&
-          col("sym_ratio") <= 0.1 &&
+          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
           col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
           col("alpha_frac") >= 0.8 && col("stop_hits") >= 2
         Tables.documents(s, d)
@@ -2336,7 +2338,9 @@ object LlmQueries extends Q.Registry {
             size(col("ws")).cast("long").as("n_words"),
             aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
               .as("sum_wl"),
-            TextOps.symbolWordRatio(col("page"), col("ws")).as("sym_ratio"),
+            TextOps.hashWordRatio(col("page"), col("ws")).as("hash_ratio"),
+            TextOps.ellipsisWordRatio(col("page"), col("ws"))
+              .as("ellipsis_ratio"),
             TextOps.bulletLineFrac(col("page")).as("bullet_frac"),
             TextOps.ellipsisLineFrac(col("page")).as("ellipsis_frac"),
             TextOps.alphaWordFrac(col("ws")).as("alpha_frac"),
@@ -2344,7 +2348,8 @@ object LlmQueries extends Q.Registry {
           .select(
             col("doc_id"), col("n_words"),
             Fmt.t6(meanWl).as("mean_word_len"),
-            Fmt.t6(col("sym_ratio")).as("sym_ratio"),
+            Fmt.t6(col("hash_ratio")).as("hash_ratio"),
+            Fmt.t6(col("ellipsis_ratio")).as("ellipsis_ratio"),
             Fmt.t6(col("bullet_frac")).as("bullet_frac"),
             Fmt.t6(col("ellipsis_frac")).as("ellipsis_frac"),
             Fmt.t6(col("alpha_frac")).as("alpha_frac"),
@@ -2376,8 +2381,10 @@ object LlmQueries extends Q.Registry {
            |    len(ws) AS n_words,
            |    CAST(list_reduce(list_transform(ws, w -> length(w)),
            |         (a, b) -> a + b) AS DOUBLE) / len(ws) AS mean_wl,
-           |    (CAST(length(page) - length(replace(page, '#', '')) AS DOUBLE)
-           |      + len(regexp_extract_all(page, '\\.\\.\\.'))) / len(ws) AS sym_ratio,
+           |    CAST(length(page) - length(replace(page, '#', '')) AS DOUBLE)
+           |      / len(ws) AS hash_ratio,
+           |    CAST(len(regexp_extract_all(page, '\\.\\.\\.')) AS DOUBLE)
+           |      / len(ws) AS ellipsis_ratio,
            |    CAST(len(list_filter(ls, l -> left(l, 1) = '•'
            |         OR left(l, 2) = '- ')) AS DOUBLE) / len(ls) AS bullet_frac,
            |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS DOUBLE)
@@ -2388,14 +2395,15 @@ object LlmQueries extends Q.Registry {
            |  FROM gw)
            |SELECT doc_id, n_words,
            |  ${Fmt.sql6("mean_wl")} AS mean_word_len,
-           |  ${Fmt.sql6("sym_ratio")} AS sym_ratio,
+           |  ${Fmt.sql6("hash_ratio")} AS hash_ratio,
+           |  ${Fmt.sql6("ellipsis_ratio")} AS ellipsis_ratio,
            |  ${Fmt.sql6("bullet_frac")} AS bullet_frac,
            |  ${Fmt.sql6("ellipsis_frac")} AS ellipsis_frac,
            |  ${Fmt.sql6("alpha_frac")} AS alpha_frac,
            |  stop_hits,
            |  (n_words BETWEEN 50 AND 100000
            |    AND mean_wl >= 3.0 AND mean_wl <= 10.0
-           |    AND sym_ratio <= 0.1
+           |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
            |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
            |    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
            |FROM gm ORDER BY doc_id""".stripMargin

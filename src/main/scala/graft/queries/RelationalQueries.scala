@@ -340,56 +340,21 @@ object RelationalQueries extends Q.Registry {
         "deliberately: the chain starts at each user's first click " +
         "(the marketing first-touch attribution shape) — ClickHouse's " +
         "windowFunnel additionally rescans later chain starts and " +
-        "would count more conversions. Topology: three chained keyed " +
-        "aggregations + two shuffle-hash stage-gating joins, all on " +
-        "user_id, then each stage table reduces to a ONE-ROW frame " +
-        "and the rollup is three tiny cross-joins — no distinct over " +
-        "the raw stream, no joins back to it (r9 review). Stage " +
+        "would count more conversions. Expressed through the " +
+        "PARAMETERIZED k-stage ops/Funnel.funnel (r10; a13 runs the " +
+        "same builder at 4 stages): k chained keyed aggregations + " +
+        "(k-1) shuffle-hash stage-gating joins, all on user_id, then " +
+        "each stage table reduces to a ONE-ROW frame and the rollup " +
+        "is tiny cross-joins; the denominator is the row count of a " +
+        "per-user frame, the only other full-stream work (r9 review " +
+        "+ r10 ADVICE — nothing joins back to the raw stream). Stage " +
         "times are exact microsecond minima, so the mean conversion " +
         "lags are exact-long sums divided once — deterministic " +
         "cross-engine.",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), col("ts"), col("event_type"))
-        val t1 = ev.filter(col("event_type") === "click")
-          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_click"))
-        val winUs = 24L * 3600L * 1000000L
-        val t2 = ev.filter(col("event_type") === "view")
-          .join(t1.hint("shuffle_hash"), Seq("user_id"))
-          .filter(unix_micros(col("ts")) > col("t_click") &&
-            unix_micros(col("ts")) <= col("t_click") + winUs)
-          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_view"),
-            min(col("t_click")).as("t_click2"))
-        val t3 = ev.filter(col("event_type") === "purchase")
-          .join(t2.hint("shuffle_hash"), Seq("user_id"))
-          .filter(unix_micros(col("ts")) > col("t_view") &&
-            unix_micros(col("ts")) <= col("t_view") + winUs)
-          .groupBy("user_id").agg(min(col("t_view")).as("t_view2"),
-            min(unix_micros(col("ts"))).as("t_purchase"))
-        // every stage table reduces to ONE row; the rollup cross-joins
-        // the four scalars (whitelisted tiny-broadcast crosses)
-        val s0 = ev.agg(countDistinct(col("user_id")).as("n_users"))
-        val s1 = t1.agg(count(lit(1)).as("n_click"))
-        val s2 = t2.agg(count(lit(1)).as("n_view_after_click"),
-          sum(col("t_view") - col("t_click2")).as("__lag1"))
-        val s3 = t3.agg(count(lit(1)).as("n_purchase_after_view"),
-          sum(col("t_purchase") - col("t_view2")).as("__lag2"))
-        s0.crossJoin(s1).crossJoin(s2).crossJoin(s3)
-          .select(
-            col("n_users"), col("n_click"),
-            col("n_view_after_click"), col("n_purchase_after_view"),
-            Fmt.t6(col("n_click").cast("double") / col("n_users"))
-              .as("r_click"),
-            Fmt.t6(col("n_view_after_click").cast("double") / col("n_click"))
-              .as("r_view"),
-            Fmt.t6(col("n_purchase_after_view").cast("double") /
-              col("n_view_after_click")).as("r_purchase"),
-            Fmt.t6(col("__lag1").cast("double") /
-              col("n_view_after_click") / 3.6e9).as("avg_hours_click_to_view"),
-            Fmt.t6(col("__lag2").cast("double") /
-              col("n_purchase_after_view") / 3.6e9)
-              .as("avg_hours_view_to_purchase"))
-      },
+      (s, d) =>
+        graft.ops.Funnel.funnel(
+          Tables.events(s, d), "user_id", "ts", "event_type",
+          Seq("click", "view", "purchase"), windowHours = 24, fmt = Fmt.t6),
       Some(
         """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
           |f1 AS (SELECT user_id, min(tus) AS t_click FROM fev
@@ -417,6 +382,60 @@ object RelationalQueries extends Q.Registry {
           |       floor((CAST(lag1 AS DOUBLE) / n_view_after_click / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_click_to_view,
           |       floor((CAST(lag2 AS DOUBLE) / n_purchase_after_view / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_view_to_purchase
           |FROM s0, s1, s2, s3""".stripMargin)),
+
+    Q("a13_funnel_4stage",
+      "FOUR-stage ordered windowed funnel — signup → click → view → " +
+        "purchase with a 72 h per-stage window — built by the same " +
+        "parameterized ops/Funnel.funnel as a12, proving the builder " +
+        "generalizes past its 3-stage origin with the identical " +
+        "topology (k keyed aggs + k-1 user-keyed shuffle-hash gates, " +
+        "one partitioning; one-row rollup frames cross-joined). Same " +
+        "FIRST-TOUCH anchoring and strict-ordering semantics; the " +
+        "longer window keeps every stage populated at sf0.01 " +
+        "(150 → 128 → 89 → 59 users), so each gate prunes and the " +
+        "oracle exercises all three lag means.",
+      (s, d) =>
+        graft.ops.Funnel.funnel(
+          Tables.events(s, d), "user_id", "ts", "event_type",
+          Seq("signup", "click", "view", "purchase"), windowHours = 72,
+          fmt = Fmt.t6),
+      Some(
+        """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+          |f1 AS (SELECT user_id, min(tus) AS t1 FROM fev
+          |       WHERE event_type = 'signup' GROUP BY user_id),
+          |f2 AS (SELECT e.user_id, min(e.tus) AS t2, min(f1.t1) AS p2
+          |       FROM fev e JOIN f1 ON e.user_id = f1.user_id
+          |       WHERE e.event_type = 'click' AND e.tus > f1.t1
+          |         AND e.tus <= f1.t1 + 259200000000
+          |       GROUP BY e.user_id),
+          |f3 AS (SELECT e.user_id, min(e.tus) AS t3, min(f2.t2) AS p3
+          |       FROM fev e JOIN f2 ON e.user_id = f2.user_id
+          |       WHERE e.event_type = 'view' AND e.tus > f2.t2
+          |         AND e.tus <= f2.t2 + 259200000000
+          |       GROUP BY e.user_id),
+          |f4 AS (SELECT e.user_id, min(e.tus) AS t4, min(f3.t3) AS p4
+          |       FROM fev e JOIN f3 ON e.user_id = f3.user_id
+          |       WHERE e.event_type = 'purchase' AND e.tus > f3.t3
+          |         AND e.tus <= f3.t3 + 259200000000
+          |       GROUP BY e.user_id),
+          |s0 AS (SELECT count(DISTINCT user_id) AS n_users FROM fev),
+          |s1 AS (SELECT count(*) AS n_signup FROM f1),
+          |s2 AS (SELECT count(*) AS n_click_after_signup,
+          |              sum(t2 - p2) AS lag2 FROM f2),
+          |s3 AS (SELECT count(*) AS n_view_after_click,
+          |              sum(t3 - p3) AS lag3 FROM f3),
+          |s4 AS (SELECT count(*) AS n_purchase_after_view,
+          |              sum(t4 - p4) AS lag4 FROM f4)
+          |SELECT n_users, n_signup, n_click_after_signup,
+          |       n_view_after_click, n_purchase_after_view,
+          |       floor((CAST(n_signup AS DOUBLE) / n_users) * 1e6 + 1e-6) / 1e6 AS r_signup,
+          |       floor((CAST(n_click_after_signup AS DOUBLE) / n_signup) * 1e6 + 1e-6) / 1e6 AS r_click,
+          |       floor((CAST(n_view_after_click AS DOUBLE) / n_click_after_signup) * 1e6 + 1e-6) / 1e6 AS r_view,
+          |       floor((CAST(n_purchase_after_view AS DOUBLE) / n_view_after_click) * 1e6 + 1e-6) / 1e6 AS r_purchase,
+          |       floor((CAST(lag2 AS DOUBLE) / n_click_after_signup / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_signup_to_click,
+          |       floor((CAST(lag3 AS DOUBLE) / n_view_after_click / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_click_to_view,
+          |       floor((CAST(lag4 AS DOUBLE) / n_purchase_after_view / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_view_to_purchase
+          |FROM s0, s1, s2, s3, s4""".stripMargin)),
 
     Q("a11_shortage_ranking",
       "Per-district shortage probability vs global mean (A11, 01:1014).",

@@ -59,15 +59,12 @@ class LlmSpec extends SparkSpec {
       val want = a.crossJoin(b).filter($"doc_a" < $"doc_b")
         .filter(Dedup.jaccard($"g_a", $"g_b") >= t)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-      // every countFilter strength must be output-identical — e only
-      // moves work between candidate generation and verification, and
-      // the min(e, pair-bound) guard is what keeps tiny docs (m < e,
-      // common in this fixture) from being over-demanded
-      for (e <- Seq(1, 3, 6)) {
-        val got = Dedup.prefixFilterPairs(base, "doc_id", "grams", t, countFilter = e)
-          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-        assert(got === want, s"threshold $t countFilter $e")
-      }
+      // tiny docs (m down to 1 gram) are common in this fixture, so
+      // the pigeonhole prefix length, the length filter, and the
+      // positional filter all get exercised at their degenerate edges
+      val got = Dedup.prefixFilterPairs(base, "doc_id", "grams", t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got === want, s"threshold $t")
       if (t == 0.6) assert(want.nonEmpty, "fixture must plant boundary pairs")
     }
   }
@@ -1233,18 +1230,34 @@ class LlmSpec extends SparkSpec {
     assert(st(1L)._2 === 4.0 / 11.0) // 4 excess chars of 4+4+2+1
     assert(st(2L) === ((0.0, 0.0)))
 
-    // multi-kind variant ≡ the per-kind frames
+    // multi-kind variant ≡ the FULL-OUTER join of the per-kind frames:
+    // doc 3 has lines but NO paras — the per-kind para frame emits no
+    // row for it (an inner join would drop the doc), while the tagged
+    // pass keeps the doc with NULL para columns
     val tagged = Seq((1L, "line", "aaaa"), (1L, "line", "bb"),
       (1L, "line", "aaaa"), (1L, "line", "c"),
       (1L, "para", "pp"), (1L, "para", "pp"),
-      (2L, "line", "x"), (2L, "line", "y"), (2L, "para", "q"))
+      (2L, "line", "x"), (2L, "line", "y"), (2L, "para", "q"),
+      (3L, "line", "solo"))
       .toDF("id", "__t", "__u")
     val mu = Repetition.dupUnitStatsMulti(tagged, "id", "__t", "__u",
         Seq("line", "para"))
-      .as[(Long, Double, Double, Double, Double)].collect()
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
       .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
-    assert(mu(1L) === ((0.25, 4.0 / 11.0, 0.5, 0.5)))
-    assert(mu(2L) === ((0.0, 0.0, 0.0, 0.0)))
+    assert(mu(1L) === ((Some(0.25), Some(4.0 / 11.0), Some(0.5), Some(0.5))))
+    assert(mu(2L) === ((Some(0.0), Some(0.0), Some(0.0), Some(0.0))))
+    assert(mu(3L) === ((Some(0.0), Some(0.0), None, None)))
+    val perLine = Repetition.dupUnitStats(
+        tagged.filter($"__t" === "line").select($"id", $"__u"),
+        "id", "__u", "dup_line")
+      .as[(Long, Double, Double)].collect().map(_._1).toSet
+    val perPara = Repetition.dupUnitStats(
+        tagged.filter($"__t" === "para").select($"id", $"__u"),
+        "id", "__u", "dup_para")
+      .as[(Long, Double, Double)].collect().map(_._1).toSet
+    assert(perLine === Set(1L, 2L, 3L) && perPara === Set(1L, 2L),
+      "per-kind frames disagree on doc coverage — only a full-outer join matches the tagged pass")
 
     // top-gram chars: "a b" occurs twice (6 chars incl. space at n=2);
     // tie on count prefers the LONGER gram
@@ -1329,39 +1342,46 @@ class LlmSpec extends SparkSpec {
   }
 
   test("Gopher quality rules (tx20): each metric fires on a crafted page, both directions") {
-    def metrics(page: String): (Double, Double, Double, Double, Int) = {
+    def metrics(page: String): (Double, Double, Double, Double, Double, Int) = {
       val df = Seq(page).toDF("page")
         .withColumn("ws", TextOps.words($"page"))
         .select(
-          TextOps.symbolWordRatio($"page", $"ws").as("sym"),
+          TextOps.hashWordRatio($"page", $"ws").as("hash"),
+          TextOps.ellipsisWordRatio($"page", $"ws").as("elw"),
           TextOps.bulletLineFrac($"page").as("bul"),
           TextOps.ellipsisLineFrac($"page").as("ell"),
           TextOps.alphaWordFrac($"ws").as("alpha"),
           TextOps.gopherStopHits($"ws").as("stops"))
-      df.as[(Double, Double, Double, Double, Int)].head()
+      df.as[(Double, Double, Double, Double, Double, Int)].head()
     }
     // clean page: no symbols, no bullets/ellipses, all-alpha, rich stops
     val clean = metrics("the cat sat on top of the mat\nand that would have to do")
-    assert(clean._1 === 0.0 && clean._2 === 0.0 && clean._3 === 0.0)
-    assert(clean._4 === 1.0)
-    assert(clean._5 >= 5) // the, of, and, that, have, to, with?
-    // symbol-heavy: 3 '#' + one '...' over 4 words = 1.0
+    assert(clean._1 === 0.0 && clean._2 === 0.0 && clean._3 === 0.0 &&
+      clean._4 === 0.0)
+    assert(clean._5 === 1.0)
+    assert(clean._6 >= 5) // the, of, and, that, have, to, with?
+    // the two §A1.1 ratios are SEPARATE: 3 '#' and one '...' over 4
+    // words give hash 0.75 and ellipsis 0.25, not a combined 1.0
     val sym = metrics("#a #b #c word...")
-    assert(sym._1 === 1.0)
+    assert(sym._1 === 0.75 && sym._2 === 0.25)
+    // a page with many '#' but no '...' leaves the ellipsis ratio at 0
+    // (the combined form would have conflated the two rules)
+    val hashOnly = metrics("#a #b #c word")
+    assert(hashOnly._1 === 0.75 && hashOnly._2 === 0.0)
     // '....' counts as ONE ellipsis occurrence (non-overlapping on both engines)
     val fourDots = metrics("one two three four....")
-    assert(fourDots._1 === 0.25)
+    assert(fourDots._1 === 0.0 && fourDots._2 === 0.25)
     // bullets: '•' and '- ' prefixes count, '-x' (no space) does not
     val bul = metrics("• one\n- two\n-three\nfour")
-    assert(bul._2 === 0.5)
+    assert(bul._3 === 0.5)
     // ellipsis-terminated lines
     val ell = metrics("done...\nnot done\nalso...\nmore")
-    assert(ell._3 === 0.5)
+    assert(ell._4 === 0.5)
     // numeric words drag the alphabetic fraction down
     val alpha = metrics("a1 22 333 b2")
-    assert(alpha._4 === 0.5)
+    assert(alpha._5 === 0.5)
     // stop hits are DISTINCT stops, not occurrences
     val stops = metrics("the the the the")
-    assert(stops._5 === 1)
+    assert(stops._6 === 1)
   }
 }

@@ -278,6 +278,109 @@ class MicroBatchIngestSpec extends SparkSpec {
     }
     graft.LocalRun.deleteRecursively(java.nio.file.Paths.get(ckpt))
   }
+
+  // ---- st7 restart atomicity (r9 verdict "What's missing" #1) ------
+  //
+  // The streaming exact-substring dedup's foreachBatch has two
+  // effects — emit cleaned text, advance the gram table — and a crash
+  // can land in either window between/after them. SubstrDedupStream
+  // keys both effects by the checkpointed batchId (versioned table
+  // snapshots + batch-keyed overwrite emits), so a replay CONVERGES.
+  // Both windows are killed and restarted here, against the same
+  // cross-batch fixture shape as st7 (a day-2 span duplicated only
+  // via day 1's table advance).
+
+  private def runSubstrStream(input: MemoryStream[MicroBatchIngestSpec.Doc],
+                              tableDir: String, outDir: String, ckpt: String,
+                              poison: Long => Boolean): Unit = {
+    val q = input.toDF().writeStream
+      .outputMode("append").trigger(Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        SubstrDedupStream.emit(spark, tableDir, outDir, b, id,
+          "doc_id", "text", k = 3)
+        if (poison(id))
+          throw new RuntimeException(s"poison: crash between emit and advance of batch $id")
+        SubstrDedupStream.advance(spark, tableDir, b, id, "doc_id", "text", k = 3)
+        if (poison(-id - 1))
+          throw new RuntimeException(s"poison: crash after advance of batch $id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // a poisoned batch fails the query; surface it like the engine does
+    q.exception.foreach(e => throw e)
+  }
+
+  private def substrFixture() = {
+    val corpus = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val day1 = MicroBatchIngestSpec.Doc(1L, "a b c x y")  // "a b c" dups the corpus
+    val day2 = MicroBatchIngestSpec.Doc(2L, "c x y z w")  // "c x y" dups ONLY day 1
+    (corpus, day1, day2)
+  }
+
+  private def assertSubstrConverged(tableDir: String, outDir: String,
+                                    corpus: DataFrame): Unit = {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.functions.col
+    // cleaned output: one row per doc (replays overwrote, never
+    // appended), spans removed with day 2's dup evidenced only by
+    // day 1's advance
+    val cleaned = spark.read.parquet(outDir)
+      .select("doc_id", "n_tokens", "n_removed_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(cleaned === Seq((1L, 5L, 3L, "x y"), (2L, 5L, 3L, "z w")))
+    // final table version == batch gram counts over corpus ∪ day1 ∪ day2
+    val want = Dedup.gramCounts(
+        corpus.unionByName(Seq((1L, "a b c x y"), (2L, "c x y z w"))
+          .toDF("doc_id", "text")),
+        "doc_id", "text", k = 3)
+      .as[(String, Long)].collect().toSet
+    val got = SubstrDedupStream.tableFor(spark, tableDir, 2L)
+      .select(col("__gram"), col("__n")).as[(String, Long)].collect().toSet
+    assert(got === want, "gram table after restart must equal the batch-over-union counts")
+  }
+
+  for ((window, poisonIds) <- Seq(
+    ("between emit and advance", Set(1L)),
+    ("after advance, before the engine commit", Set(-2L)))) {
+    test(s"SubstrDedupStream: kill $window, restart from checkpoint — " +
+      "replayed batch re-emits identical text and the table converges") {
+      implicit val sqlCtx = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft-st7-restart")
+      val (tableDir, outDir, ckpt) = (root.resolve("table").toString,
+        root.resolve("cleaned").toString, root.resolve("ckpt").toString)
+      val (corpus, day1, day2) = substrFixture()
+      SubstrDedupStream.initGramTable(spark, tableDir, corpus, "doc_id", "text", k = 3)
+      val input = MemoryStream[MicroBatchIngestSpec.Doc]
+      @volatile var armed = true
+
+      // phase 1: batch 0 completes; batch 1 crashes in the window
+      input.addData(day1)
+      runSubstrStream(input, tableDir, outDir, ckpt, _ => false)
+      input.addData(day2)
+      val boom = intercept[Exception] {
+        runSubstrStream(input, tableDir, outDir, ckpt,
+          id => armed && poisonIds(id))
+      }
+      assert(boom.getMessage != null)
+      val v2 = java.nio.file.Files.exists(root.resolve("table/v2"))
+      if (poisonIds(1L))
+        assert(!v2, "crash between emit and advance must leave v2 unwritten")
+      else
+        assert(v2, "crash after advance must leave v2 written")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(outDir, "batch=1")),
+        "the emit preceded the crash in both windows")
+
+      // phase 2: fresh query, same checkpoint — batch 1 replays
+      armed = false
+      runSubstrStream(input, tableDir, outDir, ckpt, _ => false)
+      assertSubstrConverged(tableDir, outDir, corpus)
+      graft.LocalRun.deleteRecursively(root)
+    }
+  }
 }
 
 object MicroBatchIngestSpec {
@@ -290,4 +393,5 @@ object MicroBatchIngestSpec {
   final case class Fact(station_no: String, record_time: Timestamp, bikes: Int)
   final case class Reading(obs_time: Timestamp, temperature: Double)
   final case class SkRow(grp: String, h: Long, v: Long)
+  final case class Doc(doc_id: Long, text: String)
 }
