@@ -66,8 +66,14 @@ object Funnel {
       s"stage names must be distinct, got $stages")
     require(windowHours > 0, s"windowHours must be positive, got $windowHours")
     val winUs = windowHours * 3600L * 1000000L
+    // NULL user ids are dropped up front: the oracle form counts users
+    // via count(DISTINCT user_id), which excludes NULLs, while Spark's
+    // groupBy would keep a null-key group — filtering here keeps the
+    // denominator AND the stage-1 count cross-engine identical (later
+    // stages already drop null keys through their equi-joins).
     val ev = events.select(col(userCol).as("__user"),
       unix_micros(col(tsCol)).as("__tus"), col(typeCol).as("__type"))
+      .filter(col("__user").isNotNull)
 
     // stage tables by left fold: t(k) has (__user, __t: anchored stage-k
     // time, __prev: anchored stage-(k-1) time carried for the lag sum)
@@ -100,12 +106,20 @@ object Funnel {
     }
     val joined = rollups.foldLeft(nUsers)(_.crossJoin(_))
 
+    // Empty-stage semantics: if stage table k comes out empty (count
+    // 0), the rate whose DENOMINATOR it feeds and the lag over it are
+    // emitted as explicit SQL NULL (when(denom > 0, ...) below) rather
+    // than relying on engine-specific x/0 behavior — a SQL oracle's
+    // n/NULLIF(d, 0) form matches this exactly. The rate OF the empty
+    // stage itself is 0/denom = 0.0.
     val rates: Seq[Column] = stages.indices.map { i =>
       val denom = if (i == 0) col("n_users") else col(nName(i - 1))
-      fmt(col(nName(i)).cast("double") / denom).as(s"r_${stages(i)}")
+      fmt(when(denom > 0, col(nName(i)).cast("double") / denom))
+        .as(s"r_${stages(i)}")
     }
     val lags: Seq[Column] = (1 until stages.size).map { i =>
-      fmt(col(s"__lag$i").cast("double") / col(nName(i)) / 3.6e9)
+      fmt(when(col(nName(i)) > 0,
+        col(s"__lag$i").cast("double") / col(nName(i)) / 3.6e9))
         .as(s"avg_hours_${stages(i - 1)}_to_${stages(i)}")
     }
     joined.select(col("n_users") +: stages.indices.map(i => col(nName(i)))
