@@ -48,6 +48,9 @@ object Bench {
     "st7_stream_substring_dedup", // two-batch file stream runs at plan build
     "st8_stream_distinct_sketch", // two-trigger sketch-state stream, same
     "st9_stream_quantile_sketch", // pair-sketch state variant, same
+    "st10_stream_sessionize",     // three-trigger session-window stream, same
+    "st11_stream_heavy_hitters",  // two-trigger CMS-state stream, same
+    "st12_substr_dedup_versioned", // versioned-table substr-dedup stream, same
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier", // IRLS fit runs at plan build
     "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build

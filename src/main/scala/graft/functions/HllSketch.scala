@@ -134,3 +134,95 @@ object HllSketchAgg {
     ColumnBridge.column(
       HllSketchAgg(ColumnBridge.expression(hashed), p).toAggregateExpression())
 }
+
+/** Second-level HLL merge as a native aggregate: folds ALREADY-BUILT
+  * register arrays (the [[HllSketchAgg]] output type) into one array by
+  * element-wise max — union(A, B) for HLL is exactly register-max
+  * (Flajolet et al. 2007 §4: each register already holds the max rank
+  * over its bucket's elements, and max is associative/commutative/
+  * idempotent). This is the 100 TB ROLLUP shape: per-shard/per-day
+  * sketches persist as compact register tables, and any coarser
+  * cardinality (per language, per source, global) re-aggregates the
+  * m-int arrays WITHOUT touching raw data — the state per group stays
+  * m bytes here exactly as in the first-level build, and the merged
+  * sketch is byte-identical to sketching the raw stream (the sk8
+  * in-plan identity; HllSketchSpec pins it through Spark's
+  * partial/final aggregation split as well).
+  *
+  * Input arrays must come from a same-p build (length m = 2^p);
+  * a mismatched length fails fast rather than silently mis-merging. */
+case class HllMergeAgg(
+    child: Expression,
+    p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"hll_merge needs 4 <= p <= 16, got $p")
+
+  private val m: Int = 1 << p
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_merge expects an ARRAY<INT> register array (got ${other.sql}); " +
+        "feed it hll_sketch outputs")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == m,
+        s"hll_merge(p=$p) got a ${arr.numElements()}-register array, expected $m")
+      var i = 0
+      while (i < m) {
+        val r = arr.getInt(i)
+        if (r > buf(i)) buf(i) = r.toByte
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i).toInt; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
+    copy(child = newChild)
+}
+
+object HllMergeAgg {
+  /** Column form: register-max merge over a column of register arrays. */
+  def column(regs: Column, p: Int): Column =
+    ColumnBridge.column(
+      HllMergeAgg(ColumnBridge.expression(regs), p).toAggregateExpression())
+}

@@ -134,6 +134,13 @@ object Sketches {
   def hllSketch(hashed: Column, p: Int): Column =
     HllSketchAgg.column(hashed, p)
 
+  /** Second-level HLL rollup: element-wise register-max merge over a
+    * column of [[hllSketch]] register arrays (sk8's in-plan identity —
+    * merged ≡ direct, so sketches persisted per shard/day re-aggregate
+    * to any coarser grain without re-reading raw data). */
+  def hllMerge(regs: Column, p: Int): Column =
+    graft.functions.HllMergeAgg.column(regs, p)
+
   /** Flajolet et al. 2007 §4's bias-correction constant α_m. */
   def hllAlpha(p: Int): Double = (1 << p) match {
     case 16 => 0.673

@@ -358,6 +358,82 @@ object IngestQueries extends Q.Registry {
           |  ON date_trunc('hour', s.record_time) = date_trunc('hour', r.obs_time)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("st10_stream_sessionize",
+      "STREAMING gap-based sessionization (w7's operator on an " +
+        "unbounded stream — r9 verdict ask #3): session_window(ts, " +
+        "6h) per user with a 1-hour watermark in APPEND mode, the " +
+        "production form where session state is WATERMARK-BOUNDED — " +
+        "a session is held in the state store only until the " +
+        "watermark passes its end, then emitted once and evicted " +
+        "(complete-mode retention would grow with the stream). Three " +
+        "staged arrival days make the cross-trigger machinery real: " +
+        "the corpus split at its time MIDPOINT (sessions straddling " +
+        "the cut MERGE across triggers — day 2's early events extend " +
+        "day-1 session state), plus a far-future sentinel row whose " +
+        "only job is to advance the watermark past every real " +
+        "session's end so append mode flushes them all (the sentinel's " +
+        "own session stays unflushed and is filtered). Session split " +
+        "at gap >= 6h (session_window's half-open [t, t+gap) windows); " +
+        "session_end = last event + gap, Spark's window.end. " +
+        "MicroBatchIngestSpec pins a session that closes only after " +
+        "the second trigger. Oracle: the batch gap-rule restatement " +
+        "with the same >= boundary.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        // bounded 1-row collect: the staging cutoff (time midpoint)
+        // and the sentinel's far-future timestamp
+        val mm = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+          unix_micros(max(col("ts"))).as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val cutUs = lo + (hi - lo) / 2
+        val day1 = ev.filter(unix_micros(col("ts")) <= cutUs)
+        val day2 = ev.filter(unix_micros(col("ts")) > cutUs)
+        val day3 = s.range(1).select(lit(-1L).as("user_id"),
+          timestamp_micros(lit(hi + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          lit("flush").as("event_type"))
+        val (stage, inDir) = LlmQueries.stageArrivalDays(
+          Seq(day1, day2, day3), "graft_st10_")
+        val agg = s.readStream.schema(day1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("event_type") === "purchase").cast("long"))
+              .as("n_purchases"))
+        val out = runToMemory(s, agg, "st10_out_", "append")
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("n_purchases"))
+          .orderBy("user_id", "session_start")
+        graft.LocalRun.deleteRecursively(stage)
+        out
+      },
+      Some(
+        """WITH sv AS (
+          |  SELECT user_id, ts, event_type,
+          |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          |  FROM events),
+          |sf AS (
+          |  SELECT user_id, ts, event_type,
+          |         CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 21600000000
+          |              THEN 1 ELSE 0 END AS newf
+          |  FROM sv),
+          |sx AS (
+          |  SELECT user_id, ts, event_type,
+          |         sum(newf) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          |  FROM sf)
+          |SELECT user_id,
+          |       min(ts) AS session_start,
+          |       max(ts) + INTERVAL 6 HOUR AS session_end,
+          |       count(*) AS n_events,
+          |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_purchases
+          |FROM sx GROUP BY user_id, sid
+          |ORDER BY user_id, session_start""".stripMargin)),
+
     Q("a9_table_counts",
       "A9 count/emptiness checkpoints, explicit: row counts of the " +
         "pipeline's tables as a single frame.",

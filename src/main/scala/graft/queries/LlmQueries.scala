@@ -456,7 +456,7 @@ object LlmQueries extends Q.Registry {
     * oldest first — a REAL multi-trigger arrival replay, not a
     * simulation (st7/st8). Returns (stageRoot, inDir); callers clean
     * both up via LocalRun.deleteRecursively once the stream is done. */
-  private def stageArrivalDays(days: Seq[DataFrame], prefix: String)
+  private[queries] def stageArrivalDays(days: Seq[DataFrame], prefix: String)
       : (java.nio.file.Path, java.nio.file.Path) = {
     val stage = java.nio.file.Files.createTempDirectory(prefix)
     val inDir = stage.resolve("in")
@@ -1756,6 +1756,84 @@ object LlmQueries extends Q.Registry {
            |  ${Fmt.sql6(s"abs(${est(0.5)} - ex_p50) / ex_p50")} AS rel_err_p50
            |FROM qsk JOIN qex ON qsk.lang = qex.lang
            |ORDER BY qsk.lang""".stripMargin
+      }),
+
+    Q("sk8_hll_merge",
+      "HLL register-max merge IN-PLAN (sk2's mergeability proof for " +
+        "the register sketch): per-(lang, shard) register arrays " +
+        "(doc_id % 8 shards standing in for per-partition / per-day " +
+        "partials) rolled up per language by the native hll_merge " +
+        "aggregate (functions/HllMergeAgg — element-wise register " +
+        "max), which must be IDENTICAL to sketching the raw bigram " +
+        "stream directly: union = register max, and max is " +
+        "associative/commutative/idempotent (Flajolet et al. 2007 " +
+        "§4). This is the 100 TB ROLLUP shape — persisted per-shard " +
+        "sketch tables re-aggregate to any coarser grain without " +
+        "re-reading raw data, the exchange carrying m=256 ints per " +
+        "group. The ORACLE replays the literal two-level build (per-" +
+        "shard max, then max over shards, spine-joined to full " +
+        "register arrays) next to the direct build and hash-checks " +
+        "both registers and the merged-arm estimate.",
+      (s, d) => {
+        val p = 8
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), pmod(col("doc_id"), lit(8)).as("shard"),
+            explode(TextOps.wordShingles(TextOps.words(col("text")), 2)).as("tok"))
+          .withColumn("h", Sketches.hash60(col("tok")))
+        val l1 = toks.groupBy("lang", "shard")
+          .agg(Sketches.hllSketch(col("h"), p).as("regs"))
+        val merged = l1.groupBy("lang")
+          .agg(Sketches.hllMerge(col("regs"), p).as("regs_merged"),
+            count(lit(1)).as("n_shards"))
+        val direct = toks.groupBy("lang")
+          .agg(Sketches.hllSketch(col("h"), p).as("regs_direct"))
+        merged.join(direct, Seq("lang"))
+          .select(col("lang"), col("n_shards"),
+            Sketches.sketchChecksum(col("regs_merged")).as("merged_checksum"),
+            Sketches.sketchChecksum(col("regs_direct")).as("direct_checksum"),
+            (col("regs_merged") === col("regs_direct")).as("identical"),
+            Fmt.trunc(Sketches.hllEstimate(col("regs_merged"), p), 6)
+              .as("est_distinct"))
+          .orderBy("lang")
+      },
+      Some {
+        val p = 8
+        val m = 1 << p
+        val h = Sketches.hash60Sql("tok")
+        val (bucket, rho) = Sketches.hllRhoSql("h", p)
+        val est = Sketches.hllEstimateSql("regs_merged", p)
+        s"""WITH ws0 AS (
+           |  SELECT lang, doc_id % 8 AS shard,
+           |         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+           |  FROM documents),
+           |toks AS (
+           |  SELECT lang, shard, unnest(CASE WHEN len(ws) >= 2
+           |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           |    ELSE [] END) AS tok
+           |  FROM ws0),
+           |hh AS (SELECT lang, shard, $h AS h FROM toks),
+           |br AS (SELECT lang, shard, $bucket AS bucket, $rho AS rho FROM hh),
+           |l1 AS (SELECT lang, shard, bucket, max(rho) AS mr
+           |       FROM br GROUP BY lang, shard, bucket),
+           |mmx AS (SELECT lang, bucket, max(mr) AS mr FROM l1 GROUP BY lang, bucket),
+           |dmx AS (SELECT lang, bucket, max(rho) AS mr FROM br GROUP BY lang, bucket),
+           |grp AS (SELECT DISTINCT lang FROM toks),
+           |spine AS (SELECT g.lang, r.bucket
+           |          FROM grp g CROSS JOIN range($m) r(bucket)),
+           |mg AS (SELECT s.lang, list(coalesce(x.mr, 0) ORDER BY s.bucket) AS regs_merged
+           |       FROM spine s LEFT JOIN mmx x ON x.lang = s.lang AND x.bucket = s.bucket
+           |       GROUP BY s.lang),
+           |dr AS (SELECT s.lang, list(coalesce(x.mr, 0) ORDER BY s.bucket) AS regs_direct
+           |       FROM spine s LEFT JOIN dmx x ON x.lang = s.lang AND x.bucket = s.bucket
+           |       GROUP BY s.lang),
+           |sh AS (SELECT lang, count(DISTINCT shard) AS n_shards FROM hh GROUP BY lang)
+           |SELECT mg.lang, sh.n_shards,
+           |  ${Sketches.sketchChecksumSql("regs_merged")} AS merged_checksum,
+           |  ${Sketches.sketchChecksumSql("regs_direct")} AS direct_checksum,
+           |  regs_merged = regs_direct AS identical,
+           |  floor(($est) * 1e6 + 1e-6) / 1e6 AS est_distinct
+           |FROM mg JOIN dr ON mg.lang = dr.lang JOIN sh ON mg.lang = sh.lang
+           |ORDER BY mg.lang""".stripMargin
       }),
 
     Q("ss1_cosine_topk",
@@ -3579,6 +3657,164 @@ object LlmQueries extends Q.Registry {
            |FROM qsk
            |ORDER BY lang""".stripMargin
       }),
+
+    Q("st11_stream_heavy_hitters",
+      "STREAMING heavy hitters — sk5's count-min sketch as STREAMING " +
+        "AGGREGATION STATE (r9 verdict ask #8): the (row, bucket) " +
+        "occurrence counters ARE a streaming groupBy count, so the " +
+        "state store holds at most d*w = 4*1024 long counters however " +
+        "many tokens or micro-batches arrive — the bounded-state " +
+        "frequency tracker a 100 TB ingest ships where exact per-token " +
+        "counts would be vocabulary-sized state. Two staged arrival " +
+        "days (even then odd doc_ids, one file per trigger) make the " +
+        "cross-trigger counter accumulation real; counts are " +
+        "associative sums, so the final complete-mode CMS table must " +
+        "equal the batch-built sk5 sketch — pinned IN-QUERY by the " +
+        "cms_identical flag (full-outer join of the streamed table vs " +
+        "the batch rebuild, zero mismatches) and probed exactly like " +
+        "sk5: top-20 exact candidates, broadcast join, min over rows, " +
+        "est >= exact guaranteed.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val R = 4; val W = 1024
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val (stage, inDir) = stageArrivalDays(
+          Seq(docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 =!= 0)), "graft_st11_")
+        val rowIdx = explode(array((0 until R).map(lit): _*)).as("r")
+        val agg = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .select(explode(TextOps.words(col("text"))).as("tok"))
+          .select(col("tok"), rowIdx)
+          .select(col("r"), Sketches.cmsBucket(col("r"), col("tok"), W).as("bucket"))
+          .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+        val cms = IngestQueries.runToMemory(s, agg, "st11_out_", "complete")
+        graft.LocalRun.deleteRecursively(stage)
+        // batch rebuild: the merge-identity arm (streamed ≡ batch)
+        val toks = Tables.documents(s, d)
+          .select(explode(TextOps.words(col("text"))).as("tok"))
+        val batchCms = toks.select(col("tok"), rowIdx)
+          .select(col("r"), Sketches.cmsBucket(col("r"), col("tok"), W).as("bucket"))
+          .groupBy("r", "bucket").agg(count(lit(1)).as("b_cnt"))
+        // full-outer has no broadcast form; shuffle-hash keeps the
+        // 4096-row-bounded identity check out of SortMergeJoin
+        val mismatches = cms.join(batchCms.hint("shuffle_hash"),
+            Seq("r", "bucket"), "full_outer")
+          .filter(col("cnt").isNull || col("b_cnt").isNull ||
+            col("cnt") =!= col("b_cnt"))
+          .agg(count(lit(1)).as("n_mismatch"))
+          .select((col("n_mismatch") === 0).as("cms_identical"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        val cand = exact.withColumn("rk", row_number().over(
+            Window.orderBy(col("exact_cnt").desc, col("tok"))))
+          .filter(col("rk") <= 20)
+        val probes = cand.select(col("tok"), col("exact_cnt"), col("rk"), rowIdx)
+          .select(col("tok"), col("exact_cnt"), col("rk"), col("r"),
+            Sketches.cmsBucket(col("r"), col("tok"), W).as("bucket"))
+        probes.join(broadcast(cms), Seq("r", "bucket"))
+          .groupBy("tok", "exact_cnt", "rk")
+          .agg(min(col("cnt")).as("est_cnt"))
+          .crossJoin(broadcast(mismatches))
+          .select(col("tok"), col("rk"), col("exact_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("exact_cnt")).as("never_under"),
+            col("cms_identical"))
+          .orderBy("rk")
+      },
+      Some {
+        val bucket = Sketches.cmsBucketSql("r", "tok", 1024)
+        s"""WITH toks AS (
+           |  SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+           |  FROM documents),
+           |rws AS (SELECT r.r, tok FROM toks CROSS JOIN range(4) r(r)),
+           |cms AS (
+           |  SELECT r, $bucket AS bucket, count(*) AS cnt
+           |  FROM rws GROUP BY r, bucket),
+           |exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+           |cand AS (
+           |  SELECT tok, exact_cnt,
+           |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok) AS INT) AS rk
+           |  FROM exact),
+           |probes AS (
+           |  SELECT t.tok, t.exact_cnt, t.rk, r.r, $bucket AS bucket
+           |  FROM (SELECT * FROM cand WHERE rk <= 20) t CROSS JOIN range(4) r(r)),
+           |est AS (
+           |  SELECT p.tok, p.exact_cnt, p.rk, min(c.cnt) AS est_cnt
+           |  FROM probes p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+           |  GROUP BY p.tok, p.exact_cnt, p.rk)
+           |SELECT tok, rk, exact_cnt, est_cnt,
+           |  est_cnt >= exact_cnt AS never_under,
+           |  true AS cms_identical
+           |FROM est ORDER BY rk""".stripMargin
+      }),
+
+    Q("st12_substr_dedup_versioned",
+      "st7's streaming exact-substring dedup through the RESTART-SAFE " +
+        "versioned-table wiring (streaming/SubstrDedupStream — the r10 " +
+        "library + spec, now a registered pipeline pricing its real " +
+        "per-batch IO): the gram-count index persists as one parquet " +
+        "snapshot per batch (v0 = corpus, batch b reads v{b}, writes " +
+        "v{b+1}), cleaned text lands in batch-keyed overwrite dirs — " +
+        "both effects idempotent and keyed by the checkpointed " +
+        "batchId, so a crash replay at EITHER window converges " +
+        "(MicroBatchIngestSpec's kill/restart proof) where st7's " +
+        "in-session cached loop has no restart surface. Same staged " +
+        "two-day arrival replay and the SAME oracle as st7 — the " +
+        "versioned path must be result-identical, paying one extra " +
+        "columnar (gram, count) table scan per batch for durability.",
+      (s, d) => {
+        val k = 8
+        val docs = Tables.documents(s, d)
+        val ws = TextOps.words(col("text"))
+        val nvTail = transform(slice(ws, 13, 1 << 20),
+          w => concat(lit("nv_"), w))
+        val batch1 = docs.filter(col("doc_id") % 50 === 0).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          array_join(concat(slice(ws, 1, 12), nvTail), " ").as("text"))
+        val batch2 = docs.filter(col("doc_id") % 75 === 0).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          array_join(concat(nvTail,
+            transform(slice(ws, 1, 12), w => concat(lit("nw_"), w))), " ")
+            .as("text"))
+        val (stage, inDir) = stageArrivalDays(Seq(batch1, batch2), "graft_st12_")
+        val tableDir = stage.resolve("gram_table").toString
+        val outDir = stage.resolve("cleaned").toString
+        graft.streaming.SubstrDedupStream.initGramTable(
+          s, tableDir, docs, "doc_id", "text", k)
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", stage.resolve("ckpt").toString)
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            graft.streaming.SubstrDedupStream.step(
+              s, tableDir, outDir, b, batchId, "doc_id", "text", k)
+            // last capture wins = the day-2 batch (cleans against v1,
+            // the advanced table) — the plan ExplainFit commits
+            IngestQueries.lastStreamPlan = Some(
+              Dedup.duplicateSpansIncremental(
+                  graft.streaming.SubstrDedupStream.tableFor(s, tableDir, batchId),
+                  b, "doc_id", "text", k)
+                .queryExecution
+                .explainString(org.apache.spark.sql.execution.FormattedMode))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        // the returned frame reads only cleaned/ (partition-discovered
+        // batch=N dirs); drop the arrival days, checkpoint and the
+        // version chain — per-run scratch, the st7 cleanup note
+        graft.LocalRun.deleteRecursively(inDir)
+        graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
+        graft.LocalRun.deleteRecursively(
+          java.nio.file.Paths.get(tableDir))
+        s.read.parquet(outDir)
+          .select("doc_id", "n_tokens", "n_removed_tokens", "clean_text")
+          .orderBy("doc_id")
+      },
+      Some(substrIncrementalSql)),
 
     Q("dd11_incremental_dedup",
       "Incremental near-dup check — the PRODUCTION dedup shape: a new " +

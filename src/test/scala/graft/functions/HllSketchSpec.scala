@@ -85,6 +85,34 @@ class HllSketchSpec extends SparkSpec {
     } finally { df.unpersist(blocking = false); () }
   }
 
+  test("hllMerge aggregate ≡ direct sketch across partitionings (sk8's in-plan rollup)") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(5000)((rnd.nextInt(8), rnd.nextLong(1L << 60)))
+    val direct = refRegs(rows.map(_._2))
+    val l1 = rows.toDF("shard", "h").groupBy("shard")
+      .agg(Sketches.hllSketch(col("h"), P).as("regs"))
+    // partial/final split exercised: repartition the 8 shard sketches
+    // so the merge aggregate combines across partitions too
+    for (parts <- Seq(1, 3)) {
+      val merged = l1.repartition(parts)
+        .agg(Sketches.hllMerge(col("regs"), P).as("m"))
+        .as[Seq[Int]].head()
+      assert(merged === direct, s"parts=$parts")
+    }
+    // empty input → all-zero registers (the identity element)
+    val empty = Seq.empty[Seq[Int]].toDF("regs")
+      .agg(Sketches.hllMerge(col("regs"), P)).as[Seq[Int]].head()
+    assert(empty === Seq.fill(M)(0))
+  }
+
+  test("hllMerge rejects a register array of the wrong length (p mismatch)") {
+    val bad = Seq(Seq.fill(64)(1)).toDF("regs")
+    val ex = intercept[Exception] {
+      bad.agg(Sketches.hllMerge(col("regs"), P)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("estimate: small-range arm is exactly m·ln(m/V); saturated arm within 4/sqrt(m) relative error") {
     // 20 distinct spread across buckets → linear-counting arm
     val small = (1L to 20L).map(i => i << 35)

@@ -14,7 +14,7 @@ import graft.SparkSpec
   * equals the batch-mode semantics (DISTINCT on the unique key;
   * insert-only dims). */
 class MicroBatchIngestSpec extends SparkSpec {
-  import MicroBatchIngestSpec.Fact
+  import MicroBatchIngestSpec.{Ev, Fact}
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
@@ -225,6 +225,48 @@ class MicroBatchIngestSpec extends SparkSpec {
     assert(finalCounts === Map("s1" -> 3L, "s2" -> 1L))
   }
 
+  test("session_window: a cross-trigger session merges state across micro-" +
+    "batches and append-emits only after the watermark passes its end " +
+    "(the st10 contract)") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("st10_spec")
+      .outputMode("append").trigger(Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-st10-ckpt").toString)
+      .start()
+    // trigger 1: two events, 1 h apart — one open session
+    input.addData(
+      Ev(1L, ts("2024-03-01 10:00:00"), "click"),
+      Ev(1L, ts("2024-03-01 11:00:00"), "view"))
+    q.processAllAvailable()
+    assert(spark.table("st10_spec").isEmpty,
+      "no session may close while the watermark is behind its end")
+    // trigger 2: an event 1 h after the last — MERGES into the open
+    // session (the cross-trigger state merge), still unemitted
+    input.addData(Ev(1L, ts("2024-03-01 12:00:00"), "purchase"))
+    q.processAllAvailable()
+    assert(spark.table("st10_spec").isEmpty,
+      "the merged session is still open: watermark 11:00 < end 18:00")
+    // trigger 3: a far-future sentinel advances the watermark past the
+    // session end — ONLY NOW does the session emit, once, merged
+    input.addData(Ev(99L, ts("2024-04-01 00:00:00"), "flush"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st10_spec").filter(col("user_id") === 1L)
+      .select(col("session_window.start"), col("session_window.end"),
+        col("n_events"))
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    assert(rows === Seq((ts("2024-03-01 10:00:00"),
+      ts("2024-03-01 18:00:00"), 3L)),
+      s"expected ONE merged session [10:00, 12:00+6h) with 3 events, got $rows")
+  }
+
   test("sketch-state streaming aggregation: checkpoint RESTART restores the " +
     "per-group KMV and sample state — post-restart sketches equal the batch " +
     "sketch over EVERYTHING (the st8/st9 state-store contract)") {
@@ -394,4 +436,5 @@ object MicroBatchIngestSpec {
   final case class Reading(obs_time: Timestamp, temperature: Double)
   final case class SkRow(grp: String, h: Long, v: Long)
   final case class Doc(doc_id: Long, text: String)
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
 }
