@@ -16,6 +16,21 @@ import graft.llm.{Dedup, TextOps}
   * while the collision join itself — 1.59B raw rows — cost only ~15 s
   * because it never shuffles. The in-place-verify layout removes that
   * exchange entirely; this probe now times the replacement pipeline.
+  *
+  * r11 measurement record, 100× (the redesigned pipeline, post-r10):
+  * each stage below materializes its own frame (recomputing its
+  * prefix), so stage deltas read against the previous line —
+  * base 7.1 s (500k docs) → explode+dfreq 5.3 s (93k grams) →
+  * pfx+grams 15.6 s (10.6M prefix rows) → join_raw 17.3 s (1.28B
+  * collision rows — NEVER shuffled) → join_filtered 21.2 s (351M
+  * rows surviving the scalar length/positional filters) →
+  * verified_rows 131.4 s (the staged mirror, which omits the
+  * production path's df≥2 prefix pruning) → **full 75.7 s** (the
+  * real Dedup.prefixFilterPairs, 25,600 verified pairs). vs the r9
+  * pair-count layout's 264.8 s committed leg: **3.5×** — the removed
+  * 550M-row count-filter exchange was the bottleneck ProbePrefix
+  * predicted, and verification now settles map-side on the collision
+  * rows via the SortedOverlapCount kernel.
   */
 object ProbePrefix {
   def main(args: Array[String]): Unit = {
