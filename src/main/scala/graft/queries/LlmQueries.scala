@@ -1126,30 +1126,30 @@ object LlmQueries extends Q.Registry {
 
     Q("dd6_ngram_block_jaccard",
       "Word-bigram Jaccard near-dup with (lang, length-band) BLOCKING " +
-        "as the candidate generator — the LSH-free member of the dedup " +
-        "family: pairs meet only inside a block (block-bounded join, " +
-        "never all-pairs; at 100 TB the block key is the shuffle key " +
-        "and skewed blocks are a standard salting target), then exact " +
-        "bigram-set Jaccard >= 0.6. Trades LSH's tunable recall for " +
-        "zero signature cost; misses pairs whose edit crosses a band " +
-        "boundary (~1/8 of planted dups here) - the blocking/LSH " +
-        "tradeoff stated honestly.",
+        "— the LSH-free member of the dedup family: pairs exist only " +
+        "inside a block, then exact bigram-set Jaccard >= 0.6. Trades " +
+        "LSH's tunable recall for zero signature cost; misses pairs " +
+        "whose edit crosses a band boundary (~1/8 of planted dups " +
+        "here) — the blocking/LSH tradeoff stated honestly. r11: " +
+        "candidates now come from the PREFIX FILTER scoped per block " +
+        "(Dedup.prefixFilterPairs blockCols — every gram-keyed " +
+        "exchange carries the block key), not the full block cross: " +
+        "identical output (the prefix filter is lossless within any " +
+        "block), but the intra-block quadratic is gone — the measured " +
+        "0.95 s → 213 s sf1 cliff (10x data → ~100x block pairs) " +
+        "drops back onto dd12's linear-candidate path. The oracle " +
+        "stays the blocked brute force — the semantic spec that " +
+        "proves the per-block prefix join lossless, not merely " +
+        "self-consistent.",
       (s, d) => {
         val base = corpus(s, d)
           .withColumn("ws", TextOps.words(col("text")))
           .withColumn("grams", array_distinct(TextOps.wordShingles(col("ws"), 2)))
           .withColumn("band", floor(size(col("ws")) / lit(8)).cast("long"))
-          .filter(size(col("grams")) > 0)
           .select("doc_id", "lang", "band", "grams")
-        val a = base.select(col("doc_id").as("doc_a"), col("lang"),
-          col("band"), col("grams").as("g_a"))
-        val b = base.select(col("doc_id").as("doc_b"), col("lang"),
-          col("band"), col("grams").as("g_b"))
-        a.join(b, Seq("lang", "band"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("jaccard", Fmt.trunc(Dedup.jaccard(col("g_a"), col("g_b")), 6))
-          .filter(col("jaccard") >= 0.6)
-          .select("doc_a", "doc_b", "jaccard")
+        Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6,
+            blockCols = Seq("lang", "band"))
+          .withColumn("jaccard", Fmt.trunc(col("jaccard"), 6))
           .orderBy("doc_a", "doc_b")
       },
       Some(corpusSql +

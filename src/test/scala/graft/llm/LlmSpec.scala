@@ -69,6 +69,39 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("BLOCKED prefixFilterPairs ≡ blocked brute force (dd6's candidate generator)") {
+    // same seeded-boundary fixture idea, plus a block key: pairs must
+    // exist ONLY within equal (blk) groups, and within each block the
+    // prefix filter must be lossless — including singleton blocks and
+    // blocks whose every gram is block-unique (the strengthened df>=2
+    // prune's edge)
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 80L).map { id =>
+      val n = 2 + rnd.nextInt(10)
+      (id, id % 3, Seq.fill(n)("w" + rnd.nextInt(6)).mkString(" "))
+    }
+    val base = docs.toDF("doc_id", "blk", "text")
+      .withColumn("grams",
+        array_distinct(TextOps.wordShingles(TextOps.words($"text"), 2)))
+      .select("doc_id", "blk", "grams")
+    val a = base.select($"doc_id".as("doc_a"), $"blk", $"grams".as("g_a"))
+    val b = base.select($"doc_id".as("doc_b"), $"blk", $"grams".as("g_b"))
+    val want = a.join(b, Seq("blk")).filter($"doc_a" < $"doc_b")
+      .filter(Dedup.jaccard($"g_a", $"g_b") >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6,
+        blockCols = Seq("blk"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must plant within-block pairs")
+    // and the unblocked run must find strictly more (cross-block pairs
+    // exist in this fixture) — blocking semantics, not a no-op arg
+    val unblocked = Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(want.subsetOf(unblocked) && unblocked.size > want.size,
+      s"unblocked ${unblocked.size} vs blocked ${want.size}")
+  }
+
   test("prefixFilterPairs finds the cross-band pair dd6-style length blocking misses") {
     // 16 words vs 15 words straddle a floor(len/8) band boundary; the
     // pair is a genuine near-dup (J = 14/16 bigram overlap > 0.6).
