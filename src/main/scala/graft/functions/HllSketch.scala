@@ -185,6 +185,12 @@ case class HllMergeAgg(
       var i = 0
       while (i < m) {
         val r = arr.getInt(i)
+        // ranks live in [0, w+1] ⊂ [0, 127]; a value outside the byte
+        // range is NOT a register array (e.g. a count array passed by
+        // mistake) and must fail, not wrap through toByte (r11 review)
+        require(r >= 0 && r <= Byte.MaxValue,
+          s"hll_merge(p=$p) got register value $r at bucket $i — " +
+            "not an hll_sketch register array (ranks are 0..61)")
         if (r > buf(i)) buf(i) = r.toByte
         i += 1
       }

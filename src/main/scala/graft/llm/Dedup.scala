@@ -206,6 +206,16 @@ object Dedup {
       : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // block columns flow through every internal select/join; a caller
+    // key that collides with an internal name would be silently
+    // overwritten (a block column literally named "m" would block on
+    // gram-set size), so reject the reserved names outright
+    val reserved = Set("doc", "grams", "m", "gram", "gdf", "rn",
+      "doc_a", "doc_b", "m_a", "m_b", "rn_a", "rn_b", "g_a", "g_b",
+      "c", "jaccard")
+    val clash = blockCols.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"blockCols collide with prefixFilterPairs internals: $clash — rename them")
     import org.apache.spark.sql.expressions.Window
     // per-doc minimum overlap (drives prefix length): |a∩b| >= t*|a∪b|
     // >= t*m for either member

@@ -66,11 +66,11 @@ object Funnel {
       s"stage names must be distinct, got $stages")
     require(windowHours > 0, s"windowHours must be positive, got $windowHours")
     val winUs = windowHours * 3600L * 1000000L
-    // NULL user ids are dropped up front: the oracle form counts users
-    // via count(DISTINCT user_id), which excludes NULLs, while Spark's
-    // groupBy would keep a null-key group — filtering here keeps the
-    // denominator AND the stage-1 count cross-engine identical (later
-    // stages already drop null keys through their equi-joins).
+    // NULL-user events are EXCLUDED from the funnel by definition, on
+    // both engines: Spark filters here, and the a12/a13 oracles filter
+    // their fev CTE the same way (r11 review — an unfiltered SQL GROUP
+    // BY would keep a NULL stage-1 group that count(DISTINCT user_id)
+    // excludes from the denominator, an inconsistent hybrid).
     val ev = events.select(col(userCol).as("__user"),
       unix_micros(col(tsCol)).as("__tus"), col(typeCol).as("__type"))
       .filter(col("__user").isNotNull)

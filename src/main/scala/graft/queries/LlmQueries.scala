@@ -456,6 +456,30 @@ object LlmQueries extends Q.Registry {
     * oldest first — a REAL multi-trigger arrival replay, not a
     * simulation (st7/st8). Returns (stageRoot, inDir); callers clean
     * both up via LocalRun.deleteRecursively once the stream is done. */
+  /** The two staged arrival days st7 AND st12 replay — day 1: replayed
+    * 12-word heads + novel nv_ tails; day 2: day 1's nv_ tails as
+    * heads + fresh nw_ tails. ONE definition (r11 review): the same
+    * fixture exists as the substrIncrementalSql oracle's nb1/nb2 CTEs,
+    * and a third hand-written copy would triple the drift surface.
+    * Returns (day1, day2, stream schema). */
+  private def substrDedupBatches(docs: DataFrame)
+      : (DataFrame, DataFrame, org.apache.spark.sql.types.StructType) = {
+    val ws = TextOps.words(col("text"))
+    val nvTail = transform(slice(ws, 13, 1 << 20), w => concat(lit("nv_"), w))
+    val batch1 = docs.filter(col("doc_id") % 50 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      array_join(concat(slice(ws, 1, 12), nvTail), " ").as("text"))
+    val batch2 = docs.filter(col("doc_id") % 75 === 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      array_join(concat(nvTail,
+        transform(slice(ws, 1, 12), w => concat(lit("nw_"), w))), " ")
+        .as("text"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    (batch1, batch2, schema)
+  }
+
   private[queries] def stageArrivalDays(days: Seq[DataFrame], prefix: String)
       : (java.nio.file.Path, java.nio.file.Path) = {
     val stage = java.nio.file.Files.createTempDirectory(prefix)
@@ -3483,17 +3507,7 @@ object LlmQueries extends Q.Registry {
       (s, d) => {
         val k = 8
         val docs = Tables.documents(s, d)
-        val ws = TextOps.words(col("text"))
-        val nvTail = transform(slice(ws, 13, 1 << 20),
-          w => concat(lit("nv_"), w))
-        val batch1 = docs.filter(col("doc_id") % 50 === 0).select(
-          (col("doc_id") + 1000000L).as("doc_id"),
-          array_join(concat(slice(ws, 1, 12), nvTail), " ").as("text"))
-        val batch2 = docs.filter(col("doc_id") % 75 === 0).select(
-          (col("doc_id") + 2000000L).as("doc_id"),
-          array_join(concat(nvTail,
-            transform(slice(ws, 1, 12), w => concat(lit("nw_"), w))), " ")
-            .as("text"))
+        val (batch1, batch2, schema) = substrDedupBatches(docs)
         // stage the two arrival days as single files with pinned
         // mod-times: the file source takes one file per micro-batch,
         // oldest first — a real two-trigger replay, not a simulation
@@ -3505,9 +3519,6 @@ object LlmQueries extends Q.Registry {
           Dedup.gramCounts(docs, "doc_id", "text", k))
         var table = baseTable
         val outDir = stage.resolve("cleaned").toString
-        val schema = new org.apache.spark.sql.types.StructType()
-          .add("doc_id", org.apache.spark.sql.types.LongType)
-          .add("text", org.apache.spark.sql.types.StringType)
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           .writeStream
@@ -3690,9 +3701,15 @@ object LlmQueries extends Q.Registry {
           .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
         val cms = IngestQueries.runToMemory(s, agg, "st11_out_", "complete")
         graft.LocalRun.deleteRecursively(stage)
-        // batch rebuild: the merge-identity arm (streamed ≡ batch)
-        val toks = Tables.documents(s, d)
-          .select(explode(TextOps.words(col("text"))).as("tok"))
+        // batch rebuild: the merge-identity arm (streamed ≡ batch).
+        // cachedFrame: the corpus tokenization feeds TWO independent
+        // plan arms (batchCms by (r, bucket), exact by tok) with no
+        // shareable exchange — the dd10/dd11/llm2 memo shape (r11
+        // review; an uncached frame would pay the corpus scan+split
+        // twice per run)
+        val toks = cachedFrame(s, "st11_toks", d)(
+          Tables.documents(s, d)
+            .select(explode(TextOps.words(col("text"))).as("tok")))
         val batchCms = toks.select(col("tok"), rowIdx)
           .select(col("r"), Sketches.cmsBucket(col("r"), col("tok"), W).as("bucket"))
           .groupBy("r", "bucket").agg(count(lit(1)).as("b_cnt"))
@@ -3764,25 +3781,12 @@ object LlmQueries extends Q.Registry {
       (s, d) => {
         val k = 8
         val docs = Tables.documents(s, d)
-        val ws = TextOps.words(col("text"))
-        val nvTail = transform(slice(ws, 13, 1 << 20),
-          w => concat(lit("nv_"), w))
-        val batch1 = docs.filter(col("doc_id") % 50 === 0).select(
-          (col("doc_id") + 1000000L).as("doc_id"),
-          array_join(concat(slice(ws, 1, 12), nvTail), " ").as("text"))
-        val batch2 = docs.filter(col("doc_id") % 75 === 0).select(
-          (col("doc_id") + 2000000L).as("doc_id"),
-          array_join(concat(nvTail,
-            transform(slice(ws, 1, 12), w => concat(lit("nw_"), w))), " ")
-            .as("text"))
+        val (batch1, batch2, schema) = substrDedupBatches(docs)
         val (stage, inDir) = stageArrivalDays(Seq(batch1, batch2), "graft_st12_")
         val tableDir = stage.resolve("gram_table").toString
         val outDir = stage.resolve("cleaned").toString
         graft.streaming.SubstrDedupStream.initGramTable(
           s, tableDir, docs, "doc_id", "text", k)
-        val schema = new org.apache.spark.sql.types.StructType()
-          .add("doc_id", org.apache.spark.sql.types.LongType)
-          .add("text", org.apache.spark.sql.types.StringType)
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           .writeStream

@@ -356,7 +356,8 @@ object RelationalQueries extends Q.Registry {
           Tables.events(s, d), "user_id", "ts", "event_type",
           Seq("click", "view", "purchase"), windowHours = 24, fmt = Fmt.t6),
       Some(
-        """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+        """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+          |             FROM events WHERE user_id IS NOT NULL),
           |f1 AS (SELECT user_id, min(tus) AS t_click FROM fev
           |       WHERE event_type = 'click' GROUP BY user_id),
           |f2 AS (SELECT e.user_id, min(e.tus) AS t_view, min(f1.t_click) AS t_click2
@@ -400,7 +401,8 @@ object RelationalQueries extends Q.Registry {
           Seq("signup", "click", "view", "purchase"), windowHours = 72,
           fmt = Fmt.t6),
       Some(
-        """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+        """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+          |             FROM events WHERE user_id IS NOT NULL),
           |f1 AS (SELECT user_id, min(tus) AS t1 FROM fev
           |       WHERE event_type = 'signup' GROUP BY user_id),
           |f2 AS (SELECT e.user_id, min(e.tus) AS t2, min(f1.t1) AS p2
