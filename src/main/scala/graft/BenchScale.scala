@@ -698,6 +698,42 @@ object BenchScale {
           n
         } finally out.unpersist(blocking = false)
       }, Linear),
+      ("dd_prefix_hot", (f: Int) => {
+        // SKEW probe for dd_prefix (r11): every BASE document gains the
+        // same two-token suffix before inflation, so each replica
+        // carries a bigram present in EVERY one of its documents — the
+        // hottest possible gram key (df = docs/replica, the worst case
+        // a boilerplate footer creates in a real crawl). The prefix
+        // filter's frequency-ASCENDING ordering ranks a universal gram
+        // last in every document, so it enters a prefix only for
+        // documents whose prefix spans their whole gram set (tiny m);
+        // candidate volume and wall-clock must therefore TRACK
+        // dd_prefix's, not square on the hot key — the structural
+        // skew-resistance claim of rarest-first prefixes, measured
+        // instead of asserted. Outputs stay ×f exactly (replica-
+        // disjoint token spaces; the suffix shifts which planted pairs
+        // clear 0.6 identically in every replica).
+        val d = inflateDocuments(
+          documents.withColumn("text",
+            concat(col("text"), lit(" zzhota zzhotb"))), f)
+        val base = d.withColumn("ws", TextOps.words(col("text")))
+          .withColumn("grams", array_distinct(TextOps.wordShingles(col("ws"), 2)))
+          .select(col("doc_id"), col("grams"))
+        val obs = org.apache.spark.sql.Observation(s"dd_prefix_hot_stats_$f")
+        val out = Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6,
+          stats = Some(obs),
+          collisionPartitions = Some(math.min(512, 32 * f))).cache()
+        try {
+          val n = out.count()
+          System.err.println(s"[scalebench] dd_prefix_hot $f×: candidate_rows=" +
+            s"${obs.get.getOrElse("candidate_rows", -1L)} verified_pairs=$n")
+          val cross = out
+            .filter(pmod(col("doc_a"), lit(f)) =!= pmod(col("doc_b"), lit(f)))
+            .count()
+          require(cross == 0L, s"dd_prefix_hot at $f×: $cross cross-replica pairs")
+          n
+        } finally out.unpersist(blocking = false)
+      }, Linear),
       ("tx_dsir", (f: Int) => txDsir(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe", (f: Int) => txBpe(inflateDocuments(documents, f), f), Linear),
       ("tx_bpe_vocab", (f: Int) => {
