@@ -267,6 +267,55 @@ class MicroBatchIngestSpec extends SparkSpec {
       s"expected ONE merged session [10:00, 12:00+6h) with 3 events, got $rows")
   }
 
+  test("session_window state survives checkpoint RESTART: an OPEN session " +
+    "restored from the state store merges a post-restart trigger's events " +
+    "and closes as ONE session (the st10 restart contract)") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st10-restart").toString
+    // foreachBatch collector, not a memory sink: the memory sink does
+    // not support checkpoint RECOVERY (ResolveWriteToStream rejects it)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Timestamp, Timestamp, Long)]()
+    def start() = agg.writeStream
+      .outputMode("append").trigger(Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        emitted.synchronized {
+          emitted ++= b.select(col("user_id"), col("session_window.start"),
+              col("session_window.end"), col("n_events"))
+            .as[(Long, Timestamp, Timestamp, Long)].collect()
+        }
+        ()
+      }
+      .start()
+    val q1 = start()
+    input.addData(Ev(1L, ts("2024-03-01 10:00:00"), "click"),
+      Ev(1L, ts("2024-03-01 11:00:00"), "view"))
+    q1.processAllAvailable()
+    q1.stop() // kill with the session OPEN in the state store
+    val q2 = start() // fresh query instance from the same checkpoint
+    // merges into the RESTORED open session (gap 1 h < 6 h); day-1 rows
+    // are not re-addable — their offsets are committed, so the merge can
+    // only come from restored state
+    input.addData(Ev(1L, ts("2024-03-01 12:00:00"), "purchase"))
+    q2.processAllAvailable()
+    input.addData(Ev(99L, ts("2024-04-01 00:00:00"), "flush"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = emitted.synchronized {
+      emitted.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSeq
+    }
+    assert(rows === Seq((ts("2024-03-01 10:00:00"),
+      ts("2024-03-01 18:00:00"), 3L)),
+      s"the restored session must merge post-restart events and close once, got $rows")
+    graft.LocalRun.deleteRecursively(java.nio.file.Paths.get(ckpt))
+  }
+
   test("sketch-state streaming aggregation: checkpoint RESTART restores the " +
     "per-group KMV and sample state — post-restart sketches equal the batch " +
     "sketch over EVERYTHING (the st8/st9 state-store contract)") {
