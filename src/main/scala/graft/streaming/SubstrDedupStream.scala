@@ -47,7 +47,13 @@ import graft.llm.Dedup
   * loop (one `Trigger.AvailableNow` run, no restart surface, no
   * per-batch table IO — right for a bounded replay and for bench
   * comparability); this object is the unbounded-production form of
-  * the same operators, where the table must survive the driver.
+  * the same operators, where the table must survive the driver. The
+  * versioned path is PRICED as its own registered query since r11
+  * (st12_substr_dedup_versioned, same oracle): at sf0.1 the durable
+  * form costs st7 + ~0.2-0.6 s for its two parquet table snapshots +
+  * batch-keyed emits (quiet r11 records: st7 2.79-3.05 s vs st12
+  * 3.21-3.40 s) — the restart guarantee costs roughly one extra
+  * columnar (gram, count) scan per batch, as predicted below.
   *
   * 100 TB posture: identical to the in-session form — the batch pays
   * the only text work; reading `v{b}` instead of holding the table
