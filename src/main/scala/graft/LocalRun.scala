@@ -45,6 +45,41 @@ object LocalRun {
     java.nio.file.Files.delete(tmp)
   }
 
+  /** Scratch paths whose contents a RETURNED lazy frame still reads
+    * (st7/st12 hand back a DataFrame over their staged `cleaned/` dir,
+    * so the stage root cannot be deleted at build time) — registered
+    * here and swept by ONE JVM shutdown hook, so repeated builds leak
+    * nothing past process exit (r11 ADVICE: st7/st12 left one stage
+    * tree per run behind unconditionally). */
+  private val exitScratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(
+      () => {
+        var p = exitScratch.poll()
+        while (p != null) {
+          try deleteRecursively(p) catch { case _: Exception => () }
+          p = exitScratch.poll()
+        }
+      },
+      "graft-scratch-sweeper"))
+
+  /** Register `root` for deletion at JVM exit (idempotent to register;
+    * safe if already deleted by then). */
+  def deleteOnExit(root: java.nio.file.Path): Unit = {
+    exitHookInstalled
+    exitScratch.add(root)
+    ()
+  }
+
+  /** Test seam: paths currently queued for the exit sweep. */
+  private[graft] def exitScratchSnapshot: Seq[java.nio.file.Path] = {
+    val it = exitScratch.iterator()
+    val b = Seq.newBuilder[java.nio.file.Path]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
   /** Recursive delete for the temp trees the staged-stream queries
     * create (children before parents; missing files tolerated). */
   def deleteRecursively(root: java.nio.file.Path): Unit = {

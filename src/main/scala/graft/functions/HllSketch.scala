@@ -184,6 +184,12 @@ case class HllMergeAgg(
         s"hll_merge(p=$p) got a ${arr.numElements()}-register array, expected $m")
       var i = 0
       while (i < m) {
+        // a NULL element is NOT a register array either — without this
+        // check an unsafe row reads the slot as an undefined value
+        // (typically 0) and the merge silently proceeds (r12 review)
+        require(!arr.isNullAt(i),
+          s"hll_merge(p=$p) got a NULL register at bucket $i — " +
+            "not an hll_sketch register array (registers are never null)")
         val r = arr.getInt(i)
         // ranks live in [0, w+1] ⊂ [0, 127]; a value outside the byte
         // range is NOT a register array (e.g. a count array passed by

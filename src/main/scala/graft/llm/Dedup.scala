@@ -138,11 +138,25 @@ object Dedup {
     * all key-bounded; the per-pair work is map-side compute after the
     * last exchange. No (lang, band) block ever materializes its n²
     * pair set: frequency-ascending prefixes keep boilerplate grams
-    * out of most prefixes, and the residual hot-gram key is a
-    * standard salting target ([[graft.ops.Skew.saltedJoin]], same
-    * defense as [[lshCandidatePairs]]). Corpus-scale joins carry
-    * shuffle_hash hints (an SMJ sort on gram buys nothing —
-    * PlanAuditSpec).
+    * out of most prefixes, and the residual hot-gram key has an
+    * OPT-IN salting defense wired in (`saltBuckets`, same idea as
+    * [[lshCandidatePairs]]'s / [[graft.ops.Skew.saltedJoin]]): the
+    * bench_scale `dd_prefix_hot` probe showed a universal boilerplate
+    * gram still costs +38% at 100× unsalted, concentrated in the two
+    * gram-keyed exchanges. With `saltBuckets = Some(b)`,
+    *  (1) the document-frequency attach join salts EVERY row — probe
+    *      rows get a deterministic per-doc salt, the slim (gram, gdf)
+    *      build rows replicate b× — so the universal gram's exploded
+    *      rows spread over b tasks instead of one;
+    *  (2) the collision self-join salts ONLY grams with
+    *      gdf >= `saltMinDf` (cold keys pay nothing): the doc_a side
+    *      keeps one row at salt hash(doc)%b, the doc_b side replicates
+    *      its hot prefix rows b×, so each pair still meets EXACTLY
+    *      once and the hot key's candidate work spreads over b tasks.
+    * Salts are hash-derived (retry-safe, deterministic); output is
+    * bit-identical with or without salting (PrefixSaltSpec pins it).
+    * Corpus-scale joins carry shuffle_hash hints (an SMJ sort on gram
+    * buys nothing — PlanAuditSpec).
     *
     * Filters, every one recall-safe at the pair's first collision:
     *  - length (All-Pairs): min(m_a, m_b) >= ceil(t/(1+t)(m_a+m_b)),
@@ -197,12 +211,19 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, RAW (un-
     * truncated) jaccard >= threshold; callers truncate for display.
     * Input gram arrays must be pre-distinct (array_distinct upstream),
-    * empty-gram docs are dropped (no pair can reach any threshold). */
+    * empty-gram docs are dropped (no pair can reach any threshold).
+    * `blockCols` values must be NON-NULL: blocked pairing is
+    * null-unsafe by contract (SQL equi-join semantics — a NULL block
+    * value equals nothing, including another NULL), so a NULL-block
+    * document can never pair; such rows are dropped up front rather
+    * than silently discarded by the later null-unsafe joins. */
   def prefixFilterPairs(df: DataFrame, idCol: String, gramsCol: String,
                         threshold: Double,
                         stats: Option[org.apache.spark.sql.Observation] = None,
                         collisionPartitions: Option[Int] = None,
-                        blockCols: Seq[String] = Nil)
+                        blockCols: Seq[String] = Nil,
+                        saltBuckets: Option[Int] = None,
+                        saltMinDf: Long = 4096L)
       : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
@@ -212,7 +233,9 @@ object Dedup {
     // gram-set size), so reject the reserved names outright
     val reserved = Set("doc", "grams", "m", "gram", "gdf", "rn",
       "doc_a", "doc_b", "m_a", "m_b", "rn_a", "rn_b", "g_a", "g_b",
-      "c", "jaccard")
+      "c", "jaccard", "__salt", "__hot")
+    saltBuckets.foreach(b => require(b >= 2,
+      s"saltBuckets must be >= 2 when set, got $b"))
     val clash = blockCols.toSet.intersect(reserved)
     require(clash.isEmpty,
       s"blockCols collide with prefixFilterPairs internals: $clash — rename them")
@@ -228,12 +251,17 @@ object Dedup {
         .cast("long")
     val gramKey: Seq[String] = blockCols :+ "gram"
     val blk: Seq[Column] = blockCols.map(col)
-    val base = df
+    val base0 = df
       .select(Seq(col(idCol).as("doc")) ++ blk ++ Seq(
         sort_array(array_distinct(transform(col(gramsCol), g => xxhash64(g))))
           .as("grams")): _*)
       .filter(size(col("grams")) > 0)
       .withColumn("m", size(col("grams")).cast("long"))
+    // enforce the documented non-null block contract explicitly (the
+    // null-unsafe joins below would drop these rows anyway, after
+    // dfreq's groupBy carried a pointless NULL group — r11 ADVICE)
+    val base =
+      if (blockCols.isEmpty) base0 else base0.na.drop("any", blockCols)
     val ex = base.select(Seq(col("doc")) ++ blk ++ Seq(col("m"),
       explode(col("grams")).as("gram")): _*)
     val dfreq = ex.groupBy(gramKey.map(col): _*).agg(count(lit(1)).as("gdf"))
@@ -241,8 +269,31 @@ object Dedup {
     // slim prefix rows first (the rank window would otherwise shuffle
     // every exploded gram row with its 400 B array payload), then
     // attach each doc's sorted gram set co-partitioned on doc
-    val pfx = ex.hint("shuffle_hash")
-      .join(dfreq.hint("shuffle_hash"), gramKey)
+    // document-frequency attach: the first gram-keyed exchange, and
+    // the one a universal gram floods hardest (EVERY doc contributes
+    // a row for it, all landing in one task unsalted). Salted variant
+    // spreads the probe rows by a per-doc hash and replicates the
+    // slim (gram, gdf) build rows b× — [[graft.ops.Skew.saltedJoin]]
+    // inlined for the composite (block, gram) key.
+    val dfAttached = saltBuckets match {
+      case Some(b) =>
+        val exS = ex.withColumn("__salt",
+          graft.ops.Skew.salt(b, col("doc")))
+        val dfreqS = dfreq
+          .withColumn("__salt", explode(sequence(lit(0), lit(b - 1))))
+          .withColumn("__salt", col("__salt").cast("int"))
+        exS.hint("shuffle_hash")
+          .join(dfreqS.hint("shuffle_hash"), gramKey :+ "__salt")
+          .drop("__salt")
+      case None =>
+        ex.hint("shuffle_hash").join(dfreq.hint("shuffle_hash"), gramKey)
+    }
+    // hot-key flag for the collision join's opt-in salting; carried
+    // only when salting is on so the unsalted plan stays unchanged
+    val keepHot: Seq[Column] =
+      if (saltBuckets.isDefined)
+        Seq((col("gdf") >= lit(saltMinDf)).as("__hot")) else Nil
+    val pfx = dfAttached
       .withColumn("rn", row_number().over(rankWin).cast("long"))
       .filter(col("rn") <= col("m") - minOverlap(col("m")) + 1)
       // a corpus-unique gram (df = 1; block-unique when blocked) can
@@ -253,23 +304,45 @@ object Dedup {
       // produce no pairs by definition)
       .filter(col("gdf") >= 2)
       .select(Seq(col("doc")) ++ blk ++
-        Seq(col("m"), col("rn"), col("gram")): _*)
+        Seq(col("m"), col("rn"), col("gram")) ++ keepHot: _*)
       .join(base.select(col("doc"), col("grams")).hint("shuffle_hash"),
         Seq("doc"))
-    val pfxP = collisionPartitions match {
-      case Some(n) => pfx.repartition(n, gramKey.map(col): _*)
-      case None => pfx
+    // collision self-join inputs: unsalted they are the SAME frame;
+    // salted, the doc_a side keeps one row per prefix gram (hot grams
+    // at a deterministic per-doc salt) while the doc_b side replicates
+    // its HOT rows across all b salts so every (a, b) pair still meets
+    // exactly once, at a's salt — cold grams sit at salt 0 on both
+    // sides and pay nothing
+    val (sideA, sideB, collisionKey) = saltBuckets match {
+      case Some(b) =>
+        val a = pfx.withColumn("__salt",
+          when(col("__hot"), graft.ops.Skew.salt(b, col("doc")))
+            .otherwise(lit(0)))
+        val rep = pfx.withColumn("__salt",
+            explode(when(col("__hot"), sequence(lit(0), lit(b - 1)))
+              .otherwise(array(lit(0)))))
+          .withColumn("__salt", col("__salt").cast("int"))
+        (a, rep, gramKey :+ "__salt")
+      case None => (pfx, pfx, gramKey)
     }
-    val collided = pfxP.select(Seq(col("doc").as("doc_a")) ++ blk ++ Seq(
+    def sized(d: DataFrame): DataFrame = collisionPartitions match {
+      case Some(n) => d.repartition(n, collisionKey.map(col): _*)
+      case None => d
+    }
+    val saltCol: Seq[Column] =
+      if (saltBuckets.isDefined) Seq(col("__salt")) else Nil
+    val collided = sized(sideA)
+      .select(Seq(col("doc").as("doc_a")) ++ blk ++ saltCol ++ Seq(
         col("m").as("m_a"), col("rn").as("rn_a"), col("gram"),
         col("grams").as("g_a")): _*)
       .hint("shuffle_hash")
       .join(
-        pfxP.select(Seq(col("doc").as("doc_b")) ++ blk ++ Seq(
+        sized(sideB)
+          .select(Seq(col("doc").as("doc_b")) ++ blk ++ saltCol ++ Seq(
             col("m").as("m_b"), col("rn").as("rn_b"), col("gram"),
             col("grams").as("g_b")): _*)
           .hint("shuffle_hash"),
-        gramKey)
+        collisionKey)
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("m_a"), col("m_b")) >= pairOverlap(col("m_a"), col("m_b")))
       .filter(lit(1L) +

@@ -43,8 +43,8 @@ object IngestQueries extends Q.Registry {
   /** Bounded file-source stream over the events table (the micro-batch
     * analog of the reference's 10-min poll): event_id, station_no,
     * record_time, bikes_available. */
-  private[queries] def eventsStream(s: org.apache.spark.sql.SparkSession,
-                                    d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def eventsStream(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val (raw, tsCol) = rawEventsStream(s, d)
     raw.select(
@@ -58,8 +58,8 @@ object IngestQueries extends Q.Registry {
     * 83rd event's value read as that tick's weather observation — an
     * INDEPENDENT readStream over the same file, so the join really
     * coordinates two sources. */
-  private def readingsStream(s: org.apache.spark.sql.SparkSession,
-                             d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def readingsStream(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val (raw, tsCol) = rawEventsStream(s, d)
     raw.filter(col("event_id") % 83 === 0).select(

@@ -3547,6 +3547,10 @@ object LlmQueries extends Q.Registry {
         // fitmed3 runs, plan audits, verify) don't accumulate /tmp trees
         graft.LocalRun.deleteRecursively(inDir)
         graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
+        // the stage root still holds cleaned/, which the returned lazy
+        // frame reads — sweep it at JVM exit instead of leaking one
+        // stage tree per run (r11 ADVICE)
+        graft.LocalRun.deleteOnExit(stage)
         s.read.parquet(outDir).orderBy("doc_id")
       },
       Some(substrIncrementalSql)),
@@ -3814,6 +3818,10 @@ object LlmQueries extends Q.Registry {
         graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
         graft.LocalRun.deleteRecursively(
           java.nio.file.Paths.get(tableDir))
+        // cleaned/ stays readable for the returned lazy frame; the
+        // stage root is swept at JVM exit (r11 ADVICE — st12 leaked
+        // one stage tree per run)
+        graft.LocalRun.deleteOnExit(stage)
         s.read.parquet(outDir)
           .select("doc_id", "n_tokens", "n_removed_tokens", "clean_text")
           .orderBy("doc_id")

@@ -113,6 +113,21 @@ class HllSketchSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("hllMerge rejects a NULL register element (fail-fast, not silent 0)") {
+    // r11 ADVICE: a NULL array element used to be read as an undefined
+    // value (0 on unsafe rows) and merged silently — it must raise the
+    // same descriptive not-a-register-array error the range check does
+    val bad = Seq(Seq.fill(M)(Option(1)).updated(3, Option.empty[Int]))
+      .toDF("regs")
+    val ex = intercept[Exception] {
+      bad.agg(Sketches.hllMerge(col("regs"), P)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("NULL register")),
+      s"expected the NULL-register message in: ${chain(ex)}")
+  }
+
   test("estimate: small-range arm is exactly m·ln(m/V); saturated arm within 4/sqrt(m) relative error") {
     // 20 distinct spread across buckets → linear-counting arm
     val small = (1L to 20L).map(i => i << 35)

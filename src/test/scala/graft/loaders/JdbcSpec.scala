@@ -35,6 +35,34 @@ class JdbcSpec extends SparkSpec {
     assert(keys === Set("s1", "s2", "s3"))
   }
 
+  test("S3 partitioned scan: numPartitions concurrent strides, no row lost or duplicated") {
+    val facts = (1 to 97).map(i => (i.toLong, s"s${i % 7}", i * 2))
+      .toDF("id", "station_no", "bikes")
+    Readers.appendJdbc(facts, url, "status_facts", props)
+    val back = Readers.readJdbcPartitioned(spark, url, "status_facts",
+      "id", lowerBound = 1L, upperBound = 97L, numPartitions = 8, props)
+    // the scan IS split: 8 tasks = 8 connections
+    assert(back.rdd.getNumPartitions === 8)
+    assert(back.count() === 97)
+    assert(back.select("id").as[Long].collect().toSet === (1L to 97L).toSet)
+    // out-of-bounds rows are still read (bounds tune parallelism only)
+    val narrow = Readers.readJdbcPartitioned(spark, url, "status_facts",
+      "id", lowerBound = 40L, upperBound = 60L, numPartitions = 4, props)
+    assert(narrow.count() === 97)
+  }
+
+  test("S3 predicate scan: disjoint hand splits, one connection each") {
+    val back = Readers.readJdbcPredicates(spark, url, "status_facts",
+      // predicates are VERBATIM warehouse SQL — quote identifiers the
+      // way the warehouse stored them (Spark's writer quotes, so Derby
+      // holds lowercase "id", not the unquoted-default uppercase ID)
+      Seq("MOD(\"id\", 3) = 0", "MOD(\"id\", 3) = 1", "MOD(\"id\", 3) = 2"),
+      props)
+    assert(back.rdd.getNumPartitions === 3)
+    assert(back.count() === 97)
+    assert(back.select("id").as[Long].collect().toSet === (1L to 97L).toSet)
+  }
+
   test("S3 dedup-set scan shape: select one column from the warehouse (etl_job.py:120-121)") {
     val existing = Readers.readJdbc(spark, url, "station_info", props)
       .select("station_no")
