@@ -117,6 +117,20 @@ import graft.ops.Windows
   *                 and time must grow ≲ linearly, closing the "would
   *                 the ladder survive 100×?" claim with wall-clock.
   *
+  *  - dd_prefix_hot_salted: dd_prefix_hot with the opt-in salting ON
+  *                 (16 buckets, hot = df ≥ 1024) — its time vs the
+  *                 unsalted hot leg is the measured value of salting;
+  *  - a_funnel:    a12's 3-stage windowed funnel on replica-unique
+  *                 users — counts REQUIREd exactly ×f (isomorphic
+  *                 replicas ⇒ identical rates by arithmetic);
+  *  - w_sessionize: w7's gap sessionization + rollup on replica-unique
+  *                 users — session rows REQUIREd exactly ×f;
+  *  - x_ranktest:  x18+x19's midrank tests — the distinct-value
+  *                 HISTOGRAM state and the 25-group outputs REQUIREd
+  *                 CONSTANT while rows grow ×f (the value-universe
+  *                 boundedness claim; continuous columns must be
+  *                 quantized first — StatTests scaladoc).
+  *
   * Row-count invariants, REQUIREd at every factor: w_window/dd_exact/
   * tx_quality output exactly f × their 1× rows; j_hourly/a_pivot/
   * ss_brute outputs are dimension-sized and must stay CONSTANT across
@@ -146,6 +160,23 @@ object BenchScale {
     ev.crossJoin(org.apache.spark.sql.functions.broadcast(
         spark(ev).range(f).select(col("id").as("rep"))))
       .withColumn("event_id", col("event_id") * f + col("rep"))
+      .withColumn("ts",
+        col("ts") + make_dt_interval(col("rep").cast("int"), lit(0), lit(0), lit(0)))
+      .drop("rep")
+
+  /** events ×f with replica-unique USERS: the same shift-by-rep-days
+    * time axis as [[inflateEvents]], but user_id (when non-null) also
+    * becomes replica-unique — every replica is an ISOMORPHIC copy of
+    * the original user population (per-user event sequences, gaps and
+    * funnel windows are preserved under the uniform whole-day shift),
+    * so user-keyed session/funnel operators must produce EXACTLY f ×
+    * their 1× output. Without the remap, one user's replicas would
+    * interleave on the shared id and the outputs would not replicate. */
+  def inflateEventsUsers(ev: DataFrame, f: Int): DataFrame =
+    ev.crossJoin(org.apache.spark.sql.functions.broadcast(
+        spark(ev).range(f).select(col("id").as("rep"))))
+      .withColumn("event_id", col("event_id") * f + col("rep"))
+      .withColumn("user_id", col("user_id") * f + col("rep"))
       .withColumn("ts",
         col("ts") + make_dt_interval(col("rep").cast("int"), lit(0), lit(0), lit(0)))
       .drop("rep")
@@ -779,6 +810,99 @@ object BenchScale {
               s"(kmv=${chk.getInt(0)}, hll=${chk.getInt(1)}, sample=${chk.getInt(2)})")
           out.count()
         } finally out.unpersist(blocking = false)
+      }, Constant),
+      ("dd_prefix_hot_salted", (f: Int) => {
+        // dd_prefix_hot with the r12 opt-in salting ON: the same
+        // universal-boilerplate-gram corpus, but both gram-keyed
+        // exchanges spread the hot key over 16 salt buckets
+        // (Dedup.prefixFilterPairs saltBuckets; hot = df >= 1024, so
+        // only the planted universal bigram qualifies — per-replica df
+        // = docs/replica ≈ 5k at sf0.1, family grams ≤ 2). Output must
+        // be BIT-identical to the unsalted hot leg (PrefixSaltSpec pins
+        // equality; the ×f REQUIRE here pins it per factor), and the
+        // leg's time against dd_prefix_hot's is the measured value of
+        // the salting — the r11 "salting not yet wired" gap, closed
+        // with wall-clock.
+        val d = inflateDocuments(
+          documents.withColumn("text",
+            concat(col("text"), lit(" zzhota zzhotb"))), f)
+        val base = d.withColumn("ws", TextOps.words(col("text")))
+          .withColumn("grams", array_distinct(TextOps.wordShingles(col("ws"), 2)))
+          .select(col("doc_id"), col("grams"))
+        val obs = org.apache.spark.sql.Observation(s"dd_prefix_hot_salted_stats_$f")
+        val out = Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6,
+          stats = Some(obs),
+          collisionPartitions = Some(math.min(512, 32 * f)),
+          saltBuckets = Some(16), saltMinDf = 1024L).cache()
+        try {
+          val n = out.count()
+          System.err.println(s"[scalebench] dd_prefix_hot_salted $f×: candidate_rows=" +
+            s"${obs.get.getOrElse("candidate_rows", -1L)} verified_pairs=$n")
+          val cross = out
+            .filter(pmod(col("doc_a"), lit(f)) =!= pmod(col("doc_b"), lit(f)))
+            .count()
+          require(cross == 0L, s"dd_prefix_hot_salted at $f×: $cross cross-replica pairs")
+          n
+        } finally out.unpersist(blocking = false)
+      }, Linear),
+      ("a_funnel", (f: Int) => {
+        // a12's 3-stage windowed funnel (3 keyed aggs + 2 user-keyed
+        // shuffle-hash gates, all on user_id) on replica-unique users:
+        // every replica is an isomorphic copy of the 1× user population
+        // under a uniform whole-day shift, so ALL FOUR funnel counts
+        // must be EXACTLY ×f — and the rates, being ratios of exactly-
+        // ×f counts, are then identical by arithmetic (r11 gap #4: no
+        // scale leg for the funnel's chained join topology)
+        val fn = graft.ops.Funnel.funnel(
+          inflateEventsUsers(events, f), "user_id", "ts", "event_type",
+          Seq("click", "view", "purchase"), windowHours = 24)
+        val r = fn.head()
+        Seq("n_users", "n_click", "n_view_after_click",
+            "n_purchase_after_view")
+          .map(c => r.getLong(r.fieldIndex(c))).sum
+      }, Linear),
+      ("w_sessionize", (f: Int) => {
+        // w7's gap sessionization + per-session rollup on replica-
+        // unique users: gap comparisons are shift-invariant within a
+        // replica, so session rollup rows must be EXACTLY ×f. NULL
+        // users are excluded — null·f+rep stays null, so all replicas'
+        // null-user events would merge into ONE window partition (both
+        // a correctness confound and the exact skew a real pipeline
+        // filters first).
+        val sess = Windows.sessionize(
+          inflateEventsUsers(events, f)
+            .filter(col("user_id").isNotNull)
+            .select(col("user_id"), col("ts"), col("event_type")),
+          "user_id", "ts", gapSec = 21600L)
+        sess.groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .as("dur"),
+            sum((col("event_type") === "purchase").cast("long")).as("p"))
+          .agg(count(lit(1)), sum("n"), sum("dur"), sum("p"))
+          .head().getLong(0)
+      }, Linear),
+      ("x_ranktest", (f: Int) => {
+        // x18/x19's midrank machinery at volume: aggregation state is
+        // the DISTINCT-VALUE histogram — bounded by the VALUE UNIVERSE,
+        // not the row count — the one scale assumption the r11 verdict
+        // asked to pin with a REQUIREd invariant (a continuous column
+        // at 100 TB breaks it: quantize first — StatTests scaladoc).
+        // Replication keeps the universe fixed, so the histogram row
+        // count and the 25-group test outputs must stay CONSTANT while
+        // input rows grow ×f; the returned value sums all three.
+        val d = inflateEvents(events, f)
+          .filter(col("user_id").isNotNull)
+          .select(pmod(col("user_id"), lit(25)).cast("int").as("g"),
+            col("value").as("v"),
+            hour(col("ts")).between(7, 19).as("flag"),
+            col("event_type").as("seg"))
+        val histRows = d.select("g", "v").distinct().count()
+        val mwN = graft.stats.StatTests.mannWhitney(d, "v", col("flag"), "g")
+          .agg(count(lit(1)), sum("u1"), sum("z")).head().getLong(0)
+        val kwN = graft.stats.StatTests.kruskalWallis(d, "v", "seg", "g")
+          .agg(count(lit(1)), sum("h")).head().getLong(0)
+        histRows + mwN + kwN
       }, Constant))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 

@@ -434,6 +434,78 @@ object IngestQueries extends Q.Registry {
           |FROM sx GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin)),
 
+    Q("st13_stream_funnel",
+      "STREAMING first-touch funnel (a12's operator on an unbounded " +
+        "stream — the live conversion dashboard shape): per-user " +
+        "stage-anchor times held as flatMapGroupsWithState custom " +
+        "state (streaming/FunnelStream), ONE fixed 3-long array per " +
+        "user no matter how many events or triggers arrive — the " +
+        "batch funnel re-scans all history per refresh; the stream " +
+        "pays each event once. Two staged arrival days (split at the " +
+        "corpus time midpoint, one file per trigger) make the cross-" +
+        "trigger state continuation real: a user whose click lands on " +
+        "day 1 converts on day 2 only through restored state. Anchors " +
+        "are set-once, so per-trigger emissions are monotone and the " +
+        "final per-user row is min over non-null emissions (st3's " +
+        "recovery move); the rollup then restates a12's one-row shape " +
+        "EXACTLY — same oracle SQL, proving stream ≡ batch on the " +
+        "full replay.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        // bounded 1-row collect: the day split point (time midpoint —
+        // the st10 staging pattern; per-user arrival stays time-ordered
+        // across triggers, FunnelStream's documented input contract)
+        val mm = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+          unix_micros(max(col("ts"))).as("hi")).head()
+        val cutUs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val day1 = ev.filter(unix_micros(col("ts")) <= cutUs)
+        val day2 = ev.filter(unix_micros(col("ts")) > cutUs)
+        val (stage, inDir) = LlmQueries.stageArrivalDays(
+          Seq(day1, day2), "graft_st13_")
+        val src = s.readStream.schema(day1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        val emits = graft.streaming.FunnelStream
+          .stageTimes(src, "user_id", "ts", "event_type",
+            Seq("click", "view", "purchase"), windowHours = 24)
+          .toDF("user_id", "t")
+        val sink = runToMemory(s, emits, "st13_out_", "append")
+        val anchors = sink.select(col("user_id"),
+            when(col("t")(0) > 0, col("t")(0)).as("t1"),
+            when(col("t")(1) > 0, col("t")(1)).as("t2"),
+            when(col("t")(2) > 0, col("t")(2)).as("t3"))
+          .groupBy("user_id")
+          .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        val roll = anchors.agg(
+          count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_click"),
+          count(col("t2")).as("n_view_after_click"),
+          count(col("t3")).as("n_purchase_after_view"),
+          // t2 non-null implies t1 non-null (stage gating), so each lag
+          // sums exactly the converted users' exact-long microsecond
+          // deltas — a12's deterministic mean-lag arithmetic
+          sum(col("t2") - col("t1")).as("lag1"),
+          sum(col("t3") - col("t2")).as("lag2"))
+        graft.LocalRun.deleteRecursively(stage)
+        roll.select(col("n_users"), col("n_click"),
+          col("n_view_after_click"), col("n_purchase_after_view"),
+          Fmt.t6(when(col("n_users") > 0,
+            col("n_click").cast("double") / col("n_users"))).as("r_click"),
+          Fmt.t6(when(col("n_click") > 0,
+            col("n_view_after_click").cast("double") / col("n_click")))
+            .as("r_view"),
+          Fmt.t6(when(col("n_view_after_click") > 0,
+            col("n_purchase_after_view").cast("double") /
+              col("n_view_after_click"))).as("r_purchase"),
+          Fmt.t6(when(col("n_view_after_click") > 0,
+            col("lag1").cast("double") / col("n_view_after_click") / 3.6e9))
+            .as("avg_hours_click_to_view"),
+          Fmt.t6(when(col("n_purchase_after_view") > 0,
+            col("lag2").cast("double") / col("n_purchase_after_view") / 3.6e9))
+            .as("avg_hours_view_to_purchase"))
+      },
+      Some(RelationalQueries.funnel3OracleSql)),
+
     Q("a9_table_counts",
       "A9 count/emptiness checkpoints, explicit: row counts of the " +
         "pipeline's tables as a single frame.",

@@ -49,6 +49,38 @@ object RelationalQueries extends Q.Registry {
        |    AND district IS NOT NULL)
        |""".stripMargin
 
+  /** The 3-stage first-touch funnel oracle (a12's batch restatement),
+    * shared with st13 — the streaming funnel must converge to the
+    * identical one-row rollup, so it prices the same SQL. */
+  private[queries] val funnel3OracleSql: String =
+    """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+      |             FROM events WHERE user_id IS NOT NULL),
+      |f1 AS (SELECT user_id, min(tus) AS t_click FROM fev
+      |       WHERE event_type = 'click' GROUP BY user_id),
+      |f2 AS (SELECT e.user_id, min(e.tus) AS t_view, min(f1.t_click) AS t_click2
+      |       FROM fev e JOIN f1 ON e.user_id = f1.user_id
+      |       WHERE e.event_type = 'view' AND e.tus > f1.t_click
+      |         AND e.tus <= f1.t_click + 86400000000
+      |       GROUP BY e.user_id),
+      |f3 AS (SELECT e.user_id, min(f2.t_view) AS t_view2, min(e.tus) AS t_purchase
+      |       FROM fev e JOIN f2 ON e.user_id = f2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.tus > f2.t_view
+      |         AND e.tus <= f2.t_view + 86400000000
+      |       GROUP BY e.user_id),
+      |s0 AS (SELECT count(DISTINCT user_id) AS n_users FROM fev),
+      |s1 AS (SELECT count(*) AS n_click FROM f1),
+      |s2 AS (SELECT count(*) AS n_view_after_click,
+      |              sum(t_view - t_click2) AS lag1 FROM f2),
+      |s3 AS (SELECT count(*) AS n_purchase_after_view,
+      |              sum(t_purchase - t_view2) AS lag2 FROM f3)
+      |SELECT n_users, n_click, n_view_after_click, n_purchase_after_view,
+      |       floor((CAST(n_click AS DOUBLE) / n_users) * 1e6 + 1e-6) / 1e6 AS r_click,
+      |       floor((CAST(n_view_after_click AS DOUBLE) / n_click) * 1e6 + 1e-6) / 1e6 AS r_view,
+      |       floor((CAST(n_purchase_after_view AS DOUBLE) / n_view_after_click) * 1e6 + 1e-6) / 1e6 AS r_purchase,
+      |       floor((CAST(lag1 AS DOUBLE) / n_view_after_click / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_click_to_view,
+      |       floor((CAST(lag2 AS DOUBLE) / n_purchase_after_view / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_view_to_purchase
+      |FROM s0, s1, s2, s3""".stripMargin
+
   /** Spark mirror of the oracle `clean` CTE (01:72 weekday dropna + 01:274
     * sane-range filter F1/F2/F3). The conjunction is a single pushed
     * predicate on the joined view. */
@@ -355,34 +387,7 @@ object RelationalQueries extends Q.Registry {
         graft.ops.Funnel.funnel(
           Tables.events(s, d), "user_id", "ts", "event_type",
           Seq("click", "view", "purchase"), windowHours = 24, fmt = Fmt.t6),
-      Some(
-        """WITH fev AS (SELECT user_id, epoch_us(ts) AS tus, event_type
-          |             FROM events WHERE user_id IS NOT NULL),
-          |f1 AS (SELECT user_id, min(tus) AS t_click FROM fev
-          |       WHERE event_type = 'click' GROUP BY user_id),
-          |f2 AS (SELECT e.user_id, min(e.tus) AS t_view, min(f1.t_click) AS t_click2
-          |       FROM fev e JOIN f1 ON e.user_id = f1.user_id
-          |       WHERE e.event_type = 'view' AND e.tus > f1.t_click
-          |         AND e.tus <= f1.t_click + 86400000000
-          |       GROUP BY e.user_id),
-          |f3 AS (SELECT e.user_id, min(f2.t_view) AS t_view2, min(e.tus) AS t_purchase
-          |       FROM fev e JOIN f2 ON e.user_id = f2.user_id
-          |       WHERE e.event_type = 'purchase' AND e.tus > f2.t_view
-          |         AND e.tus <= f2.t_view + 86400000000
-          |       GROUP BY e.user_id),
-          |s0 AS (SELECT count(DISTINCT user_id) AS n_users FROM fev),
-          |s1 AS (SELECT count(*) AS n_click FROM f1),
-          |s2 AS (SELECT count(*) AS n_view_after_click,
-          |              sum(t_view - t_click2) AS lag1 FROM f2),
-          |s3 AS (SELECT count(*) AS n_purchase_after_view,
-          |              sum(t_purchase - t_view2) AS lag2 FROM f3)
-          |SELECT n_users, n_click, n_view_after_click, n_purchase_after_view,
-          |       floor((CAST(n_click AS DOUBLE) / n_users) * 1e6 + 1e-6) / 1e6 AS r_click,
-          |       floor((CAST(n_view_after_click AS DOUBLE) / n_click) * 1e6 + 1e-6) / 1e6 AS r_view,
-          |       floor((CAST(n_purchase_after_view AS DOUBLE) / n_view_after_click) * 1e6 + 1e-6) / 1e6 AS r_purchase,
-          |       floor((CAST(lag1 AS DOUBLE) / n_view_after_click / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_click_to_view,
-          |       floor((CAST(lag2 AS DOUBLE) / n_purchase_after_view / 3.6e9) * 1e6 + 1e-6) / 1e6 AS avg_hours_view_to_purchase
-          |FROM s0, s1, s2, s3""".stripMargin)),
+      Some(RelationalQueries.funnel3OracleSql)),
 
     Q("a13_funnel_4stage",
       "FOUR-stage ordered windowed funnel — signup → click → view → " +

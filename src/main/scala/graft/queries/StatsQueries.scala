@@ -360,6 +360,46 @@ object StatsQueries extends Q.Registry {
            |SELECT district, n, k, dof, ${Fmt.sql6("h")} AS h
            |FROM kws ORDER BY district""".stripMargin)),
 
+    Q("x20_mannwhitney_quantized",
+      "Mann-Whitney on a CONTINUOUS column via quantization — the " +
+        "x18 operator's documented scale contract exercised as a " +
+        "registered query: filling_rate (a ratio, distinct values ~ " +
+        "row count) would degrade the midrank histogram into a " +
+        "full sort at 100 TB, so it is quantized to a fixed 1e-3 grid " +
+        "FIRST (floor(v·1000)/1000 — identical IEEE ops on both " +
+        "engines, unlike round()'s engine-specific half-up-on-binary " +
+        "edge cases) and the histogram state is bounded by the ≤1001-" +
+        "value universe from then on. Binning only introduces ties, " +
+        "which the midrank + tie-correction machinery prices by " +
+        "construction — the test stays a valid rank test on the " +
+        "coarsened data (Mann-Whitney with ties), it does not " +
+        "approximate the unquantized statistic. Peak vs off-peak per " +
+        "district, same A&S p arithmetic as x18.",
+      (s, d) => {
+        val base = RelationalQueries.enriched(s, d)
+          .filter(col("filling_rate").between(0.0, 1.0) &&
+            col("district").isNotNull)
+          .withColumn("vq", floor(col("filling_rate") * 1000.0) / 1000.0)
+        StatTests.mannWhitney(base, "vq", col("is_peak"), "district")
+          .select(col("district"), col("n1"), col("n2"),
+            Fmt.t6(col("u1")).as("u1"), Fmt.t6(col("u2")).as("u2"),
+            Fmt.t6(col("z")).as("z"),
+            Fmt.t6(col("p_value")).as("p_value"))
+          .orderBy("district")
+      },
+      Some(enrSql +
+        s""", src AS (
+           |  SELECT district, floor(filling_rate * 1000) / 1000 AS v,
+           |         is_peak AS flag
+           |  FROM enr
+           |  WHERE filling_rate BETWEEN 0 AND 1 AND district IS NOT NULL),
+           |${StatTests.mannWhitneySql("district")}
+           |SELECT district, n1, n2,
+           |  ${Fmt.sql6("u1")} AS u1, ${Fmt.sql6("u2")} AS u2,
+           |  ${Fmt.sql6("z")} AS z,
+           |  ${Fmt.sql6(StatTests.normalSfTwoSidedSql("z"))} AS p_value
+           |FROM mwz ORDER BY district""".stripMargin)),
+
     Q("x7_chi2_cramer",
       "Chi-square independence district × Risk_Label + Cramér's V and " +
         "strength bucket (X7+X8, 01:972-992). p-value engine-side.",

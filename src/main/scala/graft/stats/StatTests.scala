@@ -250,7 +250,15 @@ object StatTests {
     * double arithmetic whose sum-order ulp lands inside the trunc-6
     * grid.)
     * Topology: two keyed aggregations + one running-sum window on the
-    * histogram — one shuffle on `byCol` at any scale. */
+    * histogram — one shuffle on `byCol` at any scale.
+    * SCALE CONTRACT (also [[kruskalWallis]]'s): the histogram state is
+    * bounded by the VALUE UNIVERSE of `valueCol`, so a genuinely
+    * CONTINUOUS column (distinct values ~ row count) degrades it to a
+    * full sort-by-another-name — quantize such a column first (e.g.
+    * `round(v, 3)`; binning only introduces ties, which the midrank +
+    * tie-correction machinery handles by construction). The
+    * bench_scale `x_ranktest` leg REQUIREs the bounded-state claim at
+    * 100× on a fixed universe. */
   def mannWhitney(df: DataFrame, valueCol: String, flagCol: Column,
                   byCol: String): DataFrame = {
     val hist = df.groupBy(col(byCol), col(valueCol).as("__v"))

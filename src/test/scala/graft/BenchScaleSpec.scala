@@ -26,6 +26,36 @@ class BenchScaleSpec extends SparkSpec {
     assert(inflated.select("doc_id").distinct().count() === 12)
   }
 
+  test("inflateEventsUsers: users replica-unique, nulls stay null, " +
+    "hour-of-day preserved (the funnel/sessionize legs' isomorphism premise)") {
+    val ev = Seq(
+      (1L, Option(10L), "2024-01-01 10:30:00", "click"),
+      (2L, Option(10L), "2024-01-01 11:00:00", "view"),
+      (3L, Option.empty[Long], "2024-01-01 12:00:00", "click")
+    ).toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val inf = BenchScale.inflateEventsUsers(ev, 3)
+    assert(inf.count() === 9)
+    assert(inf.select("event_id").distinct().count() === 9)
+    // a null user never gains a replica identity (null·f+rep is null)
+    assert(inf.filter(col("user_id").isNull).count() === 3)
+    // the one real user becomes three replica-unique users
+    assert(inf.filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count() === 3)
+    // the shift is whole days: hour-of-day (and thus every hour-derived
+    // flag) is replica-invariant
+    assert(inf.select(hour(col("ts"))).distinct()
+      .collect().map(_.getInt(0)).toSet === Set(10, 11, 12))
+    // per-user gaps are shift-invariant: each replica of user 10 keeps
+    // the 30-minute click→view gap
+    val gaps = inf.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        / 1000000L).cast("long").as("gap"))
+      .select("gap").distinct().collect().map(_.getLong(0)).toSet
+    assert(gaps === Set(1800L))
+  }
+
   test("inflateDocuments: per-replica token map preserves within-replica " +
     "similarity and zeroes cross-replica similarity") {
     val inflated = BenchScale.inflateDocuments(docs, 2)

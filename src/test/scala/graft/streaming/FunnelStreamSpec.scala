@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins [[FunnelStream.stageTimes]]'s semantics against the batch
+  * funnel's, case by case: cross-trigger state continuation (the whole
+  * point of the stateful form), strict-gate tie rejection, per-stage
+  * window expiry, within-trigger iterator-order independence, and the
+  * all-users denominator — then the full frame against
+  * [[graft.ops.Funnel.funnel]] on the identical replayed data. */
+class FunnelStreamSpec extends SparkSpec {
+  import MicroBatchIngestSpec.Ev
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val stages = Seq("click", "view", "purchase")
+
+  /** Drive two micro-batches through stageTimes and return the FINAL
+    * per-user anchor arrays (min over non-null emissions — the set-once
+    * monotonicity the operator documents). */
+  private def run(batch1: Seq[Ev], batch2: Seq[Ev]): Map[Long, Seq[Long]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val emits = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    val q = FunnelStream
+      .stageTimes(input.toDF(), "user_id", "ts", "event_type", stages,
+        windowHours = 24)
+      .toDF("user", "t")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        emits.synchronized {
+          emits ++= b.select("user", "t").as[(Long, Seq[Long])].collect()
+        }
+        ()
+      }
+      .start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    if (batch2.nonEmpty) {
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    emits.groupBy(_._1).map { case (u, es) =>
+      // set-once fields: the max snapshot per slot IS the final state
+      u -> es.map(_._2).transpose.map(_.max).toSeq
+    }
+  }
+
+  test("cross-trigger continuation: click in batch 1 converts on a batch-2 view") {
+    val out = run(
+      Seq(Ev(1L, ts("2024-03-01 08:00:00"), "click")),
+      Seq(Ev(1L, ts("2024-03-01 20:00:00"), "view"),
+        Ev(1L, ts("2024-03-02 10:00:00"), "purchase")))
+    val t = out(1L)
+    assert(t(0) > 0L && t(1) > 0L && t(2) > 0L,
+      s"full conversion across triggers expected, got $t")
+    assert(t(1) - t(0) === 12L * 3600 * 1000000) // view 12 h after click
+  }
+
+  test("strict gates: a view tying the click timestamp is rejected (batch >)") {
+    val out = run(
+      Seq(Ev(2L, ts("2024-03-01 08:00:00"), "click"),
+        Ev(2L, ts("2024-03-01 08:00:00"), "view"), // tie — not counted
+        Ev(2L, ts("2024-03-01 09:00:00"), "view")), // this one anchors
+      Nil)
+    val t = out(2L)
+    assert(t(1) - t(0) === 3600L * 1000000)
+  }
+
+  test("window expiry: a view past click+24h never anchors") {
+    val out = run(
+      Seq(Ev(3L, ts("2024-03-01 08:00:00"), "click")),
+      Seq(Ev(3L, ts("2024-03-02 08:00:01"), "view"))) // 24h + 1s
+    val t = out(3L)
+    assert(t(0) > 0L && t(1) === 0L, s"expired view must not anchor: $t")
+  }
+
+  test("within-trigger iterator order is irrelevant: first-touch = min click") {
+    val out = run(
+      Seq( // deliberately reverse-time order inside the batch
+        Ev(4L, ts("2024-03-01 12:00:00"), "click"),
+        Ev(4L, ts("2024-03-01 08:00:00"), "click"),
+        Ev(4L, ts("2024-03-01 10:00:00"), "view")),
+      Nil)
+    val t = out(4L)
+    assert(t(0) === ts("2024-03-01 08:00:00").getTime * 1000)
+    assert(t(1) === ts("2024-03-01 10:00:00").getTime * 1000)
+  }
+
+  test("non-stage users still emit (the funnel denominator) and stay all-zero") {
+    val out = run(Seq(Ev(5L, ts("2024-03-01 08:00:00"), "signup")), Nil)
+    assert(out(5L) === Seq(0L, 0L, 0L))
+  }
+
+  test("stream anchors ≡ batch funnel counts on a mixed replay") {
+    val evs = Seq(
+      Ev(10L, ts("2024-03-01 08:00:00"), "click"),
+      Ev(10L, ts("2024-03-01 09:00:00"), "view"),
+      Ev(10L, ts("2024-03-01 10:00:00"), "purchase"),
+      Ev(11L, ts("2024-03-01 08:00:00"), "click"),
+      Ev(11L, ts("2024-03-03 09:00:00"), "view"), // out of window
+      Ev(12L, ts("2024-03-01 08:00:00"), "view"), // view before any click
+      Ev(12L, ts("2024-03-01 09:00:00"), "click"),
+      Ev(13L, ts("2024-03-01 07:00:00"), "signup"))
+    val (b1, b2) = evs.sortBy(_.ts.getTime).splitAt(4)
+    val out = run(b1, b2)
+    val nUsers = out.size.toLong
+    val nClick = out.values.count(_(0) > 0).toLong
+    val nView = out.values.count(_(1) > 0).toLong
+    val nPurchase = out.values.count(_(2) > 0).toLong
+
+    val batch = graft.ops.Funnel.funnel(
+      evs.toDF(), "user_id", "ts", "event_type", stages, windowHours = 24)
+      .head()
+    assert(nUsers === batch.getLong(batch.fieldIndex("n_users")))
+    assert(nClick === batch.getLong(batch.fieldIndex("n_click")))
+    assert(nView === batch.getLong(batch.fieldIndex("n_view_after_click")))
+    assert(nPurchase ===
+      batch.getLong(batch.fieldIndex("n_purchase_after_view")))
+  }
+}
