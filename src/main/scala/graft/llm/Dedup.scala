@@ -52,6 +52,47 @@ object Dedup {
     array((0 until k).map(j =>
       array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))): _*)
 
+  /** Pick the (bands, rowsPerBand) split of `numHashes` MinHash
+    * functions whose LSH S-curve best separates pairs around
+    * `threshold` — the MMDS ch.3 tuning rule, automated instead of
+    * hand-picked: collision probability at similarity s is
+    * P(s) = 1 - (1 - s^r)^b, and the chosen divisor pair minimizes the
+    * total error mass ∫₀ᵗ P(s) ds + ∫ᵗ¹ (1 - P(s)) ds (false-positive
+    * area below the threshold plus false-negative area above it,
+    * similarity-uniform prior), evaluated by midpoint rule on a fixed
+    * 1e-3 grid — deterministic, driver-side, O(divisors × 1000).
+    * Sanity anchor: lshPlan(9, 0.6) = (3, 3), the dd3 config this
+    * engine shipped hand-tuned (its S-curve midpoint (1/b)^(1/r) =
+    * 0.69); raising the threshold moves the split toward longer bands
+    * (larger r), lowering it toward more bands. Weighted variants
+    * (recall-favoring) just reweight the two integrals — callers who
+    * must not miss pairs should verify candidates exactly anyway
+    * ([[lshCandidatePairs]] does). */
+  def lshPlan(numHashes: Int, threshold: Double,
+              fnWeight: Double = 1.0): (Int, Int) = {
+    require(numHashes >= 2, s"need >= 2 hashes, got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(fnWeight > 0.0, s"fnWeight must be positive, got $fnWeight")
+    val splits = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .filter(_._2 >= 1)
+    def errorMass(b: Int, r: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < 1000) {
+        val s = (i + 0.5) / 1000.0
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fp + fnWeight * fn) / 1000.0
+    }
+    splits.minBy { case (b, r) => errorMass(b, r) }
+  }
+
   /** LSH band keys: hash of each band's consecutive signature slice.
     * Two docs share a band key iff they agree on every sig in that
     * band → collision probability s^rows for Jaccard s. */

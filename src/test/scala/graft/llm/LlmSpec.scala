@@ -118,6 +118,36 @@ class LlmSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("lshPlan: recovers dd3's hand-tuned 3x3 split at t=0.6 and moves " +
+    "monotonically with the threshold") {
+    // the engine's shipped config is the sanity anchor
+    assert(Dedup.lshPlan(9, 0.6) === (3, 3))
+    // higher threshold → longer bands (larger r), fewer of them;
+    // lower threshold → more, shorter bands
+    val (bLo, rLo) = Dedup.lshPlan(12, 0.3)
+    val (bHi, rHi) = Dedup.lshPlan(12, 0.9)
+    assert(rLo < rHi && bLo > bHi, s"got low=($bLo,$rLo) high=($bHi,$rHi)")
+    // every returned pair is a real split of the hash budget
+    for (n <- Seq(6, 9, 12, 16, 20); t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val (b, r) = Dedup.lshPlan(n, t)
+      assert(b * r === n, s"lshPlan($n, $t) = ($b, $r) not a split")
+      // the S-curve midpoint (1/b)^(1/r) should land near t — within
+      // the granularity a small divisor set allows
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.35, s"midpoint $mid far from $t for ($b,$r)")
+    }
+    // recall-weighted: overweighting false negatives never lowers the
+    // collision probability at the threshold
+    val (b1, r1) = Dedup.lshPlan(12, 0.6)
+    val (b2, r2) = Dedup.lshPlan(12, 0.6, fnWeight = 5.0)
+    def pAt(b: Int, r: Int, s: Double) =
+      1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+    assert(pAt(b2, r2, 0.6) >= pAt(b1, r1, 0.6) - 1e-12)
+    assert(Dedup.lshPlan(9, 0.6, fnWeight = 100.0)._2 === 1) // recall-max: 9 bands of 1
+    intercept[IllegalArgumentException] { Dedup.lshPlan(1, 0.6) }
+    intercept[IllegalArgumentException] { Dedup.lshPlan(9, 1.0) }
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val df = Seq((1L, "xx"), (5L, "xx"), (3L, "yy")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "text", "doc_id")
