@@ -101,6 +101,50 @@ class FunnelStreamSpec extends SparkSpec {
     assert(out(5L) === Seq(0L, 0L, 0L))
   }
 
+  test("checkpoint RESTART restores the per-user anchor state: a click " +
+    "buffered before the kill converts on a post-restart view (st13's " +
+    "failure/restart contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st13-restart").toString
+    // foreachBatch collector, not a memory sink: the memory sink does
+    // not support checkpoint RECOVERY (ResolveWriteToStream rejects it)
+    val emits = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    def start() = FunnelStream
+      .stageTimes(input.toDF(), "user_id", "ts", "event_type", stages,
+        windowHours = 24)
+      .toDF("user", "t")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        emits.synchronized {
+          emits ++= b.select("user", "t").as[(Long, Seq[Long])].collect()
+        }
+        ()
+      }
+      .start()
+    val q1 = start()
+    input.addData(Ev(7L, ts("2024-03-01 08:00:00"), "click"))
+    q1.processAllAvailable()
+    q1.stop() // kill with the anchor held only in the state store
+    val q2 = start() // fresh query instance from the same checkpoint
+    // day-1 offsets are committed, so the conversion below can only
+    // come from RESTORED state — a lost anchor would leave t2/t3 zero
+    input.addData(Ev(7L, ts("2024-03-01 12:00:00"), "view"),
+      Ev(7L, ts("2024-03-01 13:00:00"), "purchase"))
+    q2.processAllAvailable()
+    q2.stop()
+    val fin = emits.synchronized {
+      emits.filter(_._1 == 7L).map(_._2).transpose.map(_.max).toSeq
+    }
+    assert(fin.forall(_ > 0L), s"full conversion across the restart, got $fin")
+    assert(fin(1) - fin(0) === 4L * 3600 * 1000000)
+    assert(fin(2) - fin(1) === 1L * 3600 * 1000000)
+    graft.LocalRun.deleteRecursively(java.nio.file.Paths.get(ckpt))
+  }
+
   test("stream anchors ≡ batch funnel counts on a mixed replay") {
     val evs = Seq(
       Ev(10L, ts("2024-03-01 08:00:00"), "click"),
