@@ -65,6 +65,35 @@ object Similarity {
         col("cos_sim"), col("rank"))
   }
 
+  /** Int8 scalar quantization — the production 4×-smaller embedding
+    * storage path (float32 → one byte per component + one float scale
+    * per vector; at 100 TB of embeddings the scan-volume saving IS the
+    * feature, orthogonal to PQ's codebook compression in ss5).
+    * Per-vector symmetric scale s = max|xᵢ| / 127, so every quantized
+    * component lands in [-127, 127] by construction (a true TINYINT).
+    * Deterministic end to end: array_max of |x| is exact double math,
+    * floor(x/s + 0.5) is the explicit round-half-up both engines
+    * compute identically (round() itself differs on binary-edge
+    * half-cases across engines), and an all-zero vector quantizes to
+    * all-zero instead of dividing by zero. */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / 127.0
+
+  /** Quantize `v` under `scale` to ARRAY<TINYINT>. See [[int8Scale]]. */
+  def int8Quantize(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale > 0, floor(x.cast("double") / scale + 0.5))
+        .otherwise(lit(0L)).cast("tinyint"))
+
+  /** The int8 vectors back as exact integer-VALUED doubles for
+    * scoring: cosine over quantized components needs no dequantization
+    * because the two scales cancel (Σ qaᵢqbᵢ·sasb) / (‖qa‖sa·‖qb‖sb) =
+    * Σ qaᵢqbᵢ / (‖qa‖‖qb‖) — pure integer sums (exact in ANY
+    * aggregation order, every term ≪ 2^53) plus one sqrt and one
+    * division, bit-reproducible on both engines. */
+  def int8AsDouble(q8: Column): Column =
+    transform(q8, x => x.cast("double"))
+
   /** IVF cell assignment: nearest centroid by squared L2 per row.
     * `centroids` = (cell, centVecCol), broadcast-small by construction
     * (cells ≪ corpus). One broadcast join + per-id argmin window. */

@@ -2148,6 +2148,63 @@ object LlmQueries extends Q.Registry {
           |WHERE rank <= 10
           |ORDER BY rank""".stripMargin)),
 
+    Q("ss6_int8_quantized_topk",
+      "Int8 scalar-quantized cosine top-5 — the 4x-smaller embedding " +
+        "STORAGE path (one tinyint per component + one float scale " +
+        "per vector; at 100 TB the scan-volume cut is the feature, " +
+        "orthogonal to ss5's PQ codebooks): per-vector symmetric " +
+        "max-abs/127 scale, floor(x/s + 0.5) round-half-up (the " +
+        "explicit form both engines compute identically — round() " +
+        "diverges on binary-edge halves), components PROVEN tinyint " +
+        "in the plan's schema. Scoring needs NO dequantization: the " +
+        "two scales cancel in cosine, leaving integer dot and norms — " +
+        "exact in any aggregation order — so the approximate " +
+        "similarity is bit-reproducible and fully hash-oracled. " +
+        "Same broadcast brute-force topology as ss1 (LlmSpec pins " +
+        "recall vs the exact top-5 on this corpus).",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        def quant(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("__s", Similarity.int8Scale(col("embedding")))
+          .withColumn("q8",
+            Similarity.int8Quantize(col("embedding"), col("__s")))
+          .withColumn("qv", Similarity.int8AsDouble(col("q8")))
+        val corpus = quant(emb).select(col("vec_id"), col("qv"))
+        val queries = quant(emb.filter(col("vec_id") % 100 === 0))
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+        Similarity.bruteForceTopK(corpus, "vec_id", "qv",
+            queries, "q_id", "q_qv", 5)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim_q"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        """WITH qz AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x ->
+          |      CASE WHEN s > 0 THEN floor(CAST(x AS DOUBLE) / s + 0.5)
+          |           ELSE 0.0 END) AS qv
+          |  FROM (SELECT vec_id, embedding,
+          |          list_max(list_transform(embedding,
+          |            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+          |        FROM embeddings)),
+          |q AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id % 100 = 0),
+          |scored AS (
+          |  SELECT q.q_id, e.vec_id,
+          |    list_sum(list_transform(range(1, 65), i -> q.q_qv[i] * e.qv[i])) /
+          |    (sqrt(list_sum(list_transform(range(1, 65), i -> q.q_qv[i] * q.q_qv[i]))) *
+          |     sqrt(list_sum(list_transform(range(1, 65), i -> e.qv[i] * e.qv[i])))) AS cos_sim
+          |  FROM qz e CROSS JOIN q
+          |  WHERE e.vec_id <> q.q_id),
+          |ranked AS (
+          |  SELECT q_id AS query_id, vec_id AS neighbor_id,
+          |         floor((cos_sim) * 1e4 + 1e-6) / 1e4 AS cos_sim_q,
+          |         row_number() OVER (PARTITION BY q_id
+          |                            ORDER BY cos_sim DESC, vec_id) AS rank
+          |  FROM scored)
+          |SELECT * FROM ranked WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)),
+
     Q("tx1_token_stats",
       "Per-document token statistics: whitespace words, BPE-ish regex " +
         "tokens, mean word length, punctuation ratio — the map-stage " +

@@ -148,6 +148,55 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.lshPlan(9, 1.0) }
   }
 
+  test("int8 quantization: true tinyint schema, per-component error <= s/2, " +
+    "top-5 recall vs exact cosine >= 0.9 on seeded vectors") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0L until 200L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb
+      .withColumn("s", Similarity.int8Scale(col("embedding")))
+      .withColumn("q8", Similarity.int8Quantize(col("embedding"), col("s")))
+    // the storage claim is the TYPE: one byte per component (the slot
+    // is nullable only because the scale expression is — the error-
+    // bound check below proves no element is actually null)
+    assert(q.schema("q8").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType)
+    // dequantization error bound: |x - q*s| <= s/2 per component (the
+    // round-half-up guarantee), and every component is in [-127, 127]
+    val bad = q.select(col("s"),
+        zip_with(col("embedding"), Similarity.int8AsDouble(col("q8")),
+          (x, qd) => abs(x.cast("double") - qd * col("s"))).as("errs"),
+        col("q8"))
+      .filter(array_max(col("errs")) > col("s") / 2 + lit(1e-12) ||
+        array_max(transform(col("q8"), v => abs(v.cast("int")))) > 127)
+      .count()
+    assert(bad === 0L)
+    // recall of the quantized top-5 against the exact top-5
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qCorpus = q.select(col("vec_id"),
+      Similarity.int8AsDouble(col("q8")).as("qv"))
+    val qQueries = qCorpus.join(queries.select(col("q_id")),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("qv").as("q_qv"))
+    val approx = Similarity.bruteForceTopK(qCorpus, "vec_id", "qv",
+        qQueries, "q_id", "q_qv", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"int8 top-5 mean recall $mean < 0.9 ($recalls)")
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val df = Seq((1L, "xx"), (5L, "xx"), (3L, "yy")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "text", "doc_id")
