@@ -197,6 +197,31 @@ class LlmSpec extends SparkSpec {
     assert(mean >= 0.9, s"int8 top-5 mean recall $mean < 0.9 ($recalls)")
   }
 
+  test("int8 storage claim measured: quantized parquet <= 40% of float32 parquet") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 2000L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb
+      .withColumn("s", Similarity.int8Scale(col("embedding")).cast("float"))
+      .withColumn("q8", Similarity.int8Quantize(col("embedding"), col("s")))
+      .select("vec_id", "s", "q8")
+    val dir = java.nio.file.Files.createTempDirectory("graft-int8-size")
+    def sizeOf(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val p = dir.resolve(name)
+      df.repartition(1).write.mode("overwrite").parquet(p.toString)
+      p.toFile.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    // random gaussians are incompressible, so the ratio measures the
+    // honest encoding width (1 byte + shared scale vs 4 bytes), not a
+    // compression artifact of repetitive fixtures
+    val f32 = sizeOf(emb, "f32")
+    val i8 = sizeOf(q, "i8")
+    graft.LocalRun.deleteRecursively(dir)
+    assert(i8.toDouble / f32 <= 0.40,
+      s"int8 parquet $i8 B vs float32 $f32 B = ${i8.toDouble / f32}")
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val df = Seq((1L, "xx"), (5L, "xx"), (3L, "yy")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "text", "doc_id")
