@@ -845,6 +845,57 @@ object BenchScale {
           n
         } finally out.unpersist(blocking = false)
       }, Linear),
+      ("dd_prefix_hot_global", (f: Int) => {
+        // TRUE single-key skew probe (r12): the boilerplate suffix is
+        // planted AFTER inflation, so ONE un-prefixed bigram
+        // ("zzhota zzhotb") appears in EVERY doc of EVERY replica —
+        // df = the whole corpus (500k at 100×), the one-key pathology
+        // dd_prefix_hot's per-replica token map dilutes into f
+        // distinct keys. The global gram still never enters any
+        // PREFIX (frequency-ascending rank puts it last; every doc
+        // has ≥ 3 grams), so verified pairs stay replica-consistent
+        // ×f and no cross-replica candidate exists at the collision
+        // join — but the df-attach join must move ALL of the hot
+        // key's exploded rows through ONE reducer unsalted. The
+        // salted twin below is the measured value of spreading it.
+        val d = inflateDocuments(documents, f)
+          .withColumn("text", concat(col("text"), lit(" zzhota zzhotb")))
+        val base = d.withColumn("ws", TextOps.words(col("text")))
+          .withColumn("grams", array_distinct(TextOps.wordShingles(col("ws"), 2)))
+          .select(col("doc_id"), col("grams"))
+        val out = Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6,
+          collisionPartitions = Some(math.min(512, 32 * f))).cache()
+        try {
+          val n = out.count()
+          val cross = out
+            .filter(pmod(col("doc_a"), lit(f)) =!= pmod(col("doc_b"), lit(f)))
+            .count()
+          require(cross == 0L, s"dd_prefix_hot_global at $f×: $cross cross-replica pairs")
+          n
+        } finally out.unpersist(blocking = false)
+      }, Linear),
+      ("dd_prefix_hot_global_salted", (f: Int) => {
+        // the same global-hot corpus through saltBuckets = 16: the
+        // df-attach join spreads the 500k-row hot key over 16 salted
+        // reducers (and the collision join's hot prefixes, if any,
+        // over hash(doc) salts) — output must stay bit-identical ×f
+        val d = inflateDocuments(documents, f)
+          .withColumn("text", concat(col("text"), lit(" zzhota zzhotb")))
+        val base = d.withColumn("ws", TextOps.words(col("text")))
+          .withColumn("grams", array_distinct(TextOps.wordShingles(col("ws"), 2)))
+          .select(col("doc_id"), col("grams"))
+        val out = Dedup.prefixFilterPairs(base, "doc_id", "grams", 0.6,
+          collisionPartitions = Some(math.min(512, 32 * f)),
+          saltBuckets = Some(16), saltMinDf = 1024L).cache()
+        try {
+          val n = out.count()
+          val cross = out
+            .filter(pmod(col("doc_a"), lit(f)) =!= pmod(col("doc_b"), lit(f)))
+            .count()
+          require(cross == 0L, s"dd_prefix_hot_global_salted at $f×: $cross cross-replica pairs")
+          n
+        } finally out.unpersist(blocking = false)
+      }, Linear),
       ("a_funnel", (f: Int) => {
         // a12's 3-stage windowed funnel (3 keyed aggs + 2 user-keyed
         // shuffle-hash gates, all on user_id) on replica-unique users:

@@ -185,10 +185,14 @@ object Dedup {
     * bench_scale `dd_prefix_hot` probe showed a universal boilerplate
     * gram still costs +38% at 100× unsalted, concentrated in the two
     * gram-keyed exchanges. With `saltBuckets = Some(b)`,
-    *  (1) the document-frequency attach join salts EVERY row — probe
-    *      rows get a deterministic per-doc salt, the slim (gram, gdf)
-    *      build rows replicate b× — so the universal gram's exploded
-    *      rows spread over b tasks instead of one;
+    *  (1) the document-frequency attach join salts HOT keys only
+    *      (gdf >= `saltMinDf`): the hot-key set is bounded at
+    *      corpus-grams / saltMinDf so it broadcasts, hot probe rows
+    *      get a deterministic per-doc salt, and only hot (gram, gdf)
+    *      build rows replicate b× — the universal gram's exploded
+    *      rows spread over b tasks instead of one, and cold keys pay
+    *      nothing (an all-rows first cut replicated the corpus-sized
+    *      dfreq b× and measured SLOWER than unsalted at 100×);
     *  (2) the collision self-join salts ONLY grams with
     *      gdf >= `saltMinDf` (cold keys pay nothing): the doc_a side
     *      keeps one row at salt hash(doc)%b, the doc_b side replicates
@@ -312,16 +316,30 @@ object Dedup {
     // attach each doc's sorted gram set co-partitioned on doc
     // document-frequency attach: the first gram-keyed exchange, and
     // the one a universal gram floods hardest (EVERY doc contributes
-    // a row for it, all landing in one task unsalted). Salted variant
-    // spreads the probe rows by a per-doc hash and replicates the
-    // slim (gram, gdf) build rows b× — [[graft.ops.Skew.saltedJoin]]
-    // inlined for the composite (block, gram) key.
+    // a row for it, all landing in one task unsalted). Salted variant:
+    // hot keys ONLY. The hot-key set is bounded by construction
+    // (≤ corpus-grams / saltMinDf keys), so it BROADCASTS — ex learns
+    // per-row hotness from a broadcast left join, hot probe rows get a
+    // per-doc salt, and only the hot (gram, gdf) build rows replicate
+    // b×. The r12 first cut salted ALL rows (dfreq replicated b×
+    // wholesale); at 100× the vocab is corpus-sized and that 16×
+    // build-side blowup measured 32% SLOWER than unsalted — the
+    // bench_scale dd_prefix_hot_global pair is the record. One extra
+    // map-side-combined aggregation pass prices the hot set.
     val dfAttached = saltBuckets match {
       case Some(b) =>
-        val exS = ex.withColumn("__salt",
-          graft.ops.Skew.salt(b, col("doc")))
+        val hotKeys = dfreq.filter(col("gdf") >= lit(saltMinDf))
+          .select(gramKey.map(col) :+ lit(true).as("__hot"): _*)
+        val exS = ex
+          .join(broadcast(hotKeys), gramKey, "left")
+          .withColumn("__salt",
+            when(coalesce(col("__hot"), lit(false)),
+              graft.ops.Skew.salt(b, col("doc"))).otherwise(lit(0)))
+          .drop("__hot")
         val dfreqS = dfreq
-          .withColumn("__salt", explode(sequence(lit(0), lit(b - 1))))
+          .withColumn("__salt",
+            explode(when(col("gdf") >= lit(saltMinDf),
+              sequence(lit(0), lit(b - 1))).otherwise(array(lit(0)))))
           .withColumn("__salt", col("__salt").cast("int"))
         exS.hint("shuffle_hash")
           .join(dfreqS.hint("shuffle_hash"), gramKey :+ "__salt")
