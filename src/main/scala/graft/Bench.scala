@@ -18,7 +18,8 @@ import org.apache.spark.sql.SparkSession
   * the driver's run landed on a machine degraded ~10-50x and was killed
   * by its outer timeout before printing anything):
   *  - a global wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default
-  *    420 s measured from the first query): past half the budget each
+  *    max(600 s, 6 s/query), measured from the first query): past half
+  *    the budget each
   *    remaining query drops to a single measured run (no warm-up, no
   *    extra iterations) so the suite always reaches the final println;
   *  - a JVM shutdown hook prints the partial JSON (`"partial":true`)
@@ -114,15 +115,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    // 600 since r8: the 90-query suite's quiet-host WALL time (queries +
-    // warm-ups + fitmed3 triples + calibration probes) is ~260 s, and the
-    // old 420 s budget's half-point (210 s) silently degraded every
-    // late-alphabet query to a single cold run — x6 read 1.36 s vs its
-    // 0.32 s steady state with nothing wrong but the methodology.
-    // Half of 600 clears the quiet wall time with margin; a genuinely
-    // degraded host still reaches the final println inside the driver's
-    // outer timeout (the r2 rc=124 budget's whole purpose).
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
+    // The budget SCALES WITH THE SUITE since r13: a fixed 600 s was raised
+    // once at r8 (90 queries) and the 123-query r12 suite blew through its
+    // half-point in every run, silently demoting 35-42 late-alphabet
+    // queries to single cold runs (mode "degraded"/"fit") — tx14 read
+    // 2.33 s vs its 0.39 s fitmed3 steady state with nothing wrong but
+    // the methodology. max(600, 6 s/query) tracks suite growth: the
+    // quiet-host wall time is ~2.5 s/query all-in (queries + warm-ups +
+    // fitmed3 triples + probes), so the half-budget line (3 s/query)
+    // clears it with margin, while a genuinely degraded host still
+    // reaches the final println inside the driver's outer timeout (the
+    // r2 rc=124 budget's whole purpose). The env var still overrides.
+    val budgetEnv = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
     val spark = LocalRun.session(cpus.toInt)
 
     // ---- self-calibration (steal-proofing the artifact) -------------
@@ -193,6 +197,8 @@ object Bench {
     val unknownSkips = skipSet -- SparkEntry.queries.keySet
     require(unknownSkips.isEmpty, s"SPARK_GRAFT_BENCH_SKIP names unknown queries: $unknownSkips")
     val names = (SparkEntry.queries.keySet -- skipSet).toSeq.sorted
+    val budgetS = budgetEnv.getOrElse(math.max(600.0, 6.0 * names.size))
+    System.err.println(f"[bench] budget ${budgetS}%.0f s for ${names.size} queries (half-point ${budgetS / 2}%.0f s)")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     // per-query methodology marker, emitted in the JSON so committed

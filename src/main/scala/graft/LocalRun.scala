@@ -61,8 +61,33 @@ object LocalRun {
           try deleteRecursively(p) catch { case _: Exception => () }
           p = exitScratch.poll()
         }
+        slotScratch.values().forEach(r =>
+          try deleteRecursively(r) catch { case _: Exception => () })
+        slotScratch.clear()
       },
       "graft-scratch-sweeper"))
+
+  /** One live scratch tree per named slot: registering a new root for a
+    * slot deletes the PRIOR tree immediately, so a long-lived session
+    * re-running a staged-stream query (bench fitmed3 triples, repeated
+    * Verify calls) holds at most one stage tree per query on disk
+    * instead of accumulating one per run until JVM exit (r12 ADVICE).
+    * Safe because a slot's prior returned frame is fully consumed
+    * before the same query rebuilds. The current root of every slot is
+    * still swept by the exit hook. */
+  private val slotScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  def deleteOnExitSlot(slot: String, root: java.nio.file.Path): Unit = {
+    exitHookInstalled
+    val prev = slotScratch.put(slot, root)
+    if (prev != null && prev != root)
+      try deleteRecursively(prev) catch { case _: Exception => () }
+    ()
+  }
+
+  /** Test seam: the current root registered under `slot`, if any. */
+  private[graft] def slotScratchCurrent(slot: String): Option[java.nio.file.Path] =
+    Option(slotScratch.get(slot))
 
   /** Register `root` for deletion at JVM exit (idempotent to register;
     * safe if already deleted by then). */

@@ -75,6 +75,18 @@ object Readers {
                props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Copy `props` into a fresh Properties — via stringPropertyNames, so
+    * entries held only in a defaults table survive the copy (putAll
+    * drops them) — then set `key` only when the caller hasn't: explicit
+    * caller tuning always wins over the convenience parameter. */
+  private def propsWithDefault(props: java.util.Properties, key: String,
+                               value: String): java.util.Properties = {
+    val p = new java.util.Properties()
+    props.stringPropertyNames().forEach(k => p.setProperty(k, props.getProperty(k)))
+    if (p.getProperty(key) == null) p.setProperty(key, value)
+    p
+  }
+
   /** S3 at scale: range-partitioned JDBC scan — `numPartitions`
     * concurrent connections, each reading one stride of
     * `partitionColumn` ∈ [lowerBound, upperBound] (Spark's own stride
@@ -94,9 +106,7 @@ object Readers {
     require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
     require(lowerBound <= upperBound,
       s"lowerBound $lowerBound > upperBound $upperBound")
-    val p = new java.util.Properties()
-    p.putAll(props)
-    p.setProperty("fetchsize", fetchSize.toString)
+    val p = propsWithDefault(props, "fetchsize", fetchSize.toString)
     spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
       numPartitions, p)
   }
@@ -112,9 +122,7 @@ object Readers {
                          props: java.util.Properties,
                          fetchSize: Int = 1000): DataFrame = {
     require(predicates.nonEmpty, "predicates must be non-empty")
-    val p = new java.util.Properties()
-    p.putAll(props)
-    p.setProperty("fetchsize", fetchSize.toString)
+    val p = propsWithDefault(props, "fetchsize", fetchSize.toString)
     spark.read.jdbc(url, table, predicates.toArray, p)
   }
 
@@ -127,9 +135,7 @@ object Readers {
   def appendJdbc(df: DataFrame, url: String, table: String,
                  props: java.util.Properties,
                  batchSize: Int = 1000): Unit = {
-    val p = new java.util.Properties()
-    p.putAll(props)
-    p.setProperty("batchsize", batchSize.toString)
+    val p = propsWithDefault(props, "batchsize", batchSize.toString)
     df.write.mode("append").jdbc(url, table, p)
   }
 }

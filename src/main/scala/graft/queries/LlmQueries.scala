@@ -3605,9 +3605,10 @@ object LlmQueries extends Q.Registry {
         graft.LocalRun.deleteRecursively(inDir)
         graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
         // the stage root still holds cleaned/, which the returned lazy
-        // frame reads — sweep it at JVM exit instead of leaking one
-        // stage tree per run (r11 ADVICE)
-        graft.LocalRun.deleteOnExit(stage)
+        // frame reads — one slot per query: registering this run's root
+        // deletes the previous run's tree NOW (its frame is consumed)
+        // and sweeps the current one at JVM exit (r11 + r12 ADVICE)
+        graft.LocalRun.deleteOnExitSlot("st7_stage", stage)
         s.read.parquet(outDir).orderBy("doc_id")
       },
       Some(substrIncrementalSql)),
@@ -3875,10 +3876,10 @@ object LlmQueries extends Q.Registry {
         graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
         graft.LocalRun.deleteRecursively(
           java.nio.file.Paths.get(tableDir))
-        // cleaned/ stays readable for the returned lazy frame; the
-        // stage root is swept at JVM exit (r11 ADVICE — st12 leaked
-        // one stage tree per run)
-        graft.LocalRun.deleteOnExit(stage)
+        // cleaned/ stays readable for the returned lazy frame; one
+        // slot per query — this run's registration deletes the prior
+        // run's tree, JVM exit sweeps the last (r11 + r12 ADVICE)
+        graft.LocalRun.deleteOnExitSlot("st12_stage", stage)
         s.read.parquet(outDir)
           .select("doc_id", "n_tokens", "n_removed_tokens", "clean_text")
           .orderBy("doc_id")

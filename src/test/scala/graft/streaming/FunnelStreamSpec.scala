@@ -145,6 +145,121 @@ class FunnelStreamSpec extends SparkSpec {
     graft.LocalRun.deleteRecursively(java.nio.file.Paths.get(ckpt))
   }
 
+  test("stageTimes FAILS FAST when a later trigger delivers an EARLIER " +
+    "event (cross-trigger order contract, r12 ADVICE — silent " +
+    "mis-anchoring becomes a detectable violation)") {
+    val e = intercept[Exception] {
+      run(
+        Seq(Ev(30L, ts("2024-03-01 12:00:00"), "view")),
+        Seq(Ev(30L, ts("2024-03-01 08:00:00"), "click"))) // out of order
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("input-order contract violated"),
+      s"expected the contract violation in the failure chain, got:\n$msgs")
+  }
+
+  /** Drive micro-batches through stageTimesBuffered (one
+    * processAllAvailable per batch so each is a real trigger and the
+    * watermark advances between them) and return final per-user anchor
+    * arrays — same max-per-slot recovery as [[run]]. */
+  private def runBuffered(batches: Seq[Seq[Ev]],
+                          delay: String): Map[Long, Seq[Long]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val emits = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    val q = FunnelStream
+      .stageTimesBuffered(input.toDF(), "user_id", "ts", "event_type",
+        stages, windowHours = 24, delayThreshold = "10 days")
+      .toDF("user", "t")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-funnelbuf-ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        emits.synchronized {
+          emits ++= b.select("user", "t").as[(Long, Seq[Long])].collect()
+        }
+        ()
+      }
+      .start()
+    batches.foreach { b =>
+      input.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    emits.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).transpose.map(_.max).toSeq
+    }
+  }
+
+  // watermark-advancing tail: one far-future event from a throwaway
+  // user pushes the watermark past every real event (ts - 10 days >
+  // all of March), and a second one triggers the batch in which the
+  // event-time timeouts then fire and flush the matured buffers
+  private val wmTail = Seq(
+    Seq(Ev(999L, ts("2024-06-01 00:00:00"), "noise")),
+    Seq(Ev(998L, ts("2024-06-02 00:00:00"), "noise")))
+
+  test("stageTimesBuffered: a LATE cross-trigger event (within the " +
+    "watermark) lands correctly — the click arrives a TRIGGER AFTER " +
+    "the view it must precede, and still anchors first (r12 verdict " +
+    "ask #4: the production out-of-order generalization)") {
+    val out = runBuffered(
+      Seq(
+        Seq(Ev(21L, ts("2024-03-01 12:00:00"), "view")),
+        Seq(Ev(21L, ts("2024-03-01 08:00:00"), "click")) // late, in horizon
+      ) ++ wmTail,
+      delay = "10 days")
+    val t = out(21L)
+    assert(t(0) === ts("2024-03-01 08:00:00").getTime * 1000,
+      s"late click must anchor stage 0, got $t")
+    assert(t(1) === ts("2024-03-01 12:00:00").getTime * 1000,
+      s"view must convert AFTER the late click folds in, got $t")
+  }
+
+  test("stageTimesBuffered: buffers flush on event-time TIMEOUT — " +
+    "anchors converge when the watermark passes, with NO further " +
+    "events from that user") {
+    val out = runBuffered(
+      Seq(Seq(
+        Ev(22L, ts("2024-03-01 08:00:00"), "click"),
+        Ev(22L, ts("2024-03-01 09:00:00"), "view"),
+        Ev(22L, ts("2024-03-01 10:00:00"), "purchase"))) ++ wmTail,
+      delay = "10 days")
+    val t = out(22L)
+    assert(t.forall(_ > 0L), s"full conversion via timeout flush, got $t")
+    assert(t(2) - t(0) === 2L * 3600 * 1000000)
+  }
+
+  test("stageTimesBuffered anchors ≡ batch funnel on a replay delivered " +
+    "in REVERSED time order across triggers") {
+    val evs = Seq(
+      Ev(10L, ts("2024-03-01 08:00:00"), "click"),
+      Ev(10L, ts("2024-03-01 09:00:00"), "view"),
+      Ev(10L, ts("2024-03-01 10:00:00"), "purchase"),
+      Ev(11L, ts("2024-03-01 08:00:00"), "click"),
+      Ev(11L, ts("2024-03-03 09:00:00"), "view"), // out of window
+      Ev(12L, ts("2024-03-01 08:00:00"), "view"), // view before any click
+      Ev(12L, ts("2024-03-01 09:00:00"), "click"),
+      Ev(13L, ts("2024-03-01 07:00:00"), "signup"))
+    // NEWEST events first across triggers — the order stageTimes would
+    // reject outright (and mis-anchor if unchecked)
+    val (b1, b2) = evs.sortBy(-_.ts.getTime).splitAt(4)
+    val out0 = runBuffered(Seq(b1, b2) ++ wmTail, delay = "10 days")
+    val out = out0 -- Seq(998L, 999L) // drop the watermark-tail users
+    val batch = graft.ops.Funnel.funnel(
+      evs.toDF(), "user_id", "ts", "event_type", stages, windowHours = 24)
+      .head()
+    assert(out.size.toLong === batch.getLong(batch.fieldIndex("n_users")))
+    assert(out.values.count(_(0) > 0).toLong ===
+      batch.getLong(batch.fieldIndex("n_click")))
+    assert(out.values.count(_(1) > 0).toLong ===
+      batch.getLong(batch.fieldIndex("n_view_after_click")))
+    assert(out.values.count(_(2) > 0).toLong ===
+      batch.getLong(batch.fieldIndex("n_purchase_after_view")))
+  }
+
   test("stream anchors ≡ batch funnel counts on a mixed replay") {
     val evs = Seq(
       Ev(10L, ts("2024-03-01 08:00:00"), "click"),
