@@ -125,6 +125,146 @@ object LlmQueries extends Q.Registry {
            |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** llm4's planted duplicate: a 12-word boilerplate footer appended to
+    * every 2nd document — long enough that its interior 8-grams repeat
+    * corpus-wide, so the exact-substring stage strips it everywhere. */
+  private val Llm4Boiler: String =
+    "all material on this page is provided for general information purposes only"
+
+  /** llm4's DuckDB oracle: the full curation chain restated stage by
+    * stage — each fragment is the one the standalone oracle ships
+    * (tx16 positioned-gram coverage, tx20 text-level quality rules,
+    * tx21 top-gram + coverage repetition rules, tx19 E-S weighted
+    * sampling, tx6 packing bookkeeping). */
+  private lazy val llm4OracleSql: String = {
+    val split = raw"string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')"
+    def gramN(n: Int): String = (0 until n).map {
+      case 0 => "ws[CAST(u.i AS INT)]"
+      case j => s"ws[CAST(u.i AS INT)+$j]"
+    }.mkString(" || ' ' || ")
+    val stopHits = TextOps.GopherStops
+      .map(w => s"CAST(list_contains(ws, '$w') AS INT)").mkString(" + ")
+    // tx21's gram/top/coverage CTE generators, instantiated over the
+    // CLEANED word lists (mws)
+    def gramsCte(n: Int): String =
+      s"""mg$n AS (SELECT doc_id, CAST(u.i AS INT) AS gpos, ${gramN(n)} AS g
+         |  FROM mws, unnest(range(1, len(ws) - ${n - 2})) AS u(i)),""".stripMargin
+    def topCte(n: Int): String =
+      s"""mt$n AS (SELECT doc_id, c * length(g) AS top_chars FROM (
+         |  SELECT doc_id, g, count(*) AS c,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY count(*) DESC, length(g) DESC) AS rn
+         |  FROM mg$n GROUP BY doc_id, g) WHERE rn = 1),""".stripMargin
+    def covCte(n: Int): String =
+      s"""xd$n AS (SELECT doc_id, g FROM mg$n GROUP BY doc_id, g HAVING count(*) >= 2),
+         |xf$n AS (SELECT mg$n.doc_id, gpos FROM mg$n
+         |  JOIN xd$n ON mg$n.doc_id = xd$n.doc_id AND mg$n.g = xd$n.g),
+         |xc$n AS (SELECT mtok.doc_id, tpos, wl, xf$n.gpos AS marker
+         |  FROM mtok LEFT JOIN xf$n
+         |    ON mtok.doc_id = xf$n.doc_id AND mtok.tpos = xf$n.gpos),
+         |xv$n AS (SELECT doc_id, wl,
+         |    max(marker) OVER (PARTITION BY doc_id ORDER BY tpos
+         |      ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+         |      IS NOT NULL AS cov
+         |  FROM xc$n),
+         |xs$n AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN cov THEN wl ELSE 0 END) AS DOUBLE) / sum(wl)
+         |      AS dup$n
+         |  FROM xv$n GROUP BY doc_id),""".stripMargin
+    val h = Sketches.hash60Sql("CAST(doc_id AS VARCHAR)")
+    raw"""WITH f4 AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 2 = 0 THEN text || ' $Llm4Boiler'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |ft AS (SELECT doc_id, $split AS ws FROM f4),
+         |ftok AS (SELECT doc_id, CAST(u.i AS INT) AS tpos, ws[CAST(u.i AS INT)] AS token
+         |  FROM ft, unnest(range(1, len(ws) + 1)) AS u(i)),
+         |fg AS (SELECT doc_id, CAST(u.i AS INT) AS gpos, ${gramN(8)} AS gram
+         |  FROM ft, unnest(range(1, len(ws) - 6)) AS u(i)),
+         |fdup AS (SELECT gram FROM fg GROUP BY gram HAVING count(*) >= 2),
+         |ff AS (SELECT g.doc_id, g.gpos FROM fg g JOIN fdup USING (gram)),
+         |ftf AS (SELECT tok.doc_id, tok.tpos, tok.token, f.gpos AS marker
+         |  FROM ftok tok LEFT JOIN ff f
+         |    ON tok.doc_id = f.doc_id AND tok.tpos = f.gpos),
+         |fcov AS (SELECT doc_id, tpos, token,
+         |    max(marker) OVER (PARTITION BY doc_id ORDER BY tpos
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) IS NOT NULL AS covered
+         |  FROM ftf),
+         |fcl AS (SELECT doc_id,
+         |    CASE WHEN count(*) = sum(CASE WHEN covered THEN 1 ELSE 0 END)
+         |         THEN NULL
+         |         ELSE string_agg(CASE WHEN NOT covered THEN token END, ' ' ORDER BY tpos)
+         |    END AS clean_text
+         |  FROM fcov GROUP BY doc_id),
+         |c2 AS (SELECT f4.doc_id, f4.lang, fcl.clean_text AS text
+         |  FROM fcl JOIN f4 USING (doc_id) WHERE fcl.clean_text IS NOT NULL),
+         |mws AS (SELECT doc_id, lang, text, $split AS ws FROM c2),
+         |qm AS (SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b)
+         |      AS sum_wl,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         |      / len(ws) AS hash_ratio,
+         |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+         |      / len(ws) AS ellipsis_ratio,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |      / len(ws) AS alpha_frac,
+         |    CAST($stopHits AS INT) AS stop_hits
+         |  FROM mws),
+         |mtok AS (SELECT doc_id, CAST(u.i AS INT) AS tpos,
+         |    length(ws[CAST(u.i AS INT)]) AS wl
+         |  FROM mws, unnest(range(1, len(ws) + 1)) AS u(i)),
+         |${Seq(2, 3, 4, 5, 10).map(gramsCte).mkString("\n")}
+         |${Seq(2, 3, 4).map(topCte).mkString("\n")}
+         |${Seq(5, 10).map(covCte).mkString("\n")}
+         |keepj AS (
+         |  SELECT mws.doc_id, lang, text, ws FROM mws
+         |  JOIN qm ON mws.doc_id = qm.doc_id
+         |  LEFT JOIN mt2 ON mws.doc_id = mt2.doc_id
+         |  LEFT JOIN mt3 ON mws.doc_id = mt3.doc_id
+         |  LEFT JOIN mt4 ON mws.doc_id = mt4.doc_id
+         |  LEFT JOIN xs5 ON mws.doc_id = xs5.doc_id
+         |  LEFT JOIN xs10 ON mws.doc_id = xs10.doc_id
+         |  WHERE n_words BETWEEN 30 AND 100000
+         |    AND CAST(sum_wl AS DOUBLE) / n_words >= 3.0
+         |    AND CAST(sum_wl AS DOUBLE) / n_words <= 10.0
+         |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+         |    AND alpha_frac >= 0.8 AND stop_hits >= 1
+         |    AND CAST(coalesce(mt2.top_chars, 0) AS DOUBLE) / sum_wl <= 0.20
+         |    AND CAST(coalesce(mt3.top_chars, 0) AS DOUBLE) / sum_wl <= 0.18
+         |    AND CAST(coalesce(mt4.top_chars, 0) AS DOUBLE) / sum_wl <= 0.16
+         |    AND coalesce(dup5, 0.0) <= 0.15 AND coalesce(dup10, 0.0) <= 0.10),
+         |kq AS (SELECT lang, doc_id, text, $qualitySqlExprRaw AS quality
+         |  FROM keepj),
+         |keyed AS (SELECT lang, doc_id, text, quality,
+         |    power(($h + 1) / 1152921504606846976.0, 1.0 / quality) AS es_key
+         |  FROM kq),
+         |ranked AS (SELECT lang, doc_id, text, quality,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY es_key DESC, doc_id) AS INT) AS rk
+         |  FROM keyed),
+         |stoks AS (SELECT lang, rk, doc_id, quality, text,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS sk
+         |  FROM ranked WHERE rk <= 20),
+         |laid AS (SELECT lang, rk, doc_id, quality, text, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY sk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_tok
+         |  FROM stoks)
+         |SELECT lang, rk, doc_id,
+         |  floor(quality * 1e6 + 1e-6) / 1e6 AS quality,
+         |  n_tokens, start_tok,
+         |  start_tok // 512 AS bin_first,
+         |  greatest(start_tok // 512, (start_tok + n_tokens - 1) // 512) AS bin_last,
+         |  greatest(start_tok // 512, (start_tok + n_tokens - 1) // 512)
+         |    > start_tok // 512 AS spans_boundary,
+         |  md5(text) AS text_fp
+         |FROM laid ORDER BY lang, rk""".stripMargin
+  }
+
   /** tx18's DuckDB oracle: the full C4 §2.2 replay — line rules +
     * citation strip + page keep + keep-first three-sentence-span
     * dedup (row_number over the span md5, coverage window). */
@@ -4016,6 +4156,94 @@ object LlmQueries extends Q.Registry {
           .orderBy("lang")
       },
       Some(llm2OracleSql)),
+
+    Q("llm4_curation_chain",
+      "Fourth flagship pipeline (r12 verdict ask #2) — the r9-r12 " +
+        "entrants composed END-TO-END, proving the newest operators " +
+        "chain: planted boilerplate footer -> exact-substring dedup " +
+        "(tx16's operator: every duplicated 8-word span removed " +
+        "everywhere) -> Gopher QUALITY rules on the cleaned text " +
+        "(tx20's text-level rules; the line-level bullet/ellipsis " +
+        "fractions are vacuous on single-line reassembled text and " +
+        "are documented out; the word-count floor and stop-word " +
+        "minimum are corpus constants in Gopher — here 30 words / " +
+        ">=1 stop word, where the paper's web-page 50/2 would " +
+        "annihilate this synthetic corpus instead of splitting it) " +
+        "-> Gopher REPETITION rules (tx21's " +
+        "top-2/3/4-gram char fractions + duplicated 5- and 10-gram " +
+        "coverage — the tightest and loosest of the six structurally " +
+        "identical coverage orders) -> quality-weighted " +
+        "Efraimidis-Spirakis sample, 20 per language (tx19) -> " +
+        "512-token sequence packing (tx6). The packed layout AND the " +
+        "cleaned text fingerprint are hash-checked end-to-end; every " +
+        "stage's SQL fragment is the one its standalone oracle ships. " +
+        "Scale shape: each stage keeps its standalone topology " +
+        "(keyed shuffles / shuffle_hash joins / one window per " +
+        "stratum) — nothing new is priced in beyond composition.",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        // the planted dup: a 12-word boilerplate footer on every 2nd
+        // doc — the exact-substring stage must remove it from EVERY
+        // page carrying it (tx16's semantics, llm2's planting move)
+        val planted = base.select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" " + Llm4Boiler)))
+            .otherwise(col("text")).as("text"))
+        val cleaned = Dedup.duplicateSpans(planted, "doc_id", "text", k = 8)
+          .filter(col("clean_text").isNotNull)
+          .select(col("doc_id"), col("clean_text").as("text"))
+          // corpus-sized ⋈ corpus-sized — shuffle_hash, never SMJ
+          .join(base.select("doc_id", "lang").hint("shuffle_hash"),
+            Seq("doc_id"))
+        val qm = cleaned
+          .withColumn("ws", TextOps.words(col("text")))
+          .withColumn("n_words", size(col("ws")).cast("long"))
+          .withColumn("sum_wl",
+            aggregate(col("ws"), lit(0L), (a, w) => a + length(w)))
+          .withColumn("hash_ratio",
+            TextOps.hashWordRatio(col("text"), col("ws")))
+          .withColumn("ellipsis_ratio",
+            TextOps.ellipsisWordRatio(col("text"), col("ws")))
+          .withColumn("alpha_frac", TextOps.alphaWordFrac(col("ws")))
+          .withColumn("stop_hits",
+            TextOps.gopherStopHits(col("ws")).cast("int"))
+        val meanWl = col("sum_wl").cast("double") / col("n_words").cast("double")
+        val keepQ = col("n_words").between(30, 100000) &&
+          meanWl >= 3.0 && meanWl <= 10.0 &&
+          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 && col("stop_hits") >= 1
+        val pages = qm.select(col("doc_id"), col("text"))
+        val joined = qm
+          .join(Repetition.topGramCharsMulti(pages, "doc_id",
+              TextOps.words(col("text")), Seq(2, 3, 4))
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(Repetition.dupGramCharFracMulti(pages, "doc_id",
+              TextOps.words(col("text")), Seq(5, 10))
+            .hint("shuffle_hash"), Seq("doc_id"), "left")
+        def topFrac(n: Int): org.apache.spark.sql.Column =
+          coalesce(col(s"top_${n}gram_chars"), lit(0L)).cast("double") /
+            col("sum_wl").cast("double")
+        val keepR = topFrac(2) <= 0.20 && topFrac(3) <= 0.18 &&
+          topFrac(4) <= 0.16 &&
+          coalesce(col("dup5"), lit(0.0)) <= 0.15 &&
+          coalesce(col("dup10"), lit(0.0)) <= 0.10
+        val kept = joined.filter(keepQ && keepR)
+          .withColumn("quality",
+            TextOps.qualityScore(col("text"), col("ws")))
+          .select("doc_id", "lang", "text", "quality")
+        val samp = Sampling.weightedSample(kept, "lang", "doc_id",
+          col("quality"), 20)
+          .withColumn("n_tokens",
+            TextOps.tokenCount(col("text")).cast("long"))
+        Packing.packBins(samp, "lang", "doc_id", "n_tokens", 512)
+          .select(col("lang"), col("rk"), col("doc_id"),
+            Fmt.trunc(col("quality"), 6).as("quality"),
+            col("n_tokens"), col("start_tok"), col("bin_first"),
+            col("bin_last"), col("spans_boundary"),
+            md5(col("text")).as("text_fp"))
+          .orderBy("lang", "rk")
+      },
+      Some(llm4OracleSql)),
 
     Q("tx15_chunk_overlap",
       "Sliding-window chunking with overlap (the RAG-indexing / " +
