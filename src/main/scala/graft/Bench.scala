@@ -53,6 +53,7 @@ object Bench {
     "st11_stream_heavy_hitters",  // two-trigger CMS-state stream, same
     "st12_substr_dedup_versioned", // versioned-table substr-dedup stream, same
     "st13_stream_funnel",         // two-trigger funnel-state stream, same
+    "st14_stream_funnel_late",    // four-trigger buffered funnel, same
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier", // IRLS fit runs at plan build
     "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build

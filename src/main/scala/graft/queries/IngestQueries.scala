@@ -74,6 +74,49 @@ object IngestQueries extends Q.Registry {
     * live; the memory-table read the query returns is trivial). */
   @volatile private[graft] var lastStreamPlan: Option[String] = None
 
+  /** The st13/st14 funnel recovery + rollup over a (user_id, t) anchor
+    * emission sink: per-user final anchors are min over non-null
+    * emissions (anchors are set-once, so per-trigger emissions are
+    * monotone), then a12's one-row funnel rollup — shared so the
+    * in-order and watermark-buffered streams price the IDENTICAL
+    * restatement against the same oracle. */
+  private def funnelAnchorRollup(sink: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val anchors = sink.select(col("user_id"),
+        when(col("t")(0) > 0, col("t")(0)).as("t1"),
+        when(col("t")(1) > 0, col("t")(1)).as("t2"),
+        when(col("t")(2) > 0, col("t")(2)).as("t3"))
+      .groupBy("user_id")
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+    val roll = anchors.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_click"),
+      count(col("t2")).as("n_view_after_click"),
+      count(col("t3")).as("n_purchase_after_view"),
+      // t2 non-null implies t1 non-null (stage gating), so each lag
+      // sums exactly the converted users' exact-long microsecond
+      // deltas — a12's deterministic mean-lag arithmetic
+      sum(col("t2") - col("t1")).as("lag1"),
+      sum(col("t3") - col("t2")).as("lag2"))
+    roll.select(col("n_users"), col("n_click"),
+      col("n_view_after_click"), col("n_purchase_after_view"),
+      Fmt.t6(when(col("n_users") > 0,
+        col("n_click").cast("double") / col("n_users"))).as("r_click"),
+      Fmt.t6(when(col("n_click") > 0,
+        col("n_view_after_click").cast("double") / col("n_click")))
+        .as("r_view"),
+      Fmt.t6(when(col("n_view_after_click") > 0,
+        col("n_purchase_after_view").cast("double") /
+          col("n_view_after_click"))).as("r_purchase"),
+      Fmt.t6(when(col("n_view_after_click") > 0,
+        col("lag1").cast("double") / col("n_view_after_click") / 3.6e9))
+        .as("avg_hours_click_to_view"),
+      Fmt.t6(when(col("n_purchase_after_view") > 0,
+        col("lag2").cast("double") / col("n_purchase_after_view") / 3.6e9))
+        .as("avg_hours_view_to_purchase"))
+  }
+
   /** Run a bounded streaming frame to a uniquely-named memory sink and
     * return the sink table. */
   private[queries] def runToMemory(s: org.apache.spark.sql.SparkSession,
@@ -470,39 +513,64 @@ object IngestQueries extends Q.Registry {
             Seq("click", "view", "purchase"), windowHours = 24)
           .toDF("user_id", "t")
         val sink = runToMemory(s, emits, "st13_out_", "append")
-        val anchors = sink.select(col("user_id"),
-            when(col("t")(0) > 0, col("t")(0)).as("t1"),
-            when(col("t")(1) > 0, col("t")(1)).as("t2"),
-            when(col("t")(2) > 0, col("t")(2)).as("t3"))
-          .groupBy("user_id")
-          .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
-        val roll = anchors.agg(
-          count(lit(1)).as("n_users"),
-          count(col("t1")).as("n_click"),
-          count(col("t2")).as("n_view_after_click"),
-          count(col("t3")).as("n_purchase_after_view"),
-          // t2 non-null implies t1 non-null (stage gating), so each lag
-          // sums exactly the converted users' exact-long microsecond
-          // deltas — a12's deterministic mean-lag arithmetic
-          sum(col("t2") - col("t1")).as("lag1"),
-          sum(col("t3") - col("t2")).as("lag2"))
+        val roll = funnelAnchorRollup(sink)
         graft.LocalRun.deleteRecursively(stage)
-        roll.select(col("n_users"), col("n_click"),
-          col("n_view_after_click"), col("n_purchase_after_view"),
-          Fmt.t6(when(col("n_users") > 0,
-            col("n_click").cast("double") / col("n_users"))).as("r_click"),
-          Fmt.t6(when(col("n_click") > 0,
-            col("n_view_after_click").cast("double") / col("n_click")))
-            .as("r_view"),
-          Fmt.t6(when(col("n_view_after_click") > 0,
-            col("n_purchase_after_view").cast("double") /
-              col("n_view_after_click"))).as("r_purchase"),
-          Fmt.t6(when(col("n_view_after_click") > 0,
-            col("lag1").cast("double") / col("n_view_after_click") / 3.6e9))
-            .as("avg_hours_click_to_view"),
-          Fmt.t6(when(col("n_purchase_after_view") > 0,
-            col("lag2").cast("double") / col("n_purchase_after_view") / 3.6e9))
-            .as("avg_hours_view_to_purchase"))
+        roll
+      },
+      Some(RelationalQueries.funnel3OracleSql)),
+
+    Q("st14_stream_funnel_late",
+      "STREAMING funnel over an OUT-OF-ORDER replay — st13's operator " +
+        "with the cross-trigger in-order contract LIFTED (r12 verdict " +
+        "ask #4, streaming/FunnelStream.stageTimesBuffered): the two " +
+        "arrival days are staged NEWEST FIRST (every day-1 event " +
+        "arrives a trigger after the day-2 events it must precede), " +
+        "and a watermark spanning the corpus buffers each user's " +
+        "events in state until no earlier event can still arrive, " +
+        "then folds them in true event-time order through the same " +
+        "set-once anchor rule. Two far-future sentinel rows (a " +
+        "throwaway user, filtered from the rollup) advance the " +
+        "watermark past every real event and trigger the batch in " +
+        "which the event-time timeouts flush the remaining buffers — " +
+        "the bounded-replay analog of a live stream's continuing " +
+        "traffic. Converges to the IDENTICAL one-row a12 rollup as " +
+        "st13 and the batch funnel: same oracle SQL over the full " +
+        "replay, proving order-independence within the watermark " +
+        "horizon. State per user stays bounded: k set-once anchors + " +
+        "a buffer capped by the lateness horizon.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val mm = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+          unix_micros(max(col("ts"))).as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val cutUs = lo + (hi - lo) / 2
+        // lateness horizon: the full corpus span (+1 h margin) — day 1
+        // arrives after day 2, so every day-1 event is late by up to
+        // the span and must still be inside the watermark
+        val delaySec = (hi - lo) / 1000000L + 3600L
+        val sent1Us = hi + delaySec * 1000000L + 86400L * 1000000L
+        val sent2Us = sent1Us + 3600L * 1000000L
+        def sentinel(us: Long) = s.range(1).select(
+          lit(-777L).as("user_id"), timestamp_micros(lit(us)).as("ts"),
+          lit("noise").as("event_type"))
+        val (stage, inDir) = LlmQueries.stageArrivalDays(
+          Seq(ev.filter(unix_micros(col("ts")) > cutUs),   // day 2 FIRST
+            ev.filter(unix_micros(col("ts")) <= cutUs),    // then day 1
+            sentinel(sent1Us),  // advances the watermark past hi
+            sentinel(sent2Us)), // the trigger whose timeouts flush
+          "graft_st14_")
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        val emits = graft.streaming.FunnelStream
+          .stageTimesBuffered(src, "user_id", "ts", "event_type",
+            Seq("click", "view", "purchase"), windowHours = 24,
+            delayThreshold = s"$delaySec seconds")
+          .toDF("user_id", "t")
+        val sink = runToMemory(s, emits, "st14_out_", "append")
+        val roll = funnelAnchorRollup(sink.filter(col("user_id") >= 0))
+        graft.LocalRun.deleteRecursively(stage)
+        roll
       },
       Some(RelationalQueries.funnel3OracleSql)),
 

@@ -2345,6 +2345,76 @@ object LlmQueries extends Q.Registry {
           |SELECT * FROM ranked WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ss7_int8_refine_topk",
+      "Int8-coarse -> exact-refine top-5 (r12 verdict ask #3: ss6's " +
+        "storage path COMPOSED with the ANN family): candidate " +
+        "generation ranks by quantized cosine over the int8 corpus — " +
+        "the only corpus-wide scan, at 4x fewer bytes than float32 " +
+        "(the 100 TB feature; ss6 measured the parquet at <= 40%) — " +
+        "takes a 20-deep shortlist per query, then re-scores just " +
+        "those pairs with exact float cosine via a keyed point-lookup " +
+        "join (pqRefineTopK's topology: touches |queries| x 20 float " +
+        "vectors, never the corpus). Both stages' arithmetic is " +
+        "deterministic (integer dot in the coarse pass, sequential " +
+        "double folds in the refine), so the full chain is " +
+        "hash-oracled: the oracle restates ss6's quantized ranking " +
+        "fragment at depth 20 and ss1's exact-cosine fragment over " +
+        "the shortlist. LlmSpec pins recall@5 vs brute force >= the " +
+        "pure-quantized ss6 ranking's recall.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.int8RefineTopK(emb, "vec_id", "embedding",
+            queries, "q_id", "q_vec", shortlist = 20, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        """WITH qz AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x ->
+          |      CASE WHEN s > 0 THEN floor(CAST(x AS DOUBLE) / s + 0.5)
+          |           ELSE 0.0 END) AS qv
+          |  FROM (SELECT vec_id, embedding,
+          |          list_max(list_transform(embedding,
+          |            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+          |        FROM embeddings)),
+          |q8 AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id % 100 = 0),
+          |coarse AS (
+          |  SELECT q_id, vec_id FROM (
+          |    SELECT q.q_id, e.vec_id,
+          |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> q.q_qv[i] * e.qv[i])) /
+          |        (sqrt(list_sum(list_transform(range(1, 65), i -> q.q_qv[i] * q.q_qv[i]))) *
+          |         sqrt(list_sum(list_transform(range(1, 65), i -> e.qv[i] * e.qv[i]))))
+          |        DESC, e.vec_id) AS crank
+          |    FROM qz e CROSS JOIN q8 q
+          |    WHERE e.vec_id <> q.q_id)
+          |  WHERE crank <= 20),
+          |qf AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          |       WHERE vec_id % 100 = 0),
+          |ref AS (
+          |  SELECT c.q_id, c.vec_id,
+          |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+          |      i -> CAST(qf.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+          |    (sqrt(list_sum(list_transform(range(1, len(qf.q_vec) + 1),
+          |      i -> CAST(qf.q_vec[i] AS DOUBLE) * CAST(qf.q_vec[i] AS DOUBLE)))) *
+          |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos_sim
+          |  FROM coarse c
+          |  JOIN embeddings e ON c.vec_id = e.vec_id
+          |  JOIN qf ON c.q_id = qf.q_id),
+          |ranked AS (
+          |  SELECT q_id AS query_id, vec_id AS neighbor_id,
+          |         floor((cos_sim) * 1e4 + 1e-6) / 1e4 AS cos_sim,
+          |         row_number() OVER (PARTITION BY q_id
+          |                            ORDER BY cos_sim DESC, vec_id) AS rank
+          |  FROM ref)
+          |SELECT * FROM ranked WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)),
+
     Q("tx1_token_stats",
       "Per-document token statistics: whitespace words, BPE-ish regex " +
         "tokens, mean word length, punctuation ratio — the map-stage " +

@@ -197,6 +197,62 @@ class LlmSpec extends SparkSpec {
     assert(mean >= 0.9, s"int8 top-5 mean recall $mean < 0.9 ($recalls)")
   }
 
+  test("int8RefineTopK: recall@5 >= the pure-quantized ranking's recall " +
+    "and >= 0.9, and the returned scores ARE the exact cosines (ss7)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0L until 200L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactDf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", 5)
+    val exact = topSets(exactDf)
+    // pure-quantized top-5 (the ss6 ranking, no refine)
+    val q = emb
+      .withColumn("s", Similarity.int8Scale(col("embedding")))
+      .withColumn("qv", Similarity.int8AsDouble(
+        Similarity.int8Quantize(col("embedding"), col("s"))))
+    val qCorpus = q.select(col("vec_id"), col("qv"))
+    val qQueries = qCorpus.join(queries.select(col("q_id")),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("qv").as("q_qv"))
+    val pureQ = topSets(Similarity.bruteForceTopK(qCorpus, "vec_id", "qv",
+      qQueries, "q_id", "q_qv", 5))
+    val refinedDf = Similarity.int8RefineTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", shortlist = 20, k = 5)
+    val refined = topSets(refinedDf)
+    def meanRecall(approx: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (qid, truth) =>
+        approx.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    val rQ = meanRecall(pureQ)
+    val rR = meanRecall(refined)
+    assert(rR >= rQ,
+      s"refine must not lose recall vs the pure-quantized ranking: $rR < $rQ")
+    assert(rR >= 0.9, s"int8-refine top-5 mean recall $rR < 0.9")
+    // refine exactness: every returned (pair, score) matches the exact
+    // brute-force cosine for that pair bit-for-bit
+    val exactScores = exactDf
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val mismatches = refinedDf
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, c) =>
+        exactScores.get((a, b)).exists(e => e != c)
+      }
+    assert(mismatches.isEmpty,
+      s"refined scores diverge from exact cosine: ${mismatches.take(3).toSeq}")
+  }
+
   test("int8 storage claim measured: quantized parquet <= 40% of float32 parquet") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 2000L).map(i =>
