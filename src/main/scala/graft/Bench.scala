@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * the driver's run landed on a machine degraded ~10-50x and was killed
   * by its outer timeout before printing anything):
   *  - a global wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default
-  *    max(600 s, 6 s/query), measured from the first query): past half
+  *    max(900 s, 10 s/query), measured from the first query): past half
   *    the budget each
   *    remaining query drops to a single measured run (no warm-up, no
   *    extra iterations) so the suite always reaches the final println;
@@ -121,10 +121,13 @@ object Bench {
     // half-point in every run, silently demoting 35-42 late-alphabet
     // queries to single cold runs (mode "degraded"/"fit") — tx14 read
     // 2.33 s vs its 0.39 s fitmed3 steady state with nothing wrong but
-    // the methodology. max(600, 6 s/query) tracks suite growth: the
-    // quiet-host wall time is ~2.5 s/query all-in (queries + warm-ups +
-    // fitmed3 triples + probes), so the half-budget line (3 s/query)
-    // clears it with margin, while a genuinely degraded host still
+    // the methodology. The first r13 cut scaled at 6 s/query, and the
+    // first r13 run FALSIFIED it: a mostly-quiet 126-query run's all-in
+    // wall (queries + warm-ups + fitmed3 triples + probes) measured
+    // ~3.7 s/query, so the 3 s/query half-point line demoted 50 queries
+    // even with calib ratio 1.04. 10 s/query puts the half-point
+    // (5 s/query) ~35% above the measured quiet all-in rate, so only a
+    // genuinely degraded host crosses it — and such a host still
     // reaches the final println inside the driver's outer timeout (the
     // r2 rc=124 budget's whole purpose). The env var still overrides.
     val budgetEnv = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
@@ -198,7 +201,7 @@ object Bench {
     val unknownSkips = skipSet -- SparkEntry.queries.keySet
     require(unknownSkips.isEmpty, s"SPARK_GRAFT_BENCH_SKIP names unknown queries: $unknownSkips")
     val names = (SparkEntry.queries.keySet -- skipSet).toSeq.sorted
-    val budgetS = budgetEnv.getOrElse(math.max(600.0, 6.0 * names.size))
+    val budgetS = budgetEnv.getOrElse(math.max(900.0, 10.0 * names.size))
     System.err.println(f"[bench] budget ${budgetS}%.0f s for ${names.size} queries (half-point ${budgetS / 2}%.0f s)")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
