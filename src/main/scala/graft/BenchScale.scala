@@ -1148,15 +1148,24 @@ object BenchScale {
           val (rsec, rrec) = timedRecall(Similarity.int8RefineTopK(
             corpusL.select("vec_id", "embedding"), "vec_id", "embedding",
             queries25, "q_id", "q_vec", shortlist = i8Shortlist, k = annK))
+          // ss8: the two scan-volume levers COMPOSED — ivf cell pruning
+          // (nProbe=4 of nCells) × int8 bytes within the probed cells.
+          // Recall is judged against the same brute-force truth.
+          val (csec, crec) = timedRecall(Similarity.ivfInt8RefineTopK(
+            assigned, "vec_id", "embedding", "cell", centroids, "cent_vec",
+            queries25, "q_id", "q_vec", nProbe = 4,
+            shortlist = i8Shortlist, k = annK))
           System.err.println(f"[scalebench] ann_recall int8 bytes " +
             f"${i8B.toDouble / f32B}%.3f of f32  brute $bsec%5.2f s  " +
             f"coarse recall=$qrec%.3f ($qsec%5.2f s)  " +
-            f"refined recall=$rrec%.3f ($rsec%5.2f s)")
+            f"refined recall=$rrec%.3f ($rsec%5.2f s)  " +
+            f"ivf+int8 recall=$crec%.3f ($csec%5.2f s)")
           s""""int8":{"f32_bytes":$f32B,"i8_bytes":$i8B,""" +
             s""""bytes_ratio":${fmt(i8B.toDouble / f32B)},""" +
             s""""brute_sec":${fmt(bsec)},"shortlist":$i8Shortlist,""" +
             s""""coarse":{"sec":${fmt(qsec)},"recall":${fmt(qrec)}},""" +
-            s""""refined":{"sec":${fmt(rsec)},"recall":${fmt(rrec)}}}"""
+            s""""refined":{"sec":${fmt(rsec)},"recall":${fmt(rrec)}},""" +
+            s""""ivf_int8":{"nprobe":4,"sec":${fmt(csec)},"recall":${fmt(crec)}}}"""
         }
         assigned.unpersist(blocking = false)
         corpusL.unpersist(blocking = false)

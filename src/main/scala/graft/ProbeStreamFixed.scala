@@ -146,6 +146,26 @@ object ProbeStreamFixed {
       withShufflePartitions(8) { runStream(dedupBody(stagedStream())) }
     def legState4P8(collect: Boolean) =
       withShufflePartitions(8) { runStream(dedupBody(stagedN(2)), collectProgress = collect) }
+    // RocksDB provider legs: the state-store backend production clusters
+    // run for large state (no per-commit full-snapshot cost, changelog
+    // checkpointing). If the HDFSBacked per-store delta-file IO is the
+    // premium, these legs measure what the backend swap buys at the
+    // SAME 32 partitions.
+    def withStateProvider[A](cls: String)(f: => A): A = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, cls)
+      try f finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val RocksCls =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def legState1Rdb(): Unit =
+      withStateProvider(RocksCls) { runStream(dedupBody(stagedStream())) }
+    def legState4Rdb(collect: Boolean) =
+      withStateProvider(RocksCls) { runStream(dedupBody(stagedN(2)), collectProgress = collect) }
 
     // one discarded cold pass: first stream in the JVM pays codegen +
     // scheduler warm-up that no per-stream accounting should include
@@ -159,7 +179,9 @@ object ProbeStreamFixed {
       ("state1", _ => { legState1(); Nil }),
       ("state4", c => legState4(c)),
       ("state1_p8", _ => { legState1P8(); Nil }),
-      ("state4_p8", c => legState4P8(c)))
+      ("state4_p8", c => legState4P8(c)),
+      ("state1_rdb", _ => { legState1Rdb(); Nil }),
+      ("state4_rdb", c => legState4Rdb(c)))
 
     val all = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val progress = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
@@ -204,6 +226,8 @@ object ProbeStreamFixed {
       "state_machinery_premium_s" -> (mins("state1") - mins("trig1")),
       "state_premium_p8_s" -> (mins("state1_p8") - mins("trig1")),
       "stateful_trigger_marginal_p8_s" -> (mins("state4_p8") - mins("state1_p8")) / 3.0,
+      "state_premium_rdb_s" -> (mins("state1_rdb") - mins("trig1")),
+      "stateful_trigger_marginal_rdb_s" -> (mins("state4_rdb") - mins("state1_rdb")) / 3.0,
       "memsink_premium_s" -> (mins("memsink") - mins("noop")))
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
     val legsMin = mins.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

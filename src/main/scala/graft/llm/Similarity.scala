@@ -411,6 +411,63 @@ object Similarity {
     pqRefineTopK(coarse, corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
   }
 
+  /** IVF × int8 → exact-refine top-k (ss8): [[ivfTopK]]'s cell pruning
+    * COMPOSED with [[int8RefineTopK]]'s quantized candidate generation —
+    * the two scan-volume levers multiply. Per query: probe the nProbe
+    * nearest cells by FLOAT query-vs-centroid distance (identical cell
+    * selection to ss2, so the composition changes WHAT is scanned in a
+    * cell, never WHICH cells); within the probed cells rank by
+    * quantized cosine over the int8 corpus column (integer dot, scales
+    * cancel — [[int8AsDouble]]'s contract) and keep a
+    * `shortlist ≫ k` per query; re-score just those pairs with exact
+    * float cosine ([[pqRefineTopK]]'s keyed point-lookup join) for the
+    * final top-k. At 100 TB the candidate-generation scan therefore
+    * reads (nProbe/nCells) of the corpus at one quarter of the bytes
+    * (ss6's measured parquet ratio: 0.25 on incompressible vectors) —
+    * the IVF fraction and the int8 byte cut are independent factors —
+    * while the float corpus is only ever point-read for
+    * |queries|·shortlist rows. Every stage is deterministic (truncated
+    * centroids, integer coarse dots, sequential double refine folds,
+    * id-tiebroken ranks), so the full chain is hash-oracled like
+    * ss2/ss7. */
+  def ivfInt8RefineTopK(cellCorpus: DataFrame, idCol: String, vecCol: String,
+                        cellCol: String,
+                        centroids: DataFrame, centVecCol: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) — the refine pass only reorders")
+    val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col(qIdCol),
+        int8AsDouble(int8Quantize(col(qVecCol), int8Scale(col(qVecCol))))
+          .as("__q_qv"),
+        col(cellCol))
+      .withColumn("__q_qnorm", norm(col("__q_qv")))
+    // the only corpus-wide work: quantized vectors of the probed cells
+    // (in production the int8 column is the STORED one — ss6 — and this
+    // projection never touches the float column)
+    val qCorpus = cellCorpus
+      .select(col(idCol), col(cellCol),
+        int8AsDouble(int8Quantize(col(vecCol), int8Scale(col(vecCol))))
+          .as("__qv"))
+      .withColumn("__c_qnorm", norm(col("__qv")))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("q_sim"), col(idCol))
+    val coarse = qCorpus.join(broadcast(probes), Seq(cellCol))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("q_sim",
+        dotD(col("__q_qv"), col("__qv")) / (col("__q_qnorm") * col("__c_qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortlist)
+      .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"))
+    pqRefineTopK(coarse,
+      cellCorpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      queries, qIdCol, qVecCol, k)
+  }
+
   /** IVF search: per query pick the nProbe nearest cells, scan only
     * corpus rows in those cells, exact cosine + top-k inside the
     * probed subset. `cellCorpus` must carry cellCol (from

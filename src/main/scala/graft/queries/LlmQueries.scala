@@ -2415,6 +2415,110 @@ object LlmQueries extends Q.Registry {
           |SELECT * FROM ranked WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ss8_ivf_int8_topk",
+      "IVF x int8 -> exact-refine top-3: ss2's cell pruning COMPOSED " +
+        "with ss7's quantized candidate generation — the two " +
+        "scan-volume levers multiply (probe 3 of the cells x one " +
+        "quarter of the bytes in each; ss6 measured the parquet " +
+        "ratio). Cell selection is ss2's EXACT rule (float query vs " +
+        "truncated-mean centroids), so the composition changes what is " +
+        "scanned inside a cell, never which cells; within the probed " +
+        "cells a 12-deep shortlist ranks by quantized cosine (integer " +
+        "dot, per-vector scales cancel), then only those pairs " +
+        "re-score with exact float cosine. Every stage deterministic " +
+        "-> the full chain is hash-oracled: the oracle restates ss2's " +
+        "cent/assign/probe fragments, ss7's quantization fragment " +
+        "within the probed cells, and ss7's refine arithmetic. LlmSpec " +
+        "pins recall@3 vs the exact-within-cells ss2 ranking.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb
+          .select(col("label").as("cell"), col("embedding"))
+          .groupBy("cell")
+          .agg(array((0 until 64).map(i =>
+            Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*).as("cent_vec"))
+        val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding",
+          centroids, "cell", "cent_vec")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfInt8RefineTopK(cellCorpus, "vec_id", "embedding", "cell",
+            centroids, "cent_vec", queries, "q_id", "q_vec",
+            nProbe = 3, shortlist = 12, k = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        """WITH cent0 AS (
+          |  SELECT label AS cell, idx.i AS i,
+          |         floor(avg(CAST(embedding[idx.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
+          |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+          |  GROUP BY label, idx.i),
+          |cent AS (SELECT cell, list(c ORDER BY i) AS cent_vec FROM cent0 GROUP BY cell),
+          |assign AS (
+          |  SELECT vec_id, cell FROM (
+          |    SELECT e.vec_id, c.cell,
+          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |             list_sum(list_transform(range(1, 65),
+          |               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]) *
+          |                    (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))), c.cell) AS rn
+          |    FROM embeddings e CROSS JOIN cent c)
+          |  WHERE rn = 1),
+          |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          |      WHERE vec_id % 100 = 0),
+          |probes AS (
+          |  SELECT q_id, cell FROM (
+          |    SELECT q.q_id, c.cell,
+          |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+          |             list_sum(list_transform(range(1, 65),
+          |               i -> (CAST(q.q_vec[i] AS DOUBLE) - c.cent_vec[i]) *
+          |                    (CAST(q.q_vec[i] AS DOUBLE) - c.cent_vec[i]))), c.cell) AS rn
+          |    FROM q CROSS JOIN cent c)
+          |  WHERE rn <= 3),
+          |qz AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x ->
+          |      CASE WHEN s > 0 THEN floor(CAST(x AS DOUBLE) / s + 0.5)
+          |           ELSE 0.0 END) AS qv
+          |  FROM (SELECT vec_id, embedding,
+          |          list_max(list_transform(embedding,
+          |            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+          |        FROM embeddings)),
+          |q8 AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id % 100 = 0),
+          |coarse AS (
+          |  SELECT q_id, vec_id FROM (
+          |    SELECT p.q_id, a.vec_id,
+          |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> q8.q_qv[i] * e.qv[i])) /
+          |        (sqrt(list_sum(list_transform(range(1, 65), i -> q8.q_qv[i] * q8.q_qv[i]))) *
+          |         sqrt(list_sum(list_transform(range(1, 65), i -> e.qv[i] * e.qv[i]))))
+          |        DESC, a.vec_id) AS crank
+          |    FROM assign a
+          |    JOIN probes p ON a.cell = p.cell
+          |    JOIN qz e ON a.vec_id = e.vec_id
+          |    JOIN q8 ON p.q_id = q8.q_id
+          |    WHERE a.vec_id <> p.q_id)
+          |  WHERE crank <= 12),
+          |ref AS (
+          |  SELECT c.q_id, c.vec_id,
+          |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+          |      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+          |    (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+          |      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))) *
+          |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos_sim
+          |  FROM coarse c
+          |  JOIN embeddings e ON c.vec_id = e.vec_id
+          |  JOIN q ON c.q_id = q.q_id),
+          |ranked AS (
+          |  SELECT q_id AS query_id, vec_id AS neighbor_id,
+          |         floor((cos_sim) * 1e4 + 1e-6) / 1e4 AS cos_sim,
+          |         row_number() OVER (PARTITION BY q_id
+          |                            ORDER BY cos_sim DESC, vec_id) AS rank
+          |  FROM ref)
+          |SELECT * FROM ranked WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin)),
+
     Q("tx1_token_stats",
       "Per-document token statistics: whitespace words, BPE-ish regex " +
         "tokens, mean word length, punctuation ratio — the map-stage " +

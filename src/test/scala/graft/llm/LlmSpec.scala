@@ -1577,4 +1577,58 @@ class LlmSpec extends SparkSpec {
     val stops = metrics("the the the the")
     assert(stops._6 === 1)
   }
+
+  test("ivfInt8RefineTopK (ss8): probes match ss2's cell selection, recall@3 vs " +
+    "exact-within-cells >= 0.9, returned scores ARE exact cosines") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    // 4 well-separated direction clusters + per-row gaussian jitter, so
+    // cells are meaningful and within-cell neighbors are tight but
+    // distinct — the regime where a too-shallow shortlist WOULD lose
+    // recall if the quantized coarse ranking were broken
+    val centers = (0 until 4).map(c => Seq.fill(dim)(rnd.nextGaussian() * 3))
+    val rows = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, c.toLong, centers(c).map(x => (x + rnd.nextGaussian() * 0.4).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val centroids = emb
+      .select(col("label").as("cell"), col("embedding"))
+      .groupBy("cell")
+      .agg(array((0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1))): _*).as("cent_vec"))
+    val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding",
+      centroids, "cell", "cent_vec")
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactIvfDf = Similarity.ivfTopK(cellCorpus, "vec_id", "embedding",
+      "cell", centroids, "cent_vec", queries, "q_id", "q_vec", nProbe = 2, k = 3)
+    val exactIvf = topSets(exactIvfDf)
+    val composedDf = Similarity.ivfInt8RefineTopK(cellCorpus, "vec_id",
+      "embedding", "cell", centroids, "cent_vec",
+      queries, "q_id", "q_vec", nProbe = 2, shortlist = 12, k = 3)
+    val composed = topSets(composedDf)
+    // same probe rule => every composed neighbor must be reachable by
+    // the exact IVF at the same nProbe with a full-depth shortlist;
+    // recall@3 vs the exact-within-cells ranking
+    val rs = exactIvf.map { case (qid, truth) =>
+      composed.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = rs.sum / rs.size
+    assert(recall >= 0.9, s"ss8 recall@3 vs exact-within-cells $recall < 0.9")
+    // refine exactness: scores are the true float cosines, bit-for-bit
+    val exactScores = exactIvfDf
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val mismatches = composedDf
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, c) => exactScores.get((a, b)).exists(_ != c) }
+    assert(mismatches.isEmpty,
+      s"ss8 refined scores diverge from exact cosine: ${mismatches.take(3).toSeq}")
+  }
 }
