@@ -52,6 +52,15 @@ import org.apache.spark.sql.functions._
   * stateful marginal 0.38 → 0.24 s — the measured worth of the
   * partition-sizing lever.
   *
+  * The state1_rdb/state4_rdb legs swap in the RocksDB provider
+  * (production's large-state backend): at fixture state sizes it is a
+  * WASH — first-trigger premium 1.40 s (vs HDFSBacked's 1.19), marginal
+  * stateful trigger 0.51 s (vs 0.65). RocksDB pays more to open 32
+  * instances and slightly less per commit (changelog instead of full
+  * delta snapshot); its real advantage — commit cost independent of
+  * ACCUMULATED state size — cannot show on ~130 state rows, so the
+  * suite keeps the default backend and this leg records why.
+  *
   * Conclusion (the r12 ask #5 adjudication): ~14 streams × 0.47 s
   * floor ≈ 6.6 s of the ~36 s streaming bench cost is per-stream
   * start machinery (production pays it once per deploy, the bench per
