@@ -25,6 +25,12 @@ case class AudioFeatures(doc_id: Long, channels: Int, sample_rate: Int,
                          n_frames: Long, duration_s: Double,
                          rms: Seq[Double])
 
+/** Typed output row of the batched gray-pixel decode stage (feeds the
+  * mm9 perceptual-hash near-dup): row-major 8-bit gray samples, or
+  * width = -1 + empty pixels for undecodable dead-letter rows. */
+case class GrayPixels(doc_id: Long, width: Int, height: Int,
+                      pixels: Seq[Int])
+
 /** Typed output row of the batched document-extraction stage (the
   * third training-data modality after image and audio): markup format
   * sniffed from the payload, extracted plain text, and its counts.
@@ -310,6 +316,98 @@ object Multimodal {
       case (id, _, Some((w, h, r, g, b))) => ImageFeatures(id, w, h, r, g, b)
       case (id, _, None) => ImageFeatures(id, -1, -1, -1.0, -1.0, -1.0)
     }
+  }
+
+  /** Deterministic grayscale-PNG fixture writer: an 8-bit gray image
+    * whose pixel (x, y) is `f(x, y) & 0xff`, PNG-encoded. PNG gray8 is
+    * lossless, so a decode of these bytes returns EXACTLY the formula
+    * values — which is what lets the mm9 oracle regenerate the same
+    * pixels in SQL without a codec (BASELINE: the codec leg is proven
+    * by the roundtrip, the hash/join legs by the restatement). */
+  def grayPng(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real gray-pixel decode codec: full javax.imageio decode, band-0
+    * raster samples in row-major order (for the single-band gray
+    * rasters the mm9 fixtures are, the samples ARE the encoded bytes —
+    * no color-model conversion, which for gray ICC profiles would NOT
+    * be the identity that getRGB luminance math pretends). Undecodable
+    * payloads → None (dead-letter). */
+  def imageioGrayPixelsBatch(payloads: Seq[Array[Byte]])
+      : Seq[Option[(Int, Int, Seq[Int])]] =
+    payloads.map { bytes =>
+      readImage(bytes).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        (w, h, px.toSeq)
+      }
+    }
+
+  /** Batched gray-pixel decode stage (mm9's codec leg): same seam,
+    * schema discipline, and dead-letter contract as the image quartet.
+    * Everything downstream of this frame — block sums, dHash packing,
+    * band keys, the hamming join — is COLUMN work the engine executes,
+    * so at 100 TB the codec is the only per-byte stage and the dedup
+    * topology is the text family's banded-join shape. */
+  def grayPixelsBatched(df: DataFrame, idCol: String, payloadCol: String,
+                        batchSize: Int = 64): Dataset[GrayPixels] = {
+    val session = df.sparkSession
+    import session.implicits._
+    mapBatched(df, idCol, payloadCol, batchSize)(imageioGrayPixelsBatch) {
+      case (id, _, Some((w, h, px))) => GrayPixels(id, w, h, px)
+      case (id, _, None) => GrayPixels(id, -1, -1, Seq.empty)
+    }
+  }
+
+  /** dHash halves over a row-major gray pixel array (the classic
+    * difference hash, Krawetz 2013, restated in exact integer Column
+    * arithmetic): 2×2-block sums on an 18×16 image give a 9×8 grid;
+    * bit (x, y) = blockSum(x, y) > blockSum(x+1, y) for x, y in 0..7 —
+    * 64 bits packed as TWO 32-bit halves held in BIGINTs (lo = rows
+    * 0-3, hi = rows 4-7) so neither engine touches the sign bit.
+    * Comparing SUMS instead of means keeps every step integer-exact;
+    * the SQL oracle restates this arithmetic verbatim. */
+  def dhashHalves(pixels: Column): (Column, Column) = {
+    // block j (0..71): bx = j % 9, by = j / 9; sum of the 2×2 pixel
+    // block at (2bx, 2by) — element_at is 1-based
+    val blocks = transform(sequence(lit(0), lit(71)), j => {
+      // Column `/` is fractional division — floor+cast keeps the
+      // element_at indices integer
+      val by = floor(j / 9).cast("int")
+      val base = by * 2 * 18 + (j % 9) * 2
+      element_at(pixels, base + 1) + element_at(pixels, base + 2) +
+        element_at(pixels, base + 18 + 1) + element_at(pixels, base + 18 + 2)
+    })
+    // shiftleft takes only literal shift amounts — a 32-entry power
+    // table indexed by the lambda variable keeps the packing columnar
+    val pow2 = lit((0 until 32).map(1L << _).toArray)
+    def half(rowOffset: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) => {
+        val left = (floor(i / 8).cast("int") + rowOffset) * 9 + (i % 8)
+        acc + when(
+          element_at(blocks, left + 1) > element_at(blocks, left + 2),
+          element_at(pow2, (i + 1).cast("int"))).otherwise(lit(0L))
+      })
+    (half(0), half(4))
   }
 
   // ======== audio (the second real modality through the same seam) ===

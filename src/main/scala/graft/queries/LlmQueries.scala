@@ -3415,6 +3415,124 @@ object LlmQueries extends Q.Registry {
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin)),
 
+    Q("mm9_image_near_dup",
+      "IMAGE near-dup: the multimodal family composed with the dedup " +
+        "family. Deterministic formula-generated grayscale fixtures go " +
+        "through a REAL PNG encode -> javax.imageio decode roundtrip " +
+        "(the codec leg — PNG gray8 is lossless, so decoded samples " +
+        "ARE the formula values), then everything downstream is exact " +
+        "integer COLUMN work: 2x2-block sums -> 64-bit dHash packed as " +
+        "two 32-bit halves -> 4x16-bit banded join (the SimHash " +
+        "topology — candidates meet only on a shared band, never " +
+        "all-pairs) -> exact hamming <= 6 verify. Planted: 10 " +
+        "one-pixel perturbations (hamming <= 1, so >= 3 of 4 bands " +
+        "match — banding CANNOT miss them) and 5 exact copies " +
+        "(hamming 0). The DuckDB oracle regenerates the pixels from " +
+        "the same formula and restates the hash/band/join arithmetic " +
+        "verbatim — the codec leg is proven by the roundtrip, the " +
+        "dedup legs by the hash check. At 100 TB the codec is the " +
+        "only per-byte stage (mapBatched seam); the join is band-keyed " +
+        "like dd4.",
+      (s, d) => {
+        import s.implicits._
+        def v(src: Long, x: Int, y: Int): Int =
+          ((3 * (src % 7 + 1) * x + 5 * (src % 11 + 1) * y + src) % 256).toInt
+        val ids: Seq[(Long, Long, Int)] =
+          (1L to 80L).map(i => (i, i, 0)) ++
+            (101L to 110L).map(i => (i, 8 * (i - 100), 1)) ++
+            (121L to 125L).map(i => (i, i - 120, 0))
+        val rows = ids.map { case (id, src, pert) =>
+          (id, Multimodal.grayPng(18, 16)((x, y) =>
+            if (pert == 1 && x == 0 && y == 0) (v(src, x, y) + 1) % 256
+            else v(src, x, y)))
+        }
+        val px = Multimodal
+          .grayPixelsBatched(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+          .toDF()
+        val (lo, hi) = Multimodal.dhashHalves(col("pixels"))
+        val hashes = px.filter(col("width") === 18)
+          .select(col("doc_id"), lo.as("h_lo"), hi.as("h_hi"))
+        val bands = hashes.select(col("doc_id"), col("h_lo"), col("h_hi"),
+            explode(array(
+              struct(lit(0).as("band"),
+                col("h_lo").bitwiseAND(lit(65535L)).as("band_val")),
+              struct(lit(1).as("band"),
+                shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)).as("band_val")),
+              struct(lit(2).as("band"),
+                col("h_hi").bitwiseAND(lit(65535L)).as("band_val")),
+              struct(lit(3).as("band"),
+                shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L)).as("band_val"))))
+              .as("bk"))
+          .select(col("doc_id"), col("h_lo"), col("h_hi"),
+            col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+        val a = bands.select(col("band"), col("band_val"),
+          col("doc_id").as("doc_a"), col("h_lo").as("lo_a"), col("h_hi").as("hi_a"))
+        val b = bands.select(col("band"), col("band_val"),
+          col("doc_id").as("doc_b"), col("h_lo").as("lo_b"), col("h_hi").as("hi_b"))
+        a.hint("shuffle_hash")
+          .join(b.hint("shuffle_hash"), Seq("band", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+          .dropDuplicates("doc_a", "doc_b")
+          .withColumn("hamming",
+            (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+              bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+          .filter(col("hamming") <= 6)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT id,
+          |         CASE WHEN id <= 80 THEN id
+          |              WHEN id <= 120 THEN 8*(id-100)
+          |              ELSE id-120 END AS src,
+          |         CASE WHEN id BETWEEN 101 AND 110 THEN 1 ELSE 0 END AS d
+          |  FROM (SELECT unnest(range(1, 81)) AS id
+          |        UNION ALL SELECT unnest(range(101, 111))
+          |        UNION ALL SELECT unnest(range(121, 126)))),
+          |pix AS (
+          |  SELECT m.id, xx.x, yy.y,
+          |    CASE WHEN m.d = 1 AND xx.x = 0 AND yy.y = 0
+          |         THEN ((3*(m.src%7+1)*xx.x + 5*(m.src%11+1)*yy.y + m.src) % 256 + 1) % 256
+          |         ELSE (3*(m.src%7+1)*xx.x + 5*(m.src%11+1)*yy.y + m.src) % 256 END AS v
+          |  FROM m, (SELECT unnest(range(0, 18)) AS x) xx,
+          |       (SELECT unnest(range(0, 16)) AS y) yy),
+          |blk AS (
+          |  SELECT id, x // 2 AS bx, y // 2 AS by, SUM(v) AS s
+          |  FROM pix GROUP BY id, x // 2, y // 2),
+          |bits AS (
+          |  SELECT l.id, l.bx AS x, l.by AS y, (l.s > r.s) AS bit
+          |  FROM blk l JOIN blk r ON l.id = r.id AND r.bx = l.bx + 1 AND r.by = l.by
+          |  WHERE l.bx <= 7 AND l.by <= 7),
+          |hh AS (
+          |  SELECT id,
+          |    CAST(SUM(CASE WHEN bit AND y < 4
+          |                  THEN (CAST(1 AS BIGINT) << CAST(y*8+x AS INT))
+          |                  ELSE 0 END) AS BIGINT) AS h_lo,
+          |    CAST(SUM(CASE WHEN bit AND y >= 4
+          |                  THEN (CAST(1 AS BIGINT) << CAST((y-4)*8+x AS INT))
+          |                  ELSE 0 END) AS BIGINT) AS h_hi
+          |  FROM bits GROUP BY id),
+          |bands AS (
+          |  SELECT id, h_lo, h_hi, bb.b AS band,
+          |    CASE bb.b WHEN 0 THEN h_lo & 65535
+          |              WHEN 1 THEN (h_lo >> 16) & 65535
+          |              WHEN 2 THEN h_hi & 65535
+          |              ELSE (h_hi >> 16) & 65535 END AS band_val
+          |  FROM hh, (SELECT unnest(range(0, 4)) AS b) bb),
+          |cand AS (
+          |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+          |         a.h_lo AS lo_a, a.h_hi AS hi_a, b.h_lo AS lo_b, b.h_hi AS hi_b
+          |  FROM bands a
+          |  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+          |              AND a.id < b.id)
+          |SELECT doc_a, doc_b,
+          |       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+          |FROM cand
+          |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("dd5_embedding_near_dup",
       "Embedding-cosine near-dup: planted perturbed replays detected " +
         "by pairwise cosine >= 0.99. Candidate pairs come from axis-" +

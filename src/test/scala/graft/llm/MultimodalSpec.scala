@@ -223,4 +223,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L) === ExtractedDoc(6L, "html", 18, 4, "<tag> \"q\" 'a' end."))
     for (bs <- Seq(1, 2)) assert(run(bs) === out, s"batchSize=$bs")
   }
+
+  test("mm9 dHash pipeline: PNG roundtrip is pixel-lossless, planted one-pixel " +
+    "near-dups land at hamming <= 1 and exact copies at 0, both found by banding; " +
+    "undecodable payloads dead-letter") {
+    import spark.implicits._
+    def v(src: Long, x: Int, y: Int): Int =
+      ((3 * (src % 7 + 1) * x + 5 * (src % 11 + 1) * y + src) % 256).toInt
+    // roundtrip: decode(grayPng(f)) == f on the full grid
+    val png = Multimodal.grayPng(18, 16)((x, y) => v(7L, x, y))
+    val Some((w, h, px)) = Multimodal.imageioGrayPixelsBatch(Seq(png)).head
+    assert((w, h) == (18, 16))
+    for (y <- 0 until 16; x <- 0 until 18)
+      assert(px(y * 18 + x) == v(7L, x, y), s"pixel ($x,$y) not lossless")
+    // planted pairs: near-dup (one pixel +1) and exact copy
+    val rows = Seq(
+      (1L, Multimodal.grayPng(18, 16)((x, y) => v(1L, x, y))),
+      (2L, Multimodal.grayPng(18, 16)((x, y) =>
+        if (x == 0 && y == 0) (v(1L, x, y) + 1) % 256 else v(1L, x, y))),
+      (3L, Multimodal.grayPng(18, 16)((x, y) => v(1L, x, y))),
+      (4L, Multimodal.grayPng(18, 16)((x, y) => v(23L, x, y))),
+      (5L, Array[Byte](1, 2, 3)) // undecodable -> dead-letter
+    ).toDF("doc_id", "payload")
+    val decoded = Multimodal.grayPixelsBatched(rows, "doc_id", "payload").toDF()
+    assert(decoded.filter(col("width") === -1).select("doc_id")
+      .as[Long].collect().toSeq == Seq(5L), "truncated payload must dead-letter")
+    val (lo, hi) = Multimodal.dhashHalves(col("pixels"))
+    val hs = decoded.filter(col("width") === 18)
+      .select(col("doc_id"), lo.as("h_lo"), hi.as("h_hi"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(hs(1L), hs(3L)) == 0, "exact copy must hash identically")
+    assert(ham(hs(1L), hs(2L)) <= 1,
+      s"one-pixel perturbation flips at most dHash bit (0,0): ${ham(hs(1L), hs(2L))}")
+    // halves hold 32 bits each -> never negative, never above 2^32-1
+    hs.values.foreach { case (l, hh) =>
+      assert(l >= 0L && l < (1L << 32) && hh >= 0L && hh < (1L << 32)) }
+    // banding guarantee: hamming <= 1 differs in at most one of the four
+    // 16-bit bands, so the banded join CANNOT miss the planted pairs
+    val found = graft.SparkEntry.queries("mm9_image_near_dup")(spark, "unused")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (101L to 110L).foreach { id =>
+      assert(found.contains((8 * (id - 100), id)), s"planted near-dup ($id) missed") }
+    (121L to 125L).foreach { id =>
+      assert(found.contains((id - 120, id)), s"planted exact copy ($id) missed") }
+  }
 }
