@@ -54,6 +54,7 @@ object Bench {
     "st12_substr_dedup_versioned", // versioned-table substr-dedup stream, same
     "st13_stream_funnel",         // two-trigger funnel-state stream, same
     "st14_stream_funnel_late",    // four-trigger buffered funnel, same
+    "st15_stream_ann_topk",       // foreachBatch ANN serving stream, same
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier", // IRLS fit runs at plan build
     "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build

@@ -73,7 +73,8 @@ object ExplainFit {
         "st7_stream_substring_dedup", "st8_stream_distinct_sketch",
         "st9_stream_quantile_sketch", "st10_stream_sessionize",
         "st11_stream_heavy_hitters", "st12_substr_dedup_versioned",
-        "st13_stream_funnel", "st14_stream_funnel_late")) {
+        "st13_stream_funnel", "st14_stream_funnel_late",
+        "st15_stream_ann_topk")) {
       val df = SparkEntry.queries(name)(spark, sfDir) // runs the bounded stream
       val batch = queries.IngestQueries.lastStreamPlan
         .getOrElse(sys.error(s"$name left no captured micro-batch plan"))

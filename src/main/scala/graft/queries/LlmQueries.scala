@@ -2388,7 +2388,58 @@ object LlmQueries extends Q.Registry {
             Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      Some(
+      Some(ss7OracleSql)),
+
+    Q("st15_stream_ann_topk",
+      "Vector-search SERVING as a stream — ANN queries arrive as an " +
+        "unbounded micro-batch stream and are answered against the " +
+        "STATIC corpus with ss7's exact int8-coarse -> float-refine " +
+        "chain, per trigger inside foreachBatch (per-query top-k is " +
+        "batch-local, so micro-batch results append with no cross-" +
+        "batch merge — the st4 staged-partials shape minus the " +
+        "re-aggregation). Per-query top-k needs a rank window, which " +
+        "append-mode streaming forbids on the unbounded frame and " +
+        "foreachBatch prices correctly: rank over the batch's own " +
+        "queries only. In production the quantized corpus is the " +
+        "STORED ss6 table and serving latency is the trigger cadence; " +
+        "here both derive from the same fixture frame. Oracle: ss7's " +
+        "identical SQL — the stream must reproduce the batch ANN " +
+        "answer bit-for-bit, which prices the stream machinery at " +
+        "exactly zero result drift.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qStream = IngestQueries
+          .boundedTableStream(s, d, "embeddings.parquet")
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val stage = java.nio.file.Files.createTempDirectory("graft_st15_")
+        val outDir = stage.resolve("topk").toString
+        val q = qStream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", stage.resolve("ckpt").toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.llm.Similarity.int8RefineTopK(emb, "vec_id", "embedding",
+                b, "q_id", "q_vec", shortlist = 20, k = 5)
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        IngestQueries.capturePlanWhileActive(q)
+        graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
+        // topk/ outlives the returned frame's lazy read — one live
+        // stage tree per query name (the st7/st12 cleanup policy)
+        graft.LocalRun.deleteOnExitSlot("st15_stage", stage)
+        s.read.parquet(outDir)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ss7OracleSql)),
+    ) ++ allTail
+
+  /** ss7's full-chain restatement, shared verbatim by st15 (the
+    * streamed serving form must reproduce the batch answer exactly). */
+  private val ss7OracleSql: String =
         """WITH qz AS (
           |  SELECT vec_id,
           |    list_transform(embedding, x ->
@@ -2430,8 +2481,11 @@ object LlmQueries extends Q.Registry {
           |                            ORDER BY cos_sim DESC, vec_id) AS rank
           |  FROM ref)
           |SELECT * FROM ranked WHERE rank <= 5
-          |ORDER BY query_id, rank""".stripMargin)),
+          |ORDER BY query_id, rank""".stripMargin
 
+  // lazy: `all` is initialized first in declaration order and
+  // concatenates this — a strict val would still be null at that point
+  private lazy val allTail: Seq[Q] = Seq(
     Q("ss8_ivf_int8_topk",
       "IVF x int8 -> exact-refine top-3: ss2's cell pruning COMPOSED " +
         "with ss7's quantized candidate generation — the two " +
