@@ -385,7 +385,14 @@ object Multimodal {
     * 64 bits packed as TWO 32-bit halves held in BIGINTs (lo = rows
     * 0-3, hi = rows 4-7) so neither engine touches the sign bit.
     * Comparing SUMS instead of means keeps every step integer-exact;
-    * the SQL oracle restates this arithmetic verbatim. */
+    * the SQL oracle restates this arithmetic verbatim.
+    *
+    * CONTRACT: `pixels` must be a row-major 18×16 (288-element) array —
+    * the block indexing is hardwired to that grid. Callers must filter
+    * on BOTH decoded dimensions first (mm9 does): a shorter array makes
+    * element_at return null, null comparisons pack as 0-bits, and two
+    * wrong-sized images would band-collide as a false duplicate pair
+    * instead of dead-lettering. */
   def dhashHalves(pixels: Column): (Column, Column) = {
     // block j (0..71): bx = j % 9, by = j / 9; sum of the 2×2 pixel
     // block at (2bx, 2by) — element_at is 1-based

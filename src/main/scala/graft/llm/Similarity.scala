@@ -440,6 +440,11 @@ object Similarity {
     val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
+      // null distance (malformed / wrong-dimension query) sorts FIRST
+      // under the ascending window — drop it so a bad query falls out
+      // of the index instead of probing arbitrary cells (same guard
+      // and reason as ivfPqTopK's)
+      .filter(col("cell_dist").isNotNull)
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col(qIdCol),

@@ -402,11 +402,11 @@ object LlmQueries extends Q.Registry {
     * magnitude under the corpus — cacheable at any scale the dedup
     * result itself is usable at. The bench_scale dd_groups/dd_star
     * legs deliberately RE-RUN the pipeline (documented there) so the
-    * end-to-end scale cost stays measured. */
-  private val verifiedPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * end-to-end scale cost stays measured. Goes through [[cachedFrame]]
+    * so dead-session entries are purged (the r8 ADVICE retention
+    * pathology a bare per-session map would re-introduce). */
   private def verifiedPairsShared(s: SparkSession, d: String): DataFrame =
-    verifiedPairsMemo.computeIfAbsent((s, d), _ => verifiedPairs(s, d).cache())
+    cachedFrame(s, "verified_pairs", d)(verifiedPairs(s, d))
 
   /** DuckDB mirror of [[verifiedPairs]] as a WITH prefix ending in the
     * `verified(doc_a, doc_b, jaccard)` CTE. */
@@ -3521,7 +3521,11 @@ object LlmQueries extends Q.Registry {
           .grayPixelsBatched(rows.toDF("doc_id", "payload"), "doc_id", "payload")
           .toDF()
         val (lo, hi) = Multimodal.dhashHalves(col("pixels"))
-        val hashes = px.filter(col("width") === 18)
+        // BOTH dimensions gate the hash: dhashHalves' indexing assumes
+        // the 18x16 grid, and a decodable wrong-sized image would
+        // otherwise pack null comparisons as 0-bits and band-collide
+        // as a false near-dup instead of dead-lettering
+        val hashes = px.filter(col("width") === 18 && col("height") === 16)
           .select(col("doc_id"), lo.as("h_lo"), hi.as("h_hi"))
         val bands = hashes.select(col("doc_id"), col("h_lo"), col("h_hi"),
             explode(array(

@@ -119,8 +119,15 @@ object FunnelStream {
          state: GroupState[Array[Long]]) => {
           // state slot k (beyond the anchors) = max event time seen,
           // the cross-trigger in-order sentinel; emissions carry only
-          // the k anchor slots
-          val t = state.getOption.getOrElse(Array.fill(k + 1)(0L))
+          // the k anchor slots. A checkpoint written by the pre-
+          // sentinel version holds k-long arrays — pad instead of
+          // crashing on t(k) (the sentinel starts life as "nothing
+          // seen", exactly right for migrated state)
+          val t = state.getOption match {
+            case Some(a) if a.length == k => a ++ Array(0L)
+            case Some(a) => a
+            case None => Array.fill(k + 1)(0L)
+          }
           val evs = rows.toArray
           scala.util.Sorting.stableSort(evs,
             (a: (Long, Long, String), b: (Long, Long, String)) => a._2 < b._2)

@@ -171,7 +171,7 @@ class FunnelStreamSpec extends SparkSpec {
     val emits = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
     val q = FunnelStream
       .stageTimesBuffered(input.toDF(), "user_id", "ts", "event_type",
-        stages, windowHours = 24, delayThreshold = "10 days")
+        stages, windowHours = 24, delayThreshold = delay)
       .toDF("user", "t")
       .writeStream
       .option("checkpointLocation",
