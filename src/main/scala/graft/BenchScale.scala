@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import graft.ops.Windows
 
 /** Scale-up stress bench: measures how the engine's data-dominated
@@ -125,6 +125,11 @@ import graft.ops.Windows
   *                 replicas ⇒ identical rates by arithmetic);
   *  - w_sessionize: w7's gap sessionization + rollup on replica-unique
   *                 users — session rows REQUIREd exactly ×f;
+  *  - mm_imagededup: mm9's dHash + banded-hamming image dedup with the
+  *                 formula pixels computed in executors (the codec leg
+  *                 is priced elsewhere) — replicas get distinct
+  *                 gradient families and the 15 planted pairs per
+  *                 replica are REQUIREd recovered exactly ×f;
   *  - x_ranktest:  x18+x19's midrank tests — the distinct-value
   *                 HISTOGRAM state and the 25-group outputs REQUIREd
   *                 CONSTANT while rows grow ×f (the value-universe
@@ -954,7 +959,78 @@ object BenchScale {
         val kwN = graft.stats.StatTests.kruskalWallis(d, "v", "seg", "g")
           .agg(count(lit(1)), sum("h")).head().getLong(0)
         histRows + mwN + kwN
-      }, Constant))
+      }, Constant),
+      ("mm_imagededup", (f: Int) => {
+        // mm9's ENGINE shape at ×f: the formula pixels are computed in
+        // executors as Column arithmetic (the PNG codec leg is priced
+        // by mm9 itself / ProbeStreamFixed's seam; this leg measures
+        // the dedup topology — dHash packing + 4×16-bit banded
+        // self-join + hamming verify — the part that must survive
+        // 100×). Replicas get DISTINCT gradient families (a
+        // rep-dependent pixel term), so cross-replica band collisions
+        // are incidental and the PLANTED structure — 10 one-pixel
+        // near-dups + 5 exact copies per replica — is the REQUIREd
+        // linear invariant: the returned value counts exactly the
+        // planted pairs recovered, 15 per replica, and banding cannot
+        // miss them (hamming ≤ 1 ⇒ ≥ 3 of 4 bands equal).
+        val n = 95
+        val m = session.range(f.toLong * n).select(
+            (col("id") % n).as("slot"),
+            // Column `/` is fractional — floor to the replica index
+            floor(col("id") / n).cast("long").as("rep"))
+          .withColumn("lid",
+            when(col("slot") < 80, col("slot") + 1)
+              .when(col("slot") < 90, lit(100) + (col("slot") - 79))
+              .otherwise(lit(120) + (col("slot") - 89)))
+          .withColumn("src",
+            when(col("lid") <= 80, col("lid"))
+              .when(col("lid") <= 120, (col("lid") - 100) * 8)
+              .otherwise(col("lid") - 120))
+          .withColumn("pert", col("lid").between(101, 110))
+          .withColumn("doc_id", col("rep") * 1000 + col("lid"))
+        val px = m.withColumn("pixels",
+          transform(sequence(lit(0), lit(287)), i => {
+            val x = i % 18
+            val y = floor(i / 18).cast("int")
+            val base = (lit(3) * (col("src") % 7 + 1) * x +
+              lit(5) * (col("src") % 11 + 1) * y + col("src") +
+              lit(17) * col("rep") * (x + y + 1)) % 256
+            when(col("pert") && i === 0, (base + 1) % 256).otherwise(base)
+          }))
+        val (lo, hi) = Multimodal.dhashHalves(col("pixels"))
+        val hashes = px.select(col("doc_id"), lo.as("h_lo"), hi.as("h_hi"))
+        val bands = hashes.select(col("doc_id"), col("h_lo"), col("h_hi"),
+            explode(array(
+              struct(lit(0).as("band"),
+                col("h_lo").bitwiseAND(lit(65535L)).as("band_val")),
+              struct(lit(1).as("band"),
+                shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)).as("band_val")),
+              struct(lit(2).as("band"),
+                col("h_hi").bitwiseAND(lit(65535L)).as("band_val")),
+              struct(lit(3).as("band"),
+                shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L)).as("band_val"))))
+              .as("bk"))
+          .select(col("doc_id"), col("h_lo"), col("h_hi"),
+            col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+        val a = bands.select(col("band"), col("band_val"),
+          col("doc_id").as("doc_a"), col("h_lo").as("lo_a"), col("h_hi").as("hi_a"))
+        val b = bands.select(col("band"), col("band_val"),
+          col("doc_id").as("doc_b"), col("h_lo").as("lo_b"), col("h_hi").as("hi_b"))
+        val pairs = a.hint("shuffle_hash")
+          .join(b.hint("shuffle_hash"), Seq("band", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+          .dropDuplicates("doc_a", "doc_b")
+          .filter(bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) <= 6)
+        // expected planted pairs per replica: (8j, 100+j) j=1..10 and
+        // (j, 120+j) j=1..5, both lifted by rep*1000
+        val planted = m.filter(col("lid") > 100).select(
+          (col("rep") * 1000 + col("src")).as("doc_a"),
+          col("doc_id").as("doc_b"))
+        pairs.join(planted.hint("shuffle_hash"), Seq("doc_a", "doc_b"))
+          .count()
+      }, Linear))
       .filter { case (name, _, _) => legFilter.forall(_.contains(name)) }
 
     val times = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
