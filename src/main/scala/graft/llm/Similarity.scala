@@ -364,8 +364,16 @@ object Similarity {
       .withColumn("__q_norm", norm(col("__q_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
-    shortlist.select("query_id", "neighbor_id")
-      .join(cn.hint("shuffle_hash"), Seq("neighbor_id"))
+    // BROADCAST the shortlist (|queries|·shortlist id pairs — bounded
+    // small like the query set itself): the corpus side then streams
+    // past it map-side and only shortlist hits ever materialize their
+    // float vector. The prior shuffle_hash form exchanged the ENTIRE
+    // float corpus on neighbor_id to serve a handful of lookups — the
+    // one corpus-wide shuffle in the refine family, visible in the r14
+    // ss9 plan dump and exactly what the stored-table scan-envelope
+    // claim must not pay at 100 TB.
+    cn.join(broadcast(shortlist.select("query_id", "neighbor_id")),
+        Seq("neighbor_id"))
       .join(broadcast(qn), Seq("query_id"))
       .withColumn("cos_sim",
         dotD(col("__q_vec"), col("__n_vec")) / (col("__q_norm") * col("__c_norm")))
@@ -396,19 +404,126 @@ object Similarity {
   def int8RefineTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      shortlist: Int, k: Int): DataFrame = {
+    val quantCorpus = corpus
+      .select(col(idCol),
+        int8Quantize(col(vecCol), int8Scale(col(vecCol))).as("__q8"))
+    int8RefineTopKStored(quantCorpus, idCol, "__q8",
+      corpus.select(col(idCol), col(vecCol)), vecCol,
+      queries, qIdCol, qVecCol, shortlist, k)
+  }
+
+  /** [[int8RefineTopK]] against an ALREADY-QUANTIZED corpus — the
+    * stored-table serving form (ss9/st15): `quantCorpus` is the
+    * persisted int8 table (idCol + an ARRAY<TINYINT> column, e.g. a
+    * parquet table written once by [[int8Quantize]]), and the coarse
+    * pass scans ONLY it — the plan's corpus-side ReadSchema carries no
+    * float vector column, which at 100 TB is the whole point: the scan
+    * envelope is the 4×-smaller stored bytes (ss6 measured ≤ 40% on
+    * disk), and `corpus`'s float vectors are touched exclusively by
+    * the |queries|·shortlist keyed point-lookups of the refine join.
+    * Because [[int8Quantize]] is deterministic and tinyint survives a
+    * parquet roundtrip exactly, this is hash-identical to
+    * [[int8RefineTopK]]'s in-session quantization (the dd11
+    * persisted-signature-table precedent, proven by ss9 sharing ss7's
+    * oracle). Queries quantize in-session — they are the small side. */
+  def int8RefineTopKStored(quantCorpus: DataFrame, idCol: String, q8Col: String,
+                           corpus: DataFrame, vecCol: String,
+                           queries: DataFrame, qIdCol: String, qVecCol: String,
+                           shortlist: Int, k: Int): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) — the refine pass only reorders")
-    def quant(df: DataFrame, vec: String, out: String): DataFrame = df
-      .withColumn("__s", int8Scale(col(vec)))
-      .withColumn(out, int8AsDouble(int8Quantize(col(vec), col("__s"))))
-      .drop("__s")
-    val qCorpus = quant(corpus.select(col(idCol), col(vecCol)), vecCol, "__qv")
-      .select(col(idCol), col("__qv"))
-    val qQueries = quant(queries.select(col(qIdCol), col(qVecCol)), qVecCol, "__q_qv")
-      .select(col(qIdCol), col("__q_qv"))
+    val qCorpus = quantCorpus
+      .select(col(idCol), int8AsDouble(col(q8Col)).as("__qv"))
+    val qQueries = queries
+      .select(col(qIdCol),
+        int8AsDouble(int8Quantize(col(qVecCol), int8Scale(col(qVecCol))))
+          .as("__q_qv"))
     val coarse = bruteForceTopK(qCorpus, idCol, "__qv",
       qQueries, qIdCol, "__q_qv", shortlist)
     pqRefineTopK(coarse, corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+  }
+
+  // ---- int8 shortlist planning (r13 verdict ask #4) ----------------------
+  // The refine pass recovers a true top-k neighbor only if the coarse
+  // quantized ranking placed it within `shortlist` — so coarse
+  // recall@k AT depth `shortlist` IS refined recall@k, and picking the
+  // shortlist is picking a quantile of the quantized-rank distribution
+  // of true neighbors. That distribution depends on the corpus's score
+  // geometry (how densely similarities crowd the k-th score) as much
+  // as on the quantization noise, so — the lshPlan precedent, but
+  // measured rather than modeled — the plan MEASURES it on a bounded
+  // deterministic query sample (the pqTrainCodebooks sampling move)
+  // and reads the shortlist off the empirical CDF. Deterministic end
+  // to end: md5-smallest sample ids, integer quantized scores,
+  // id-tiebroken ranks.
+
+  /** The quantized-coarse rank of every TRUE top-k neighbor, for a
+    * bounded deterministic sample of `sampleN` queries (md5-smallest
+    * ids — layout- and run-invariant): one value per (sample query,
+    * exact top-k neighbor) pair, ≤ sampleN·k ints collected
+    * driver-side (bounded by construction at any corpus size; the
+    * only non-distributed step). The scoring pass is one broadcast
+    * cross of the sample against the corpus — sampleN·|corpus| scored
+    * rows, a plan-time cost, not a serving cost. */
+  def int8TrueNeighborRanks(corpus: DataFrame, idCol: String, vecCol: String,
+                            k: Int, sampleN: Int): Array[Int] = {
+    require(k >= 1 && sampleN >= 1,
+      s"k/sampleN must be positive, got k=$k sampleN=$sampleN")
+    val queries = corpus
+      .select(col(idCol).as("__plan_qid"), col(vecCol).as("__plan_qvec"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"))
+      .limit(sampleN)
+      .select(col("__plan_qid"), col("__plan_qvec"))
+    val exact = bruteForceTopK(corpus, idCol, vecCol,
+        queries, "__plan_qid", "__plan_qvec", k)
+      .select(col("query_id"), col("neighbor_id"))
+    def quant(c: Column): Column = int8AsDouble(int8Quantize(c, int8Scale(c)))
+    val corpusQ = corpus
+      .select(col(idCol), quant(col(vecCol)).as("__qv"))
+      .withColumn("__c_qnorm", norm(col("__qv")))
+      .filter(col("__c_qnorm") > 0) // ivfInt8RefineTopK's zero-norm guard
+    val queriesQ = queries
+      .select(col("__plan_qid"), quant(col("__plan_qvec")).as("__q_qv"))
+      .withColumn("__q_qnorm", norm(col("__q_qv")))
+      .filter(col("__q_qnorm") > 0)
+    val w = Window.partitionBy("__plan_qid").orderBy(desc("q_sim"), col(idCol))
+    val ranked = corpusQ.crossJoin(broadcast(queriesQ))
+      .filter(col(idCol) =!= col("__plan_qid"))
+      .withColumn("q_sim",
+        dotD(col("__q_qv"), col("__qv")) / (col("__q_qnorm") * col("__c_qnorm")))
+      .withColumn("q_rank", row_number().over(w))
+      .select(col("__plan_qid").as("query_id"), col(idCol).as("neighbor_id"),
+        col("q_rank"))
+    exact.join(ranked, Seq("query_id", "neighbor_id"))
+      .select(col("q_rank"))
+      .collect()
+      .map(_.getInt(0))
+  }
+
+  /** Coarse (≡ refined) recall@k at depth `shortlist`: the empirical
+    * CDF of [[int8TrueNeighborRanks]] — non-decreasing in `shortlist`
+    * by construction (spec-pinned). */
+  def int8CoarseRecallAt(ranks: Array[Int], shortlist: Int): Double = {
+    require(ranks.nonEmpty, "no measured ranks — sample the corpus first")
+    ranks.count(_ <= shortlist).toDouble / ranks.length
+  }
+
+  /** The SMALLEST shortlist whose measured recall meets `targetRecall`
+    * on the sample (floored at k — the refine pass needs at least k
+    * candidates). If even a corpus-wide shortlist can't reach the
+    * target on the sample (it always can when targetRecall ≤ 1: rank
+    * max(ranks) gives recall 1), the max measured rank is returned. */
+  def int8ShortlistFor(ranks: Array[Int], k: Int, targetRecall: Double): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(ranks.nonEmpty, "no measured ranks — sample the corpus first")
+    val sorted = ranks.sorted
+    // smallest s with |{r <= s}| / n >= target  ⇔  s = the ceil(target·n)-th
+    // smallest rank (1-based) — an exact order statistic, no search
+    val need = math.min(sorted.length,
+      math.max(1, math.ceil(targetRecall * sorted.length - 1e-9).toInt))
+    math.max(k, sorted(need - 1))
   }
 
   /** IVF × int8 → exact-refine top-k (ss8): [[ivfTopK]]'s cell pruning
@@ -452,6 +567,12 @@ object Similarity {
           .as("__q_qv"),
         col(cellCol))
       .withColumn("__q_qnorm", norm(col("__q_qv")))
+      // an all-zero (or zero-scale) vector quantizes to a zero norm —
+      // q_sim would be a null/NaN division whose window position is
+      // engine-dependent; drop it like the null cell_dist above so the
+      // public seam stays oracle-stable for arbitrary inputs
+      // (r13 ADVICE)
+      .filter(col("__q_qnorm") > 0)
     // the only corpus-wide work: quantized vectors of the probed cells
     // (in production the int8 column is the STORED one — ss6 — and this
     // projection never touches the float column)
@@ -460,6 +581,8 @@ object Similarity {
         int8AsDouble(int8Quantize(col(vecCol), int8Scale(col(vecCol))))
           .as("__qv"))
       .withColumn("__c_qnorm", norm(col("__qv")))
+      // same zero-norm guard, corpus side
+      .filter(col("__c_qnorm") > 0)
     val w = Window.partitionBy(qIdCol).orderBy(desc("q_sim"), col(idCol))
     val coarse = qCorpus.join(broadcast(probes), Seq(cellCol))
       .filter(col(idCol) =!= col(qIdCol))

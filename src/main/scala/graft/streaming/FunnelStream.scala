@@ -122,10 +122,20 @@ object FunnelStream {
           // the k anchor slots. A checkpoint written by the pre-
           // sentinel version holds k-long arrays — pad instead of
           // crashing on t(k) (the sentinel starts life as "nothing
-          // seen", exactly right for migrated state)
+          // seen", exactly right for migrated state). ANY other length
+          // means the stage list changed across a checkpointed deploy:
+          // slot meanings no longer line up (e.g. an old sentinel slot
+          // would be read as an anchor), so fail fast with a clear
+          // error instead of the r13 fall-through's eventual
+          // ArrayIndexOutOfBounds deep in the fold (r13 ADVICE)
           val t = state.getOption match {
+            case Some(a) if a.length == k + 1 => a
             case Some(a) if a.length == k => a ++ Array(0L)
-            case Some(a) => a
+            case Some(a) => throw new IllegalStateException(
+              s"incompatible funnel checkpoint for user $user: expected " +
+                s"${k + 1} state slots (or the pre-sentinel $k), found " +
+                s"${a.length} — the stage list changed across a " +
+                "checkpointed deploy; restart with a fresh checkpoint")
             case None => Array.fill(k + 1)(0L)
           }
           val evs = rows.toArray

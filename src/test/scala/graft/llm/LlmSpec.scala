@@ -253,6 +253,95 @@ class LlmSpec extends SparkSpec {
       s"refined scores diverge from exact cosine: ${mismatches.take(3).toSeq}")
   }
 
+  test("int8RefineTopKStored: the persisted tinyint table serves results " +
+    "identical to in-session quantization, and the serving scan reads " +
+    "ONLY (id, tinyint array) — scale pruned, no float column (ss9)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0L until 200L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_ss9_spec_")
+    try {
+      val table = stage.resolve("int8").toString
+      emb.select(col("vec_id"),
+          Similarity.int8Quantize(col("embedding"),
+            Similarity.int8Scale(col("embedding"))).as("q8"),
+          Similarity.int8Scale(col("embedding")).cast("float").as("scale"))
+        .write.mode("overwrite").parquet(table)
+      val fromStored = Similarity.int8RefineTopKStored(
+        spark.read.parquet(table), "vec_id", "q8",
+        emb, "embedding", queries, "q_id", "q_vec", shortlist = 20, k = 5)
+      val inSession = Similarity.int8RefineTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", shortlist = 20, k = 5)
+      def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(rowsOf(fromStored) === rowsOf(inSession),
+        "stored-table serving must be hash-identical to in-session quantization")
+      // the ONLY file scan in the stored plan is the int8 parquet; its
+      // ReadSchema must carry the tinyint array and neither the pruned
+      // scale column nor any float vector — the 100 TB scan envelope
+      val readSchemas = fromStored.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(readSchemas.nonEmpty, "expected a parquet scan in the stored plan")
+      readSchemas.foreach { l =>
+        assert(l.contains("array<tinyint>"), s"serving scan not tinyint: $l")
+        assert(!l.contains("float"), s"serving scan reads a float column: $l")
+        assert(!l.contains("scale"), s"serving scan reads the pruned scale: $l")
+      }
+    } finally graft.LocalRun.deleteRecursively(stage)
+  }
+
+  test("int8 shortlist plan: recall CDF monotone, int8ShortlistFor minimal " +
+    "for its target, and the planned depth hits the target end-to-end " +
+    "on the sample queries (r13 ask #4)") {
+    // unit points on a crafted rank multiset
+    val ranks = Array(1, 1, 2, 3, 5, 8, 8, 13, 21, 40)
+    val k = 5
+    val cdf = (1 to 45).map(s => Similarity.int8CoarseRecallAt(ranks, s))
+    assert(cdf.zip(cdf.tail).forall { case (a, b) => a <= b },
+      "recall CDF must be non-decreasing in shortlist")
+    assert(Similarity.int8CoarseRecallAt(ranks, 8) === 0.7)
+    for (t <- Seq(0.1, 0.5, 0.7, 0.9, 1.0)) {
+      val s = Similarity.int8ShortlistFor(ranks, k, t)
+      assert(Similarity.int8CoarseRecallAt(ranks, s) >= t,
+        s"planned shortlist $s misses target $t")
+      assert(s == k || Similarity.int8CoarseRecallAt(ranks, s - 1) < t,
+        s"planned shortlist $s not minimal for target $t")
+    }
+    // end-to-end: plan on the seeded corpus, then run the refine chain
+    // at the planned depth AGAINST THE SAMPLE QUERIES — recall must be
+    // exactly the CDF the plan promised (here target 1.0)
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map(i =>
+      (i, Seq.fill(16)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val sampleN = 8
+    val measured = Similarity.int8TrueNeighborRanks(emb, "vec_id", "embedding",
+      k, sampleN)
+    assert(measured.length === sampleN * k)
+    assert(measured.forall(_ >= 1))
+    val planned = Similarity.int8ShortlistFor(measured, k, 1.0)
+    // the same md5-smallest sample the plan measured
+    val sampleQ = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string")).as("__h"))
+      .orderBy("__h").limit(sampleN)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        sampleQ, "q_id", "q_vec", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refined = Similarity.int8RefineTopK(emb, "vec_id", "embedding",
+        sampleQ, "q_id", "q_vec", shortlist = planned, k = k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(refined === exact,
+      s"planned shortlist $planned should give recall 1.0 on the sample")
+  }
+
   test("int8 storage claim measured: quantized parquet <= 40% of float32 parquet") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 2000L).map(i =>

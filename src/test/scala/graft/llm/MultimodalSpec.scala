@@ -269,4 +269,29 @@ class MultimodalSpec extends SparkSpec {
     (121L to 125L).foreach { id =>
       assert(found.contains((id - 120, id)), s"planted exact copy ($id) missed") }
   }
+
+  test("mm10 incremental image near-dup: the new batch against the persisted " +
+    "dHash band index finds every planted new-vs-existing and new-vs-new " +
+    "pair with the right side label (the dd11 replay pattern on images)") {
+    import spark.implicits._
+    val out = graft.SparkEntry
+      .queries("mm10_image_near_dup_incremental")(spark, "unused")
+      .select("new_doc", "matched_doc", "matched_side")
+      .as[(Long, Long, String)].collect().toSet
+    // 10 one-pixel perturbations of existing 8, 16, …, 80
+    (201L to 210L).foreach { id =>
+      assert(out.contains((id, 8 * (id - 200), "existing")),
+        s"planted perturbed replay $id missed") }
+    // 5 exact copies + 5 perturbed copies of existing 1, 3, 5, 7, 9
+    (221L to 225L).foreach { id =>
+      assert(out.contains((id, 2 * (id - 220) - 1, "existing")),
+        s"planted exact copy $id missed") }
+    (231L to 235L).foreach { id =>
+      assert(out.contains((id, 2 * (id - 230) - 1, "existing")),
+        s"planted perturbed copy $id missed") }
+    // the new-vs-new arm: copy k pairs with its perturbed sibling
+    (0 until 5).foreach { k =>
+      assert(out.contains((221L + k, 231L + k, "new")),
+        s"new-vs-new pair ${221 + k}/${231 + k} missed") }
+  }
 }
