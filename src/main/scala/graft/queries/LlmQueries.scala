@@ -864,6 +864,35 @@ object LlmQueries extends Q.Registry {
       .select(col("doc_id"), lo.as("h_lo"), hi.as("h_hi"))
   }
 
+  /** The Gopher TEXT-LEVEL quality columns shared by llm4 and llm5 —
+    * ONE definition so the two chains cannot drift (r14 self-review;
+    * thresholds in [[gopherBaseKeep]] are the chain constants tx20
+    * documents vs the paper's web-page 50/2). Unused columns prune
+    * away under Catalyst, so llm5 paying for llm4's extra ratios here
+    * costs nothing. */
+  private def gopherQualityCols(df: DataFrame): DataFrame = df
+    .withColumn("ws", TextOps.words(col("text")))
+    .withColumn("n_words", size(col("ws")).cast("long"))
+    .withColumn("sum_wl",
+      aggregate(col("ws"), lit(0L), (a, w) => a + length(w)))
+    .withColumn("hash_ratio",
+      TextOps.hashWordRatio(col("text"), col("ws")))
+    .withColumn("ellipsis_ratio",
+      TextOps.ellipsisWordRatio(col("text"), col("ws")))
+    .withColumn("alpha_frac", TextOps.alphaWordFrac(col("ws")))
+    .withColumn("stop_hits", TextOps.gopherStopHits(col("ws")).cast("int"))
+
+  /** The base Gopher keep predicate over [[gopherQualityCols]]'
+    * columns: word-count band, mean word length, alphabetic fraction,
+    * stop-word minimum. llm4 adds the hash/ellipsis ratio terms, llm5
+    * the tx17 blocklist. */
+  private def gopherBaseKeep: org.apache.spark.sql.Column = {
+    val meanWl = col("sum_wl").cast("double") / col("n_words").cast("double")
+    col("n_words").between(30, 100000) &&
+      meanWl >= 3.0 && meanWl <= 10.0 &&
+      col("alpha_frac") >= 0.8 && col("stop_hits") >= 1
+  }
+
   /** The PERSISTED dHash band index of mm10's existing image corpus
     * (ids 1-80), written once per JVM — dd11's persisted-signature
     * pattern on image fingerprints: schema (band, band_val, doc_id,
@@ -3703,13 +3732,16 @@ object LlmQueries extends Q.Registry {
         "like dd4.",
       (s, d) => {
         // banding + verify live in ops/BandedHamming since r14 (the
-        // dd4-shape helper mm10's incremental form shares)
+        // dd4-shape helper mm10's incremental form shares); the hash
+        // frame is cached — selfPairs reads it through both join arms,
+        // and the PNG decode must run once, not twice
         val ids: Seq[(Long, Long, Int)] =
           (1L to 80L).map(i => (i, i, 0)) ++
             (101L to 110L).map(i => (i, 8 * (i - 100), 1)) ++
             (121L to 125L).map(i => (i, i - 120, 0))
+        val hashes = cachedFrame(s, "mm9_hashes", d)(imageHashes(s, ids))
         graft.ops.BandedHamming
-          .selfPairs(imageHashes(s, ids), "doc_id", "h_lo", "h_hi", 6)
+          .selfPairs(hashes, "doc_id", "h_lo", "h_hi", 6)
           .orderBy("doc_a", "doc_b")
       },
       Some(
@@ -3791,8 +3823,11 @@ object LlmQueries extends Q.Registry {
           (201L to 210L).map(i => (i, 8 * (i - 200), 1)) ++
             (221L to 225L).map(i => (i, 2 * (i - 220) - 1, 0)) ++
             (231L to 235L).map(i => (i, 2 * (i - 230) - 1, 1))
+        // cached: incrementalPairs reads the batch through three plan
+        // arms, and the batch's codec work must run once, not thrice
+        val nw = cachedFrame(s, "mm10_new_hashes", d)(imageHashes(s, newIds))
         graft.ops.BandedHamming.incrementalPairs(index,
-            imageHashes(s, newIds), "doc_id", "h_lo", "h_hi", 6)
+            nw, "doc_id", "h_lo", "h_hi", 6)
           .orderBy("new_doc", "matched_doc", "matched_side")
       },
       Some(
@@ -4827,23 +4862,9 @@ object LlmQueries extends Q.Registry {
             // corpus-sized ⋈ corpus-sized — shuffle_hash, never SMJ
             .join(base.select("doc_id", "lang").hint("shuffle_hash"),
               Seq("doc_id")))
-        val qm = cleaned
-          .withColumn("ws", TextOps.words(col("text")))
-          .withColumn("n_words", size(col("ws")).cast("long"))
-          .withColumn("sum_wl",
-            aggregate(col("ws"), lit(0L), (a, w) => a + length(w)))
-          .withColumn("hash_ratio",
-            TextOps.hashWordRatio(col("text"), col("ws")))
-          .withColumn("ellipsis_ratio",
-            TextOps.ellipsisWordRatio(col("text"), col("ws")))
-          .withColumn("alpha_frac", TextOps.alphaWordFrac(col("ws")))
-          .withColumn("stop_hits",
-            TextOps.gopherStopHits(col("ws")).cast("int"))
-        val meanWl = col("sum_wl").cast("double") / col("n_words").cast("double")
-        val keepQ = col("n_words").between(30, 100000) &&
-          meanWl >= 3.0 && meanWl <= 10.0 &&
-          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
-          col("alpha_frac") >= 0.8 && col("stop_hits") >= 1
+        val qm = gopherQualityCols(cleaned) // shared with llm5 (one defn)
+        val keepQ = gopherBaseKeep &&
+          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1
         val pages = qm.select(col("doc_id"), col("text"))
         val joined = qm
           .join(Repetition.topGramCharsMulti(pages, "doc_id",
@@ -4940,34 +4961,26 @@ object LlmQueries extends Q.Registry {
         val payload = when(col("doc_id") % 37 === 0,
             lit(Array[Byte](0, 1, 2, -1, -2))) // no sniffable prefix
           .otherwise(html.cast("binary"))
-        val extracted = Multimodal.extractTextBatched(
-            base.select(col("doc_id"), payload.as("payload")),
-            "doc_id", "payload")
-          .toDF()
-          .filter(col("format") === "html") // dead-letters drop out
-          .select(col("doc_id"), col("text"))
-        // one linear chain (dedup -> quality -> mixture), no multi-arm
-        // consumer — no cache needed, unlike llm4's three-arm cleaned
+        // CACHED: duplicateSpans reads its input through ~3 plan arms
+        // (tokens + both gram arms), and the extraction codec is the
+        // chain's only per-byte stage — it must run once, not thrice
+        // (r14 self-review; the incrementalNearDups caller contract)
+        val extracted = cachedFrame(s, "llm5_extracted", d)(
+          Multimodal.extractTextBatched(
+              base.select(col("doc_id"), payload.as("payload")),
+              "doc_id", "payload")
+            .toDF()
+            .filter(col("format") === "html") // dead-letters drop out
+            .select(col("doc_id"), col("text")))
         val cleaned = Dedup.duplicateSpans(extracted, "doc_id", "text", k = 8)
           .filter(col("clean_text").isNotNull)
           .select(col("doc_id"), col("clean_text").as("text"))
           // corpus-sized ⋈ corpus-sized — shuffle_hash, never SMJ
           .join(base.select("doc_id", "lang").hint("shuffle_hash"),
             Seq("doc_id"))
-        val qm = cleaned
-          .withColumn("ws", TextOps.words(col("text")))
-          .withColumn("n_words", size(col("ws")).cast("long"))
-          .withColumn("sum_wl",
-            aggregate(col("ws"), lit(0L), (a, w) => a + length(w)))
-          .withColumn("alpha_frac", TextOps.alphaWordFrac(col("ws")))
-          .withColumn("stop_hits",
-            TextOps.gopherStopHits(col("ws")).cast("int"))
-        val meanWl = col("sum_wl").cast("double") / col("n_words").cast("double")
+        val qm = gopherQualityCols(cleaned) // shared with llm4 (one defn)
         val kept = qm.filter(
-            col("n_words").between(30, 100000) &&
-              meanWl >= 3.0 && meanWl <= 10.0 &&
-              col("alpha_frac") >= 0.8 && col("stop_hits") >= 1 &&
-              !lower(col("text")).contains("lorem ipsum"))
+            gopherBaseKeep && !lower(col("text")).contains("lorem ipsum"))
           .select("doc_id", "lang", "text")
         Sampling.tokenBudgetMixture(kept, "lang", "doc_id",
             TextOps.tokenCount(col("text")),

@@ -313,25 +313,28 @@ class LlmSpec extends SparkSpec {
       assert(s == k || Similarity.int8CoarseRecallAt(ranks, s - 1) < t,
         s"planned shortlist $s not minimal for target $t")
     }
-    // end-to-end: plan on the seeded corpus, then run the refine chain
+    // end-to-end: plan on a bounded md5-sample OF THE QUERY WORKLOAD
+    // (not corpus rows — the r14 bench_scale mis-plan lesson recorded
+    // in int8TrueNeighborRanks' scaladoc), then run the refine chain
     // at the planned depth AGAINST THE SAMPLE QUERIES — recall must be
     // exactly the CDF the plan promised (here target 1.0)
     val rnd = new scala.util.Random(7)
     val rows = (0L until 200L).map(i =>
       (i, Seq.fill(16)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
     val emb = rows.toDF("vec_id", "embedding")
-    val sampleN = 8
+    val workload = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sampleN = 6
     val measured = Similarity.int8TrueNeighborRanks(emb, "vec_id", "embedding",
-      k, sampleN)
+      workload, "q_id", "q_vec", k, sampleN)
     assert(measured.length === sampleN * k)
     assert(measured.forall(_ >= 1))
     val planned = Similarity.int8ShortlistFor(measured, k, 1.0)
-    // the same md5-smallest sample the plan measured
-    val sampleQ = emb
-      .select(col("vec_id"), col("embedding"),
-        md5(col("vec_id").cast("string")).as("__h"))
+    // the same md5-smallest workload sample the plan measured
+    val sampleQ = workload
+      .withColumn("__h", md5(col("q_id").cast("string")))
       .orderBy("__h").limit(sampleN)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .select(col("q_id"), col("q_vec"))
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         sampleQ, "q_id", "q_vec", k)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
