@@ -123,11 +123,20 @@ object IngestQueries extends Q.Registry {
                                    df: org.apache.spark.sql.DataFrame, prefix: String,
                                    mode: String): org.apache.spark.sql.DataFrame = {
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(sink)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    capturePlanWhileActive(q)
+    // state-partition sizing (LocalRun.StreamStatePartitions): every
+    // memory-sink bounded stream defines, starts and DRAINS inside the
+    // conf window (capturePlanWhileActive loops until inactive), so
+    // each stateful operator gets 8 state stores sized to fixture
+    // state volume instead of 32 sized to the batch session's CPUs —
+    // the r13 ProbeStreamFixed p8 lever, taken where it belongs: in
+    // the stream's own definition, as a production deployment would
+    graft.LocalRun.withShufflePartitions(s, graft.LocalRun.StreamStatePartitions) {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      capturePlanWhileActive(q)
+    }
     s.table(sink)
   }
 
@@ -367,19 +376,25 @@ object IngestQueries extends Q.Registry {
             col("bikes_available"), col("temperature"))
         val stage = java.nio.file.Files.createTempDirectory("graft_st4_")
         val outDir = stage.resolve("partials").toString
-        val q = joined.writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", stage.resolve("ckpt").toString)
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            b.groupBy("hour_start")
-              .agg(count(lit(1)).as("n"),
-                sum("bikes_available").as("sum_bikes"),
-                sum("temperature").as("sum_temp"))
-              .write.mode("append").parquet(outDir)
-            ()
-          }
-          .start()
-        capturePlanWhileActive(q)
+        // 8 state stores per join side, not 32 (the runToMemory
+        // state-partition note) — the stream defines, starts and
+        // drains inside the conf window
+        graft.LocalRun.withShufflePartitions(s,
+            graft.LocalRun.StreamStatePartitions) {
+          val q = joined.writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", stage.resolve("ckpt").toString)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.groupBy("hour_start")
+                .agg(count(lit(1)).as("n"),
+                  sum("bikes_available").as("sum_bikes"),
+                  sum("temperature").as("sum_temp"))
+                .write.mode("append").parquet(outDir)
+              ()
+            }
+            .start()
+          capturePlanWhileActive(q)
+        }
         // partials/ outlives the returned frame's lazy read; the
         // checkpoint state is per-run scratch (the st7 cleanup note)
         graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
