@@ -25,6 +25,13 @@ case class AudioFeatures(doc_id: Long, channels: Int, sample_rate: Int,
                          n_frames: Long, duration_s: Double,
                          rms: Seq[Double])
 
+/** Typed output row of the batched channel-0 sample decode (feeds the
+  * mm11 energy-fingerprint near-dup): raw PCM-16 samples as ints, or
+  * channels = -1 + empty samples for undecodable / non-PCM-16
+  * dead-letter rows. */
+case class AudioSamples(doc_id: Long, channels: Int, sample_rate: Int,
+                        samples: Seq[Int])
+
 /** Typed output row of the batched gray-pixel decode stage (feeds the
   * mm9 perceptual-hash near-dup): row-major 8-bit gray samples, or
   * width = -1 + empty pixels for undecodable dead-letter rows. */
@@ -491,6 +498,92 @@ object Multimodal {
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+  /** Channel-0 raw-sample decode: PCM-16 WAV → the first channel's
+    * samples as exact ints (PCM-16 through javax.sound is lossless, so
+    * decoded samples ARE the encoded shorts — the audio analog of the
+    * gray-PNG roundtrip mm9 rests on). Undecodable / non-PCM-16
+    * payloads → None (dead-letter). */
+  def javaSoundMonoSamplesBatch(payloads: Seq[Array[Byte]])
+      : Seq[Option[(Int, Int, Seq[Int])]] =
+    payloads.map { bytes =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val ch = fmt.getChannels
+            val data = in.readAllBytes()
+            val frameSize = fmt.getFrameSize
+            val frames = data.length / frameSize
+            val le = !fmt.isBigEndian
+            val out = new Array[Int](frames)
+            var f = 0
+            while (f < frames) {
+              val o = f * frameSize // channel 0 leads each frame
+              out(f) =
+                (if (le) ((data(o + 1) & 0xff) << 8) | (data(o) & 0xff)
+                 else ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)).toShort.toInt
+              f += 1
+            }
+            Some((ch, fmt.getSampleRate.toInt, out.toSeq))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Batched channel-0 sample decode (mm11's codec leg): same seam,
+    * schema discipline, and dead-letter contract as the image quartet.
+    * Everything downstream — window energies, fingerprint packing, the
+    * banded join — is COLUMN work. */
+  def audioSamplesBatched(df: DataFrame, idCol: String, payloadCol: String,
+                          batchSize: Int = 64): Dataset[AudioSamples] = {
+    val session = df.sparkSession
+    import session.implicits._
+    mapBatched(df, idCol, payloadCol, batchSize)(javaSoundMonoSamplesBatch) {
+      case (id, _, Some((ch, rate, smp))) => AudioSamples(id, ch, rate, smp)
+      case (id, _, None) => AudioSamples(id, -1, -1, Seq.empty)
+    }
+  }
+
+  /** Energy-delta audio fingerprint over raw samples (the
+    * Haitsma–Kalker 2002 shape restated in exact integer Column
+    * arithmetic, the dHash move on the time axis): consecutive
+    * 32-sample windows, energy E(w) = Σ s² (exact longs — every term
+    * ≪ 2^53), bit w = E(w+1) > E(w) for w in 0..63 — 64 bits packed
+    * as TWO 32-bit halves held in BIGINTs so neither engine touches
+    * the sign bit. Comparing integer energy SUMS (not normalized RMS)
+    * keeps every step integer-exact; the SQL oracle restates the
+    * arithmetic verbatim.
+    *
+    * CONTRACT: `samples` must hold exactly 65·32 = 2080 channel-0
+    * samples — the window indexing is hardwired to that grid (the
+    * dhashHalves contract). Callers must filter on BOTH channels == 1
+    * and the sample count first: a short array makes element_at return
+    * null, null comparisons pack as 0-bits, and two malformed clips
+    * would band-collide as a false duplicate instead of
+    * dead-lettering. */
+  def energyFingerprintHalves(samples: Column): (Column, Column) = {
+    val energies = transform(sequence(lit(0), lit(64)), w =>
+      aggregate(sequence(lit(1), lit(32)), lit(0L), (acc, j) => {
+        val s = element_at(samples, w * 32 + j).cast("long")
+        acc + s * s
+      }))
+    // shiftleft takes only literal shift amounts — the dhashHalves
+    // pow2-lookup move keeps the packing columnar
+    val pow2 = lit((0 until 32).map(1L << _).toArray)
+    def half(offset: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) => {
+        val w = i + offset // energies is 1-based: E(w) = element_at(w+1)
+        acc + when(
+          element_at(energies, w + 2) > element_at(energies, w + 1),
+          element_at(pow2, (i + 1).cast("int"))).otherwise(lit(0L))
+      })
+    (half(0), half(32))
+  }
 
   /** Batched audio feature stage through the SAME [[mapBatched]] seam
     * as the image quartet — schema, batching, dead-letter contract and

@@ -864,6 +864,40 @@ object LlmQueries extends Q.Registry {
       .select(col("doc_id"), lo.as("h_lo"), hi.as("h_hi"))
   }
 
+  /** mm11's deterministic PCM fixture: channel-0 sample t of the clip
+    * derived from `src` (ramp slopes src mod 7/11, per-window step,
+    * constant offset), with pert = 1 bumping sample 0 by +1 — only
+    * window 0's energy changes ((v+1)² ≠ v² for integer v), so at most
+    * fingerprint bit 0 flips: hamming ≤ 1, ≥ 3 of 4 bands untouched,
+    * banding cannot miss. Values stay in [-200, 201] — exact through
+    * PCM-16. */
+  private def audioFixtureSample(src: Long, pert: Int)(t: Int): Short = {
+    val v = (3 * (src % 7 + 1) * t + 5 * (src % 11 + 1) * (t / 32) +
+      src * 11) % 401 - 200
+    (if (pert == 1 && t == 0) v + 1 else v).toShort
+  }
+
+  /** Synthesize, WAV-encode, REALLY decode (javax.sound roundtrip —
+    * the codec leg; PCM-16 is lossless so decoded samples ARE the
+    * formula values) and energy-fingerprint a batch of fixture clips:
+    * one (doc_id, h_lo, h_hi) row per decodable mono 2080-sample clip.
+    * Both gates matter (energyFingerprintHalves' grid contract): a
+    * decodable short/multichannel clip would pack null comparisons as
+    * 0-bits and band-collide as a false near-dup. */
+  private def audioHashes(s: SparkSession, ids: Seq[(Long, Long, Int)]): DataFrame = {
+    import s.implicits._
+    val rows = ids.map { case (id, src, pert) =>
+      (id, Multimodal.pcm16Wav(8000, 1,
+        Array.tabulate(2080)(t => audioFixtureSample(src, pert)(t))))
+    }
+    val px = Multimodal
+      .audioSamplesBatched(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .toDF()
+    val (lo, hi) = Multimodal.energyFingerprintHalves(col("samples"))
+    px.filter(col("channels") === 1 && size(col("samples")) === 2080)
+      .select(col("doc_id"), lo.as("h_lo"), hi.as("h_hi"))
+  }
+
   /** The Gopher TEXT-LEVEL quality columns shared by llm4 and llm5 —
     * ONE definition so the two chains cannot drift (r14 self-review;
     * thresholds in [[gopherBaseKeep]] are the chain constants tx20
@@ -3893,6 +3927,101 @@ object LlmQueries extends Q.Registry {
           |FROM cand
           |WHERE bit_count(xor(lo_n, lo_m)) + bit_count(xor(hi_n, hi_m)) <= 6
           |ORDER BY new_doc, matched_doc, matched_side""".stripMargin)),
+
+    Q("mm11_audio_near_dup",
+      "AUDIO near-dup — the third modality composed with the dedup " +
+        "family (completes the modality x dedup matrix: text dd4, " +
+        "image mm9/mm10, audio here). Deterministic PCM fixtures go " +
+        "through a REAL WAV encode -> javax.sound decode roundtrip " +
+        "(PCM-16 is lossless, so decoded samples ARE the formula " +
+        "values), then everything downstream is exact integer COLUMN " +
+        "work: 32-sample window energies (Sum s^2, exact longs) -> " +
+        "64-bit energy-delta fingerprint (the Haitsma-Kalker shape, " +
+        "dHash on the time axis) packed as two 32-bit halves -> the " +
+        "SAME ops/BandedHamming 4x16-bit banded join and hamming <= 6 " +
+        "verify mm9 uses. Planted: 10 one-sample perturbations " +
+        "(hamming <= 1 — banding cannot miss) and 5 exact copies; one " +
+        "junk payload must dead-letter through the channels/length " +
+        "gate, not die or false-collide. The oracle regenerates the " +
+        "samples from the formula and restates energies, bits, bands " +
+        "and the join verbatim. At 100 TB the codec is the only " +
+        "per-byte stage (mapBatched seam); the join is band-keyed.",
+      (s, d) => {
+        import s.implicits._
+        val ids: Seq[(Long, Long, Int)] =
+          (1L to 60L).map(i => (i, i, 0)) ++
+            (101L to 110L).map(i => (i, 6 * (i - 100), 1)) ++
+            (121L to 125L).map(i => (i, i - 120, 0))
+        // the decodable-but-wrong-shape and undecodable dead-letters:
+        // a junk payload and a stereo clip — both must fall out at the
+        // channels/length gate, never reach the banded join
+        val junk = Seq(
+          (131L, Array[Byte](9, 9, 9, 9)),
+          (132L, Multimodal.pcm16Wav(8000, 2, Array.fill[Short](128)(7))))
+        val hashes = cachedFrame(s, "mm11_hashes", d)(
+          audioHashes(s, ids))
+        val junkHashes = {
+          val px = Multimodal
+            .audioSamplesBatched(junk.toDF("doc_id", "payload"),
+              "doc_id", "payload").toDF()
+          val (lo, hi) = Multimodal.energyFingerprintHalves(col("samples"))
+          px.filter(col("channels") === 1 && size(col("samples")) === 2080)
+            .select(col("doc_id"), lo.as("h_lo"), hi.as("h_hi"))
+        }
+        graft.ops.BandedHamming
+          .selfPairs(hashes.unionAll(junkHashes), "doc_id", "h_lo", "h_hi", 6)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT id,
+          |         CASE WHEN id <= 60 THEN id
+          |              WHEN id <= 120 THEN 6*(id-100)
+          |              ELSE id-120 END AS src,
+          |         CASE WHEN id BETWEEN 101 AND 110 THEN 1 ELSE 0 END AS d
+          |  FROM (SELECT unnest(range(1, 61)) AS id
+          |        UNION ALL SELECT unnest(range(101, 111))
+          |        UNION ALL SELECT unnest(range(121, 126)))),
+          |smp AS (
+          |  SELECT m.id, tt.t,
+          |    CASE WHEN m.d = 1 AND tt.t = 0
+          |         THEN (3*(m.src%7+1)*tt.t + 5*(m.src%11+1)*(tt.t//32) + m.src*11) % 401 - 200 + 1
+          |         ELSE (3*(m.src%7+1)*tt.t + 5*(m.src%11+1)*(tt.t//32) + m.src*11) % 401 - 200 END AS v
+          |  FROM m, (SELECT unnest(range(0, 2080)) AS t) tt),
+          |en AS (
+          |  SELECT id, t // 32 AS w, SUM(v*v) AS e
+          |  FROM smp GROUP BY id, t // 32),
+          |bits AS (
+          |  SELECT l.id, l.w, (r.e > l.e) AS bit
+          |  FROM en l JOIN en r ON l.id = r.id AND r.w = l.w + 1
+          |  WHERE l.w <= 63),
+          |hh AS (
+          |  SELECT id,
+          |    CAST(SUM(CASE WHEN bit AND w < 32
+          |                  THEN (CAST(1 AS BIGINT) << CAST(w AS INT))
+          |                  ELSE 0 END) AS BIGINT) AS h_lo,
+          |    CAST(SUM(CASE WHEN bit AND w >= 32
+          |                  THEN (CAST(1 AS BIGINT) << CAST(w-32 AS INT))
+          |                  ELSE 0 END) AS BIGINT) AS h_hi
+          |  FROM bits GROUP BY id),
+          |bands AS (
+          |  SELECT id, h_lo, h_hi, bb.b AS band,
+          |    CASE bb.b WHEN 0 THEN h_lo & 65535
+          |              WHEN 1 THEN (h_lo >> 16) & 65535
+          |              WHEN 2 THEN h_hi & 65535
+          |              ELSE (h_hi >> 16) & 65535 END AS band_val
+          |  FROM hh, (SELECT unnest(range(0, 4)) AS b) bb),
+          |cand AS (
+          |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+          |         a.h_lo AS lo_a, a.h_hi AS hi_a, b.h_lo AS lo_b, b.h_hi AS hi_b
+          |  FROM bands a
+          |  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+          |              AND a.id < b.id)
+          |SELECT doc_a, doc_b,
+          |       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+          |FROM cand
+          |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
+          |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("dd5_embedding_near_dup",
       "Embedding-cosine near-dup: planted perturbed replays detected " +

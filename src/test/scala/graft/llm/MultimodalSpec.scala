@@ -294,4 +294,37 @@ class MultimodalSpec extends SparkSpec {
       assert(out.contains((221L + k, 231L + k, "new")),
         s"new-vs-new pair ${221 + k}/${231 + k} missed") }
   }
+
+  test("mm11 audio fingerprint: PCM roundtrip is sample-lossless, planted " +
+    "one-sample near-dups land at hamming <= 1 and exact copies at 0, both " +
+    "found by banding; junk and stereo payloads dead-letter") {
+    import spark.implicits._
+    def v(src: Long, t: Int): Int =
+      ((3 * (src % 7 + 1) * t + 5 * (src % 11 + 1) * (t / 32) + src * 11)
+        % 401 - 200).toInt
+    // roundtrip: decode(pcm16Wav(f)) == f over the full grid
+    val wav = Multimodal.pcm16Wav(8000, 1,
+      Array.tabulate(2080)(t => v(7L, t).toShort))
+    val Some((ch, rate, smp)) =
+      Multimodal.javaSoundMonoSamplesBatch(Seq(wav)).head
+    assert(ch == 1 && rate == 8000 && smp.length == 2080)
+    (0 until 2080).foreach(t =>
+      assert(smp(t) == v(7L, t), s"sample $t not lossless"))
+    // planted pairs through the full registered query
+    val out = graft.SparkEntry.queries("mm11_audio_near_dup")(spark, "unused")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    val dist = out.map(r => (r._1, r._2) -> r._3).toMap
+    (101L to 110L).foreach { id =>
+      assert(pairs.contains((6 * (id - 100), id)), s"planted near-dup $id missed")
+      assert(dist((6 * (id - 100), id)) <= 1L,
+        s"one-sample perturbation must flip at most fingerprint bit 0") }
+    (121L to 125L).foreach { id =>
+      assert(pairs.contains((id - 120, id)), s"planted exact copy $id missed")
+      assert(dist((id - 120, id)) === 0L, "exact copy must hash identically") }
+    // the junk (131) and stereo (132) payloads dead-letter at the gate
+    assert(!out.exists(r => r._1 >= 131L || r._2 >= 131L),
+      "dead-letter clips must never reach the banded join")
+  }
 }
