@@ -45,16 +45,22 @@ object LocalRun {
     * restoring the prior value after — how a per-STREAM state-partition
     * count is expressed (the conf is read at the fresh checkpoint's
     * first batch and recorded there; every bounded stream here defines,
-    * starts, and drains inside `body`). Serial-execution contract:
-    * Verify/Bench run queries one at a time and the test suites share
-    * one session but run sequentially, so the temporary session-conf
-    * swap cannot race another query's plan. */
-  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+    * starts, and drains inside `body`). The swap mutates SESSION-global
+    * conf, so the swap window is mutually exclusive across threads (the
+    * JVM-wide lock below) — two concurrent bounded streams serialize
+    * instead of interleaving their set/restore and leaking `n` past the
+    * block (r14 ADVICE: the serial contract is now enforced, not
+    * advisory). Queries running OUTSIDE this helper on the same session
+    * remain the caller's responsibility — Verify/Bench/specs run
+    * queries one at a time by construction. */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    shufflePartitionsLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, n.toString)
+      try body finally s.conf.set(key, prev)
+    }
+  private val shufflePartitionsLock = new Object
 
   /** Write `df` as ONE parquet FILE at `dest` (not a directory) — the
     * layout the driver's testdata uses and the file-addressed readers

@@ -48,12 +48,25 @@ object Similarity {
   /** Brute-force exact top-k: broadcast `queries` (qIdCol, qVecCol)
     * against the corpus, cosine per pair (norms precomputed per side),
     * row_number per query with a deterministic (similarity desc,
-    * corpus id) tie-break. */
+    * corpus id) tie-break.
+    *
+    * Zero-norm contract (uniform across the ANN family, r14 ADVICE): a
+    * row whose vector has zero (or NaN) norm is DROPPED on either side
+    * — its cosine is undefined, and concretely 0/0 is a hard
+    * DIVIDE_BY_ZERO under ANSI semantics (Spark 4's default), so one
+    * degenerate row would otherwise kill the whole query (or, with
+    * ANSI off, NaN-top every desc ranking). The same guard lives in
+    * [[pqRefineTopK]] and both IVF paths; exact and quantized passes
+    * agree on the dropped set because a nonzero float vector always
+    * quantizes nonzero (its max-|x| component maps to ±127 by
+    * [[int8Scale]]'s construction). */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      k: Int): DataFrame = {
     val corpusN = corpus.withColumn("__c_norm", norm(col(vecCol)))
+      .filter(col("__c_norm") > 0)
     val queriesN = queries.withColumn("__q_norm", norm(col(qVecCol)))
+      .filter(col("__q_norm") > 0)
     val scored = corpusN.crossJoin(broadcast(queriesN))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos_sim",
@@ -359,9 +372,14 @@ object Similarity {
     val cn = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__n_vec"))
       .withColumn("__c_norm", norm(col("__n_vec")))
+      // bruteForceTopK's uniform zero-norm guard: an ADC shortlist (ss5)
+      // can carry a zero-norm candidate the cosine refine can't score —
+      // 0/0 is a hard error under ANSI, so drop it here too
+      .filter(col("__c_norm") > 0)
     val qn = queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("__q_vec"))
       .withColumn("__q_norm", norm(col("__q_vec")))
+      .filter(col("__q_norm") > 0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
     // BROADCAST the shortlist (|queries|·shortlist id pairs — bounded
@@ -432,6 +450,9 @@ object Similarity {
                            shortlist: Int, k: Int): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) — the refine pass only reorders")
+    // Zero-norm rows (an all-zero quantized vector) fall to
+    // bruteForceTopK's uniform family guard (r14 ADVICE) — plan and
+    // serving agree on rank geometry for degenerate inputs.
     val qCorpus = quantCorpus
       .select(col(idCol), int8AsDouble(col(q8Col)).as("__qv"))
     val qQueries = queries
@@ -507,8 +528,13 @@ object Similarity {
       .withColumn("q_rank", row_number().over(w))
       .select(col("__plan_qid").as("query_id"), col(idCol).as("neighbor_id"),
         col("q_rank"))
-    exact.join(ranked, Seq("query_id", "neighbor_id"))
-      .select(col("q_rank"))
+    // LEFT join (r14 ADVICE): a true neighbor the coarse pass can never
+    // recover (it or its query quantized to zero norm and fell to the
+    // guard above) must count as rank ∞ — a recall miss that depresses
+    // the CDF — not silently vanish from the denominator, which would
+    // overstate recall and under-plan the shortlist.
+    exact.join(ranked, Seq("query_id", "neighbor_id"), "left")
+      .select(coalesce(col("q_rank"), lit(Int.MaxValue)).as("q_rank"))
       .collect()
       .map(_.getInt(0))
   }

@@ -52,6 +52,22 @@ object BandedHamming {
       .drop("__bk")
   }
 
+  /** The batch rows whose id is NOT already in the persisted index —
+    * [[incrementalPairs]]' disjoint-id precondition made enforceable
+    * (r14 ADVICE): a re-submitted id is treated as already-indexed and
+    * reports nothing (its pairs were reported when first indexed —
+    * dd11's idempotent-replay contract on fingerprints; genuinely-new
+    * docs still pair with its INDEX copy through the 'existing' arm).
+    * Apply ABOVE the caller's codec cache so the anti-join — one
+    * narrow id column per side, strictly cheaper than the band join
+    * that already shuffles the full index — runs once, not once per
+    * plan arm; shuffle_hash keeps the plan SMJ-free (PlanAuditSpec). */
+  def freshBatch(existingBands: DataFrame, newHashes: DataFrame,
+                 idCol: String): DataFrame =
+    newHashes.hint("shuffle_hash")
+      .join(existingBands.select(col(idCol)).hint("shuffle_hash"),
+        Seq(idCol), "left_anti")
+
   /** Batch self-join near-dup pairs (mm9's shape): (doc_a, doc_b,
     * hamming) for every unordered pair sharing ≥ 1 band with
     * hamming ≤ `maxHamming`. Both sides shuffle-hash on the band key;
@@ -94,7 +110,13 @@ object BandedHamming {
     * plus both sides of the self-join) — callers whose batch carries
     * codec work must cache it so the decode runs once, not three times
     * (the Dedup.incrementalNearDups caller contract; mm10 does this
-    * through the cachedFrame memo). */
+    * through the cachedFrame memo).
+    *
+    * PRECONDITION (r14 ADVICE): the batch's id set must be DISJOINT
+    * from the index's — a re-submitted id would otherwise be reported
+    * twice with both side labels. Enforce it with [[freshBatch]]
+    * applied ABOVE the caller's codec cache (mm10 does), so the
+    * anti-join runs once instead of once per plan arm here. */
   def incrementalPairs(existingBands: DataFrame, newHashes: DataFrame,
                        idCol: String, loCol: String, hiCol: String,
                        maxHamming: Int): DataFrame = {

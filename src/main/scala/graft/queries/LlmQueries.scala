@@ -3858,8 +3858,13 @@ object LlmQueries extends Q.Registry {
             (221L to 225L).map(i => (i, 2 * (i - 220) - 1, 0)) ++
             (231L to 235L).map(i => (i, 2 * (i - 230) - 1, 1))
         // cached: incrementalPairs reads the batch through three plan
-        // arms, and the batch's codec work must run once, not thrice
-        val nw = cachedFrame(s, "mm10_new_hashes", d)(imageHashes(s, newIds))
+        // arms, and the batch's codec work must run once, not thrice.
+        // freshBatch (idempotent replay, r14 ADVICE) sits INSIDE the
+        // cache so its anti-join also runs once, not per arm.
+        val nw = cachedFrame(s, "mm10_new_hashes", d)(
+          graft.ops.BandedHamming.freshBatch(
+            s.read.parquet(mm10ImageIndexDir(s)),
+            imageHashes(s, newIds), "doc_id"))
         graft.ops.BandedHamming.incrementalPairs(index,
             nw, "doc_id", "h_lo", "h_hi", 6)
           .orderBy("new_doc", "matched_doc", "matched_side")

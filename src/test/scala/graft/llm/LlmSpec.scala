@@ -345,6 +345,50 @@ class LlmSpec extends SparkSpec {
       s"planned shortlist $planned should give recall 1.0 on the sample")
   }
 
+  test("zero-norm contract (r14 ADVICE): a zero-norm vector is dropped " +
+    "uniformly across the ANN family — no ANSI DIVIDE_BY_ZERO, never " +
+    "ranked — and the planner's rank multiset stays full-size, with " +
+    "rank-infinity entries depressing (never shrinking) the CDF") {
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val base = (0L until 60L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextGaussian() * (1 + i % 3)).toFloat)))
+    // id 999: an all-zero vector — zero norm, undefined cosine; under
+    // ANSI (Spark 4 default) the unguarded 0/0 is a hard error that
+    // would kill the whole query
+    val emb = (base :+ ((999L, Seq.fill(dim)(0.0f)))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 900)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // exact baseline and the quantized-refine serving path both run
+    // (no DIVIDE_BY_ZERO) and neither ever ranks the degenerate row
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", 5)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect()
+    val got = Similarity.int8RefineTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", shortlist = 10, k = 5)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect()
+    for ((name, res) <- Seq("exact" -> exact, "refined" -> got)) {
+      assert(res.nonEmpty, s"$name returned nothing")
+      assert(!res.exists(_._1 == 999L),
+        s"$name ranked the zero-norm corpus row")
+      assert(res.forall(r => !r._2.isNaN), s"$name produced NaN scores")
+    }
+    // planner side: the rank multiset keeps one entry per (sample
+    // query, true neighbor) pair — exact and coarse passes agree on
+    // the dropped set (nonzero floats always quantize nonzero), and a
+    // hypothetical unrecoverable neighbor counts as rank ∞ (a recall
+    // miss), never vanishing from the denominator
+    val k = 5
+    val sampleN = 3
+    val ranks = Similarity.int8TrueNeighborRanks(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k, sampleN)
+    assert(ranks.length === sampleN * k,
+      s"every (query, true-neighbor) pair must keep a rank: got ${ranks.length}")
+    assert(Similarity.int8CoarseRecallAt(
+      ranks :+ Int.MaxValue, 1000000) < 1.0,
+      "a rank-∞ miss must cap the CDF below 1 at every finite depth")
+  }
+
   test("int8 storage claim measured: quantized parquet <= 40% of float32 parquet") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 2000L).map(i =>

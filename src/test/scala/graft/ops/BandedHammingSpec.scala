@@ -76,4 +76,26 @@ class BandedHammingSpec extends SparkSpec {
       (11L, 2L, "existing", 2L),
       (10L, 11L, "new", 1L)))
   }
+
+  test("freshBatch + incrementalPairs: a re-submitted id (present in both " +
+    "batch and index) is dropped from the new side — replay is idempotent, " +
+    "no double report with both side labels (r14 ADVICE)") {
+    val existing = Seq(fp(1L, Nil), fp(2L, Seq(5)))
+      .toDF("doc_id", "h_lo", "h_hi")
+    val index = BandedHamming.withBands(existing, "h_lo", "h_hi")
+      .select("band", "band_val", "doc_id", "h_lo", "h_hi")
+    val batch = Seq(
+      fp(1L, Nil),       // re-submitted: same id AND fingerprint as index 1
+      fp(10L, Seq(40))   // genuinely new, hamming 1 to (both copies of) 1
+    ).toDF("doc_id", "h_lo", "h_hi")
+    val got = BandedHamming.incrementalPairs(index,
+        BandedHamming.freshBatch(index, batch, "doc_id"),
+        "doc_id", "h_lo", "h_hi", 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    // 10 matches doc 1 ONCE, through the index copy; the replayed row
+    // reports nothing (its pairs were reported when first indexed)
+    assert(got === Set(
+      (10L, 1L, "existing", 1L),
+      (10L, 2L, "existing", 2L)))
+  }
 }
