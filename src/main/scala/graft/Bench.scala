@@ -55,6 +55,8 @@ object Bench {
     "st13_stream_funnel",         // two-trigger funnel-state stream, same
     "st14_stream_funnel_late",    // four-trigger buffered funnel, same
     "st15_stream_ann_topk",       // foreachBatch ANN serving stream, same
+    "st16_stream_embedding_index", // two-trigger index-append stream (memo)
+    "st17_stream_ann_grown",      // serves st16's memo; a fresh JVM would run the stream at build
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier", // IRLS fit runs at plan build
     "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build

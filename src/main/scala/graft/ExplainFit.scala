@@ -74,7 +74,10 @@ object ExplainFit {
         "st9_stream_quantile_sketch", "st10_stream_sessionize",
         "st11_stream_heavy_hitters", "st12_substr_dedup_versioned",
         "st13_stream_funnel", "st14_stream_funnel_late",
-        "st15_stream_ann_topk")) {
+        "st15_stream_ann_topk",
+        // st16 must precede st17: both read the grownEmbIndexDir memo,
+        // and only the memo-BUILDING query captures a micro-batch plan
+        "st16_stream_embedding_index")) {
       val df = SparkEntry.queries(name)(spark, sfDir) // runs the bounded stream
       val batch = queries.IngestQueries.lastStreamPlan
         .getOrElse(sys.error(s"$name left no captured micro-batch plan"))
@@ -85,6 +88,18 @@ object ExplainFit {
           batch +
           "\n== final result read (memory-sink table / foreachBatch partials) ==\n" +
           fmt(df))
+    }
+
+    // st17 serves from the index st16's stream just built (the memo is
+    // warm in this JVM), so its dump IS the serving plan: the coarse
+    // scan over the grown index's stored (vec_id, q8) columns
+    {
+      val df = SparkEntry.queries("st17_stream_ann_grown")(spark, sfDir)
+      write("st17_stream_ann_grown",
+        "== st17_stream_ann_grown: serving plan over the GROWN index\n" +
+          "== (base + batch=0 + batch=1 stored dirs; st16's stream built\n" +
+          "== them earlier in this JVM). Coarse ReadSchema = vec_id + q8\n" +
+          "== tinyint codes; floats point-read only at refine. ==\n" + fmt(df))
     }
 
     // iterative queries: first + last round from the plan hook over the

@@ -663,6 +663,82 @@ object Similarity {
     pqRefineTopK(coarse, corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
   }
 
+  /** Near-duplicate pairs of a NEW vector batch against a PERSISTED
+    * int8 index plus itself — the dd11/mm10 incremental topology on
+    * EMBEDDINGS (st16, r14 verdict ask #3, the last missing modality
+    * in the incremental matrix). Coarse gate: quantized cosine ≥
+    * `tauQ` over the STORED tinyint codes — the index-wide scan reads
+    * only (id, q8); the index's float column is touched exclusively
+    * by the verify join's per-survivor point-lookups (exact float
+    * cosine ≥ `tau`). The batch is broadcast through both arms
+    * (bounded small — the arriving micro-batch), so per-batch cost is
+    * one pruned int8 index scan + |survivors| float lookups; at
+    * corpus scale the coarse scan composes with ss10's cell-pruned
+    * index (probe the batch's cells only) exactly as ivfInt8 composes
+    * with ss7. Threshold-only (no rank windows) → fully
+    * aggregation-order-independent, hash-oracle-stable.
+    *
+    * Returns (new_id, matched_id, matched_side ∈ existing|new,
+    * cos_sim): 'existing' pairs the batch against the index, 'new'
+    * pairs the batch against itself (new_id < matched_id). Zero-norm
+    * rows fall to the family guard on either side. Batch ids must be
+    * disjoint from index ids (BandedHamming.freshBatch's idempotent-
+    * replay contract applies one modality over). */
+  def int8NearDupPairs(indexQuant: DataFrame, idCol: String, q8Col: String,
+                       indexFloat: DataFrame, vecCol: String,
+                       batch: DataFrame, bIdCol: String, bVecCol: String,
+                       tauQ: Double, tau: Double): DataFrame = {
+    def quant(c: Column): Column = int8AsDouble(int8Quantize(c, int8Scale(c)))
+    val bq = batch
+      .select(col(bIdCol).as("new_id"), quant(col(bVecCol)).as("__b_qv"))
+      .withColumn("__b_qnorm", norm(col("__b_qv")))
+      .filter(col("__b_qnorm") > 0)
+    val idx = indexQuant
+      .select(col(idCol).as("matched_id"), int8AsDouble(col(q8Col)).as("__i_qv"))
+      .withColumn("__i_qnorm", norm(col("__i_qv")))
+      .filter(col("__i_qnorm") > 0)
+    def qcos(a: Column, b: Column, na: Column, nb: Column): Column =
+      dotD(a, b) / (na * nb)
+    val coarseE = idx.crossJoin(broadcast(bq))
+      .filter(col("matched_id") =!= col("new_id"))
+      .filter(qcos(col("__b_qv"), col("__i_qv"),
+        col("__b_qnorm"), col("__i_qnorm")) >= tauQ)
+      .select(col("new_id"), col("matched_id"))
+    val bf = batch
+      .select(col(bIdCol).as("new_id"), col(bVecCol).as("__b_vec"))
+      .withColumn("__b_norm", norm(col("__b_vec")))
+      .filter(col("__b_norm") > 0)
+    val idxF = indexFloat
+      .select(col(idCol).as("matched_id"), col(vecCol).as("__i_vec"))
+      .withColumn("__i_norm", norm(col("__i_vec")))
+      .filter(col("__i_norm") > 0)
+    val vsExisting = idxF
+      .join(broadcast(coarseE), Seq("matched_id"))
+      .join(broadcast(bf), Seq("new_id"))
+      .withColumn("cos_sim", qcos(col("__b_vec"), col("__i_vec"),
+        col("__b_norm"), col("__i_norm")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("new_id"), col("matched_id"),
+        lit("existing").as("matched_side"), col("cos_sim"))
+    // batch self-pairs: both sides bounded — gate + verify in one pass
+    val bq2 = bq.select(col("new_id").as("matched_id"),
+      col("__b_qv").as("__m_qv"), col("__b_qnorm").as("__m_qnorm"))
+    val bf2 = bf.select(col("new_id").as("matched_id"),
+      col("__b_vec").as("__m_vec"), col("__b_norm").as("__m_norm"))
+    val vsNew = bq.crossJoin(broadcast(bq2))
+      .filter(col("new_id") < col("matched_id"))
+      .filter(qcos(col("__b_qv"), col("__m_qv"),
+        col("__b_qnorm"), col("__m_qnorm")) >= tauQ)
+      .join(broadcast(bf), Seq("new_id"))
+      .join(broadcast(bf2), Seq("matched_id"))
+      .withColumn("cos_sim", qcos(col("__b_vec"), col("__m_vec"),
+        col("__b_norm"), col("__m_norm")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("new_id"), col("matched_id"),
+        lit("new").as("matched_side"), col("cos_sim"))
+    vsExisting.unionByName(vsNew)
+  }
+
   /** IVF search: per query pick the nProbe nearest cells, scan only
     * corpus rows in those cells, exact cosine + top-k inside the
     * probed subset. `cellCorpus` must carry cellCol (from

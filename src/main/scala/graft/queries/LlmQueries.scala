@@ -891,6 +891,176 @@ object LlmQueries extends Q.Registry {
       stage.toString
     })
 
+  /** st16/st17's planted arrival batches — the embedding analog of
+    * dd11/mm10's two-tier replays, derived from the base corpus so the
+    * oracle regenerates them in SQL. Batch 1: exact replicas of every
+    * 250th base vector (id + 1,000,000 — new-vs-existing positives)
+    * plus NEGATED copies of every 333rd (id + 2,000,000 — cosine −1 to
+    * their source, silent novel rows). Batch 2: replicas of every
+    * 500th (id + 3,000,000) — these match their base source AND
+    * batch 1's appended replica, the match that exists ONLY if the
+    * batch-1 append landed (the index-GREW proof) — plus twin replicas
+    * of every 400th (ids + 4,000,000 / + 4,100,000), the new-vs-new
+    * positives that also hit their base source. */
+  private def embBatch1(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 250 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionAll(emb.filter(col("vec_id") % 333 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+  private def embBatch2(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 500 === 0)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+      .unionAll(emb.filter(col("vec_id") % 400 === 0)
+        .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding")))
+      .unionAll(emb.filter(col("vec_id") % 400 === 0)
+        .select((col("vec_id") + 4100000L).as("vec_id"), col("embedding")))
+  /** The planted batches as oracle SQL (same derivations verbatim). */
+  private val embBatchesSql: Seq[String] = Seq(
+    """SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 250 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 2000000, list_transform(embedding, x -> -x) FROM embeddings WHERE vec_id % 333 = 0""".stripMargin,
+    """SELECT vec_id + 3000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 500 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 4000000, embedding FROM embeddings WHERE vec_id % 400 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 4100000, embedding FROM embeddings WHERE vec_id % 400 = 0""".stripMargin)
+
+  /** The near-dup thresholds st16 gates on: coarse quantized cosine ≥
+    * TauQ over stored int8 codes, exact float cosine ≥ Tau at verify.
+    * Exact replicas land at 1.0 on both; random 64-dim Gaussian pairs
+    * sit far below — the planted positives are the only survivors. */
+  private val EmbTauQ = 0.98
+  private val EmbTau = 0.99
+
+  /** st16's oracle: both batches' gate + verify arithmetic replayed
+    * against the exact corpus each trigger saw (batch 1 vs the base,
+    * batch 2 vs base ∪ batch 1 — the appended index), plus each
+    * batch's self pairs. Same quantization fragment as ss7's chain;
+    * thresholds interpolate from the SAME EmbTauQ/EmbTau constants the
+    * Spark side gates on. */
+  private def embPairsOracleSql: String = {
+    def qzOver(src: String): String =
+      s"""SELECT vec_id, embedding,
+         |    list_transform(embedding, x ->
+         |      CASE WHEN s > 0 THEN floor(CAST(x AS DOUBLE) / s + 0.5)
+         |           ELSE 0.0 END) AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding,
+         |            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+         |        FROM $src)""".stripMargin
+    def qdot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> $a.qv[i] * $b.qv[i]))"
+    def fdot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+    val qcos = s"${qdot("n", "m")} / (sqrt(${qdot("n", "n")}) * sqrt(${qdot("m", "m")}))"
+    val fcos = s"${fdot("n", "m")} / (sqrt(${fdot("n", "n")}) * sqrt(${fdot("m", "m")}))"
+    def leg(nCte: String, mCte: String, side: String, batch: Int): String = {
+      val idCond =
+        if (side == "new") "n.vec_id < m.vec_id" else "n.vec_id <> m.vec_id"
+      s"""SELECT n.vec_id AS new_id, m.vec_id AS matched_id,
+         |       '$side' AS matched_side,
+         |       floor(($fcos) * 1e4 + 1e-6) / 1e4 AS cos_sim,
+         |       CAST($batch AS BIGINT) AS batch_id
+         |FROM $nCte n JOIN $mCte m ON $idCond
+         |WHERE $qcos >= $EmbTauQ AND $fcos >= $EmbTau""".stripMargin
+    }
+    s"""WITH b1 AS (
+       |  ${embBatchesSql(0)}),
+       |b2 AS (
+       |  ${embBatchesSql(1)}),
+       |v0 AS (SELECT vec_id, embedding FROM embeddings),
+       |v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM b1),
+       |qb1 AS (${qzOver("b1")}),
+       |qb2 AS (${qzOver("b2")}),
+       |qv0 AS (${qzOver("v0")}),
+       |qv1 AS (${qzOver("v1")})
+       |${leg("qb1", "qv0", "existing", 0)}
+       |UNION ALL
+       |${leg("qb1", "qb1", "new", 0)}
+       |UNION ALL
+       |${leg("qb2", "qv1", "existing", 1)}
+       |UNION ALL
+       |${leg("qb2", "qb2", "new", 1)}
+       |ORDER BY batch_id, matched_side, new_id, matched_id""".stripMargin
+  }
+
+  /** Per-dir memo of the GROWN embedding index (st16/st17 — r14
+    * verdict ask #3, the last missing incremental form): a REAL
+    * two-trigger file stream delivers the planted batches; each
+    * micro-batch quantizes map-side, reports near-dup pairs against
+    * the CURRENT index ([[Similarity.int8NearDupPairs]]: coarse gate
+    * over stored tinyint codes, float verify by point-lookup), then
+    * APPENDS its (vec_id, embedding, q8) rows as its own batchId-keyed
+    * subdirectory — idempotent under micro-batch retry (overwrite of
+    * the batch's own dir, the st12/st15 sink contract) and append-only
+    * for the index (the existing corpus is never rewritten; per-batch
+    * IO ∝ batch). Batch b reads base + batch=0..b-1 explicitly, never
+    * its own partial output. Layout under the returned stage:
+    *   idx/base, idx/batch=0, idx/batch=1   — the grown index
+    *   pairs/batch=0, pairs/batch=1         — the per-batch reports
+    * st16 reads pairs/, st17 serves ss7's chain from idx/ — both from
+    * ONE stream run per (JVM, dir). */
+  private val embIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def grownEmbIndexDir(s: SparkSession, d: String): String =
+    embIdxMemo.computeIfAbsent(d, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_st16_")
+      val emb = Tables.embeddings(s, d)
+      def q8of(c: org.apache.spark.sql.Column) =
+        Similarity.int8Quantize(c, Similarity.int8Scale(c))
+      emb.select(col("vec_id"), col("embedding"),
+          q8of(col("embedding")).as("q8"))
+        .write.mode("overwrite").parquet(stage.resolve("idx/base").toString)
+      val (arr, inDir) = stageArrivalDays(
+        Seq(embBatch1(emb), embBatch2(emb)), "graft_st16_in_")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          // the index as of this batch: base + every PRIOR batch's
+          // appended dir, by explicit path — never the batch's own
+          // (possibly partial, mid-retry) subdirectory
+          val paths = stage.resolve("idx/base").toString +:
+            (0L until batchId).map(i => stage.resolve(s"idx/batch=$i").toString)
+          val cur = s.read.parquet(paths: _*)
+          // the batch is read through four arms (coarse, verify, both
+          // self-join sides) + the append — cache the quantized frame
+          val bq = b.withColumn("q8", q8of(col("embedding"))).cache()
+          bq.count()
+          try {
+            val pairs = Similarity.int8NearDupPairs(
+                cur.select("vec_id", "q8"), "vec_id", "q8",
+                cur.select("vec_id", "embedding"), "embedding",
+                bq, "vec_id", "embedding", EmbTauQ, EmbTau)
+              .withColumn("batch_id", lit(batchId))
+            IngestQueries.lastStreamPlan = Some(pairs.queryExecution
+              .explainString(org.apache.spark.sql.execution.FormattedMode))
+            pairs.write.mode("overwrite")
+              .parquet(stage.resolve(s"pairs/batch=$batchId").toString)
+            bq.select("vec_id", "embedding", "q8").write.mode("overwrite")
+              .parquet(stage.resolve(s"idx/batch=$batchId").toString)
+          } finally bq.unpersist(blocking = false)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.LocalRun.deleteRecursively(inDir)
+      graft.LocalRun.deleteRecursively(arr)
+      graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
+      graft.LocalRun.deleteOnExit(stage)
+      stage.toString
+    })
+
   /** mm9/mm10's deterministic grayscale fixture: pixel (x, y) of the
     * image derived from `src` (gradient slopes src mod 7/11, constant
     * offset src), with pert = 1 flipping pixel (0, 0) by +1 — a
@@ -2749,12 +2919,85 @@ object LlmQueries extends Q.Registry {
           .orderBy("query_id", "rank")
       },
       Some(ss7OracleSql)),
+
+    Q("st16_stream_embedding_index",
+      "INCREMENTAL embedding-index maintenance (r14 verdict ask #3 — " +
+        "the LAST missing incremental form in the modality matrix: " +
+        "text dd11, grams st7/st12, images mm10, now embeddings): new " +
+        "vectors arrive as a REAL two-trigger file stream; each " +
+        "micro-batch quantizes map-side, reports near-dup pairs " +
+        "against the CURRENT persisted int8 index (coarse gate = " +
+        "quantized cosine over STORED tinyint codes — the index-wide " +
+        "scan never reads floats; survivors verify with exact float " +
+        "cosine by keyed point-lookup), then APPENDS its quantized " +
+        "rows as its own batchId-keyed subdirectory: idempotent under " +
+        "micro-batch retry, append-only for the index (per-batch IO " +
+        "proportional to the batch — the corpus is never rewritten). " +
+        "Planted positives per the dd11/mm10 replay pattern: batch-1 " +
+        "replicas match their base source (new-vs-existing); batch-2 " +
+        "replicas of every 500th vector match base AND batch 1's " +
+        "appended copy — a pair that exists ONLY because the index " +
+        "grew; twin replicas inside batch 2 are the new-vs-new " +
+        "positives; negated vectors stay silent. Oracle replays both " +
+        "batches' gate + verify arithmetic against the exact corpus " +
+        "each trigger saw.",
+      (s, d) => {
+        val dir = grownEmbIndexDir(s, d)
+        s.read.parquet(s"$dir/pairs")
+          .select(col("new_id"), col("matched_id"), col("matched_side"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("batch_id"))
+          .orderBy("batch_id", "matched_side", "new_id", "matched_id")
+      },
+      Some(embPairsOracleSql)),
+
+    Q("st17_stream_ann_grown",
+      "ANN serving from the GROWN index (closes st16's loop — 'st15 " +
+        "then serving the grown corpus'): ss7's exact int8-coarse -> " +
+        "float-refine chain runs against the index st16's stream " +
+        "built (base + both appended batches, read from the " +
+        "batchId-keyed dirs), so the top-k answers differ from ss7's " +
+        "precisely by the appended neighbors — a query whose replica " +
+        "arrived in batch 1 or 2 now returns it at cosine 1.0. The " +
+        "coarse pass scans only the stored (vec_id, q8) columns of " +
+        "the grown index; floats point-read at refine. Oracle: the " +
+        "SAME ss7 chain template instantiated over the grown corpus " +
+        "(base UNION both planted batches), queries drawn from the " +
+        "base — serving from a stream-maintained index is " +
+        "hash-identical to batch arithmetic over the union.",
+      (s, d) => {
+        val dir = grownEmbIndexDir(s, d)
+        val emb = Tables.embeddings(s, d)
+        val idx = s.read.parquet(s"$dir/idx/base",
+          s"$dir/idx/batch=0", s"$dir/idx/batch=1")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.int8RefineTopKStored(idx.select("vec_id", "q8"),
+            "vec_id", "q8",
+            idx.select("vec_id", "embedding"), "embedding",
+            queries, "q_id", "q_vec", shortlist = 20, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ss7ChainSql(
+        s"""SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  ${embBatchesSql(0)}
+           |  UNION ALL
+           |  ${embBatchesSql(1)}""".stripMargin,
+        "vec_id % 100 = 0 AND vec_id < 1000000"))),
     ) ++ allTail
 
-  /** ss7's full-chain restatement, shared verbatim by st15 (the
-    * streamed serving form must reproduce the batch answer exactly). */
-  private val ss7OracleSql: String =
-        """WITH qz AS (
+  /** ss7's full-chain restatement parameterized over the corpus CTE
+    * and the query predicate — ss7/ss9/st15 instantiate it over the
+    * base `embeddings` table; st17 over the GROWN corpus (base plus
+    * both planted arrival batches) with queries still drawn from the
+    * base. One template, so the serving arithmetic cannot drift
+    * between the static and grown forms. */
+  private def ss7ChainSql(corpusSql: String, queryPred: String): String =
+        s"""WITH allv AS (
+          |  $corpusSql),
+          |qz AS (
           |  SELECT vec_id,
           |    list_transform(embedding, x ->
           |      CASE WHEN s > 0 THEN floor(CAST(x AS DOUBLE) / s + 0.5)
@@ -2762,8 +3005,8 @@ object LlmQueries extends Q.Registry {
           |  FROM (SELECT vec_id, embedding,
           |          list_max(list_transform(embedding,
           |            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
-          |        FROM embeddings)),
-          |q8 AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id % 100 = 0),
+          |        FROM allv)),
+          |q8 AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE $queryPred),
           |coarse AS (
           |  SELECT q_id, vec_id FROM (
           |    SELECT q.q_id, e.vec_id,
@@ -2775,8 +3018,8 @@ object LlmQueries extends Q.Registry {
           |    FROM qz e CROSS JOIN q8 q
           |    WHERE e.vec_id <> q.q_id)
           |  WHERE crank <= 20),
-          |qf AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-          |       WHERE vec_id % 100 = 0),
+          |qf AS (SELECT vec_id AS q_id, embedding AS q_vec FROM allv
+          |       WHERE $queryPred),
           |ref AS (
           |  SELECT c.q_id, c.vec_id,
           |    list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -2786,7 +3029,7 @@ object LlmQueries extends Q.Registry {
           |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
           |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos_sim
           |  FROM coarse c
-          |  JOIN embeddings e ON c.vec_id = e.vec_id
+          |  JOIN allv e ON c.vec_id = e.vec_id
           |  JOIN qf ON c.q_id = qf.q_id),
           |ranked AS (
           |  SELECT q_id AS query_id, vec_id AS neighbor_id,
@@ -2796,6 +3039,11 @@ object LlmQueries extends Q.Registry {
           |  FROM ref)
           |SELECT * FROM ranked WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin
+
+  /** ss7's full-chain restatement, shared verbatim by st15 (the
+    * streamed serving form must reproduce the batch answer exactly). */
+  private val ss7OracleSql: String =
+    ss7ChainSql("SELECT vec_id, embedding FROM embeddings", "vec_id % 100 = 0")
 
   /** ss8's full-chain restatement, shared verbatim by ss10 (serving
     * from the persisted IVF index must reproduce the in-session-index

@@ -450,6 +450,55 @@ class LlmSpec extends SparkSpec {
     } finally graft.LocalRun.deleteRecursively(stage)
   }
 
+  test("int8NearDupPairs: batch-vs-index and batch-self replicas found " +
+    "with side labels, negated/novel vectors silent, the coarse gate " +
+    "reads only the stored tinyint codes (st16)") {
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    val base = (0L until 50L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
+    val emb = base.toDF("vec_id", "embedding")
+    def q8of(c: org.apache.spark.sql.Column) =
+      Similarity.int8Quantize(c, Similarity.int8Scale(c))
+    val stage = java.nio.file.Files.createTempDirectory("graft_st16_spec_")
+    try {
+      emb.select(col("vec_id"), col("embedding"), q8of(col("embedding")).as("q8"))
+        .write.mode("overwrite").parquet(stage.resolve("idx").toString)
+      val idx = spark.read.parquet(stage.resolve("idx").toString)
+      // batch: replica of 7 (twice — a self pair), negation of 9 (silent)
+      val batch = Seq(
+        (1007L, base(7)._2),
+        (2007L, base(7)._2),
+        (3009L, base(9)._2.map(x => -x))
+      ).toDF("vec_id", "embedding")
+      val got = Similarity.int8NearDupPairs(
+          idx.select("vec_id", "q8"), "vec_id", "q8",
+          idx.select("vec_id", "embedding"), "embedding",
+          batch, "vec_id", "embedding", 0.98, 0.99)
+        .as[(Long, Long, String, Double)].collect()
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(got === Set(
+        (1007L, 7L, "existing"),
+        (2007L, 7L, "existing"),
+        (1007L, 2007L, "new")),
+        s"unexpected pair set: $got")
+      // scan-envelope pin: the only file scans a pairs plan may read
+      // with a float column are the point-lookup verify arms — the
+      // CROSS (coarse) side must be the tinyint projection. Assert the
+      // coarse gate's index scan exists with no embedding column.
+      val plan = Similarity.int8NearDupPairs(
+          idx.select("vec_id", "q8"), "vec_id", "q8",
+          idx.select("vec_id", "embedding"), "embedding",
+          batch, "vec_id", "embedding", 0.98, 0.99)
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(schemas.exists(l =>
+        l.contains("array<tinyint>") && !l.contains("embedding")),
+        s"no tinyint-only coarse scan found: $schemas")
+    } finally graft.LocalRun.deleteRecursively(stage)
+  }
+
   test("int8 storage claim measured: quantized parquet <= 40% of float32 parquet") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 2000L).map(i =>
