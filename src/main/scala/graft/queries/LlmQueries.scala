@@ -2920,6 +2920,38 @@ object LlmQueries extends Q.Registry {
       },
       Some(ss7OracleSql)),
 
+    Q("ss12_int8_planned_topk",
+      "ss9's stored-table serving at the PLANNER'S depth (r14 verdict " +
+        "ask #5 — int8ShortlistFor proven end-to-end in the registry, " +
+        "not just in bench_scale): the shortlist literal is " +
+        "plannedShortlist's output — the smallest depth whose " +
+        "measured true-neighbor rank CDF (bounded md5 workload " +
+        "sample, the r14 negative control's workload-not-corpus " +
+        "signature) meets recall target 0.95 — instead of ss7/ss9's " +
+        "hard-coded 20. The plan is deterministic (md5 sample, " +
+        "integer quantized scores, id tiebreaks), so the generated " +
+        "oracle inlines the SAME planned depth as a literal (the ss5 " +
+        "share-the-fit pattern) and the hash match proves plan and " +
+        "serving agree. Coarse pass reads the persisted tinyint " +
+        "table; floats point-read at refine (ss9's scan envelope).",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val stored = s.read.parquet(persistedInt8Dir(s, d))
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.int8RefineTopKStored(stored, "vec_id", "q8",
+            emb.select("vec_id", "embedding"), "embedding",
+            queries, "q_id", "q_vec",
+            shortlist = plannedShortlist(s, d), k = PlannedK)
+          .select(col("query_id"), col("neighbor_id"),
+            Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      withPrimedSession("ss12")((s, d) =>
+        ss7ChainSql("SELECT vec_id, embedding FROM embeddings",
+          "vec_id % 100 = 0",
+          depth = plannedShortlist(s, d), k = PlannedK))),
+
     Q("st16_stream_embedding_index",
       "INCREMENTAL embedding-index maintenance (r14 verdict ask #3 — " +
         "the LAST missing incremental form in the modality matrix: " +
@@ -2994,7 +3026,8 @@ object LlmQueries extends Q.Registry {
     * both planted arrival batches) with queries still drawn from the
     * base. One template, so the serving arithmetic cannot drift
     * between the static and grown forms. */
-  private def ss7ChainSql(corpusSql: String, queryPred: String): String =
+  private def ss7ChainSql(corpusSql: String, queryPred: String,
+                          depth: Int = 20, k: Int = 5): String =
         s"""WITH allv AS (
           |  $corpusSql),
           |qz AS (
@@ -3017,7 +3050,7 @@ object LlmQueries extends Q.Registry {
           |        DESC, e.vec_id) AS crank
           |    FROM qz e CROSS JOIN q8 q
           |    WHERE e.vec_id <> q.q_id)
-          |  WHERE crank <= 20),
+          |  WHERE crank <= $depth),
           |qf AS (SELECT vec_id AS q_id, embedding AS q_vec FROM allv
           |       WHERE $queryPred),
           |ref AS (
@@ -3037,13 +3070,38 @@ object LlmQueries extends Q.Registry {
           |         row_number() OVER (PARTITION BY q_id
           |                            ORDER BY cos_sim DESC, vec_id) AS rank
           |  FROM ref)
-          |SELECT * FROM ranked WHERE rank <= 5
+          |SELECT * FROM ranked WHERE rank <= $k
           |ORDER BY query_id, rank""".stripMargin
 
   /** ss7's full-chain restatement, shared verbatim by st15 (the
     * streamed serving form must reproduce the batch answer exactly). */
   private val ss7OracleSql: String =
     ss7ChainSql("SELECT vec_id, embedding FROM embeddings", "vec_id % 100 = 0")
+
+  /** Per-dir memo of the WORKLOAD-PLANNED shortlist depth (ss12 — r14
+    * verdict ask #5: int8ShortlistFor was tooling-only; this wires the
+    * planner into a SERVED query). The plan measures the true-neighbor
+    * quantized-rank CDF on a bounded md5 sample OF THE QUERY WORKLOAD
+    * (the r14 negative control: corpus-row sampling under-planned 4×)
+    * and takes the smallest depth whose measured recall meets the
+    * target — deterministic end to end (md5 sample, integer quantized
+    * scores, id tiebreaks), so the planned depth is a pure function of
+    * (data dir, constants) and the generated oracle can inline it as a
+    * literal (the ss5 share-the-fit pattern). */
+  private[graft] val PlannedK = 5
+  private[graft] val PlannedTarget = 0.95
+  private[graft] val PlannedSampleN = 8
+  private val shortlistMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def plannedShortlist(s: SparkSession, d: String): Int =
+    shortlistMemo.computeIfAbsent(d, _ => {
+      val emb = Tables.embeddings(s, d)
+      val workload = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val ranks = Similarity.int8TrueNeighborRanks(emb, "vec_id", "embedding",
+        workload, "q_id", "q_vec", PlannedK, PlannedSampleN)
+      Int.box(Similarity.int8ShortlistFor(ranks, PlannedK, PlannedTarget))
+    }).intValue
 
   /** ss8's full-chain restatement, shared verbatim by ss10 (serving
     * from the persisted IVF index must reproduce the in-session-index

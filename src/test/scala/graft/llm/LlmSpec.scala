@@ -499,6 +499,41 @@ class LlmSpec extends SparkSpec {
     } finally graft.LocalRun.deleteRecursively(stage)
   }
 
+  test("ss12 planner wiring: the served query's coarse depth IS " +
+    "plannedShortlist's output (plan-literal pin), and serving at that " +
+    "depth meets the recall target on the planner's own workload sample " +
+    "end-to-end (r14 ask #5)") {
+    val d = "/root/testdata/sf0.001"
+    val planned = graft.queries.LlmQueries.plannedShortlist(spark, d)
+    val k = graft.queries.LlmQueries.PlannedK
+    assert(planned >= k, s"planned depth $planned below k=$k")
+    // the registered query's physical plan carries the planned depth
+    // as the coarse rank bound — the literal the verdict asked to pin
+    val df = graft.SparkEntry.queries("ss12_int8_planned_topk")(spark, d)
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains(s"<= $planned)"),
+      s"coarse rank bound <= $planned not found in ss12's plan")
+    // end-to-end: at the planned depth, the refine chain recovers the
+    // exact top-k for the sample queries at >= the planned target
+    val emb = graft.Tables.embeddings(spark, d)
+    val workload = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sample = workload
+      .withColumn("__h", md5(col("q_id").cast("string")))
+      .orderBy("__h").limit(graft.queries.LlmQueries.PlannedSampleN)
+      .select("q_id", "q_vec")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        sample, "q_id", "q_vec", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val served = Similarity.int8RefineTopK(emb, "vec_id", "embedding",
+        sample, "q_id", "q_vec", shortlist = planned, k = k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = served.intersect(exact).size.toDouble / exact.size
+    assert(recall >= graft.queries.LlmQueries.PlannedTarget,
+      s"recall $recall at planned depth $planned below target")
+  }
+
   test("int8 storage claim measured: quantized parquet <= 40% of float32 parquet") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 2000L).map(i =>
