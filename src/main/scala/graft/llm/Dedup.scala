@@ -904,10 +904,20 @@ object Dedup {
                      k: Int, hashGrams: Boolean = false): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
     val (tokens, grams) = tokenAndGramStreams(docs, idCol, textCol, k, hashGrams)
-    val dupGrams = grams.groupBy("__gram")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
-      .select("__gram")
-    removeCoveredSpans(tokens, grams, dupGrams, idCol, k)
+    // duplicated-start flags in ONE gram-keyed shuffle: a count window
+    // over the gram partition replaces the old groupBy-then-left-semi
+    // pair, which exchanged the gram stream TWICE (once near-distinct
+    // for the count, once in full for the flag join) — at 8 words of
+    // span text per token that second exchange was the query's largest
+    // shuffle (r14 verdict ask #6; quiet-to-quiet ~25% off tx16's
+    // wall). Same flag set by construction: a gram row survives iff
+    // its gram occurs >= 2 times corpus-wide.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))
+    val starts = grams
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= 2)
+      .select(col(idCol).as("__sid"), col("__gpos").as("__marker"))
+    coverAndReassemble(tokens, starts, idCol, k)
   }
 
   /** The positioned token and k-gram streams [[duplicateSpans]] and its
@@ -942,16 +952,41 @@ object Dedup {
     // self-join disambiguation heuristics instead of saying what we mean
     val starts = grams.join(dupGrams.hint("shuffle_hash"), Seq("__gram"), "left_semi")
       .select(col(idCol).as("__sid"), col("__gpos").as("__marker"))
+    coverAndReassemble(tokens, starts, idCol, k)
+  }
+
+  /** Coverage window + reassembly over an already-computed start-flag
+    * frame (`starts` = (__sid, __marker) rows, one per duplicated-span
+    * start position).
+    *
+    * Union-tag shape (r14 verdict ask #6): marker rows RIDE the token
+    * stream instead of joining onto it — the old (id, tpos)=(sid,
+    * marker) shuffle-hash join exchanged the full token stream on a
+    * key the downstream id-window couldn't reuse, so tokens crossed
+    * the wire twice. Here tokens ∪ markers exchange ONCE on the doc
+    * id; a RANGE frame over the integer position (value-based, so the
+    * interleaved marker rows don't disturb the k-1-token coverage
+    * semantics, and tie order between a marker and its own token is
+    * irrelevant) computes coverage; the reassembly groupBy reuses the
+    * same partitioning — zero further exchanges. Same output by
+    * construction: a token at position t is covered iff some
+    * duplicated span starts in [t-k+1, t]. */
+  private def coverAndReassemble(tokens: DataFrame, starts: DataFrame,
+                                 idCol: String, k: Int): DataFrame = {
+    val tokRows = tokens.select(col(idCol), col("__tpos"),
+      col("__token"), lit(false).as("__is_marker"))
+    val markRows = starts.select(col("__sid").as(idCol),
+      col("__marker").as("__tpos"),
+      lit(null).cast("string").as("__token"),
+      lit(true).as("__is_marker"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__tpos"))
-      .rowsBetween(-(k - 1), 0)
+      .rangeBetween(-(k - 1), 0)
     val kept = struct(col("__tpos"), col("__token").as("t"))
-    tokens
-      .join(starts.hint("shuffle_hash"),
-        col(idCol) === col("__sid") && col("__tpos") === col("__marker"),
-        "left")
-      .select(col(idCol), col("__tpos"), col("__token"), col("__marker"))
-      .withColumn("__covered", max(col("__marker")).over(w).isNotNull)
+    tokRows.unionByName(markRows)
+      .withColumn("__covered",
+        max(when(col("__is_marker"), col("__tpos"))).over(w).isNotNull)
+      .filter(!col("__is_marker"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
