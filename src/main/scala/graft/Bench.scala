@@ -43,7 +43,9 @@ object Bench {
   val FitQueries: Set[String] = Set(
     "x10_ols_ladder", "x11_kmeans_j6", "x15_scoring", "x17_ols_inference",
     "dd7_dup_groups",
-    "dd8_dup_groups_star", "st1_stream_watermark_dedup",
+    "dd8_dup_groups_star",
+    "llm6_cross_modal_dedup", // dd7's component loop over the union pair graph
+    "st1_stream_watermark_dedup",
     "st2_stream_windowed_agg", "st3_stream_stateful_counts",
     "st4_stream_stream_join", "st5_stream_scoring", "st6_stream_near_dup",
     "st7_stream_substring_dedup", // two-batch file stream runs at plan build

@@ -55,7 +55,10 @@ object ExplainFit {
     // coverage so the gap cannot reopen.
     for (name <- Seq("x10_ols_ladder", "x11_kmeans_j6", "x15_scoring",
         "x17_ols_inference", "tx11_bpe_tokenize", "tx14_quality_classifier",
-        "ss5_ivfpq_topk")) {
+        "ss5_ivfpq_topk",
+        // llm6's component loop (dd7's) runs at plan build; the dumped
+        // plan is the final label/rollup read
+        "llm6_cross_modal_dedup")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       write(name,
         s"== $name: final output plan. The model fit runs during plan\n" +

@@ -998,6 +998,35 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Cross-doc duplicated-span PAIRS — the pair-producing face of the
+    * ExactSubstr machinery (llm6's text arm): unordered (doc_a, doc_b)
+    * that share at least one duplicated k-gram. The gram stream is
+    * prefiltered to duplicated grams by the same count window
+    * [[duplicateSpans]] uses (one gram-keyed shuffle), the (gram, doc)
+    * pairs dedup before the join (within-doc repeats collapse), and
+    * candidates meet only on a shared duplicated gram — never
+    * all-pairs. A corpus-wide boilerplate gram fans out quadratically
+    * in the docs that carry it (the dd2 hot-band caveat): at scale run
+    * line/boilerplate removal first or salt the hot grams — the same
+    * discipline as the LSH band join. */
+  def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, hashGrams: Boolean = false): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val (_, grams) = tokenAndGramStreams(docs, idCol, textCol, k, hashGrams)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))
+    val dup = grams
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= 2)
+      .select(col("__gram"), col(idCol))
+      .distinct()
+    val a = dup.select(col("__gram"), col(idCol).as("doc_a"))
+    val b = dup.select(col("__gram"), col(idCol).as("doc_b"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("__gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Per-gram occurrence counts of a corpus — the PERSISTED table the
     * incremental exact-substring pipeline maintains (Lee et al.'s tool
     * is run exactly this way in production: the suffix-array/gram

@@ -5551,6 +5551,132 @@ object LlmQueries extends Q.Registry {
             col("cum_before"), md5(col("text")).as("text_fp"))
           .orderBy("doc_id")
       },
-      Some(llm5OracleSql))
+      Some(llm5OracleSql)),
+
+    Q("llm6_cross_modal_dedup",
+      "Sixth flagship chain (r14 verdict stretch) — CROSS-MODAL dedup, " +
+        "the shape real crawl curation runs now that every modality " +
+        "has a pair operator: documents carry text AND an image " +
+        "payload; the duplicate relation is the UNION of the text " +
+        "pair set (docs sharing a duplicated 8-word span — " +
+        "Dedup.sharedSpanPairs, the pair-producing face of tx16's " +
+        "ExactSubstr machinery) and the image pair set (mm9's real " +
+        "PNG-roundtrip dHash through the shared BandedHamming join); " +
+        "the canonical-doc vote is dd7's connected components over " +
+        "the union, so a text-dup of A and an image-dup of A collapse " +
+        "into ONE group with one canonical even though they never " +
+        "matched each other directly. Planted: every 50th doc has a " +
+        "text replica (id + 1,000,000); a fixed 50-doc multimodal " +
+        "subset (ids 0,10..490) where every id % 30 == 20 carries a " +
+        "one-pixel perturbation of id-10's image — so id % 300 == 50 " +
+        "(e.g. {40, 50, 1000050}) forges the cross-modal component " +
+        "the chain exists to find. Oracle: the gram self-join, mm9's " +
+        "full pixel->dHash->band restatement, and dd7's recursive-CTE " +
+        "closure over the union — group id, size, canonical flag all " +
+        "hash-checked.",
+      (s, d) => {
+        val mixed = corpus(s, d)
+        val textPairs = Dedup.sharedSpanPairs(mixed, "doc_id", "text", k = 8)
+        // fixed-size multimodal subset (the mm9 discipline: the codec
+        // fixture is bounded at any SF); hashes cached — selfPairs
+        // reads them through both join arms
+        val imgIds: Seq[(Long, Long, Int)] = (0L until 500L by 10).map(i =>
+          if (i % 30 == 20) (i, i - 10, 1) else (i, i, 0))
+        val ih = cachedFrame(s, "llm6_img_hashes", d)(imageHashes(s, imgIds))
+        val imagePairs = graft.ops.BandedHamming
+          .selfPairs(ih, "doc_id", "h_lo", "h_hi", 6)
+          .select("doc_a", "doc_b")
+        // the union edge set is read through two arms by the component
+        // loop (u->v and v->u) — cache it, not the heavy upstreams
+        val edges = cachedFrame(s, "llm6_edges", d)(
+          textPairs.unionByName(imagePairs)
+            .dropDuplicates("doc_a", "doc_b"))
+        val groups = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        val wg = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
+        groups.select(
+            col("doc").as("doc_id"), col("group_id"),
+            count(lit(1)).over(wg).as("group_size"),
+            (col("doc") === col("group_id")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(llm6OracleSql))
   )
+
+  /** llm6's oracle: text pairs via the duplicated-gram self-join
+    * (tx16's gram construction), image pairs via mm9's full
+    * pixel→dHash→band restatement over the llm6 carrier population,
+    * closure via dd7's recursive CTE over the union. */
+  private def llm6OracleSql: String =
+    corpusSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """t AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
+        |       FROM corpus),
+        |g AS (SELECT doc_id,
+        |             ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT)+1] || ' ' ||
+        |             ws[CAST(u.i AS INT)+2] || ' ' || ws[CAST(u.i AS INT)+3] || ' ' ||
+        |             ws[CAST(u.i AS INT)+4] || ' ' || ws[CAST(u.i AS INT)+5] || ' ' ||
+        |             ws[CAST(u.i AS INT)+6] || ' ' || ws[CAST(u.i AS INT)+7] AS gram
+        |      FROM t, unnest(range(1, len(ws) - 6)) AS u(i)),
+        |dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |tg AS (SELECT DISTINCT doc_id, gram FROM g JOIN dupg USING (gram)),
+        |tp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM tg a JOIN tg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |m AS (
+        |  SELECT 10*i AS id,
+        |         CASE WHEN (10*i) % 30 = 20 THEN 10*i - 10 ELSE 10*i END AS src,
+        |         CASE WHEN (10*i) % 30 = 20 THEN 1 ELSE 0 END AS d
+        |  FROM (SELECT unnest(range(0, 50)) AS i)),
+        |pix AS (
+        |  SELECT m.id, xx.x, yy.y,
+        |    CASE WHEN m.d = 1 AND xx.x = 0 AND yy.y = 0
+        |         THEN ((3*(m.src%7+1)*xx.x + 5*(m.src%11+1)*yy.y + m.src) % 256 + 1) % 256
+        |         ELSE (3*(m.src%7+1)*xx.x + 5*(m.src%11+1)*yy.y + m.src) % 256 END AS v
+        |  FROM m, (SELECT unnest(range(0, 18)) AS x) xx,
+        |       (SELECT unnest(range(0, 16)) AS y) yy),
+        |blk AS (
+        |  SELECT id, x // 2 AS bx, y // 2 AS by, SUM(v) AS s
+        |  FROM pix GROUP BY id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.id, l.bx AS x, l.by AS y, (l.s > r.s) AS bit
+        |  FROM blk l JOIN blk r ON l.id = r.id AND r.bx = l.bx + 1 AND r.by = l.by
+        |  WHERE l.bx <= 7 AND l.by <= 7),
+        |hh AS (
+        |  SELECT id,
+        |    CAST(SUM(CASE WHEN bit AND y < 4
+        |                  THEN (CAST(1 AS BIGINT) << CAST(y*8+x AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS h_lo,
+        |    CAST(SUM(CASE WHEN bit AND y >= 4
+        |                  THEN (CAST(1 AS BIGINT) << CAST((y-4)*8+x AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS h_hi
+        |  FROM bits GROUP BY id),
+        |bands AS (
+        |  SELECT id, h_lo, h_hi, bb.b AS band,
+        |    CASE bb.b WHEN 0 THEN h_lo & 65535
+        |              WHEN 1 THEN (h_lo >> 16) & 65535
+        |              WHEN 2 THEN h_hi & 65535
+        |              ELSE (h_hi >> 16) & 65535 END AS band_val
+        |  FROM hh, (SELECT unnest(range(0, 4)) AS b) bb),
+        |ip AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+        |           a.h_lo AS lo_a, a.h_hi AS hi_a, b.h_lo AS lo_b, b.h_hi AS hi_b
+        |    FROM bands a
+        |    JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        |                AND a.id < b.id)
+        |  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6),
+        |allp AS (SELECT doc_a, doc_b FROM tp UNION SELECT doc_a, doc_b FROM ip),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM allp
+        |  UNION
+        |  SELECT doc_b, doc_a FROM allp),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS doc, least(u, min(v)) AS group_id
+        |  FROM reach GROUP BY u)
+        |SELECT doc AS doc_id, group_id,
+        |       count(*) OVER (PARTITION BY group_id) AS group_size,
+        |       doc = group_id AS is_canonical
+        |FROM comp ORDER BY doc_id""".stripMargin
 }

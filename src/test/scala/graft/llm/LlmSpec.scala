@@ -534,6 +534,22 @@ class LlmSpec extends SparkSpec {
       s"recall $recall at planned depth $planned below target")
   }
 
+  test("sharedSpanPairs: cross-doc duplicated-gram pairs found, " +
+    "within-doc repeats alone pair nothing, unrelated docs silent (llm6)") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"alpha $eight omega"),
+      (2L, s"beta $eight gamma"),         // shares the 8-gram with 1
+      (3L, s"$eight tail $eight"),        // internal repeat AND shares with 1/2
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"), // internal-only unique grams
+      (5L, "y1 y2 y3 y4 y5 y6 y7 y8")     // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpanPairs(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"unexpected pair set: $got")
+  }
+
   test("int8 storage claim measured: quantized parquet <= 40% of float32 parquet") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 2000L).map(i =>
