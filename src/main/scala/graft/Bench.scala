@@ -63,12 +63,17 @@ object Bench {
     "tx14_quality_classifier", // IRLS fit runs at plan build
     "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build
 
-  /** Fit queries whose MEASURED SEMANTIC is the model fit itself: the
-    * per-dir fit memos are cleared before every run so the median-of-3
-    * prices three real fits, not one fit and two cache reads. x15 is
-    * deliberately absent — its production shape is fit-once-score-many
-    * batches, so the memoized steady state IS its honest number. */
-  val RefitQueries: Set[String] = Set("x10_ols_ladder", "x11_kmeans_j6")
+  /** Fit queries whose MEASURED SEMANTIC is the fit/maintenance work
+    * itself: the per-dir memos are cleared before every run so the
+    * median-of-3 prices three real runs, not one run and two cache
+    * reads. x15 is deliberately absent — its production shape is
+    * fit-once-score-many batches, so the memoized steady state IS its
+    * honest number; st17 likewise (it SERVES the grown index). st16 is
+    * present because its semantic IS the incremental maintenance
+    * stream — a memo read would price a parquet scan as a pipeline
+    * (r15 self-review). */
+  val RefitQueries: Set[String] =
+    Set("x10_ols_ladder", "x11_kmeans_j6", "st16_stream_embedding_index")
 
   /** Quiet-host reference for [[spinProbe]] (seconds) — measured on this
     * host across a quiet phase (150M xorshift64 steps: 0.31 s ± 3%; see
@@ -374,7 +379,10 @@ object Bench {
           if (isFit && !degraded) {
             modes.put(name, "fitmed3")
             val runs = Seq.fill(3) {
-              if (RefitQueries(name)) queries.MlQueries.resetFitMemos()
+              if (RefitQueries(name)) {
+                queries.MlQueries.resetFitMemos()
+                queries.LlmQueries.resetIncrementalIndexMemo()
+              }
               once()
             }
             samples.put(name, runs)

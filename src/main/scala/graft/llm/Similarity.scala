@@ -541,17 +541,22 @@ object Similarity {
 
   /** Coarse (≡ refined) recall@k at depth `shortlist`: the empirical
     * CDF of [[int8TrueNeighborRanks]] — non-decreasing in `shortlist`
-    * by construction (spec-pinned). */
+    * by construction (spec-pinned). A rank-∞ sentinel (Int.MaxValue —
+    * an unrecoverable neighbor) counts as a miss at EVERY depth,
+    * including a depth of Int.MaxValue itself. */
   def int8CoarseRecallAt(ranks: Array[Int], shortlist: Int): Double = {
     require(ranks.nonEmpty, "no measured ranks — sample the corpus first")
-    ranks.count(_ <= shortlist).toDouble / ranks.length
+    ranks.count(r => r != Int.MaxValue && r <= shortlist).toDouble / ranks.length
   }
 
   /** The SMALLEST shortlist whose measured recall meets `targetRecall`
     * on the sample (floored at k — the refine pass needs at least k
-    * candidates). If even a corpus-wide shortlist can't reach the
-    * target on the sample (it always can when targetRecall ≤ 1: rank
-    * max(ranks) gives recall 1), the max measured rank is returned. */
+    * candidates). When the sample contains rank-∞ sentinels
+    * (unrecoverable neighbors), high targets may be UNREACHABLE at any
+    * depth — this REFUSES loudly rather than returning a sentinel
+    * depth that would degenerate the coarse pass into a corpus-wide
+    * scan per query (r15 self-review): the caller must lower the
+    * target or fix the degenerate inputs the planner measured. */
   def int8ShortlistFor(ranks: Array[Int], k: Int, targetRecall: Double): Int = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
@@ -561,7 +566,14 @@ object Similarity {
     // smallest rank (1-based) — an exact order statistic, no search
     val need = math.min(sorted.length,
       math.max(1, math.ceil(targetRecall * sorted.length - 1e-9).toInt))
-    math.max(k, sorted(need - 1))
+    val depth = sorted(need - 1)
+    require(depth != Int.MaxValue, {
+      val lost = sorted.count(_ == Int.MaxValue)
+      s"target recall $targetRecall is unreachable at any depth: $lost of " +
+        s"${sorted.length} measured true neighbors are unrecoverable by the " +
+        "coarse pass (rank ∞) — lower the target or fix the degenerate inputs"
+    })
+    math.max(k, depth)
   }
 
   /** IVF × int8 → exact-refine top-k (ss8): [[ivfTopK]]'s cell pruning

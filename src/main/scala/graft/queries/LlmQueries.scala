@@ -900,8 +900,10 @@ object LlmQueries extends Q.Registry {
     * 500th (id + 3,000,000) — these match their base source AND
     * batch 1's appended replica, the match that exists ONLY if the
     * batch-1 append landed (the index-GREW proof) — plus twin replicas
-    * of every 400th (ids + 4,000,000 / + 4,100,000), the new-vs-new
-    * positives that also hit their base source. */
+    * of every 400th (ids + 4,000,000 / + 5,000,000 — a full 1M of id
+    * headroom each, the repo's planted-id convention, so twins can't
+    * collide until base ids reach 1,000,000), the new-vs-new positives
+    * that also hit their base source. */
   private def embBatch1(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % 250 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -914,7 +916,7 @@ object LlmQueries extends Q.Registry {
       .unionAll(emb.filter(col("vec_id") % 400 === 0)
         .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding")))
       .unionAll(emb.filter(col("vec_id") % 400 === 0)
-        .select((col("vec_id") + 4100000L).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding")))
   /** The planted batches as oracle SQL (same derivations verbatim). */
   private val embBatchesSql: Seq[String] = Seq(
     """SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 250 = 0
@@ -924,7 +926,7 @@ object LlmQueries extends Q.Registry {
       |  UNION ALL
       |  SELECT vec_id + 4000000, embedding FROM embeddings WHERE vec_id % 400 = 0
       |  UNION ALL
-      |  SELECT vec_id + 4100000, embedding FROM embeddings WHERE vec_id % 400 = 0""".stripMargin)
+      |  SELECT vec_id + 5000000, embedding FROM embeddings WHERE vec_id % 400 = 0""".stripMargin)
 
   /** The near-dup thresholds st16 gates on: coarse quantized cosine ≥
     * TauQ over stored int8 codes, exact float cosine ≥ Tau at verify.
@@ -1004,6 +1006,9 @@ object LlmQueries extends Q.Registry {
     * ONE stream run per (JVM, dir). */
   private val embIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Bench refit hook (st16 ∈ Bench.RefitQueries): clear the memo so
+    * each timed run pays the real maintenance stream, not a memo read. */
+  private[graft] def resetIncrementalIndexMemo(): Unit = embIdxMemo.clear()
   private[queries] def grownEmbIndexDir(s: SparkSession, d: String): String =
     embIdxMemo.computeIfAbsent(d, _ => {
       val stage = java.nio.file.Files.createTempDirectory("graft_st16_")
@@ -1057,7 +1062,10 @@ object LlmQueries extends Q.Registry {
       graft.LocalRun.deleteRecursively(inDir)
       graft.LocalRun.deleteRecursively(arr)
       graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
-      graft.LocalRun.deleteOnExit(stage)
+      // one live tree per slot: a refit rebuild (Bench median-of-3)
+      // deletes the prior run's tree NOW instead of accumulating one
+      // per rebuild until JVM exit (the st7/st12 cleanup policy)
+      graft.LocalRun.deleteOnExitSlot("st16_stage", stage)
       stage.toString
     })
 
@@ -5568,9 +5576,9 @@ object LlmQueries extends Q.Registry {
         "matched each other directly. Planted: every 50th doc has a " +
         "text replica (id + 1,000,000); a fixed 50-doc multimodal " +
         "subset (ids 0,10..490) where every id % 30 == 20 carries a " +
-        "one-pixel perturbation of id-10's image — so id % 300 == 50 " +
-        "(e.g. {40, 50, 1000050}) forges the cross-modal component " +
-        "the chain exists to find. Oracle: the gram self-join, mm9's " +
+        "one-pixel perturbation of id-10's image — so id % 150 == 50 " +
+        "(ids 50, 200, 350: e.g. {40, 50, 1000050}) forges the " +
+        "cross-modal component the chain exists to find. Oracle: the gram self-join, mm9's " +
         "full pixel->dHash->band restatement, and dd7's recursive-CTE " +
         "closure over the union — group id, size, canonical flag all " +
         "hash-checked.",
