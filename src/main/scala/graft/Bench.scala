@@ -379,10 +379,15 @@ object Bench {
           if (isFit && !degraded) {
             modes.put(name, "fitmed3")
             val runs = Seq.fill(3) {
-              if (RefitQueries(name)) {
+              // Each reset gated on the query that owns the memo (r15
+              // ADVICE): a blanket reset would clear st16's grown-index
+              // memo during the x10/x11 refits — order-dependent only
+              // by accident, and a registry reorder would silently
+              // force a full stream rebuild mid-bench
+              if (name == "x10_ols_ladder" || name == "x11_kmeans_j6")
                 queries.MlQueries.resetFitMemos()
+              if (name == "st16_stream_embedding_index")
                 queries.LlmQueries.resetIncrementalIndexMemo()
-              }
               once()
             }
             samples.put(name, runs)

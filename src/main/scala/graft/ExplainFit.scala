@@ -81,6 +81,11 @@ object ExplainFit {
         // st16 must precede st17: both read the grownEmbIndexDir memo,
         // and only the memo-BUILDING query captures a micro-batch plan
         "st16_stream_embedding_index")) {
+      // Clear the capture slot before each stream (r15 ADVICE): if a
+      // memoized query (st16's grown-index dir) returns without running
+      // its stream, the sys.error below must fire on ABSENCE rather
+      // than silently writing the previous iteration's stale plan
+      queries.IngestQueries.lastStreamPlan = None
       val df = SparkEntry.queries(name)(spark, sfDir) // runs the bounded stream
       val batch = queries.IngestQueries.lastStreamPlan
         .getOrElse(sys.error(s"$name left no captured micro-batch plan"))

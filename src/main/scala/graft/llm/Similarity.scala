@@ -42,6 +42,15 @@ object Similarity {
   /** ‖v‖ = sqrt(Σ vᵢ²) in double precision. */
   def norm(v: Column): Column = sqrt(dotD(v, v))
 
+  /** The family-wide norm guard: keep a row only when its norm is a
+    * strictly-positive FINITE number. A bare `> 0` would keep NaN-norm
+    * rows (NaN compares greater than any value under Spark's total
+    * ordering, r15 ADVICE), letting one corrupt component NaN-top every
+    * desc ranking; `!isnan` closes that hole so the documented contract
+    * — zero-OR-NaN-norm rows are uniformly dropped on either side of
+    * every ANN operator — is what the code computes. */
+  private def posNorm(c: Column): Column = c > 0 && !isnan(c)
+
   /** Squared L2 distance in double precision, same fold shape. */
   def sqDist(a: Column, b: Column): Column = ArrayKernels.sqDistD(a, b)
 
@@ -64,9 +73,9 @@ object Similarity {
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      k: Int): DataFrame = {
     val corpusN = corpus.withColumn("__c_norm", norm(col(vecCol)))
-      .filter(col("__c_norm") > 0)
+      .filter(posNorm(col("__c_norm")))
     val queriesN = queries.withColumn("__q_norm", norm(col(qVecCol)))
-      .filter(col("__q_norm") > 0)
+      .filter(posNorm(col("__q_norm")))
     val scored = corpusN.crossJoin(broadcast(queriesN))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos_sim",
@@ -375,11 +384,11 @@ object Similarity {
       // bruteForceTopK's uniform zero-norm guard: an ADC shortlist (ss5)
       // can carry a zero-norm candidate the cosine refine can't score —
       // 0/0 is a hard error under ANSI, so drop it here too
-      .filter(col("__c_norm") > 0)
+      .filter(posNorm(col("__c_norm")))
     val qn = queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("__q_vec"))
       .withColumn("__q_norm", norm(col("__q_vec")))
-      .filter(col("__q_norm") > 0)
+      .filter(posNorm(col("__q_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
     // BROADCAST the shortlist (|queries|·shortlist id pairs — bounded
@@ -515,11 +524,11 @@ object Similarity {
     val corpusQ = corpus
       .select(col(idCol), quant(col(vecCol)).as("__qv"))
       .withColumn("__c_qnorm", norm(col("__qv")))
-      .filter(col("__c_qnorm") > 0) // ivfInt8RefineTopK's zero-norm guard
+      .filter(posNorm(col("__c_qnorm"))) // ivfInt8RefineTopK's zero-norm guard
     val queriesQ = sample
       .select(col("__plan_qid"), quant(col("__plan_qvec")).as("__q_qv"))
       .withColumn("__q_qnorm", norm(col("__q_qv")))
-      .filter(col("__q_qnorm") > 0)
+      .filter(posNorm(col("__q_qnorm")))
     val w = Window.partitionBy("__plan_qid").orderBy(desc("q_sim"), col(idCol))
     val ranked = corpusQ.crossJoin(broadcast(queriesQ))
       .filter(col(idCol) =!= col("__plan_qid"))
@@ -656,14 +665,14 @@ object Similarity {
       // engine-dependent; drop it like the null cell_dist above so the
       // public seam stays oracle-stable for arbitrary inputs
       // (r13 ADVICE)
-      .filter(col("__q_qnorm") > 0)
+      .filter(posNorm(col("__q_qnorm")))
     // the only corpus-wide work: the stored tinyint codes of the
     // probed cells — the float column is not in this projection
     val qCorpus = cellQuant
       .select(col(idCol), col(cellCol), int8AsDouble(col(q8Col)).as("__qv"))
       .withColumn("__c_qnorm", norm(col("__qv")))
       // same zero-norm guard, corpus side
-      .filter(col("__c_qnorm") > 0)
+      .filter(posNorm(col("__c_qnorm")))
     val w = Window.partitionBy(qIdCol).orderBy(desc("q_sim"), col(idCol))
     val coarse = qCorpus.join(broadcast(probes), Seq(cellCol))
       .filter(col(idCol) =!= col(qIdCol))
@@ -704,11 +713,11 @@ object Similarity {
     val bq = batch
       .select(col(bIdCol).as("new_id"), quant(col(bVecCol)).as("__b_qv"))
       .withColumn("__b_qnorm", norm(col("__b_qv")))
-      .filter(col("__b_qnorm") > 0)
+      .filter(posNorm(col("__b_qnorm")))
     val idx = indexQuant
       .select(col(idCol).as("matched_id"), int8AsDouble(col(q8Col)).as("__i_qv"))
       .withColumn("__i_qnorm", norm(col("__i_qv")))
-      .filter(col("__i_qnorm") > 0)
+      .filter(posNorm(col("__i_qnorm")))
     def qcos(a: Column, b: Column, na: Column, nb: Column): Column =
       dotD(a, b) / (na * nb)
     val coarseE = idx.crossJoin(broadcast(bq))
@@ -719,11 +728,11 @@ object Similarity {
     val bf = batch
       .select(col(bIdCol).as("new_id"), col(bVecCol).as("__b_vec"))
       .withColumn("__b_norm", norm(col("__b_vec")))
-      .filter(col("__b_norm") > 0)
+      .filter(posNorm(col("__b_norm")))
     val idxF = indexFloat
       .select(col(idCol).as("matched_id"), col(vecCol).as("__i_vec"))
       .withColumn("__i_norm", norm(col("__i_vec")))
-      .filter(col("__i_norm") > 0)
+      .filter(posNorm(col("__i_norm")))
     val vsExisting = idxF
       .join(broadcast(coarseE), Seq("matched_id"))
       .join(broadcast(bf), Seq("new_id"))

@@ -940,7 +940,12 @@ object LlmQueries extends Q.Registry {
     * batch 2 vs base ∪ batch 1 — the appended index), plus each
     * batch's self pairs. Same quantization fragment as ss7's chain;
     * thresholds interpolate from the SAME EmbTauQ/EmbTau constants the
-    * Spark side gates on. */
+    * Spark side gates on. Each leg's WHERE carries explicit float- and
+    * quantized-norm > 0 guards mirroring the Spark-side family contract
+    * (r15 ADVICE): a zero embedding would otherwise 0/0 → NaN in DuckDB
+    * and PASS the ≥ tau gate under NaN-high ordering while Spark drops
+    * the row — a degenerate input must be uniformly dropped by both
+    * engines, not surface as a confusing hash mismatch. */
   private def embPairsOracleSql: String = {
     def qzOver(src: String): String =
       s"""SELECT vec_id, embedding,
@@ -966,7 +971,9 @@ object LlmQueries extends Q.Registry {
          |       floor(($fcos) * 1e4 + 1e-6) / 1e4 AS cos_sim,
          |       CAST($batch AS BIGINT) AS batch_id
          |FROM $nCte n JOIN $mCte m ON $idCond
-         |WHERE $qcos >= $EmbTauQ AND $fcos >= $EmbTau""".stripMargin
+         |WHERE ${fdot("n", "n")} > 0 AND ${fdot("m", "m")} > 0
+         |  AND ${qdot("n", "n")} > 0 AND ${qdot("m", "m")} > 0
+         |  AND $qcos >= $EmbTauQ AND $fcos >= $EmbTau""".stripMargin
     }
     s"""WITH b1 AS (
        |  ${embBatchesSql(0)}),

@@ -10,13 +10,18 @@ Usage: python3 tools/surveycheck.py   (exit 0 = every name greps)
 """
 import json
 import pathlib
+import re
 import sys
 
 root = pathlib.Path(__file__).resolve().parent.parent
 pins = json.loads((root / "bench_explain" / "SHUFFLE_PINS.json").read_text())
 names = sorted(pins["queries"].keys())
 survey = (root / "SURVEY.md").read_text()
-missing = [n for n in names if n not in survey]
+# Word-boundary match (r15 ADVICE): substring containment would let a
+# name that happens to be a prefix/substring of another listed name
+# false-pass even when its own coverage row is missing.
+missing = [n for n in names
+           if not re.search(rf"\b{re.escape(n)}\b", survey)]
 if missing:
     print(f"[surveycheck] {len(missing)} of {len(names)} query names "
           "missing from SURVEY.md:")
