@@ -327,19 +327,55 @@ object Similarity {
     * FIXED subspace order (a plain `sum` over the M partials would be
     * aggregation-order-nondeterministic in the last ulp — enough to
     * flip a rank tie vs the oracle's replay). */
+  /** The probe plan every IVF serve shares: rank cells per query by
+    * squared distance to the stored centroid (cell-id tie-break), keep
+    * the nProbe closest. Null centroid distance (malformed /
+    * wrong-dimension query) is dropped — nulls sort FIRST under the
+    * ascending window, so a bad query would otherwise probe arbitrary
+    * cells. Returns the query columns + `cellCol`, one row per
+    * (query, probed cell). ONE definition feeds the coarse join AND
+    * [[probedCellSet]]'s static partition-pruning list, so the scanned
+    * cells and the joined cells cannot desync. */
+  def probeCells(queries: DataFrame, qIdCol: String, qVecCol: String,
+                 centroids: DataFrame, centVecCol: String, cellCol: String,
+                 nProbe: Int): DataFrame = {
+    val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
+      .filter(col("cell_dist").isNotNull)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .drop("rn", "cell_dist", centVecCol)
+  }
+
+  /** The DISTINCT cell ids a query workload probes — the serve-side
+    * STATIC partition-pruning list for a cell-partitioned stored index
+    * (ss10/ss11): `store.filter(col("cell").isin(probedCellSet…: _*))`
+    * turns the probe list into literal PartitionFilters, so the coarse
+    * scan lists only probed-cell directories at PLAN time, at every
+    * scale. Static beats dynamic pruning here by measurement: Spark's
+    * DPP inserts `dynamicpruningexpression(cell IN dynamicpruning#N)`
+    * on this exact join but silently degrades it to `true` when the
+    * broadcast-reuse check fails under AQE re-planning or the cost
+    * model under-prices the benefit (both observed at fixture scale) —
+    * whereas the serve KNOWS its probe list before scanning, so
+    * nothing needs to be estimated. The collect is bounded by
+    * ≤ min(|queries|·nProbe, nCells) ints — the same broadcast-tiny
+    * contract as the probe frame itself. */
+  def probedCellSet(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    centroids: DataFrame, centVecCol: String, cellCol: String,
+                    nProbe: Int): Seq[Any] =
+    probeCells(queries, qIdCol, qVecCol, centroids, centVecCol, cellCol, nProbe)
+      .select(col(cellCol)).distinct().orderBy(col(cellCol))
+      .collect().map(_.get(0)).toSeq
+
   def ivfPqTopK(codes: DataFrame, idCol: String, cellCol: String,
                 codebook: DataFrame,
                 centroids: DataFrame, centVecCol: String,
                 queries: DataFrame, qIdCol: String, qVecCol: String,
                 m: Int, subDim: Int, nProbe: Int, k: Int): DataFrame = {
-    val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
-      // same malformed-vector guard as pqEncode: a null centroid
-      // distance must not win the probe ranking (nulls sort first asc)
-      .filter(col("cell_dist").isNotNull)
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbe)
+    val probes = probeCells(queries, qIdCol, qVecCol,
+        centroids, centVecCol, cellCol, nProbe)
       .select(col(qIdCol), col(cellCol))
     val lut = queries.select(col(qIdCol),
         posexplode(pqSubvectors(col(qVecCol), m, subDim)).as(Seq("__m", "__sub")))
@@ -645,16 +681,8 @@ object Similarity {
                               nProbe: Int, shortlist: Int, k: Int): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) — the refine pass only reorders")
-    val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
-      // null distance (malformed / wrong-dimension query) sorts FIRST
-      // under the ascending window — drop it so a bad query falls out
-      // of the index instead of probing arbitrary cells (same guard
-      // and reason as ivfPqTopK's)
-      .filter(col("cell_dist").isNotNull)
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbe)
+    val probes = probeCells(queries, qIdCol, qVecCol,
+        centroids, centVecCol, cellCol, nProbe)
       .select(col(qIdCol),
         int8AsDouble(int8Quantize(col(qVecCol), int8Scale(col(qVecCol))))
           .as("__q_qv"),
@@ -768,11 +796,8 @@ object Similarity {
               centroids: DataFrame, centVecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               nProbe: Int, k: Int): DataFrame = {
-    val probeW = Window.partitionBy(qIdCol).orderBy(col("cell_dist"), col(cellCol))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cell_dist", sqDist(col(qVecCol), col(centVecCol)))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbe)
+    val probes = probeCells(queries, qIdCol, qVecCol,
+        centroids, centVecCol, cellCol, nProbe)
       .select(col(qIdCol), col(qVecCol), col(cellCol))
       .withColumn("__q_norm", norm(col(qVecCol)))
     val candidates = cellCorpus

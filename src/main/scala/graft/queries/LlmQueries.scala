@@ -796,8 +796,8 @@ object LlmQueries extends Q.Registry {
     * and its generated oracle read the same trunc-6 literals. */
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Array[Double])]]()
-  private val PqM = 8
-  private val PqSubDim = 8
+  private[queries] val PqM = 8
+  private[queries] val PqSubDim = 8
   private val PqKs = 16
   private val PqSampleN = 256
   private val PqNProbe = 3
@@ -860,9 +860,19 @@ object LlmQueries extends Q.Registry {
     * Every stored value is roundtrip-exact (truncated doubles, tinyint
     * codes, int ids), so serving from these tables is hash-identical
     * to the in-session index — ss10/ss11 prove it by sharing ss8/ss5's
-    * oracles verbatim (the ss9/dd11 precedent). At 100 TB: cells/ and
-    * codes/ are partitioned by cell so the probe prunes at the source;
-    * centroids/ and codebook/ are broadcast-tiny by construction. */
+    * oracles verbatim (the ss9/dd11 precedent). cells/ and codes/ are
+    * written `.partitionBy("cell")` (r15 verdict ask #1 — the layout
+    * the serving docs always claimed; cell is int32 so the
+    * partition-column roundtrip is exact), and the serving queries
+    * prune STATICALLY: [[Similarity.probedCellSet]]'s literal cell
+    * list lands in the scan's PartitionFilters, so a serve lists only
+    * probed-cell directories at plan time — ~nProbe/nCells of the
+    * inverted file AT THE SOURCE, at every scale, with no dependence
+    * on DPP's cost-model/broadcast-reuse heuristics (which observably
+    * degrade the dynamic filter to `true` on this shape).
+    * IvfStorePruningSpec pins the pruned partition count and the
+    * PartitionFilters line. centroids/ and codebook/ are
+    * broadcast-tiny by construction. */
   private val ivfDirMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[queries] def persistedIvfDir(s: SparkSession, d: String): String =
@@ -877,7 +887,8 @@ object LlmQueries extends Q.Registry {
         .select(col("vec_id"), col("cell"),
           Similarity.int8Quantize(col("embedding"),
             Similarity.int8Scale(col("embedding"))).as("q8"))
-        .write.mode("overwrite").parquet(stage.resolve("cells").toString)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(stage.resolve("cells").toString)
       val codebook = trainedPqCodebooks(s, d)
         .map { case (m0, cid, v) => (m0, cid, v.toSeq) }
         .toDF("pq_m", "pq_cid", "pq_vec")
@@ -886,7 +897,8 @@ object LlmQueries extends Q.Registry {
       Similarity.pqEncode(emb.withColumn("cell", col("label")),
           "vec_id", "embedding", codebook, PqM, PqSubDim,
           carry = Seq("cell"))
-        .write.mode("overwrite").parquet(stage.resolve("codes").toString)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(stage.resolve("codes").toString)
       graft.LocalRun.deleteOnExit(stage)
       stage.toString
     })
@@ -1183,6 +1195,30 @@ object LlmQueries extends Q.Registry {
       val table = stage.resolve("dhash_bands").toString
       graft.ops.BandedHamming
         .withBands(imageHashes(s, (1L to 80L).map(i => (i, i, 0))),
+          "h_lo", "h_hi")
+        .select("band", "band_val", "doc_id", "h_lo", "h_hi")
+        .write.mode("overwrite").parquet(table)
+      graft.LocalRun.deleteOnExit(stage)
+      table
+    })
+
+  /** The PERSISTED energy-fingerprint band index of mm12's existing
+    * audio corpus (clips 1-60, mm11's base population) — the mm10
+    * writer verbatim one modality over (r15 verdict ask #3, the last
+    * hole in the modality × incremental matrix): schema (band,
+    * band_val, doc_id, h_lo, h_hi) = [[graft.ops.BandedHamming
+    * .withBands]]' output over [[audioHashes]]' Haitsma-Kalker-shaped
+    * fingerprints, written once per JVM; the existing clips' WAV
+    * payloads are never re-decoded by an incremental batch. Swept at
+    * JVM exit. */
+  private val audioIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mm12AudioIndexDir(s: SparkSession): String =
+    audioIndexMemo.computeIfAbsent("static", _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_mm12_")
+      val table = stage.resolve("afp_bands").toString
+      graft.ops.BandedHamming
+        .withBands(audioHashes(s, (1L to 60L).map(i => (i, i, 0))),
           "h_lo", "h_hi")
         .select("band", "band_val", "doc_id", "h_lo", "h_hi")
         .write.mode("overwrite").parquet(table)
@@ -3251,9 +3287,18 @@ object LlmQueries extends Q.Registry {
         val ivf = persistedIvfDir(s, d)
         val queries = emb.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cents = s.read.parquet(s"$ivf/centroids")
+        // serve-side STATIC partition pruning: the probe list becomes
+        // literal PartitionFilters on the cell-partitioned store, so
+        // the coarse scan lists only probed-cell directories — see
+        // Similarity.probedCellSet for why static beats DPP here
+        val probed = Similarity.probedCellSet(queries, "q_id", "q_vec",
+          cents, "cent_vec", "cell", nProbe = 3)
         Similarity.ivfInt8RefineTopKStored(
-            s.read.parquet(s"$ivf/cells"), "vec_id", "q8", "cell",
-            s.read.parquet(s"$ivf/centroids"), "cent_vec",
+            s.read.parquet(s"$ivf/cells")
+              .filter(col("cell").isin(probed: _*)),
+            "vec_id", "q8", "cell",
+            cents, "cent_vec",
             emb.select("vec_id", "embedding"), "embedding",
             queries, "q_id", "q_vec", nProbe = 3, shortlist = 12, k = 3)
           .select(col("query_id"), col("neighbor_id"),
@@ -3279,10 +3324,16 @@ object LlmQueries extends Q.Registry {
         val ivf = persistedIvfDir(s, d)
         val queries = emb.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cents = s.read.parquet(s"$ivf/centroids")
+        // same serve-side static prune as ss10, on the codes store
+        val probed = Similarity.probedCellSet(queries, "q_id", "q_vec",
+          cents, "cent_vec", "cell", nProbe = PqNProbe)
         Similarity.ivfPqTopK(
-            s.read.parquet(s"$ivf/codes"), "vec_id", "cell",
+            s.read.parquet(s"$ivf/codes")
+              .filter(col("cell").isin(probed: _*)),
+            "vec_id", "cell",
             s.read.parquet(s"$ivf/codebook"),
-            s.read.parquet(s"$ivf/centroids"), "cent_vec",
+            cents, "cent_vec",
             queries, "q_id", "q_vec",
             PqM, PqSubDim, nProbe = PqNProbe, k = 3)
           .select(col("query_id"), col("neighbor_id"),
@@ -4468,6 +4519,114 @@ object LlmQueries extends Q.Registry {
           |FROM cand
           |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6
           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("mm12_audio_near_dup_incremental",
+      "INCREMENTAL audio near-dup vs a persisted fingerprint index " +
+        "(r15 verdict ask #3 — completes the modality x incremental " +
+        "matrix: text dd11, grams st7/st12, images mm10, embeddings " +
+        "st16, AUDIO here): the existing clips' energy-delta " +
+        "fingerprint band table (band, band_val, doc_id, h_lo, h_hi) " +
+        "is written ONCE to parquet (mm12AudioIndexDir — the mm10 " +
+        "writer verbatim one modality over); a new clip batch pays " +
+        "the ONLY codec work (real WAV encode -> javax.sound decode, " +
+        "PCM-16 lossless, then exact integer window energies and the " +
+        "64-bit Haitsma-Kalker-shaped fingerprint), candidates come " +
+        "from band-key equi-joins of the batch's bands vs the index " +
+        "(matched_side 'existing') plus the batch self-join ('new') " +
+        "— never all-pairs, never re-decoding the corpus — and " +
+        "verify is exact hamming <= 6 through the SAME " +
+        "ops/BandedHamming.incrementalPairs mm10 uses, with " +
+        "freshBatch's idempotent-replay contract above the codec " +
+        "cache (a re-submitted clip id reports nothing). Planted " +
+        "(all hamming <= 1, so >= 3 of 4 bands match and banding " +
+        "CANNOT miss): 10 one-sample perturbations of existing clips " +
+        "+ 5 exact copies + 5 perturbed copies (new-vs-existing), " +
+        "the latter two sets pairing up as 5 new-vs-new positives. " +
+        "The oracle regenerates both populations from the PCM " +
+        "formula and restates both arms — per-batch cost " +
+        "proportional to the batch, index growth by appending the " +
+        "batch's bands (the sql/init_schema.sql:17 dedup-on-replay " +
+        "semantics, per modality).",
+      (s, d) => {
+        val index = s.read.parquet(mm12AudioIndexDir(s))
+        val newIds: Seq[(Long, Long, Int)] =
+          (301L to 310L).map(i => (i, 6 * (i - 300), 1)) ++
+            (321L to 325L).map(i => (i, 2 * (i - 320) - 1, 0)) ++
+            (331L to 335L).map(i => (i, 2 * (i - 330) - 1, 1))
+        // cached: incrementalPairs reads the batch through three plan
+        // arms, and the batch's codec work must run once, not thrice.
+        // freshBatch (idempotent replay) sits INSIDE the cache so its
+        // anti-join also runs once, not per arm (the mm10 contract).
+        val nw = cachedFrame(s, "mm12_new_hashes", d)(
+          graft.ops.BandedHamming.freshBatch(
+            s.read.parquet(mm12AudioIndexDir(s)),
+            audioHashes(s, newIds), "doc_id"))
+        graft.ops.BandedHamming.incrementalPairs(index,
+            nw, "doc_id", "h_lo", "h_hi", 6)
+          .orderBy("new_doc", "matched_doc", "matched_side")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT 'e' AS side, id, id AS src, 0 AS d
+          |  FROM (SELECT unnest(range(1, 61)) AS id)
+          |  UNION ALL
+          |  SELECT 'n', id,
+          |         CASE WHEN id <= 310 THEN 6*(id-300)
+          |              WHEN id <= 325 THEN 2*(id-320)-1
+          |              ELSE 2*(id-330)-1 END,
+          |         CASE WHEN id BETWEEN 301 AND 310 OR id >= 331 THEN 1 ELSE 0 END
+          |  FROM (SELECT unnest(range(301, 311)) AS id
+          |        UNION ALL SELECT unnest(range(321, 326))
+          |        UNION ALL SELECT unnest(range(331, 336)))),
+          |smp AS (
+          |  SELECT m.side, m.id, tt.t,
+          |    CASE WHEN m.d = 1 AND tt.t = 0
+          |         THEN (3*(m.src%7+1)*tt.t + 5*(m.src%11+1)*(tt.t//32) + m.src*11) % 401 - 200 + 1
+          |         ELSE (3*(m.src%7+1)*tt.t + 5*(m.src%11+1)*(tt.t//32) + m.src*11) % 401 - 200 END AS v
+          |  FROM m, (SELECT unnest(range(0, 2080)) AS t) tt),
+          |en AS (
+          |  SELECT side, id, t // 32 AS w, SUM(v*v) AS e
+          |  FROM smp GROUP BY side, id, t // 32),
+          |bits AS (
+          |  SELECT l.side, l.id, l.w, (r.e > l.e) AS bit
+          |  FROM en l JOIN en r ON l.side = r.side AND l.id = r.id
+          |                     AND r.w = l.w + 1
+          |  WHERE l.w <= 63),
+          |hh AS (
+          |  SELECT side, id,
+          |    CAST(SUM(CASE WHEN bit AND w < 32
+          |                  THEN (CAST(1 AS BIGINT) << CAST(w AS INT))
+          |                  ELSE 0 END) AS BIGINT) AS h_lo,
+          |    CAST(SUM(CASE WHEN bit AND w >= 32
+          |                  THEN (CAST(1 AS BIGINT) << CAST(w-32 AS INT))
+          |                  ELSE 0 END) AS BIGINT) AS h_hi
+          |  FROM bits GROUP BY side, id),
+          |bands AS (
+          |  SELECT side, id, h_lo, h_hi, bb.b AS band,
+          |    CASE bb.b WHEN 0 THEN h_lo & 65535
+          |              WHEN 1 THEN (h_lo >> 16) & 65535
+          |              WHEN 2 THEN h_hi & 65535
+          |              ELSE (h_hi >> 16) & 65535 END AS band_val
+          |  FROM hh, (SELECT unnest(range(0, 4)) AS b) bb),
+          |cand AS (
+          |  SELECT DISTINCT n.id AS new_doc, e.id AS matched_doc,
+          |         'existing' AS matched_side,
+          |         n.h_lo AS lo_n, n.h_hi AS hi_n, e.h_lo AS lo_m, e.h_hi AS hi_m
+          |  FROM bands n
+          |  JOIN bands e ON n.band = e.band AND n.band_val = e.band_val
+          |  WHERE n.side = 'n' AND e.side = 'e'
+          |  UNION
+          |  SELECT DISTINCT a.id, b.id, 'new',
+          |         a.h_lo, a.h_hi, b.h_lo, b.h_hi
+          |  FROM bands a
+          |  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+          |              AND a.id < b.id
+          |  WHERE a.side = 'n' AND b.side = 'n')
+          |SELECT new_doc, matched_doc, matched_side,
+          |       CAST(bit_count(xor(lo_n, lo_m)) + bit_count(xor(hi_n, hi_m)) AS BIGINT) AS hamming
+          |FROM cand
+          |WHERE bit_count(xor(lo_n, lo_m)) + bit_count(xor(hi_n, hi_m)) <= 6
+          |ORDER BY new_doc, matched_doc, matched_side""".stripMargin)),
 
     Q("dd5_embedding_near_dup",
       "Embedding-cosine near-dup: planted perturbed replays detected " +

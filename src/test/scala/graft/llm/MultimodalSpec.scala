@@ -327,4 +327,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.exists(r => r._1 >= 131L || r._2 >= 131L),
       "dead-letter clips must never reach the banded join")
   }
+
+  test("mm12 incremental audio near-dup: the new batch against the persisted " +
+    "fingerprint band index finds every planted new-vs-existing and " +
+    "new-vs-new pair with the right side label (the dd11/mm10 replay " +
+    "pattern on audio; freshBatch's idempotent-replay contract is " +
+    "pinned in BandedHammingSpec)") {
+    import spark.implicits._
+    val out = graft.SparkEntry
+      .queries("mm12_audio_near_dup_incremental")(spark, "unused")
+      .select("new_doc", "matched_doc", "matched_side")
+      .as[(Long, Long, String)].collect().toSet
+    // 10 one-sample perturbations of existing clips 6, 12, …, 60
+    (301L to 310L).foreach { id =>
+      assert(out.contains((id, 6 * (id - 300), "existing")),
+        s"planted perturbed replay $id missed") }
+    // 5 exact copies + 5 perturbed copies of existing clips 1, 3, 5, 7, 9
+    (321L to 325L).foreach { id =>
+      assert(out.contains((id, 2 * (id - 320) - 1, "existing")),
+        s"planted exact copy $id missed") }
+    (331L to 335L).foreach { id =>
+      assert(out.contains((id, 2 * (id - 330) - 1, "existing")),
+        s"planted perturbed copy $id missed") }
+    // the new-vs-new arm: copy k pairs with its perturbed sibling
+    (0 until 5).foreach { k =>
+      assert(out.contains((321L + k, 331L + k, "new")),
+        s"new-vs-new pair ${321 + k}/${331 + k} missed") }
+  }
 }
