@@ -59,6 +59,7 @@ object Bench {
     "st15_stream_ann_topk",       // foreachBatch ANN serving stream, same
     "st16_stream_embedding_index", // two-trigger index-append stream (memo)
     "st17_stream_ann_grown",      // serves st16's memo; a fresh JVM would run the stream at build
+    "st18_stream_dup_groups",     // two-trigger label-maintenance stream (memo)
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier", // IRLS fit runs at plan build
     "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build
@@ -73,7 +74,8 @@ object Bench {
     * stream — a memo read would price a parquet scan as a pipeline
     * (r15 self-review). */
   val RefitQueries: Set[String] =
-    Set("x10_ols_ladder", "x11_kmeans_j6", "st16_stream_embedding_index")
+    Set("x10_ols_ladder", "x11_kmeans_j6", "st16_stream_embedding_index",
+      "st18_stream_dup_groups")
 
   /** Quiet-host reference for [[spinProbe]] (seconds) — measured on this
     * host across a quiet phase (150M xorshift64 steps: 0.31 s ± 3%; see
@@ -388,6 +390,8 @@ object Bench {
                 queries.MlQueries.resetFitMemos()
               if (name == "st16_stream_embedding_index")
                 queries.LlmQueries.resetIncrementalIndexMemo()
+              if (name == "st18_stream_dup_groups")
+                queries.LlmQueries.resetDupGroupsMemo()
               once()
             }
             samples.put(name, runs)

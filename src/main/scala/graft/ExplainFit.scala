@@ -78,6 +78,7 @@ object ExplainFit {
         "st11_stream_heavy_hitters", "st12_substr_dedup_versioned",
         "st13_stream_funnel", "st14_stream_funnel_late",
         "st15_stream_ann_topk",
+        "st18_stream_dup_groups",
         // st16 must precede st17: both read the grownEmbIndexDir memo,
         // and only the memo-BUILDING query captures a micro-batch plan
         "st16_stream_embedding_index")) {

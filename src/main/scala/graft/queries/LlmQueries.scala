@@ -559,6 +559,51 @@ object LlmQueries extends Q.Registry {
         |       doc = group_id AS is_canonical
         |FROM comp ORDER BY doc""".stripMargin
 
+  /** st18's oracle: [[dupGroupsOracleSql]]'s transitive closure over
+    * the UNION of the base verified pairs and BOTH planted arrival
+    * batches ([[pairBatch1]]/[[pairBatch2]] restated by the same id
+    * arithmetic) — the incrementally maintained label store must be
+    * indistinguishable from batch dd7 on everything ever seen. */
+  private def dupGroupsIncrementalOracleSql: String =
+    verifiedPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, b1 AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_a,
+        |         CAST(doc_id + 7000000 AS BIGINT) AS doc_b
+        |  FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 50 FROM documents WHERE doc_id % 200 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, doc_id + 8500000
+        |  FROM documents WHERE doc_id % 250 = 0),
+        |b2 AS (
+        |  SELECT CAST(doc_id + 7000000 AS BIGINT) AS doc_a,
+        |         CAST(doc_id + 9000000 AS BIGINT) AS doc_b
+        |  FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, doc_id FROM documents WHERE doc_id % 500 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8500000, doc_id + 9500000
+        |  FROM documents WHERE doc_id % 250 = 0),
+        |allp AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  UNION SELECT doc_a, doc_b FROM b1
+        |  UNION SELECT doc_a, doc_b FROM b2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM allp
+        |  UNION
+        |  SELECT doc_b, doc_a FROM allp),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS doc, least(u, min(v)) AS group_id
+        |  FROM reach GROUP BY u)
+        |SELECT doc, group_id,
+        |       count(*) OVER (PARTITION BY group_id) AS group_size,
+        |       doc = group_id AS is_canonical
+        |FROM comp ORDER BY doc""".stripMargin
+
   /** tx2's quality/langid formulas as SQL expressions over a `text` +
     * `ws` (lowercased word list) scope — shared VERBATIM by the tx2
     * oracle and llm1's composed pipeline oracle, so the three copies of
@@ -1085,6 +1130,176 @@ object LlmQueries extends Q.Registry {
       // deletes the prior run's tree NOW instead of accumulating one
       // per rebuild until JVM exit (the st7/st12 cleanup policy)
       graft.LocalRun.deleteOnExitSlot("st16_stage", stage)
+      stage.toString
+    })
+
+  /** st18's planted pair-arrival batches, derived from the documents
+    * table by pure id arithmetic so the oracle regenerates them in
+    * SQL (the embBatch1/2 convention; planted ids live at +7M/+8M/
+    * +8.5M/+9M/+9.5M — disjoint from base docs and the +1M corpus
+    * mutations). Batch 1 plants all three incremental cases: ATTACH a
+    * new node to an existing component (every 100th doc already pairs
+    * with its +1M mutation), MERGE two existing components (doc and
+    * doc+50 each have their own mutation pair), and a brand-new
+    * isolated pair. Batch 2 then CHAINS through batch 1's new nodes
+    * (+7M→+9M — a component that exists only if batch 1's relabel
+    * landed, the state-GREW proof), merges a batch-1-born component
+    * into an existing one (+8M→base), and extends batch 1's isolated
+    * pair (+8.5M→+9.5M). */
+  private def pairBatch1(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").cast("long").as("doc_a"),
+        (col("doc_id") + 7000000L).as("doc_b"))
+      .unionAll(docs.filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").cast("long").as("doc_a"),
+          (col("doc_id") + 50L).as("doc_b")))
+      .unionAll(docs.filter(col("doc_id") % 250 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_a"),
+          (col("doc_id") + 8500000L).as("doc_b")))
+  private def pairBatch2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 7000000L).as("doc_a"),
+        (col("doc_id") + 9000000L).as("doc_b"))
+      .unionAll(docs.filter(col("doc_id") % 500 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_a"),
+          col("doc_id").cast("long").as("doc_b")))
+      .unionAll(docs.filter(col("doc_id") % 250 === 0)
+        .select((col("doc_id") + 8500000L).as("doc_a"),
+          (col("doc_id") + 9500000L).as("doc_b")))
+
+  /** Latest-wins resolution of the log-structured label store: base
+    * labels plus each batch's relabel delta, the HIGHEST batch owning
+    * a doc's current label. One narrow (doc, group_id) row per doc —
+    * the LSM read path; a production deployment compacts this with an
+    * upsertable keyed table (Delta/Hudi merge-on-read), same
+    * semantics. */
+  private def resolvedLabels(s: SparkSession, paths: Seq[String]): DataFrame =
+    resolveLatest(taggedLabels(s, paths))
+  private def taggedLabels(s: SparkSession, paths: Seq[String]): DataFrame =
+    paths.zipWithIndex.map { case (p, i) =>
+      s.read.parquet(p).select(col("doc"), col("group_id"),
+        lit(i).as("__src"))
+    }.reduce(_ unionAll _)
+  private def resolveLatest(tagged: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(desc("__src"))
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc", "group_id")
+  }
+
+  /** [[resolvedLabels]] restricted to rows matching a broadcast probe
+    * BEFORE the latest-wins window, so the label store is only ever
+    * streamed map-side and the resolve shuffle is probe-sized, not
+    * corpus-sized. Trivially safe for probeCol = "doc" (latest-wins
+    * resolves within a doc). Safe for probeCol = "group_id" because a
+    * superseded label can never become CURRENT again — a component's
+    * root is its min doc id and a root change rewrites ALL members of
+    * the old root, so the old root id thereafter labels nobody and
+    * itself carries a strictly smaller label — hence any stored row
+    * whose group_id is a current representative is itself current. */
+  private def resolvedLabelsFor(s: SparkSession, paths: Seq[String],
+                                probeCol: String,
+                                probe: DataFrame): DataFrame =
+    resolveLatest(taggedLabels(s, paths)
+      .join(broadcast(probe.select(probeCol).distinct()), Seq(probeCol)))
+
+  /** Per-dir memo of the INCREMENTALLY MAINTAINED dup-group labels
+    * (st18 — r15 verdict ask #4, the production form of dd7): dd7's
+    * (doc → component-min group_id) table is persisted once as
+    * labels/base; each foreachBatch then relabels ONLY the components
+    * its pairs touch, via component CONTRACTION — batch pair endpoints
+    * map through the current labels to their component representative
+    * (an unlabeled endpoint represents itself), connected components
+    * runs on that CONTRACTED graph (∝ batch pairs, never the
+    * historical pair set — each rep IS its component's min doc id, so
+    * the min over merged reps is the true min over all members), and
+    * the relabel delta (members of changed components + newly seen
+    * nodes) appends as the batch's own labels/batch=N dir — idempotent
+    * under retry (overwrite of its own dir; reads only base + PRIOR
+    * batch dirs, the st16 contract). Per-batch SHUFFLE cost ∝ batch +
+    * touched-component members; the label table itself is touched by
+    * two map-side broadcast-probe streams (endpoint lookup, member
+    * relabel) over narrow (doc, group_id) rows — the scans a keyed
+    * store (Delta/Hudi) would turn into point lookups at 100 TB.
+    * Final labels hash-match batch dd7 over the UNION of all pairs
+    * seen — the oracle states exactly that closure. */
+  private val dupLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def resetDupGroupsMemo(): Unit = dupLabelsMemo.clear()
+  private[queries] def grownDupLabelsDir(s: SparkSession, d: String): String =
+    dupLabelsMemo.computeIfAbsent(d, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_st18_")
+      Dedup.connectedComponents(
+          verifiedPairsShared(s, d).select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        .write.mode("overwrite")
+        .parquet(stage.resolve("labels/base").toString)
+      val docs = Tables.documents(s, d)
+      val (arr, inDir) = stageArrivalDays(
+        Seq(pairBatch1(docs), pairBatch2(docs)), "graft_st18_in_")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_a", org.apache.spark.sql.types.LongType)
+        .add("doc_b", org.apache.spark.sql.types.LongType)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val labelPaths = stage.resolve("labels/base").toString +:
+            (0L until batchId)
+              .map(i => stage.resolve(s"labels/batch=$i").toString)
+          // the batch is read through several plan arms — pin it once
+          val prs = b.select(col("doc_a"), col("doc_b")).distinct().cache()
+          prs.count()
+          try {
+            val eps = prs.select(col("doc_a").as("doc"))
+              .unionAll(prs.select(col("doc_b").as("doc"))).distinct()
+            // endpoint → component representative: label-store stream 1
+            // (map-side, broadcast endpoint probe); checkpointed — it's
+            // endpoint-sized and read through several arms below
+            val found = resolvedLabelsFor(s, labelPaths, "doc", eps)
+              .select(col("doc"), col("group_id").as("rep"))
+              .localCheckpoint(true)
+            val missing = eps
+              .join(broadcast(found.select("doc")), Seq("doc"), "left_anti")
+              .select(col("doc"), col("doc").as("rep"))
+            val mapped = found.unionByName(missing)
+            val contracted = prs
+              .join(broadcast(mapped.select(col("doc").as("doc_a"),
+                col("rep").as("rep_a"))), Seq("doc_a"))
+              .join(broadcast(mapped.select(col("doc").as("doc_b"),
+                col("rep").as("rep_b"))), Seq("doc_b"))
+              .select("rep_a", "rep_b")
+            val cc = Dedup.connectedComponents(contracted, "rep_a", "rep_b")
+              .select(col("doc").as("rep"), col("group_id").as("new_root"))
+            // members of components whose root changed: label-store
+            // stream 2, probe = the changed reps (see resolvedLabelsFor
+            // for why the group_id probe is resolve-safe)
+            val changed = cc.filter(col("rep") =!= col("new_root"))
+            val memberUpd = resolvedLabelsFor(s, labelPaths, "group_id",
+                changed.select(col("rep").as("group_id")))
+              .join(broadcast(changed
+                .withColumnRenamed("rep", "group_id")), Seq("group_id"))
+              .select(col("doc"), col("new_root").as("group_id"))
+            val newNodes = missing
+              .join(broadcast(cc), Seq("rep"))
+              .select(col("doc"), col("new_root").as("group_id"))
+            val updates = memberUpd.unionByName(newNodes)
+            IngestQueries.lastStreamPlan = Some(updates.queryExecution
+              .explainString(org.apache.spark.sql.execution.FormattedMode))
+            updates.write.mode("overwrite")
+              .parquet(stage.resolve(s"labels/batch=$batchId").toString)
+          } finally prs.unpersist(blocking = false)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.LocalRun.deleteRecursively(inDir)
+      graft.LocalRun.deleteRecursively(arr)
+      graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
+      graft.LocalRun.deleteOnExitSlot("st18_stage", stage)
       stage.toString
     })
 
@@ -3069,6 +3284,45 @@ object LlmQueries extends Q.Registry {
            |  UNION ALL
            |  ${embBatchesSql(1)}""".stripMargin,
         "vec_id % 100 = 0 AND vec_id < 1000000"))),
+
+    Q("st18_stream_dup_groups",
+      "INCREMENTAL dup-GROUP maintenance (r15 verdict ask #4 — the " +
+        "production form of dd7): every incremental query so far " +
+        "emits PAIRS; canonical GROUPS were still batch-recomputed " +
+        "from the full historical pair set. Here dd7's (doc -> " +
+        "component-min group_id) label table is persisted once, and a " +
+        "REAL two-trigger pair-arrival stream relabels ONLY the " +
+        "components each batch touches, via component CONTRACTION: " +
+        "batch endpoints map through the current labels to their " +
+        "representative (label-store stream 1 — map-side, broadcast " +
+        "endpoint probe), connected components runs on the CONTRACTED " +
+        "graph (cost proportional to the batch, never the historical " +
+        "pairs — each rep IS its component's min id, so min over " +
+        "merged reps is the true min), and the relabel delta (members " +
+        "of changed components via label-store stream 2 + newly seen " +
+        "nodes) appends as the batch's own labels/batch=N dir — " +
+        "idempotent under retry, reads only base + PRIOR dirs. " +
+        "Batch 1 plants attach/merge/new-pair cases; batch 2 chains " +
+        "through batch 1's nodes (a component that exists only if " +
+        "batch 1's relabel landed — the state-GREW proof) and merges " +
+        "a batch-1-born component into an existing one. The final " +
+        "latest-wins label view must hash-match batch dd7 over the " +
+        "UNION of all pairs ever seen — the oracle states exactly " +
+        "that recursive-CTE closure, with dd7's group_size and " +
+        "min-id canonical contract.",
+      (s, d) => {
+        val dir = grownDupLabelsDir(s, d)
+        val cur = resolvedLabels(s,
+          Seq(s"$dir/labels/base", s"$dir/labels/batch=0",
+            s"$dir/labels/batch=1"))
+        val wg = org.apache.spark.sql.expressions.Window
+          .partitionBy("group_id")
+        cur.select(col("doc"), col("group_id"),
+            count(lit(1)).over(wg).as("group_size"),
+            (col("doc") === col("group_id")).as("is_canonical"))
+          .orderBy("doc")
+      },
+      Some(dupGroupsIncrementalOracleSql)),
     ) ++ allTail
 
   /** ss7's full-chain restatement parameterized over the corpus CTE
