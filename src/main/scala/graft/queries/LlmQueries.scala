@@ -3499,16 +3499,28 @@ object LlmQueries extends Q.Registry {
         "-> the full chain is hash-oracled: the oracle restates ss2's " +
         "cent/assign/probe fragments, ss7's quantization fragment " +
         "within the probed cells, and ss7's refine arithmetic. LlmSpec " +
-        "pins recall@3 vs the exact-within-cells ss2 ranking.",
+        "pins recall@3 vs the exact-within-cells ss2 ranking. The " +
+        "in-session index (centroid fit + cell assignment + " +
+        "quantization) builds ONCE through the cachedFrame memo (r15 " +
+        "verdict ask #6, the llm4/x15 fit-once-score-many precedent): " +
+        "repeated runs price the SERVE, not a per-run index rebuild — " +
+        "the build-from-nothing and stored-table costs are ss2/ss7's " +
+        "and ss10's rows respectively.",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val centroids = labelCentroids(emb)
-        val cellCorpus = Similarity.assignCells(emb, "vec_id", "embedding",
-          centroids, "cell", "cent_vec")
+        val centroids = cachedFrame(s, "ss8_centroids", d)(labelCentroids(emb))
+        val cellQuant = cachedFrame(s, "ss8_cell_quant", d)(
+          Similarity.assignCells(emb, "vec_id", "embedding",
+              centroids, "cell", "cent_vec")
+            .select(col("vec_id"), col("cell"),
+              Similarity.int8Quantize(col("embedding"),
+                Similarity.int8Scale(col("embedding"))).as("q8")))
         val queries = emb.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        Similarity.ivfInt8RefineTopK(cellCorpus, "vec_id", "embedding", "cell",
-            centroids, "cent_vec", queries, "q_id", "q_vec",
+        Similarity.ivfInt8RefineTopKStored(cellQuant, "vec_id", "q8", "cell",
+            centroids, "cent_vec",
+            emb.select("vec_id", "embedding"), "embedding",
+            queries, "q_id", "q_vec",
             nProbe = 3, shortlist = 12, k = 3)
           .select(col("query_id"), col("neighbor_id"),
             Fmt.trunc(col("cos_sim"), 4).as("cos_sim"), col("rank"))
