@@ -1294,13 +1294,114 @@ object BenchScale {
             s""""corpus_row_shortlist":$corpusPlanned},""" +
             s""""sweep":{${sweepEntries.mkString(",")}}}"""
         }
+        // stored-serving arm (r15 verdict ask #5): ss10's shape
+        // measured AT EVERY FACTOR — the one ANN family member the
+        // scale evidence lacked. Per factor: write the
+        // cell-partitioned int8 index ONCE (untimed — the write-once
+        // contract), then time a single-query SERVE (probe ranking +
+        // static cell prune + coarse int8 scan + float refine) and
+        // record what the coarse scan actually LISTED (partition
+        // count + bytes, from the scan's driver metrics). Cells are
+        // replica-aware (label·f + rep, the dd_semantic convention):
+        // nCells grows ×f with the corpus while cell SIZE stays
+        // constant — the production layout — so the claim under test
+        // is byte-precise: the serve lists exactly nProbe partitions
+        // at every factor (REQUIREd) and its scanned bytes stay
+        // ~constant while the index grows ×f (the recorded ratio).
+        // A multi-query workload's probe UNION can legitimately cover
+        // many cells; the per-serve cost contract is the single-query
+        // number, so that is what this measures.
+        val storedJson: String = {
+          val storedNProbe = 4
+          def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+            p.collect {
+              case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+                Seq(s)
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                fileScans(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                fileScans(q.plan)
+            }.flatten
+          val oneQ = queries25.filter(col("q_id") === 0)
+          val entries = factors.map { f =>
+            val corpusF = inflateEmbeddings(embeddingsL, f)
+              .withColumn("embedding",
+                transform(col("embedding"), (x, i) =>
+                  (x * (lit(1.0) + lit(0.1) *
+                    sin((pmod(col("vec_id"), lit(f)) * 64 + i + 1)
+                      .cast("double")))).cast("float")))
+              .withColumn("cell",
+                col("label") * f + pmod(col("vec_id"), lit(f)))
+            val cents = corpusF.groupBy("cell")
+              .agg(array((0 until 64).map(i =>
+                avg(element_at(col("embedding"), i + 1))): _*).as("cent_vec"))
+              .cache()
+            val nCellsF = cents.count().toInt
+            val dir = java.nio.file.Files.createTempDirectory(s"graft-ann-stored-$f")
+            corpusF.select(col("vec_id"), col("cell"),
+                Similarity.int8Quantize(col("embedding"),
+                  Similarity.int8Scale(col("embedding"))).as("q8"))
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(dir.resolve("cells").toString)
+            def parquetBytes(p: java.io.File): Long =
+              if (p.isDirectory) p.listFiles().map(parquetBytes).sum
+              else if (p.getName.endsWith(".parquet")) p.length else 0L
+            val totalBytes = parquetBytes(dir.resolve("cells").toFile)
+            val floats = corpusF.select("vec_id", "embedding").cache()
+            floats.count()
+            def serveOnce(): (Double, Long, Long, Long) = {
+              val t0 = System.nanoTime()
+              // probe ranking + the static prune list are SERVE work —
+              // inside the timer, like every production request
+              val probed = Similarity.probedCellSet(oneQ, "q_id", "q_vec",
+                cents, "cent_vec", "cell", storedNProbe)
+              val served = Similarity.ivfInt8RefineTopKStored(
+                session.read.parquet(dir.resolve("cells").toString)
+                  .filter(col("cell").isin(probed: _*)),
+                "vec_id", "q8", "cell",
+                cents, "cent_vec", floats, "embedding",
+                oneQ, "q_id", "q_vec", storedNProbe,
+                shortlist = 4 * annK, k = annK)
+              val n = served.collect().length.toLong
+              val sec = (System.nanoTime() - t0) / 1e9
+              val scan = fileScans(served.queryExecution.executedPlan)
+                .find(_.relation.location.rootPaths
+                  .exists(_.toString.contains("cells")))
+                .getOrElse(sys.error("stored arm: no cells scan in plan"))
+              (sec, n, scan.metrics("numPartitions").value,
+                scan.metrics("filesSize").value)
+            }
+            val (s1, n1, p1, b1) = serveOnce()
+            val (s2, n2, p2, b2) = serveOnce()
+            require(n1 == n2 && n1 == annK.toLong,
+              s"stored arm at $f×: expected $annK served rows, got $n1/$n2")
+            require(p1 == storedNProbe.toLong && p2 == p1,
+              s"stored arm at $f×: coarse scan listed $p1/$p2 partitions, " +
+                s"expected exactly nProbe=$storedNProbe of $nCellsF")
+            val sec = math.min(s1, s2)
+            System.err.println(f"[scalebench] ann_recall stored ${f}%3d×  " +
+              f"serve $sec%5.2f s  cells=$nCellsF  " +
+              f"scanned ${b1 / 1024}%d KiB of ${totalBytes / 1024}%d KiB " +
+              f"(${b1.toDouble / totalBytes}%.4f)")
+            cents.unpersist(blocking = false)
+            floats.unpersist(blocking = false)
+            graft.LocalRun.deleteRecursively(dir)
+            s""""$f":{"sec":${fmt(sec)},"cells":$nCellsF,""" +
+              s""""scanned_partitions":$p1,""" +
+              s""""scanned_bytes":$b1,"total_bytes":$totalBytes,""" +
+              s""""scanned_ratio":${fmt(b1.toDouble / totalBytes)}}"""
+          }
+          s""""stored":{"nprobe":$storedNProbe,"queries":1,""" +
+            s""""factors":{${entries.mkString(",")}}}"""
+        }
         assigned.unpersist(blocking = false)
         corpusL.unpersist(blocking = false)
         s""","ann_recall":{"factor":$maxF,"k":$annK,"cells":$nCells,"bits":10,""" +
           s""""ivf":{${ivfEntries.mkString(",")}},""" +
           s""""lsh":{${lshEntries.mkString(",")}},""" +
           s""""pq":{${pqEntries.mkString(",")}},""" +
-          int8Json + "}"
+          int8Json + "," + storedJson + "}"
       }
 
     val json = s"""{"metric":"scale_bench","unit":"sec","sf_dir":"$sfDir",""" +
