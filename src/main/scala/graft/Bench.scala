@@ -60,6 +60,7 @@ object Bench {
     "st16_stream_embedding_index", // two-trigger index-append stream (memo)
     "st17_stream_ann_grown",      // serves st16's memo; a fresh JVM would run the stream at build
     "st18_stream_dup_groups",     // two-trigger label-maintenance stream (memo)
+    "llm8_stream_curation",       // two-trigger composed curation stream (memo)
     "tx11_bpe_tokenize", // BPE merge learning runs at plan build
     "tx14_quality_classifier", // IRLS fit runs at plan build
     "ss5_ivfpq_topk") // PQ codebook Lloyd fit runs at plan build
@@ -75,7 +76,7 @@ object Bench {
     * (r15 self-review). */
   val RefitQueries: Set[String] =
     Set("x10_ols_ladder", "x11_kmeans_j6", "st16_stream_embedding_index",
-      "st18_stream_dup_groups")
+      "st18_stream_dup_groups", "llm8_stream_curation")
 
   /** Quiet-host reference for [[spinProbe]] (seconds) — measured on this
     * host across a quiet phase (150M xorshift64 steps: 0.31 s ± 3%; see
@@ -392,6 +393,8 @@ object Bench {
                 queries.LlmQueries.resetIncrementalIndexMemo()
               if (name == "st18_stream_dup_groups")
                 queries.LlmQueries.resetDupGroupsMemo()
+              if (name == "llm8_stream_curation")
+                queries.LlmQueries.resetCurationMemo()
               once()
             }
             samples.put(name, runs)

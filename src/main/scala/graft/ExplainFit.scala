@@ -79,6 +79,7 @@ object ExplainFit {
         "st13_stream_funnel", "st14_stream_funnel_late",
         "st15_stream_ann_topk",
         "st18_stream_dup_groups",
+        "llm8_stream_curation",
         // st16 must precede st17: both read the grownEmbIndexDir memo,
         // and only the memo-BUILDING query captures a micro-batch plan
         "st16_stream_embedding_index")) {

@@ -125,6 +125,183 @@ object LlmQueries extends Q.Registry {
            |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** llm8's oracle: the full curation chain replayed batch by batch —
+    * [[substrIncrementalSql]]'s gram/coverage machinery over the SIX
+    * planted arms, tx20's Gopher base terms over the cleaned text,
+    * and st16's quantized+float cosine gates over survivor vectors vs
+    * the index each batch saw (base for batch 1; base ∪ batch-1
+    * SURVIVORS for batch 2 — the oracle derives the survivors from
+    * its own dedup+quality predicates, so the grown-index evidence is
+    * checked as a function of every upstream decision, exactly like
+    * the engine). */
+  private lazy val curationOracleSql: String = {
+    val split = raw"string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')"
+    val stopHits = TextOps.GopherStops
+      .map(w => s"CAST(list_contains(ws, '$w') AS INT)").mkString(" + ")
+    def ctes(src: String, p: String): String =
+      raw"""${p}t AS (SELECT doc_id, $split AS ws FROM $src),
+           |${p}tok AS (SELECT doc_id, CAST(u.i AS INT) AS tpos, ws[CAST(u.i AS INT)] AS token
+           |        FROM ${p}t, unnest(range(1, len(ws) + 1)) AS u(i)),
+           |${p}g AS (SELECT doc_id, CAST(u.i AS INT) AS gpos,
+           |             ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT)+1] || ' ' ||
+           |             ws[CAST(u.i AS INT)+2] || ' ' || ws[CAST(u.i AS INT)+3] || ' ' ||
+           |             ws[CAST(u.i AS INT)+4] || ' ' || ws[CAST(u.i AS INT)+5] || ' ' ||
+           |             ws[CAST(u.i AS INT)+6] || ' ' || ws[CAST(u.i AS INT)+7] AS gram
+           |      FROM ${p}t, unnest(range(1, len(ws) - 6)) AS u(i)),
+           |""".stripMargin
+    def leg(p: String, dup: String, out: String): String =
+      raw"""${p}f AS (SELECT g.doc_id, g.gpos FROM ${p}g g JOIN $dup USING (gram)),
+           |${p}tf AS (SELECT tok.doc_id, tok.tpos, tok.token, f.gpos AS marker
+           |       FROM ${p}tok tok LEFT JOIN ${p}f f
+           |         ON tok.doc_id = f.doc_id AND tok.tpos = f.gpos),
+           |${p}cov AS (SELECT doc_id, tpos, token,
+           |               max(marker) OVER (PARTITION BY doc_id ORDER BY tpos
+           |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) IS NOT NULL AS covered
+           |        FROM ${p}tf),
+           |$out AS (SELECT doc_id, count(*) AS n_tokens,
+           |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+           |       CASE WHEN count(*) = sum(CASE WHEN covered THEN 1 ELSE 0 END)
+           |            THEN NULL
+           |            ELSE string_agg(CASE WHEN NOT covered THEN token END, ' ' ORDER BY tpos)
+           |       END AS clean_text
+           |FROM ${p}cov GROUP BY doc_id),
+           |""".stripMargin
+    // tx20's Gopher BASE terms over the cleaned text; '' (a fully-
+    // deduplicated doc) yields n_words=1, sum_wl=0 → mean 0 → fail
+    def qual(src: String, q: String): String =
+      raw"""$q AS (
+           |  SELECT doc_id, len(ws) AS n_words,
+           |    list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS sum_wl,
+           |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+           |      / len(ws) AS alpha_frac,
+           |    CAST($stopHits AS INT) AS stop_hits
+           |  FROM (SELECT doc_id,
+           |          string_split_regex(lower(coalesce(clean_text, '')), '[ \t\n\x0B\f\r]+') AS ws
+           |        FROM $src)),
+           |""".stripMargin
+    def rec(out: String, nb: String, q: String, r: String): String =
+      raw"""$r AS (
+           |  SELECT o.doc_id, n.src_id, o.n_tokens, o.n_removed_tokens,
+           |    o.clean_text IS NOT NULL AS dedup_kept,
+           |    (qq.n_words BETWEEN 30 AND 100000
+           |      AND CAST(qq.sum_wl AS DOUBLE) / qq.n_words >= 3.0
+           |      AND CAST(qq.sum_wl AS DOUBLE) / qq.n_words <= 10.0
+           |      AND qq.alpha_frac >= 0.8 AND qq.stop_hits >= 1) AS quality_kept
+           |  FROM $out o JOIN $nb n USING (doc_id) JOIN $q qq USING (doc_id)),
+           |""".stripMargin
+    // st16's quantization/gate fragments (embPairsOracleSql's shapes)
+    def qzOver(src: String, idCol: String): String =
+      s"""SELECT $idCol, embedding,
+         |    list_transform(embedding, x ->
+         |      CASE WHEN s > 0 THEN floor(CAST(x AS DOUBLE) / s + 0.5)
+         |           ELSE 0.0 END) AS qv
+         |  FROM (SELECT $idCol, embedding,
+         |          list_max(list_transform(embedding,
+         |            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+         |        FROM $src)""".stripMargin
+    def qdot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> $a.qv[i] * $b.qv[i]))"
+    def fdot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+    def gates(n: String, m: String): String = {
+      val qcos = s"${qdot(n, m)} / (sqrt(${qdot(n, n)}) * sqrt(${qdot(m, m)}))"
+      val fcos = s"${fdot(n, m)} / (sqrt(${fdot(n, n)}) * sqrt(${fdot(m, m)}))"
+      s"${fdot(n, n)} > 0 AND ${fdot(m, m)} > 0 " +
+        s"AND ${qdot(n, n)} > 0 AND ${qdot(m, m)} > 0 " +
+        s"AND $qcos >= $EmbTauQ AND $fcos >= $EmbTau"
+    }
+    def matchCtes(qsv: String, qidx: String, pe: String, pn: String): String =
+      raw"""$pe AS (
+           |  SELECT n.doc_id, count(*) AS n_match_existing
+           |  FROM $qsv n JOIN $qidx m ON ${gates("n", "m")}
+           |  GROUP BY n.doc_id),
+           |$pn AS (
+           |  SELECT u.doc_id, count(*) AS n_match_new FROM (
+           |    SELECT unnest([a.doc_id, b.doc_id]) AS doc_id
+           |    FROM $qsv a JOIN $qsv b ON a.doc_id < b.doc_id
+           |      AND ${gates("a", "b")}) u
+           |  GROUP BY u.doc_id),
+           |""".stripMargin
+    def finalRec(r: String, pe: String, pn: String, batch: Int): String =
+      raw"""SELECT CAST($batch AS BIGINT) AS batch_id, r.doc_id, r.src_id,
+           |  r.n_tokens, r.n_removed_tokens, r.dedup_kept, r.quality_kept,
+           |  r.dedup_kept AND r.quality_kept AS kept,
+           |  e.vec_id IS NOT NULL AS has_embedding,
+           |  coalesce($pe.n_match_existing, 0) AS n_match_existing,
+           |  coalesce($pn.n_match_new, 0) AS n_match_new
+           |FROM $r r LEFT JOIN embeddings e ON e.vec_id = r.src_id
+           |  LEFT JOIN $pe ON $pe.doc_id = r.doc_id
+           |  LEFT JOIN $pn ON $pn.doc_id = r.doc_id""".stripMargin
+    val phrase = "' the data is here for the record r'"
+    raw"""WITH dws AS (SELECT doc_id, $split AS ws FROM documents),
+         |nb1 AS (
+         |  SELECT doc_id + 1000000 AS doc_id, doc_id AS src_id,
+         |    array_to_string(list_concat(list_slice(ws, 1, 12),
+         |      list_transform(list_slice(ws, 13, len(ws)), w -> 'nv_' || w)), ' ')
+         |    || $phrase || CAST(doc_id + 1000000 AS VARCHAR) AS text
+         |  FROM dws WHERE doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1300000, doc_id, text
+         |  FROM documents WHERE doc_id % 60 = 0
+         |  UNION ALL
+         |  SELECT d.doc_id + 1600000, d.doc_id,
+         |    d.text || ' ' || array_to_string(
+         |      list_transform(list_slice(w.ws, 1, 5), x -> 'nq_' || x), ' ')
+         |  FROM documents d JOIN dws w ON d.doc_id = w.doc_id
+         |  WHERE d.doc_id % 70 = 0),
+         |nb2 AS (
+         |  SELECT doc_id + 2000000 AS doc_id, doc_id AS src_id,
+         |    array_to_string(list_concat(
+         |      list_transform(list_slice(ws, 13, len(ws)), w -> 'nv_' || w),
+         |      list_transform(list_slice(ws, 1, 12), w -> 'nw_' || w)), ' ') AS text
+         |  FROM dws WHERE doc_id % 150 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2300000, doc_id,
+         |    array_to_string(list_transform(ws, w -> 'nx_' || w), ' ')
+         |    || $phrase || CAST(doc_id + 2300000 AS VARCHAR)
+         |  FROM dws WHERE doc_id % 150 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2600000, doc_id,
+         |    array_to_string(list_transform(ws, w -> 'ny_' || w), ' ')
+         |    || $phrase || CAST(doc_id + 2600000 AS VARCHAR)
+         |  FROM dws WHERE doc_id % 250 = 0),
+         |""".stripMargin +
+      ctes("documents", "c") + ctes("nb1", "b1") + ctes("nb2", "b2") +
+      raw"""ccnt AS (SELECT gram, count(*) AS n FROM cg GROUP BY gram),
+           |b1cnt AS (SELECT gram, count(*) AS n FROM b1g GROUP BY gram),
+           |b2cnt AS (SELECT gram, count(*) AS n FROM b2g GROUP BY gram),
+           |dup1 AS (SELECT t.gram FROM b1cnt t LEFT JOIN ccnt c USING (gram)
+           |         WHERE t.n + coalesce(c.n, 0) >= 2),
+           |dup2 AS (SELECT t.gram FROM b2cnt t LEFT JOIN ccnt c USING (gram)
+           |         LEFT JOIN b1cnt o USING (gram)
+           |         WHERE t.n + coalesce(c.n, 0) + coalesce(o.n, 0) >= 2),
+           |""".stripMargin +
+      leg("b1", "dup1", "out1") + leg("b2", "dup2", "out2") +
+      qual("out1", "q1") + qual("out2", "q2") +
+      rec("out1", "nb1", "q1", "rec1") + rec("out2", "nb2", "q2", "rec2") +
+      raw"""sv1 AS (SELECT r.doc_id, e.embedding FROM rec1 r
+           |  JOIN embeddings e ON e.vec_id = r.src_id
+           |  WHERE r.dedup_kept AND r.quality_kept),
+           |sv2 AS (SELECT r.doc_id, e.embedding FROM rec2 r
+           |  JOIN embeddings e ON e.vec_id = r.src_id
+           |  WHERE r.dedup_kept AND r.quality_kept),
+           |idx2 AS (SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL SELECT doc_id AS vec_id, embedding FROM sv1),
+           |qsv1 AS (${qzOver("sv1", "doc_id")}),
+           |qsv2 AS (${qzOver("sv2", "doc_id")}),
+           |qidx1 AS (${qzOver("(SELECT vec_id, embedding FROM embeddings)", "vec_id")}),
+           |qidx2 AS (${qzOver("idx2", "vec_id")}),
+           |""".stripMargin +
+      matchCtes("qsv1", "qidx1", "p1e", "p1n") +
+      matchCtes("qsv2", "qidx2", "p2e", "p2n") +
+      raw"""fin AS (
+           |${finalRec("rec1", "p1e", "p1n", 0)}
+           |UNION ALL
+           |${finalRec("rec2", "p2e", "p2n", 1)})
+           |SELECT * FROM fin ORDER BY batch_id, doc_id""".stripMargin
+  }
+
   /** llm4's planted duplicate: a 12-word boilerplate footer appended to
     * every 2nd document — long enough that its interior 8-grams repeat
     * corpus-wide, so the exact-substring stage strips it everywhere. */
@@ -1130,6 +1307,200 @@ object LlmQueries extends Q.Registry {
       // deletes the prior run's tree NOW instead of accumulating one
       // per rebuild until JVM exit (the st7/st12 cleanup policy)
       graft.LocalRun.deleteOnExitSlot("st16_stage", stage)
+      stage.toString
+    })
+
+  /** llm8's planted crawl-arrival batches: (doc_id, src_id, text)
+    * records derived from the documents table by pure id/word
+    * arithmetic so the oracle regenerates them in SQL. `src_id` is
+    * the record's content key — the embedding modality joins on it
+    * (vec_id = src_id where an embedding exists), the realistic
+    * multi-modal crawl record shape. Six arms plant every stage an
+    * outcome in both directions:
+    *   batch 1 — TRIM (+1.0M, %50): 12-word replayed head (trimmed
+    *   against the corpus gram table) + nv_ novel tail + a stop-word
+    *   phrase closed by the doc's unique id (so no 8-gram of the
+    *   7-word common phrase can repeat); quality then splits on the
+    *   doc's own length (clean = len−4 words vs Gopher's ≥30).
+    *   KILLED (+1.3M, %60): full corpus replay — every gram dups,
+    *   clean_text NULL. SHORT-TAIL (+1.6M, %70): full replay + 5 nq_
+    *   words — dedup keeps 5 words, quality drops them.
+    *   batch 2 — CROSS-TRIM (+2.0M, %150): batch 1's nv_ tail
+    *   replayed as head + nw_ 12-word tail — its dup grams exist
+    *   ONLY in batch 1's table advance (the cross-batch dedup
+    *   proof); survivors are 12 words → quality drops. PROBER
+    *   (+2.3M, %150): fully novel nx_ words + phrase — passes both
+    *   gates, and its embedding (vec src_id) matches base AND the
+    *   batch-1 appended vector where batch 1's trim doc survived:
+    *   n_match_existing ≥ 2 is the index-GREW proof. TWIN (+2.6M,
+    *   %250): novel ny_ words + phrase — where %750 aligns it with a
+    *   PROBER doc they share src_id, the new-vs-new positive. */
+  private def curPhrase(id: org.apache.spark.sql.Column) =
+    concat(lit("the data is here for the record r"), id)
+  private def curBatch1(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nvTail = transform(slice(ws, 13, 1 << 20), w => concat(lit("nv_"), w))
+    val trim = docs.filter(col("doc_id") % 50 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("doc_id").as("src_id"),
+      concat_ws(" ",
+        array_join(concat(slice(ws, 1, 12), nvTail), " "),
+        curPhrase(col("doc_id") + 1000000L)).as("text"))
+    val killed = docs.filter(col("doc_id") % 60 === 0).select(
+      (col("doc_id") + 1300000L).as("doc_id"), col("doc_id").as("src_id"),
+      col("text"))
+    val shortTail = docs.filter(col("doc_id") % 70 === 0).select(
+      (col("doc_id") + 1600000L).as("doc_id"), col("doc_id").as("src_id"),
+      concat_ws(" ", col("text"),
+        array_join(transform(slice(ws, 1, 5), w => concat(lit("nq_"), w)),
+          " ")).as("text"))
+    trim.unionAll(killed).unionAll(shortTail)
+  }
+  private def curBatch2(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nvTail = transform(slice(ws, 13, 1 << 20), w => concat(lit("nv_"), w))
+    val crossTrim = docs.filter(col("doc_id") % 150 === 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"), col("doc_id").as("src_id"),
+      array_join(concat(nvTail,
+        transform(slice(ws, 1, 12), w => concat(lit("nw_"), w))), " ")
+        .as("text"))
+    val prober = docs.filter(col("doc_id") % 150 === 0).select(
+      (col("doc_id") + 2300000L).as("doc_id"), col("doc_id").as("src_id"),
+      concat_ws(" ",
+        array_join(transform(ws, w => concat(lit("nx_"), w)), " "),
+        curPhrase(col("doc_id") + 2300000L)).as("text"))
+    val twin = docs.filter(col("doc_id") % 250 === 0).select(
+      (col("doc_id") + 2600000L).as("doc_id"), col("doc_id").as("src_id"),
+      concat_ws(" ",
+        array_join(transform(ws, w => concat(lit("ny_"), w)), " "),
+        curPhrase(col("doc_id") + 2600000L)).as("text"))
+    crossTrim.unionAll(prober).unionAll(twin)
+  }
+
+  /** Per-dir memo of the STREAMING END-TO-END curation pipeline
+    * (llm8 — r15 verdict ask #8, the stretch: the production crawl
+    * loop composed from the incremental forms that now all exist):
+    * each arriving micro-batch of (doc_id, src_id, text) records runs
+    * st7's incremental exact-substring dedup against the gram table
+    * so far → tx20's Gopher base quality gate on the CLEANED text →
+    * st16's near-dup check of survivors' embeddings against the
+    * persisted int8 index → appends the survivors' vectors as the
+    * batch's own batchId-keyed index dir and ADVANCES the gram table
+    * — one foreachBatch body, every stage the same operator its
+    * standalone query prices. Per-doc output records every decision
+    * (counts, gate booleans, match counts); batch-2 evidence depends
+    * on batch-1 STATE three ways (advanced gram table, grown index,
+    * survivor-gated appends), and the oracle replays the whole chain
+    * batch by batch. Idempotent under retry: out/ and idx/ writes
+    * are batchId-keyed overwrites, the gram table is advanced
+    * in-session (the st7 form; st12 is the durable-table variant of
+    * the same step). */
+  private val curationMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def resetCurationMemo(): Unit = curationMemo.clear()
+  private[queries] def curationDir(s: SparkSession, d: String): String =
+    curationMemo.computeIfAbsent(d, _ => {
+      val k = 8
+      val stage = java.nio.file.Files.createTempDirectory("graft_llm8_")
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      def q8of(c: org.apache.spark.sql.Column) =
+        Similarity.int8Quantize(c, Similarity.int8Scale(c))
+      emb.select(col("vec_id"), col("embedding"),
+          q8of(col("embedding")).as("q8"))
+        .write.mode("overwrite").parquet(stage.resolve("idx/base").toString)
+      val baseTable = cachedFrame(s, "st7_gram_table", d)(
+        Dedup.gramCounts(docs, "doc_id", "text", k))
+      var table = baseTable
+      val (arr, inDir) = stageArrivalDays(
+        Seq(curBatch1(docs), curBatch2(docs)), "graft_llm8_in_")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("src_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val bc = b.cache(); bc.count()
+          try {
+            // stage 1: incremental exact-substring dedup (st7's step)
+            val cleaned = Dedup.duplicateSpansIncremental(
+                table, bc, "doc_id", "text", k)
+              .join(bc.select("doc_id", "src_id"), Seq("doc_id"))
+            // stage 2: Gopher base quality on the CLEANED text (tx20's
+            // gate; '' for a fully-deduplicated doc fails every term)
+            val rec = gopherQualityCols(cleaned.withColumn("text",
+                coalesce(col("clean_text"), lit(""))))
+              .withColumn("dedup_kept", col("clean_text").isNotNull)
+              .withColumn("quality_kept", gopherBaseKeep)
+              .withColumn("kept", col("dedup_kept") && col("quality_kept"))
+              .select("doc_id", "src_id", "n_tokens", "n_removed_tokens",
+                "dedup_kept", "quality_kept", "kept")
+              .localCheckpoint(true) // small; read by 3 arms below
+            // stage 3: survivors with an embedding probe the CURRENT
+            // index (st16's near-dup check) …
+            val surv = rec.filter(col("kept"))
+              .join(emb.select(col("vec_id"), col("embedding")),
+                col("src_id") === col("vec_id"))
+              .select(col("doc_id"), col("embedding"))
+              .localCheckpoint(true) // bounded by the batch
+            val idxPaths = stage.resolve("idx/base").toString +:
+              (0L until batchId)
+                .map(i => stage.resolve(s"idx/batch=$i").toString)
+            val idx = s.read.parquet(idxPaths: _*)
+            val pairs = Similarity.int8NearDupPairs(
+                idx.select("vec_id", "q8"), "vec_id", "q8",
+                idx.select("vec_id", "embedding"), "embedding",
+                surv, "doc_id", "embedding", EmbTauQ, EmbTau)
+              .localCheckpoint(true)
+            val nExist = pairs.filter(col("matched_side") === "existing")
+              .groupBy(col("new_id").as("doc_id"))
+              .agg(count(lit(1)).as("n_match_existing"))
+            val nNew = pairs.filter(col("matched_side") === "new")
+              .select(explode(array(col("new_id"), col("matched_id")))
+                .as("doc_id"))
+              .groupBy("doc_id").agg(count(lit(1)).as("n_match_new"))
+            val out = rec
+              .join(emb.select(col("vec_id")),
+                col("src_id") === col("vec_id"), "left")
+              .withColumn("has_embedding", col("vec_id").isNotNull)
+              .drop("vec_id")
+              .join(nExist, Seq("doc_id"), "left")
+              .join(nNew, Seq("doc_id"), "left")
+              .select(lit(batchId).as("batch_id"), col("doc_id"),
+                col("src_id"), col("n_tokens"), col("n_removed_tokens"),
+                col("dedup_kept"), col("quality_kept"), col("kept"),
+                col("has_embedding"),
+                coalesce(col("n_match_existing"), lit(0L))
+                  .as("n_match_existing"),
+                coalesce(col("n_match_new"), lit(0L)).as("n_match_new"))
+            IngestQueries.lastStreamPlan = Some(out.queryExecution
+              .explainString(org.apache.spark.sql.execution.FormattedMode))
+            out.write.mode("overwrite")
+              .parquet(stage.resolve(s"out/batch=$batchId").toString)
+            // stage 4: append survivors' vectors (the index GROWS) …
+            surv.select(col("doc_id").as("vec_id"), col("embedding"),
+                q8of(col("embedding")).as("q8"))
+              .write.mode("overwrite")
+              .parquet(stage.resolve(s"idx/batch=$batchId").toString)
+            // … and advance the gram table (st7's loop)
+            val advanced = Dedup.advanceGramCounts(
+              table, bc, "doc_id", "text", k).cache()
+            advanced.count()
+            if (!(table eq baseTable)) table.unpersist(blocking = false)
+            table = advanced
+          } finally bc.unpersist(blocking = false)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      if (!(table eq baseTable)) table.unpersist(blocking = false)
+      graft.LocalRun.deleteRecursively(inDir)
+      graft.LocalRun.deleteRecursively(arr)
+      graft.LocalRun.deleteRecursively(stage.resolve("ckpt"))
+      graft.LocalRun.deleteOnExitSlot("llm8_stage", stage)
       stage.toString
     })
 
@@ -3323,6 +3694,37 @@ object LlmQueries extends Q.Registry {
           .orderBy("doc")
       },
       Some(dupGroupsIncrementalOracleSql)),
+
+    Q("llm8_stream_curation",
+      "STREAMING END-TO-END CURATION (r15 verdict ask #8, the " +
+        "stretch — the production crawl loop composed from the " +
+        "incremental forms that now all exist): a real two-trigger " +
+        "stream of (doc_id, src_id, text) crawl records where each " +
+        "micro-batch runs st7's incremental exact-substring dedup " +
+        "against the gram table SO FAR -> tx20's Gopher base quality " +
+        "gate on the CLEANED text -> st16's int8 near-dup check of " +
+        "survivors' embeddings (vec joined on src_id — the " +
+        "multi-modal record shape; text-only records skip the ANN " +
+        "stage) against the persisted index -> appends survivors' " +
+        "vectors as the batch's own index dir and ADVANCES the gram " +
+        "table. Batch-2 evidence depends on batch-1 STATE three " +
+        "ways: its dup grams exist only in batch 1's table advance " +
+        "(cross-trim arm), its probers match batch-1 APPENDED " +
+        "vectors (n_match_existing >= 2 — the index-GREW proof, " +
+        "possible only where batch 1's trim doc survived BOTH " +
+        "gates), and the appends themselves are survivor-gated, so " +
+        "the index content is a function of every upstream decision. " +
+        "Six planted arms split every gate both ways (see " +
+        "curBatch1/2). The oracle replays the ENTIRE chain batch by " +
+        "batch — gram counts, coverage, quality terms, quantized + " +
+        "float cosine gates — and the per-doc decision record is " +
+        "hash-checked end to end.",
+      (s, d) => {
+        val dir = curationDir(s, d)
+        s.read.parquet(s"$dir/out/batch=0", s"$dir/out/batch=1")
+          .orderBy("batch_id", "doc_id")
+      },
+      Some(curationOracleSql)),
     ) ++ allTail
 
   /** ss7's full-chain restatement parameterized over the corpus CTE
