@@ -74,9 +74,20 @@ object Bench {
     * present because its semantic IS the incremental maintenance
     * stream — a memo read would price a parquet scan as a pipeline
     * (r15 self-review). */
-  val RefitQueries: Set[String] =
-    Set("x10_ols_ladder", "x11_kmeans_j6", "st16_stream_embedding_index",
-      "st18_stream_dup_groups", "llm8_stream_curation")
+  /** Per-query memo resets for the refit class — ONE structure is both
+    * the membership set and the reset dispatch (r16 self-review: a set
+    * read by name-equality if-chains drifts the moment a new refit
+    * query lands in only one of the two places). */
+  val RefitResets: Map[String, () => Unit] = Map(
+    "x10_ols_ladder" -> (() => queries.MlQueries.resetFitMemos()),
+    "x11_kmeans_j6" -> (() => queries.MlQueries.resetFitMemos()),
+    "st16_stream_embedding_index" ->
+      (() => queries.LlmQueries.resetIncrementalIndexMemo()),
+    "st18_stream_dup_groups" ->
+      (() => queries.LlmQueries.resetDupGroupsMemo()),
+    "llm8_stream_curation" ->
+      (() => queries.LlmQueries.resetCurationMemo()))
+  val RefitQueries: Set[String] = RefitResets.keySet
 
   /** Quiet-host reference for [[spinProbe]] (seconds) — measured on this
     * host across a quiet phase (150M xorshift64 steps: 0.31 s ± 3%; see
@@ -387,14 +398,7 @@ object Bench {
               // memo during the x10/x11 refits — order-dependent only
               // by accident, and a registry reorder would silently
               // force a full stream rebuild mid-bench
-              if (name == "x10_ols_ladder" || name == "x11_kmeans_j6")
-                queries.MlQueries.resetFitMemos()
-              if (name == "st16_stream_embedding_index")
-                queries.LlmQueries.resetIncrementalIndexMemo()
-              if (name == "st18_stream_dup_groups")
-                queries.LlmQueries.resetDupGroupsMemo()
-              if (name == "llm8_stream_curation")
-                queries.LlmQueries.resetCurationMemo()
+              RefitResets.get(name).foreach(_())
               once()
             }
             samples.put(name, runs)

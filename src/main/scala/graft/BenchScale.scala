@@ -1313,18 +1313,12 @@ object BenchScale {
         // number, so that is what this measures.
         val storedJson: String = {
           val storedNProbe = 4
-          def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
-              : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-            p.collect {
-              case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-                Seq(s)
-              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-                fileScans(a.executedPlan)
-              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-                fileScans(q.plan)
-            }.flatten
           val oneQ = queries25.filter(col("q_id") === 0)
           val entries = factors.map { f =>
+            // cached: the inflated+jittered corpus is read by three
+            // setup consumers (centroid agg, partitioned write, floats
+            // cache) — without the pin each would re-run the x f
+            // inflation transform (r16 self-review)
             val corpusF = inflateEmbeddings(embeddingsL, f)
               .withColumn("embedding",
                 transform(col("embedding"), (x, i) =>
@@ -1333,6 +1327,7 @@ object BenchScale {
                       .cast("double")))).cast("float")))
               .withColumn("cell",
                 col("label") * f + pmod(col("vec_id"), lit(f)))
+              .cache()
             val cents = corpusF.groupBy("cell")
               .agg(array((0 until 64).map(i =>
                 avg(element_at(col("embedding"), i + 1))): _*).as("cent_vec"))
@@ -1365,7 +1360,7 @@ object BenchScale {
                 shortlist = 4 * annK, k = annK)
               val n = served.collect().length.toLong
               val sec = (System.nanoTime() - t0) / 1e9
-              val scan = fileScans(served.queryExecution.executedPlan)
+              val scan = LocalRun.fileScans(served.queryExecution.executedPlan)
                 .find(_.relation.location.rootPaths
                   .exists(_.toString.contains("cells")))
                 .getOrElse(sys.error("stored arm: no cells scan in plan"))
@@ -1386,6 +1381,7 @@ object BenchScale {
               f"(${b1.toDouble / totalBytes}%.4f)")
             cents.unpersist(blocking = false)
             floats.unpersist(blocking = false)
+            corpusF.unpersist(blocking = false)
             graft.LocalRun.deleteRecursively(dir)
             s""""$f":{"sec":${fmt(sec)},"cells":$nCellsF,""" +
               s""""scanned_partitions":$p1,""" +

@@ -62,6 +62,24 @@ object LocalRun {
     }
   private val shufflePartitionsLock = new Object
 
+  /** FileSourceScanExec leaves of `p`, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec are LEAF nodes whose
+    * subtree hangs off a field, invisible to a plain collect) — the
+    * one definition of post-execution scan introspection, shared by
+    * the scale bench's stored-serving arm and IvfStorePruningSpec
+    * (r16 self-review: duplicated plan-walking drifts on a Spark
+    * upgrade). BenchPartitioned's leaf probe is deliberately NOT this
+    * — it reads planning-time values off an exchange-free plan. */
+  def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+    }.flatten
+
   /** Write `df` as ONE parquet FILE at `dest` (not a directory) — the
     * layout the driver's testdata uses and the file-addressed readers
     * (DuckDB `read_parquet`, the file-stream sources' staged arrival

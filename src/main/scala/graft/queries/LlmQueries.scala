@@ -207,8 +207,13 @@ object LlmQueries extends Q.Registry {
     def gates(n: String, m: String): String = {
       val qcos = s"${qdot(n, m)} / (sqrt(${qdot(n, n)}) * sqrt(${qdot(m, m)}))"
       val fcos = s"${fdot(n, m)} / (sqrt(${fdot(n, n)}) * sqrt(${fdot(m, m)}))"
-      s"${fdot(n, n)} > 0 AND ${fdot(m, m)} > 0 " +
-        s"AND ${qdot(n, n)} > 0 AND ${qdot(m, m)} > 0 " +
+      // isfinite mirrors posNorm's NaN leg (r16 self-review): NaN > 0
+      // is TRUE under DuckDB's NaN-high comparisons, so a bare > 0
+      // would KEEP a NaN-norm row the Spark side drops
+      s"isfinite(${fdot(n, n)}) AND ${fdot(n, n)} > 0 " +
+        s"AND isfinite(${fdot(m, m)}) AND ${fdot(m, m)} > 0 " +
+        s"AND isfinite(${qdot(n, n)}) AND ${qdot(n, n)} > 0 " +
+        s"AND isfinite(${qdot(m, m)}) AND ${qdot(m, m)} > 0 " +
         s"AND $qcos >= $EmbTauQ AND $fcos >= $EmbTau"
     }
     def matchCtes(qsv: String, qidx: String, pe: String, pn: String): String =
@@ -1174,12 +1179,14 @@ object LlmQueries extends Q.Registry {
     * batch 2 vs base ∪ batch 1 — the appended index), plus each
     * batch's self pairs. Same quantization fragment as ss7's chain;
     * thresholds interpolate from the SAME EmbTauQ/EmbTau constants the
-    * Spark side gates on. Each leg's WHERE carries explicit float- and
-    * quantized-norm > 0 guards mirroring the Spark-side family contract
-    * (r15 ADVICE): a zero embedding would otherwise 0/0 → NaN in DuckDB
-    * and PASS the ≥ tau gate under NaN-high ordering while Spark drops
-    * the row — a degenerate input must be uniformly dropped by both
-    * engines, not surface as a confusing hash mismatch. */
+    * Spark side gates on. Each leg's WHERE carries explicit
+    * isfinite-AND-positive guards on the float and quantized norms,
+    * mirroring the Spark-side posNorm family contract (r15 ADVICE +
+    * r16 self-review): a zero embedding would otherwise 0/0 → NaN in
+    * DuckDB and PASS the ≥ tau gate under NaN-high ordering — and a
+    * NaN-component row's NaN norm would pass a bare > 0 the same way —
+    * while Spark drops both; degenerate input must be uniformly
+    * dropped by both engines, not surface as a hash mismatch. */
   private def embPairsOracleSql: String = {
     def qzOver(src: String): String =
       s"""SELECT vec_id, embedding,
@@ -1205,8 +1212,10 @@ object LlmQueries extends Q.Registry {
          |       floor(($fcos) * 1e4 + 1e-6) / 1e4 AS cos_sim,
          |       CAST($batch AS BIGINT) AS batch_id
          |FROM $nCte n JOIN $mCte m ON $idCond
-         |WHERE ${fdot("n", "n")} > 0 AND ${fdot("m", "m")} > 0
-         |  AND ${qdot("n", "n")} > 0 AND ${qdot("m", "m")} > 0
+         |WHERE isfinite(${fdot("n", "n")}) AND ${fdot("n", "n")} > 0
+         |  AND isfinite(${fdot("m", "m")}) AND ${fdot("m", "m")} > 0
+         |  AND isfinite(${qdot("n", "n")}) AND ${qdot("n", "n")} > 0
+         |  AND isfinite(${qdot("m", "m")}) AND ${qdot("m", "m")} > 0
          |  AND $qcos >= $EmbTauQ AND $fcos >= $EmbTau""".stripMargin
     }
     s"""WITH b1 AS (

@@ -1,8 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, FormattedMode, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FormattedMode}
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -30,18 +29,8 @@ import graft.llm.Similarity
 class IvfStorePruningSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** FileSourceScanExec leaves, descending through AQE wrappers
-    * (AdaptiveSparkPlanExec / QueryStageExec are leaf nodes whose
-    * subtree hangs off a field, invisible to a plain collect). */
-  private def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
-    p.collect {
-      case s: FileSourceScanExec => Seq(s)
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case q: QueryStageExec => fileScans(q.plan)
-    }.flatten
-
   private def scanOf(df: DataFrame, table: String): FileSourceScanExec =
-    fileScans(df.queryExecution.executedPlan)
+    graft.LocalRun.fileScans(df.queryExecution.executedPlan)
       .find(_.relation.location.rootPaths.exists(_.toString.contains(table)))
       .getOrElse(fail(s"no FileSourceScanExec over $table/ in the plan"))
 
