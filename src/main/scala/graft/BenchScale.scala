@@ -1328,12 +1328,18 @@ object BenchScale {
               .withColumn("cell",
                 col("label") * f + pmod(col("vec_id"), lit(f)))
               .cache()
-            val cents = corpusF.groupBy("cell")
+            val dir = java.nio.file.Files.createTempDirectory(s"graft-ann-stored-$f")
+            // r16 ADVICE: a failed require / serve throw must not leak
+            // this factor's cached frames and temp index dir into the
+            // rest of the bench run — all cleanup rides the finally
+            var cents: org.apache.spark.sql.DataFrame = null
+            var floats: org.apache.spark.sql.DataFrame = null
+            try {
+            cents = corpusF.groupBy("cell")
               .agg(array((0 until 64).map(i =>
                 avg(element_at(col("embedding"), i + 1))): _*).as("cent_vec"))
               .cache()
             val nCellsF = cents.count().toInt
-            val dir = java.nio.file.Files.createTempDirectory(s"graft-ann-stored-$f")
             corpusF.select(col("vec_id"), col("cell"),
                 Similarity.int8Quantize(col("embedding"),
                   Similarity.int8Scale(col("embedding"))).as("q8"))
@@ -1343,7 +1349,7 @@ object BenchScale {
               if (p.isDirectory) p.listFiles().map(parquetBytes).sum
               else if (p.getName.endsWith(".parquet")) p.length else 0L
             val totalBytes = parquetBytes(dir.resolve("cells").toFile)
-            val floats = corpusF.select("vec_id", "embedding").cache()
+            floats = corpusF.select("vec_id", "embedding").cache()
             floats.count()
             def serveOnce(): (Double, Long, Long, Long) = {
               val t0 = System.nanoTime()
@@ -1379,14 +1385,16 @@ object BenchScale {
               f"serve $sec%5.2f s  cells=$nCellsF  " +
               f"scanned ${b1 / 1024}%d KiB of ${totalBytes / 1024}%d KiB " +
               f"(${b1.toDouble / totalBytes}%.4f)")
-            cents.unpersist(blocking = false)
-            floats.unpersist(blocking = false)
-            corpusF.unpersist(blocking = false)
-            graft.LocalRun.deleteRecursively(dir)
             s""""$f":{"sec":${fmt(sec)},"cells":$nCellsF,""" +
               s""""scanned_partitions":$p1,""" +
               s""""scanned_bytes":$b1,"total_bytes":$totalBytes,""" +
               s""""scanned_ratio":${fmt(b1.toDouble / totalBytes)}}"""
+            } finally {
+              if (cents != null) cents.unpersist(blocking = false)
+              if (floats != null) floats.unpersist(blocking = false)
+              corpusF.unpersist(blocking = false)
+              graft.LocalRun.deleteRecursively(dir)
+            }
           }
           s""""stored":{"nprobe":$storedNProbe,"queries":1,""" +
             s""""factors":{${entries.mkString(",")}}}"""

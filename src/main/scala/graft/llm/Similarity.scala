@@ -46,10 +46,14 @@ object Similarity {
     * strictly-positive FINITE number. A bare `> 0` would keep NaN-norm
     * rows (NaN compares greater than any value under Spark's total
     * ordering, r15 ADVICE), letting one corrupt component NaN-top every
-    * desc ranking; `!isnan` closes that hole so the documented contract
-    * — zero-OR-NaN-norm rows are uniformly dropped on either side of
-    * every ANN operator — is what the code computes. */
-  private def posNorm(c: Column): Column = c > 0 && !isnan(c)
+    * desc ranking; `!isnan` closes that hole, and `< +Inf` (r16 ADVICE)
+    * closes the remaining one — a vector with an Inf COMPONENT has norm
+    * +Inf (not NaN), whose Inf/Inf cosine is NaN and would sort first
+    * under desc ranking — so the guard now matches the oracle's
+    * `isfinite(x) AND x > 0` exactly: zero-, NaN- or Inf-norm rows are
+    * uniformly dropped on either side of every ANN operator. */
+  private def posNorm(c: Column): Column =
+    c > 0 && !isnan(c) && c < lit(Double.PositiveInfinity)
 
   /** Squared L2 distance in double precision, same fold shape. */
   def sqDist(a: Column, b: Column): Column = ArrayKernels.sqDistD(a, b)

@@ -1420,6 +1420,14 @@ object LlmQueries extends Q.Registry {
       val baseTable = cachedFrame(s, "st7_gram_table", d)(
         Dedup.gramCounts(docs, "doc_id", "text", k))
       var table = baseTable
+      // replay guard (r16 ADVICE): out/ and idx/ are batchId-keyed
+      // overwrites (idempotent), but the in-memory gram-table advance
+      // is not — if the checkpoint commit fails AFTER the body ran,
+      // Spark replays the batch and the grams would fold in twice.
+      // Advancing only for a batchId we have not advanced past makes
+      // the replay a no-op (the durable-state form of the same guard
+      // is st12's batchId-keyed versioned table).
+      var lastAdvanced = -1L
       val (arr, inDir) = stageArrivalDays(
         Seq(curBatch1(docs), curBatch2(docs)), "graft_llm8_in_")
       val schema = new org.apache.spark.sql.types.StructType()
@@ -1471,13 +1479,19 @@ object LlmQueries extends Q.Registry {
               .select(explode(array(col("new_id"), col("matched_id")))
                 .as("doc_id"))
               .groupBy("doc_id").agg(count(lit(1)).as("n_match_new"))
+            // nExist/nNew are batch-bounded aggregates of a
+            // localCheckpointed frame — AQE sees an ExistingRDD with
+            // unknown stats and falls back to SortMergeJoin without the
+            // hints (two Sort+Exchange pairs per micro-batch, the r16
+            // plan-audit finding); the explicit broadcast restores the
+            // hash join the batch-sized build side warrants.
             val out = rec
               .join(emb.select(col("vec_id")),
                 col("src_id") === col("vec_id"), "left")
               .withColumn("has_embedding", col("vec_id").isNotNull)
               .drop("vec_id")
-              .join(nExist, Seq("doc_id"), "left")
-              .join(nNew, Seq("doc_id"), "left")
+              .join(broadcast(nExist), Seq("doc_id"), "left")
+              .join(broadcast(nNew), Seq("doc_id"), "left")
               .select(lit(batchId).as("batch_id"), col("doc_id"),
                 col("src_id"), col("n_tokens"), col("n_removed_tokens"),
                 col("dedup_kept"), col("quality_kept"), col("kept"),
@@ -1494,12 +1508,16 @@ object LlmQueries extends Q.Registry {
                 q8of(col("embedding")).as("q8"))
               .write.mode("overwrite")
               .parquet(stage.resolve(s"idx/batch=$batchId").toString)
-            // … and advance the gram table (st7's loop)
-            val advanced = Dedup.advanceGramCounts(
-              table, bc, "doc_id", "text", k).cache()
-            advanced.count()
-            if (!(table eq baseTable)) table.unpersist(blocking = false)
-            table = advanced
+            // … and advance the gram table (st7's loop) — once per
+            // batchId, so a commit-failure replay cannot double-fold
+            if (batchId > lastAdvanced) {
+              val advanced = Dedup.advanceGramCounts(
+                table, bc, "doc_id", "text", k).cache()
+              advanced.count()
+              if (!(table eq baseTable)) table.unpersist(blocking = false)
+              table = advanced
+              lastAdvanced = batchId
+            }
           } finally bc.unpersist(blocking = false)
           ()
         }
@@ -1547,18 +1565,62 @@ object LlmQueries extends Q.Registry {
         .select((col("doc_id") + 8500000L).as("doc_a"),
           (col("doc_id") + 9500000L).as("doc_b")))
 
+  /** Hash-bucket count of the st18 label store's partitioned layout
+    * (r16 verdict ask #2). Every label dir is written twice: once
+    * partitioned by `bkt = pmod(xxhash64(doc), B)` (the endpoint-probe
+    * layout) and once by `gbkt = pmod(xxhash64(group_id), B)` (the
+    * member-relabel layout) — the classic primary + secondary-index
+    * trade: delta-sized write amplification ×2 buys both per-batch
+    * probes a statically pruned listing instead of a full-store scan.
+    * The probe reads only its bucket list's directories, so the scan
+    * fraction is |probed buckets|/B ≤ min(|probe|, B)/B: for the
+    * member probe (a handful of changed components) that is a few
+    * buckets at any scale; for the endpoint probe it bounds the read
+    * at |eps|·(store/B) rows — a deployment sizes B to store-rows /
+    * target-bucket-rows (env `SPARK_GRAFT_LABEL_BUCKETS`) so bucket
+    * reads approach point lookups; a keyed upsert table (Delta/Hudi
+    * merge-on-read) is the limit of the same design. The fixture
+    * default (8) keeps the two-trigger bench's file counts sane. */
+  private[queries] val LabelBuckets: Int =
+    sys.env.getOrElse("SPARK_GRAFT_LABEL_BUCKETS", "8").toInt
+  private def bktOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(LabelBuckets.toLong)).cast("int")
+
+  /** Write `labels` (doc, group_id) at `root` in both probe layouts:
+    * `<root>` partitioned by doc-bucket, `<root>ByGrp` by group-bucket.
+    * The second layout is read back from the first (one extra
+    * delta-sized scan) rather than recomputing the delta plan twice. */
+  private def writeLabelDirs(s: SparkSession, labels: DataFrame,
+                             root: java.nio.file.Path, name: String): Unit = {
+    val doc = root.resolve(name).toString
+    labels.withColumn("bkt", bktOf(col("doc")))
+      .write.mode("overwrite").partitionBy("bkt").parquet(doc)
+    s.read.parquet(doc).select("doc", "group_id")
+      .withColumn("gbkt", bktOf(col("group_id")))
+      .write.mode("overwrite").partitionBy("gbkt")
+      .parquet(root.resolve(name + "ByGrp").toString)
+  }
+
   /** Latest-wins resolution of the log-structured label store: base
     * labels plus each batch's relabel delta, the HIGHEST batch owning
     * a doc's current label. One narrow (doc, group_id) row per doc —
     * the LSM read path; a production deployment compacts this with an
     * upsertable keyed table (Delta/Hudi merge-on-read), same
     * semantics. */
-  private def resolvedLabels(s: SparkSession, paths: Seq[String]): DataFrame =
+  private[queries] def resolvedLabels(s: SparkSession, paths: Seq[String]): DataFrame =
     resolveLatest(taggedLabels(s, paths))
-  private def taggedLabels(s: SparkSession, paths: Seq[String]): DataFrame =
+  /** One tagged union over the store's dirs; a non-empty `bkts` list
+    * becomes a literal IN filter on the layout's partition column —
+    * static PartitionFilters, so each dir's listing excludes unprobed
+    * buckets at plan time (the ss10 move; see [[LabelBuckets]]). */
+  private def taggedLabels(s: SparkSession, paths: Seq[String],
+                           bktCol: String = "",
+                           bkts: Seq[Any] = Nil): DataFrame =
     paths.zipWithIndex.map { case (p, i) =>
-      s.read.parquet(p).select(col("doc"), col("group_id"),
-        lit(i).as("__src"))
+      val r = s.read.parquet(p)
+      val pruned = if (bktCol.nonEmpty) r.filter(col(bktCol).isin(bkts: _*))
+                   else r
+      pruned.select(col("doc"), col("group_id"), lit(i).as("__src"))
     }.reduce(_ unionAll _)
   private def resolveLatest(tagged: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -1571,18 +1633,32 @@ object LlmQueries extends Q.Registry {
   /** [[resolvedLabels]] restricted to rows matching a broadcast probe
     * BEFORE the latest-wins window, so the label store is only ever
     * streamed map-side and the resolve shuffle is probe-sized, not
-    * corpus-sized. Trivially safe for probeCol = "doc" (latest-wins
-    * resolves within a doc). Safe for probeCol = "group_id" because a
-    * superseded label can never become CURRENT again — a component's
-    * root is its min doc id and a root change rewrites ALL members of
-    * the old root, so the old root id thereafter labels nobody and
-    * itself carries a strictly smaller label — hence any stored row
-    * whose group_id is a current representative is itself current. */
-  private def resolvedLabelsFor(s: SparkSession, paths: Seq[String],
-                                probeCol: String,
-                                probe: DataFrame): DataFrame =
-    resolveLatest(taggedLabels(s, paths)
-      .join(broadcast(probe.select(probeCol).distinct()), Seq(probeCol)))
+    * corpus-sized — and, since r17, the stream itself is PRUNED: the
+    * probe's distinct hash-buckets (a bounded ≤ [[LabelBuckets]]-int
+    * collect, the probedCellSet contract) prepend as literal
+    * PartitionFilters on `paths`' bucketed layout, so unprobed buckets
+    * are never listed, read, or filtered — the r16 verdict's
+    * corpus-sized-scan finding. `paths` must be the layout partitioned
+    * by `bktCol`'s key (doc → labels/, group_id → labelsByGrp/).
+    * Trivially safe for probeCol = "doc" (latest-wins resolves within
+    * a doc; all of a doc's rows share its bucket). Safe for probeCol =
+    * "group_id" because a superseded label can never become CURRENT
+    * again — a component's root is its min doc id and a root change
+    * rewrites ALL members of the old root, so the old root id
+    * thereafter labels nobody and itself carries a strictly smaller
+    * label — hence any stored row whose group_id is a current
+    * representative is itself current; bucket pruning only ever drops
+    * rows the group_id equi-join would drop anyway (same-key rows
+    * share a bucket). */
+  private[queries] def resolvedLabelsFor(s: SparkSession, paths: Seq[String],
+                                probeCol: String, bktCol: String,
+                                probe: DataFrame): DataFrame = {
+    val p = probe.select(probeCol).distinct()
+    val bkts = p.select(bktOf(col(probeCol)).as("__b")).distinct()
+      .collect().map(_.get(0)).toSeq
+    resolveLatest(taggedLabels(s, paths, bktCol, bkts)
+      .join(broadcast(p), Seq(probeCol)))
+  }
 
   /** Per-dir memo of the INCREMENTALLY MAINTAINED dup-group labels
     * (st18 — r15 verdict ask #4, the production form of dd7): dd7's
@@ -1610,11 +1686,10 @@ object LlmQueries extends Q.Registry {
   private[queries] def grownDupLabelsDir(s: SparkSession, d: String): String =
     dupLabelsMemo.computeIfAbsent(d, _ => {
       val stage = java.nio.file.Files.createTempDirectory("graft_st18_")
-      Dedup.connectedComponents(
+      writeLabelDirs(s, Dedup.connectedComponents(
           verifiedPairsShared(s, d).select("doc_a", "doc_b"),
-          "doc_a", "doc_b")
-        .write.mode("overwrite")
-        .parquet(stage.resolve("labels/base").toString)
+          "doc_a", "doc_b"),
+        stage.resolve("labels"), "base")
       val docs = Tables.documents(s, d)
       val (arr, inDir) = stageArrivalDays(
         Seq(pairBatch1(docs), pairBatch2(docs)), "graft_st18_in_")
@@ -1627,9 +1702,12 @@ object LlmQueries extends Q.Registry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", stage.resolve("ckpt").toString)
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val labelPaths = stage.resolve("labels/base").toString +:
-            (0L until batchId)
-              .map(i => stage.resolve(s"labels/batch=$i").toString)
+          def storePaths(suffix: String) =
+            stage.resolve(s"labels/base$suffix").toString +:
+              (0L until batchId)
+                .map(i => stage.resolve(s"labels/batch=$i$suffix").toString)
+          val labelPaths = storePaths("")        // doc-bucketed layout
+          val grpPaths = storePaths("ByGrp")     // group-bucketed layout
           // the batch is read through several plan arms — pin it once
           val prs = b.select(col("doc_a"), col("doc_b")).distinct().cache()
           prs.count()
@@ -1639,7 +1717,7 @@ object LlmQueries extends Q.Registry {
             // endpoint → component representative: label-store stream 1
             // (map-side, broadcast endpoint probe); checkpointed — it's
             // endpoint-sized and read through several arms below
-            val found = resolvedLabelsFor(s, labelPaths, "doc", eps)
+            val found = resolvedLabelsFor(s, labelPaths, "doc", "bkt", eps)
               .select(col("doc"), col("group_id").as("rep"))
               .localCheckpoint(true)
             val missing = eps
@@ -1658,7 +1736,7 @@ object LlmQueries extends Q.Registry {
             // stream 2, probe = the changed reps (see resolvedLabelsFor
             // for why the group_id probe is resolve-safe)
             val changed = cc.filter(col("rep") =!= col("new_root"))
-            val memberUpd = resolvedLabelsFor(s, labelPaths, "group_id",
+            val memberUpd = resolvedLabelsFor(s, grpPaths, "group_id", "gbkt",
                 changed.select(col("rep").as("group_id")))
               .join(broadcast(changed
                 .withColumnRenamed("rep", "group_id")), Seq("group_id"))
@@ -1669,8 +1747,8 @@ object LlmQueries extends Q.Registry {
             val updates = memberUpd.unionByName(newNodes)
             IngestQueries.lastStreamPlan = Some(updates.queryExecution
               .explainString(org.apache.spark.sql.execution.FormattedMode))
-            updates.write.mode("overwrite")
-              .parquet(stage.resolve(s"labels/batch=$batchId").toString)
+            writeLabelDirs(s, updates, stage.resolve("labels"),
+              s"batch=$batchId")
           } finally prs.unpersist(blocking = false)
           ()
         }

@@ -1831,6 +1831,26 @@ class LlmSpec extends SparkSpec {
     assert(top === Set(1L))
   }
 
+  test("ivfTopK: a wrong-dimension query drops out of the serve instead of " +
+    "probing arbitrary cells (the shared-probeCells null guard — r16 ADVICE)") {
+    // folding ivfTopK onto the shared probeCells added cell_dist's
+    // isNotNull drop that ss2's serve previously lacked; this pins the
+    // now-uniform family behavior (ss2 = ss5 = ss8): a malformed query
+    // yields ZERO rows, not rows from nulls-first arbitrary cells. The
+    // registered ss2 fixture has no malformed vectors, so its oracle is
+    // unaffected at every SF — the contract is pinned here instead.
+    val corpus = Seq((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f)),
+      (3L, 1, Seq(1f, 1f))).toDF("vec_id", "cell", "embedding")
+    val centroids = Seq((0, Seq(0.9, 0.1)), (1, Seq(0.5, 0.5)))
+      .toDF("cell", "cent_vec")
+    val queries = Seq((9L, Seq(1f, 0f)), (10L, Seq(1f)))  // 10 is short
+      .toDF("q_id", "q_vec")
+    val served = Similarity.ivfTopK(corpus, "vec_id", "embedding", "cell",
+        centroids, "cent_vec", queries, "q_id", "q_vec", nProbe = 1, k = 2)
+      .select("query_id").as[Long].collect().toSet
+    assert(served === Set(9L), s"malformed query must serve nothing: $served")
+  }
+
   test("Gopher quality rules (tx20): each metric fires on a crafted page, both directions") {
     def metrics(page: String): (Double, Double, Double, Double, Double, Int) = {
       val df = Seq(page).toDF("page")
