@@ -902,8 +902,9 @@ object BenchScale {
         } finally out.unpersist(blocking = false)
       }, Linear),
       ("a_funnel", (f: Int) => {
-        // a12's 3-stage windowed funnel (3 keyed aggs + 2 user-keyed
-        // shuffle-hash gates, all on user_id) on replica-unique users:
+        // a12's 3-stage windowed funnel (r17: one scan + one user-key
+        // exchange, chained anchors as a window cascade) on
+        // replica-unique users:
         // every replica is an isomorphic copy of the 1× user population
         // under a uniform whole-day shift, so ALL FOUR funnel counts
         // must be EXACTLY ×f — and the rates, being ratios of exactly-
@@ -1408,8 +1409,83 @@ object BenchScale {
           int8Json + "," + storedJson + "}"
       }
 
+    // ---- st18 label-store probe cost vs store size (r17) -------------
+    // The bucketed two-layout label store behind st18's per-batch
+    // probes, measured at growing store size with the DEPLOYMENT
+    // posture: B (hash buckets) sized to the store so bucket rows stay
+    // ~constant (B = 8·f here), fixed 20-key probes. Claim under test:
+    // a probe's scanned bytes are a function of the PROBE (its bucket
+    // list × constant bucket size), not of the store — scanned_ratio
+    // falls ~1/f while total bytes grow ×f, and the executed scan lists
+    // ≤ min(|probe| · dirs, B) partitions (REQUIREd). The pre-r17
+    // store had no layout: every probe read total_bytes at every size.
+    // Skippable via the pseudo-leg name "label_store".
+    val labelJson: String =
+      if (!legFilter.forall(_.contains("label_store"))) ""
+      else {
+        def parquetBytes(p: java.io.File): Long =
+          if (p.isDirectory) p.listFiles().map(parquetBytes).sum
+          else if (p.getName.endsWith(".parquet")) p.length else 0L
+        val probeN = 20
+        val entries = factors.map { f =>
+          val bF = 8 * f
+          // replica-disjoint synthetic labels: groups of 3 docs — the
+          // layout claim is storage-level, independent of how the
+          // labels were derived (st18's CC or otherwise)
+          val labels = session.range(200000L * f).select(col("id").as("doc"),
+            (col("id") - pmod(col("id"), lit(3))).as("group_id"))
+          val root = java.nio.file.Files.createTempDirectory(s"graft-labels-$f")
+          try {
+            queries.LlmQueries.writeLabelDirs(session, labels, root, "base", bF)
+            val docDir = root.resolve("base").toString
+            val grpDir = root.resolve("baseByGrp").toString
+            val totalBytes = parquetBytes(root.resolve("base").toFile)
+            // fixed probe: 20 docs present at every factor
+            val probe = session.range(probeN).select((col("id") * 7919L).as("doc"))
+            def serve(paths: Seq[String], pCol: String, bCol: String,
+                      pr: org.apache.spark.sql.DataFrame,
+                      expectRows: Long): (Double, Long, Long) = {
+              val t0 = System.nanoTime()
+              val resolved = queries.LlmQueries.resolvedLabelsFor(
+                session, paths, pCol, bCol, pr, bF)
+              val n = resolved.collect().length.toLong
+              val sec = (System.nanoTime() - t0) / 1e9
+              require(n == expectRows,
+                s"label_store at $f×: $n of $expectRows rows resolved")
+              val scans = LocalRun.fileScans(resolved.queryExecution.executedPlan)
+                .filter(_.relation.location.rootPaths
+                  .exists(_.toString.contains("graft-labels")))
+              val parts = scans.map(_.metrics("numPartitions").value).sum
+              val bytes = scans.map(_.metrics("filesSize").value).sum
+              require(parts <= math.min(probeN, bF).toLong,
+                s"label_store at $f×: scan listed $parts partitions, " +
+                  s"expected <= min($probeN, $bF)")
+              (sec, parts, bytes)
+            }
+            val (dSec, dParts, dBytes) = serve(Seq(docDir), "doc", "bkt",
+              probe, probeN.toLong)
+            // 20 distinct groups of exactly 3 members each
+            val (gSec, gParts, gBytes) = serve(Seq(grpDir), "group_id", "gbkt",
+              probe.select((col("doc") - pmod(col("doc"), lit(3)))
+                .as("group_id")), 3L * probeN)
+            System.err.println(f"[scalebench] label_store ${f}%3d×  B=$bF%-4d " +
+              f"doc-probe $dSec%5.2f s ${dBytes / 1024}%d KiB / " +
+              f"${totalBytes / 1024}%d KiB (${dBytes.toDouble / totalBytes}%.4f)  " +
+              f"grp-probe $gSec%5.2f s ${gBytes / 1024}%d KiB")
+            s""""$f":{"buckets":$bF,"total_bytes":$totalBytes,""" +
+              s""""doc_probe":{"sec":${fmt(dSec)},"partitions":$dParts,""" +
+              s""""scanned_bytes":$dBytes,""" +
+              s""""scanned_ratio":${fmt(dBytes.toDouble / totalBytes)}},""" +
+              s""""grp_probe":{"sec":${fmt(gSec)},"partitions":$gParts,""" +
+              s""""scanned_bytes":$gBytes}}"""
+          } finally LocalRun.deleteRecursively(root)
+        }
+        s""","label_store":{"probe_keys":$probeN,""" +
+          s""""factors":{${entries.mkString(",")}}}"""
+      }
+
     val json = s"""{"metric":"scale_bench","unit":"sec","sf_dir":"$sfDir",""" +
-      s""""factors":[${factors.mkString(",")}],"legs":{$legJson}$annJson}"""
+      s""""factors":[${factors.mkString(",")}],"legs":{$legJson}$annJson$labelJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), json.getBytes("UTF-8"))
     println(json)
     session.stop()

@@ -27,15 +27,21 @@ import org.apache.spark.sql.functions._
   *    is deterministic, join-expressible, and what the a12 oracle
   *    pins.
   *
-  * Topology — identical at any chain length k: k chained keyed
-  * aggregations + (k-1) shuffle-hash stage-gating joins, ALL on the
-  * user key (one partitioning reused across every stage), then each
-  * stage table reduces to a ONE-ROW frame and the rollup is k+1 tiny
-  * cross-joins (whitelisted tiny-broadcast crosses). The only
-  * full-stream aggregations are the per-user min-time frames and the
-  * denominator's per-user frame — nothing joins back to the raw
-  * stream and no window function touches it, so the shape survives a
-  * 100 TB event table exactly as well as one groupBy(user) does.
+  * Topology (r17, guide §2.4/§1.2 — the algorithm pass): ONE scan of
+  * the event stream and ONE exchange on the user key, at any chain
+  * length k. The chained anchors are a WINDOW CASCADE — anchor k is
+  * `min(when(type = sk AND t > a(k-1) AND t <= a(k-1) + win, t))`
+  * over the unordered per-user frame, referencing anchor k-1's window
+  * column — so all k WindowExecs share the one hash exchange (equal
+  * partitioning, no per-window re-sort), the per-user reduction
+  * reuses it again (groupBy on the same key), and the final ONE-ROW
+  * rollup computes every count, the denominator and the exact-long
+  * lag sums in a single global aggregate. The previous form (r10-r16)
+  * scanned the stream k+1 times and gated stages through k-1
+  * user-keyed shuffle-hash joins plus k+1 one-row cross-joins —
+  * identical results (the per-stage min/gate expressions are
+  *  unchanged, oracle-verified), but k+1 fact-table passes at 100 TB
+  * against this form's one.
   *
   * Output columns, derived from the stage names:
   *  - `n_users` — distinct users in the whole stream (rate-1
@@ -75,36 +81,44 @@ object Funnel {
       unix_micros(col(tsCol)).as("__tus"), col(typeCol).as("__type"))
       .filter(col("__user").isNotNull)
 
-    // stage tables by left fold: t(k) has (__user, __t: anchored stage-k
-    // time, __prev: anchored stage-(k-1) time carried for the lag sum)
-    val first = ev.filter(col("__type") === stages.head)
-      .groupBy("__user").agg(min(col("__tus")).as("__t"))
-      .withColumn("__prev", lit(null).cast("long"))
-    val stageTables: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, name) =>
-      ev.filter(col("__type") === name)
-        .join(prev.select(col("__user"), col("__t").as("__anchor"))
-          .hint("shuffle_hash"), Seq("__user"))
-        .filter(col("__tus") > col("__anchor") &&
-          col("__tus") <= col("__anchor") + winUs)
-        .groupBy("__user").agg(min(col("__tus")).as("__t"),
-          min(col("__anchor")).as("__prev"))
+    // chained anchors as a window cascade over ONE per-user hash
+    // exchange: anchor 0 = the user's first stage-0 time; anchor i =
+    // the first stage-i time strictly inside (anchor(i-1),
+    // anchor(i-1) + win] — a null anchor(i-1) nulls the `when` guard,
+    // so the chain gates exactly as the former per-stage inner joins
+    // did. min over an UNORDERED frame: no per-window sort, every
+    // WindowExec shares the single exchange.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__user")
+    val k = stages.size
+    val anchored = stages.zipWithIndex.foldLeft(ev) { case (df, (name, i)) =>
+      val qualifies =
+        if (i == 0) col("__type") === name
+        else col("__type") === name &&
+          col("__tus") > col(s"__a${i - 1}") &&
+          col("__tus") <= col(s"__a${i - 1}") + winUs
+      df.withColumn(s"__a$i", min(when(qualifies, col("__tus"))).over(w))
     }
+    // per-user frame (one row per user, anchors constant within the
+    // partition — max = the value, null when the stage was unreached);
+    // groupBy on the window's own key reuses its exchange
+    val perUser = anchored.groupBy("__user")
+      .agg(max(col("__a0")).as("__t0"),
+        (1 until k).map(i => max(col(s"__a$i")).as(s"__t$i")): _*)
 
-    // one-row rollup frames: the denominator from a per-user frame
-    // (NOT a distinct over the raw stream), then one count(+lag sum)
-    // per stage table
-    val nUsers = ev.select("__user").groupBy("__user").agg(count(lit(1)).as("__c"))
-      .agg(count(lit(1)).as("n_users"))
+    // ONE global rollup: denominator (every user seen — the a12
+    // contract), per-stage converted counts, and the exact-long lag
+    // sums (sum skips null rows; a non-null __t(i) implies a non-null
+    // __t(i-1) by the chain, matching the former stage-table sums)
     val nName: Int => String = {
       case 0 => s"n_${stages.head}"
       case i => s"n_${stages(i)}_after_${stages(i - 1)}"
     }
-    val rollups = stageTables.zipWithIndex.map { case (t, i) =>
-      if (i == 0) t.agg(count(lit(1)).as(nName(0)))
-      else t.agg(count(lit(1)).as(nName(i)),
-        sum(col("__t") - col("__prev")).as(s"__lag$i"))
-    }
-    val joined = rollups.foldLeft(nUsers)(_.crossJoin(_))
+    val rollupCols: Seq[Column] =
+      count(lit(1)).as("n_users") +: count(col("__t0")).as(nName(0)) +:
+        (1 until k).flatMap(i => Seq(
+          count(col(s"__t$i")).as(nName(i)),
+          sum(col(s"__t$i") - col(s"__t${i - 1}")).as(s"__lag$i")))
+    val joined = perUser.agg(rollupCols.head, rollupCols.tail: _*)
 
     // Empty-stage semantics: if stage table k comes out empty (count
     // 0), the rate whose DENOMINATOR it feeds and the lag over it are

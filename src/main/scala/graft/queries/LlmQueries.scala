@@ -1581,22 +1581,30 @@ object LlmQueries extends Q.Registry {
     * reads approach point lookups; a keyed upsert table (Delta/Hudi
     * merge-on-read) is the limit of the same design. The fixture
     * default (8) keeps the two-trigger bench's file counts sane. */
-  private[queries] val LabelBuckets: Int =
+  private[graft] val LabelBuckets: Int =
     sys.env.getOrElse("SPARK_GRAFT_LABEL_BUCKETS", "8").toInt
-  private def bktOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(c), lit(LabelBuckets.toLong)).cast("int")
+  private def bktOf(c: org.apache.spark.sql.Column,
+                    b: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(b.toLong)).cast("int")
 
   /** Write `labels` (doc, group_id) at `root` in both probe layouts:
     * `<root>` partitioned by doc-bucket, `<root>ByGrp` by group-bucket.
     * The second layout is read back from the first (one extra
     * delta-sized scan) rather than recomputing the delta plan twice. */
-  private def writeLabelDirs(s: SparkSession, labels: DataFrame,
-                             root: java.nio.file.Path, name: String): Unit = {
+  private[graft] def writeLabelDirs(s: SparkSession, labels: DataFrame,
+                                    root: java.nio.file.Path, name: String,
+                                    b: Int = LabelBuckets): Unit = {
+    // cluster by the partition column before the write (guide §6 /
+    // Iceberg's hash distribution-mode): without it every write task
+    // holds up to B open files — B·tasks small files per dir; with it
+    // each bucket lands in one task → one file per bucket
     val doc = root.resolve(name).toString
-    labels.withColumn("bkt", bktOf(col("doc")))
+    labels.withColumn("bkt", bktOf(col("doc"), b))
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(doc)
     s.read.parquet(doc).select("doc", "group_id")
-      .withColumn("gbkt", bktOf(col("group_id")))
+      .withColumn("gbkt", bktOf(col("group_id"), b))
+      .repartition(col("gbkt"))
       .write.mode("overwrite").partitionBy("gbkt")
       .parquet(root.resolve(name + "ByGrp").toString)
   }
@@ -1650,11 +1658,12 @@ object LlmQueries extends Q.Registry {
     * representative is itself current; bucket pruning only ever drops
     * rows the group_id equi-join would drop anyway (same-key rows
     * share a bucket). */
-  private[queries] def resolvedLabelsFor(s: SparkSession, paths: Seq[String],
+  private[graft] def resolvedLabelsFor(s: SparkSession, paths: Seq[String],
                                 probeCol: String, bktCol: String,
-                                probe: DataFrame): DataFrame = {
+                                probe: DataFrame,
+                                b: Int = LabelBuckets): DataFrame = {
     val p = probe.select(probeCol).distinct()
-    val bkts = p.select(bktOf(col(probeCol)).as("__b")).distinct()
+    val bkts = p.select(bktOf(col(probeCol), b).as("__b")).distinct()
       .collect().map(_.get(0)).toSeq
     resolveLatest(taggedLabels(s, paths, bktCol, bkts)
       .join(broadcast(p), Seq(probeCol)))
