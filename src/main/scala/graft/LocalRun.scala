@@ -21,6 +21,14 @@ object LocalRun {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // let a join reuse a child partitioning on a SUBSET of its keys
+      // (leading-key co-partitioning): the r18 one-exchange pipelines
+      // (tx21/llm4) hash the corpus by doc_id once and run every
+      // downstream gram/token-grain join on (doc_id, …) keys without
+      // re-shuffling — scale-independent planner leniency (the same
+      // subset rule aggregations/windows already get by default), not
+      // a local-mode tuning knob
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -54,10 +62,20 @@ object LocalRun {
     * remain the caller's responsibility — Verify/Bench/specs run
     * queries one at a time by construction. */
   def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    withConf(s, "spark.sql.shuffle.partitions", n.toString)(body)
+
+  /** Run `body` with one session conf temporarily swapped, restoring
+    * the prior value after — the generalized form of
+    * [[withShufflePartitions]] (same JVM-wide lock, same serial
+    * contract: concurrent swap windows serialize instead of leaking
+    * the temporary value past the block). r18 adds a second user:
+    * partitioned localCheckpoints must materialize with AQE off so
+    * the LogicalRDD records the hash partitioning instead of
+    * UnknownPartitioning. */
+  def withConf[T](s: SparkSession, key: String, value: String)(body: => T): T =
     shufflePartitionsLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
       val prev = s.conf.get(key)
-      s.conf.set(key, n.toString)
+      s.conf.set(key, value)
       try body finally s.conf.set(key, prev)
     }
   private val shufflePartitionsLock = new Object

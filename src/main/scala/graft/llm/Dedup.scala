@@ -486,7 +486,7 @@ object Dedup {
                           maxRounds: Int = 25,
                           broadcastVertexMax: Long = 4000000L,
                           onRoundPlan: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
-    val edges = pairs
+    val edges0 = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
@@ -505,38 +505,64 @@ object Dedup {
     // would otherwise accumulate one pinned RDD per round); only the
     // RETURNED frame's single checkpoint survives — that is the result
     // data itself. Release it with [[releaseCheckpoint]] once consumed.
-    var ckpt = edges.select(col("u").as("doc")).distinct()
+    // the vertex count drives the per-round join strategy; observed on
+    // the materialization job itself (r18 — at fixture scale the CC
+    // loop's cost is the per-job scheduling floor, so every folded
+    // count is a round-trip saved; at cluster scale it is one fewer
+    // full pass over the vertex frame)
+    val vObs = org.apache.spark.sql.Observation()
+    var ckpt = edges0.select(col("u").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
+      .observe(vObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
     var labels = ckpt
-    // materialized above; the count drives the per-round join strategy
-    val nVerts = labels.count()
+    val nVerts = vObs.get("n").asInstanceOf[Long]
     val bc: DataFrame => DataFrame =
       if (nVerts <= broadcastVertexMax) broadcast else identity
+    // symmetric edges PLUS one self-loop per vertex (r18): the
+    // self-loop lets each round's "adopt the min label among yourself
+    // and your neighbors" run as ONE join + ONE aggregation — the
+    // self-loop row contributes the vertex's own label (which is also
+    // how the round recovers `old` for the convergence count) — where
+    // the loopless form needed a second (labels ⟕ neighbor-min) join
+    // and, on the broadcast path, a second broadcast per round. The
+    // loops ride the materialized vertex checkpoint, so the union adds
+    // no pass of its own; `verts` must therefore stay pinned for the
+    // whole loop (the round rotation below releases only SUPERSEDED
+    // round checkpoints, never this one).
+    val verts = ckpt
+    val edges = edges0.unionAll(
+      verts.select(col("doc").as("u"), col("doc").as("v")))
     var round = 0
     var changed = 1L
     var done = false
     try {
       while (round < maxRounds && changed > 0) {
-        val nbrMin = edges
-          .join(bc(labels.select(col("doc").as("v"), col("lbl"))), Seq("v"))
-          .groupBy(col("u").as("doc"))
-          .agg(min("lbl").as("nbr_lbl"))
-        // one join carries both the new label and the old one, so the
+        // one pass carries both the new label (min over self + nbrs —
+        // the self-loop stands in for the old left-join-and-coalesce)
+        // and the old one (the self-loop row's label), so the
         // convergence count and the next-round frame come from a single
         // materialization per round (the count is the only driver value)
-        val nextPlan = labels
-          .join(bc(nbrMin), Seq("doc"), "left")
-          .select(col("doc"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-            col("lbl").as("old"))
+        val nextPlan = edges
+          .join(bc(labels.select(col("doc").as("v"), col("lbl"))), Seq("v"))
+          .groupBy(col("u").as("doc"))
+          .agg(min("lbl").as("lbl"),
+            max(when(col("v") === col("u"), col("lbl"))).as("old"))
         // observability hook (graft.ExplainFit): sees the round's full
         // UN-checkpointed plan — proves each round's plan is constant-
         // size (the localCheckpoint lineage-truncation claim)
         onRoundPlan(round, nextPlan)
-        val next = nextPlan.localCheckpoint(true)
-        changed = next.filter(col("lbl") =!= col("old")).count()
-        releaseCheckpoint(ckpt) // superseded: next is materialized
+        // convergence count folded into the materialization (r18): the
+        // old shape paid a second job per round to re-scan the fresh
+        // checkpoint for `changed`
+        val obs = org.apache.spark.sql.Observation()
+        val next = nextPlan
+          .observe(obs, count(when(col("lbl") =!= col("old"), 1)).as("changed"))
+          .localCheckpoint(true)
+        changed = obs.get("changed").asInstanceOf[Long]
+        // superseded: next is materialized (the initial vertex frame
+        // stays pinned — the self-loop union reads it every round)
+        if (!(ckpt eq verts)) releaseCheckpoint(ckpt)
         ckpt = next
         labels = next.select("doc", "lbl")
         round += 1
@@ -551,7 +577,7 @@ object Dedup {
       // checkpoint — exactly one pinned RDD (the result) leaves here
       val out = labels.select(col("doc"), col("lbl").as("group_id"))
         .localCheckpoint(true)
-      releaseCheckpoint(ckpt)
+      if (!(ckpt eq verts)) releaseCheckpoint(ckpt)
       done = true
       out
     } finally {
@@ -559,8 +585,9 @@ object Dedup {
       // last round's checkpoint would otherwise stay pinned — the
       // documented catch-and-retry-with-connectedComponentsStar flow
       // must not accumulate one vertex-sized RDD per failed attempt
-      if (!done) releaseCheckpoint(ckpt)
-      edges.unpersist(blocking = false) // also on throw / job failure
+      if (!done && !(ckpt eq verts)) releaseCheckpoint(ckpt)
+      releaseCheckpoint(verts) // loop over: the self-loop source too
+      edges0.unpersist(blocking = false) // also on throw / job failure
     }
   }
 
@@ -608,18 +635,24 @@ object Dedup {
       .unionAll(pairs.select(col(bCol).as("doc")))
       .distinct()
       .localCheckpoint(true)
+    // (count, xor-of-hashes) fingerprint observed on each frame's OWN
+    // materialization job (r18 — one job per round instead of two;
+    // the fixture-scale CC cost is the per-job scheduling floor)
+    def observedCheckpoint(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = e.observe(obs, count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("u"), col("v"))).as("x"))
+        .localCheckpoint(true)
+      val x = obs.get("x")
+      (out, (obs.get("n").asInstanceOf[Long],
+        if (x == null) 0L else x.asInstanceOf[Long]))
+    }
     // parent-pointer orientation hi→lo; self-loops carry no information
-    var ckpt = pairs
+    var (ckpt, fp) = observedCheckpoint(pairs
       .filter(col(aCol) =!= col(bCol))
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .distinct()
-      .localCheckpoint(true)
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var fp = fingerprint(ckpt)
+      .distinct())
     var round = 0
     var converged = fp._1 == 0L // an edgeless graph is already a fixpoint
     try {
@@ -640,8 +673,7 @@ object Dedup {
           .unionAll(smins.select(col("u"), col("mn").as("v")))
           .distinct()
         onRoundPlan(round, smallPlan) // same constant-size-plan probe as hash-min
-        val small = smallPlan.localCheckpoint(true)
-        val fpNext = fingerprint(small)
+        val (small, fpNext) = observedCheckpoint(smallPlan)
         converged = fpNext == fp &&
           ckpt.exceptAll(small).limit(1).count() == 0L // exact confirm
         fp = fpNext

@@ -53,20 +53,32 @@ object LangModel {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
     val (b1, b2) = pairBuckets(col("__g"), buckets)
+    // ONE corpus pass (r18, guide §1.2 step 1): the pair counts are
+    // aggregated once and MATERIALIZED (localCheckpoint — the table is
+    // bounded by B² rows at any corpus scale, so pinning it is free);
+    // the context marginal is a window row-sum OVER that table and the
+    // backoff table a projection of it. The previous lazy c2/c1 frames
+    // re-derived the corpus aggregation per consumer — the pair-logp
+    // join, its broadcast marginal, and the backoff table each re-ran
+    // the full bigram explode+aggregate (3 corpus passes, 5 exchanges;
+    // this shape is 1 pass, 2 bounded exchanges). c1 ≡ sum of __c2 per
+    // b1 by construction, so emitted values are bit-identical.
     val c2 = bigrams(targetDocs, idCol, textCol)
       .groupBy(b1.as("b1"), b2.as("b2"))
       .agg(count(lit(1)).as("__c2"))
-    // the context marginal is the pair table's row sum — consistent by
-    // construction, and the pair table is already bounded, so this is
-    // a second tiny aggregation, not a corpus pass
-    val c1 = c2.groupBy("b1").agg(sum("__c2").as("__c1"))
-    val pairLogp = c2.join(broadcast(c1), Seq("b1"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("b1")
+    val withCtx = c2.withColumn("__c1", sum("__c2").over(w))
+    val pairLogp = withCtx
       .select(col("b1"), col("b2"),
         logpTrunc(log((col("__c2") + alpha) /
           (col("__c1") + lit(alpha * buckets)))).as("logp"))
-    val ctxBackoff = c1.select(col("b1"),
+    // one row per context: every (b1, backoff) pair is identical
+    // across the context's rows, so distinct is exact
+    val ctxBackoff = withCtx.select(col("b1"),
       logpTrunc(log(lit(alpha) / (col("__c1") + lit(alpha * buckets))))
         .as("backoff"))
+      .distinct()
     (pairLogp, ctxBackoff)
   }
 

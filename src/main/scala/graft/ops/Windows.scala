@@ -101,11 +101,31 @@ object Windows {
   def leadLabel(c: Column, key: Column, order: Column*): Column =
     lead(c, 1).over(byKey(key, order))
 
-  /** P17: dense 0-based id per distinct key value, ordered (05:182). */
+  /** P17: dense 0-based id per distinct key value, ordered (05:182).
+    *
+    * Two-pass dense rank (r18 — the verdict's single-partition-window
+    * fix): the old `row_number() over (orderBy key)` funneled EVERY
+    * distinct key through one partition — fine for the registered
+    * dimension-sized use, a silent wall for any high-cardinality key.
+    * Now the distinct keys are RANGE-partitioned (global sort order
+    * across partitions, ascending nulls-first — the same order the
+    * global window used), sorted within partitions, and zipped with
+    * their global position (zipWithIndex's one extra count pass =
+    * the per-partition-offset pass of the classic two-pass rank).
+    * Values are identical: id = 0-based position in key order, emitted
+    * as the same non-nullable int row_number produced. */
   def denseId(df: DataFrame, key: String, idCol: String): DataFrame = {
-    val w = Window.orderBy(col(key))
-    df.select(col(key)).distinct()
-      .withColumn(idCol, row_number().over(w) - 1)
+    val spark = df.sparkSession
+    val sorted = df.select(col(key)).distinct()
+      .repartitionByRange(col(key))
+      .sortWithinPartitions(col(key))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idCol, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i.toInt)
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** W7: gap-based SESSIONIZATION — the classic event-analytics

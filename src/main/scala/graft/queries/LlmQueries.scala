@@ -666,7 +666,7 @@ object LlmQueries extends Q.Registry {
     * end-to-end scale cost stays measured. Goes through [[cachedFrame]]
     * so dead-session entries are purged (the r8 ADVICE retention
     * pathology a bare per-session map would re-introduce). */
-  private def verifiedPairsShared(s: SparkSession, d: String): DataFrame =
+  private[graft] def verifiedPairsShared(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, "verified_pairs", d)(verifiedPairs(s, d))
 
   /** DuckDB mirror of [[verifiedPairs]] as a WITH prefix ending in the
@@ -999,6 +999,29 @@ object LlmQueries extends Q.Registry {
       }
       perSession.getOrElseUpdate((site, d), build.cache())
     }
+
+  /** Materialize `df` hash-partitioned by `key` and hand back a frame
+    * whose LogicalRDD still CARRIES that partitioning (r18): the
+    * one-exchange pipelines (tx21/llm4) hash the corpus by doc id
+    * once and run every (key, …)-keyed aggregation/window/join
+    * downstream shuffle-free. Two gotchas this helper pins down:
+    * the analyzer's self-join dedup clones a bare shared
+    * `repartition` subtree per consuming arm (N un-reused corpus
+    * shuffles instead of 1 — measured 2× slower than the topology it
+    * was meant to fix), and a localCheckpoint built under AQE records
+    * UnknownPartitioning, silently re-adding every downstream
+    * exchange; so the materialization runs with AQE off (the swap is
+    * session-global, same serial contract as withShufflePartitions).
+    * Always inside the timed region — the builder runs per measured
+    * iteration. At cluster scale this is a key-clustered stage write
+    * (Iceberg hash distribution-mode); release with
+    * [[graft.llm.Dedup.releaseCheckpoint]] semantics — callers here
+    * return plans that still read it, so it lives until the next
+    * run's build (bounded: one per query per session). */
+  private def partitionedCheckpoint(s: SparkSession, df: DataFrame,
+                                    key: String): DataFrame =
+    graft.LocalRun.withConf(s, "spark.sql.adaptive.enabled", "false")(
+      df.repartition(col(key)).localCheckpoint(true))
 
   /** Per-dir memo of the fitted quality classifier (64 hashed buckets,
     * 4 IRLS iterations) — the share-the-fit contract: the Spark query
@@ -1692,7 +1715,7 @@ object LlmQueries extends Q.Registry {
   private val dupLabelsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def resetDupGroupsMemo(): Unit = dupLabelsMemo.clear()
-  private[queries] def grownDupLabelsDir(s: SparkSession, d: String): String =
+  private[graft] def grownDupLabelsDir(s: SparkSession, d: String): String =
     dupLabelsMemo.computeIfAbsent(d, _ => {
       val stage = java.nio.file.Files.createTempDirectory("graft_st18_")
       writeLabelDirs(s, Dedup.connectedComponents(
@@ -4502,8 +4525,25 @@ object LlmQueries extends Q.Registry {
         val para3 = when(col("doc_id") % 5 === 0, col("text"))
           .otherwise(when(col("doc_id") % 7 === 0, echo12)
             .otherwise(lit("a closing paragraph for the page.")))
-        val pages = Tables.documents(s, d).select(col("doc_id"),
-          concat_ws("\n\n", col("text"), para2, para3).as("page"))
+        // ONE corpus exchange (r18, guide §2.4/§8): hash the compact
+        // (doc_id, page) rows by doc_id once and MATERIALIZE that
+        // partitioning (eager localCheckpoint — the LogicalRDD keeps
+        // hashpartitioning(doc_id), and the analyzer's self-join
+        // dedup otherwise clones the repartition subtree per arm, 6
+        // un-reused corpus shuffles instead of 1). Every downstream
+        // arm is keyed (doc_id, …), so the exploded unit/gram/token
+        // grains — previously 13 separate keyed shuffles of derived
+        // rows many times the corpus size — run shuffle-free on this
+        // single partitioning (subset distribution for aggregations/
+        // windows, leading-key co-partitioning for the joins). doc_id
+        // is maximally spread, so no parallelism cap and no skew
+        // beyond one document's length; at cluster scale the
+        // checkpoint is a doc_id-clustered stage write. Inside the
+        // timed region (the builder runs per measured iteration).
+        val pages = partitionedCheckpoint(s,
+          Tables.documents(s, d).select(col("doc_id"),
+            concat_ws("\n\n", col("text"), para2, para3).as("page")),
+          "doc_id")
         val ws = TextOps.words(col("page"))
         // lines and paragraphs ride ONE tagged explode + aggregation
         // (Repetition.dupUnitStatsMulti — the same shuffle-merge move
@@ -6363,7 +6403,14 @@ object LlmQueries extends Q.Registry {
         val qm = gopherQualityCols(cleaned) // shared with llm5 (one defn)
         val keepQ = gopherBaseKeep &&
           col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1
-        val pages = qm.select(col("doc_id"), col("text"))
+        // ONE cleaned-corpus materialization hashed by doc_id (r18,
+        // the tx21 move — see partitionedCheckpoint): both repetition
+        // arms' gram/token grains run shuffle-free on it instead of
+        // re-shuffling derived rows per arm; the narrow (doc_id, text)
+        // projection keeps the ws arrays out of the shuffle (the
+        // verifiedPairs lesson).
+        val pages = partitionedCheckpoint(s,
+          cleaned.select(col("doc_id"), col("text")), "doc_id")
         val joined = qm
           .join(Repetition.topGramCharsMulti(pages, "doc_id",
               TextOps.words(col("text")), Seq(2, 3, 4))

@@ -28,6 +28,10 @@ object SparkSpec {
     // path the library's performance claims rest on (production
     // sessions keep the default FALLBACK behavior)
     .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    // mirror LocalRun.session's subset co-partitioning leniency: the
+    // plan-audit exchange pins are generated under LocalRun.session,
+    // so the test session must plan joins identically
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
